@@ -1,0 +1,79 @@
+"""Benchmark driver: runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + count-collect of
+the aggregate result). A warmup pass on sf's smallest table absorbs
+JVM/codegen startup so the numbers measure the queries, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from etl_jobs_spark import registry
+from etl_jobs_spark.session import get_spark
+
+#: The queries that define the engine's throughput story: the
+#: flagship agg, the star join, a window, dedup + similarity (the
+#: LLM-pipeline ops), and profiling.
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_star_revenue",
+    "agg_events_by_type",
+    "window_rank_events",
+    "topk_orders",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        "etl_jobs_spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    queries = registry.all_queries()
+    names = [n for n in HEADLINE if n in queries]
+    # extend with any registered headline-worthy ops added later
+    for n in sorted(queries):
+        if n.startswith(("dedup_", "embed_", "text_", "stream_")) and n not in names:
+            names.append(n)
+
+    # warmup: touch the fact table once (JVM + codegen + FS caches)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

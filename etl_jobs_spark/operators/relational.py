@@ -1,0 +1,198 @@
+"""Relational breadth: grouped aggregation, star-schema joins,
+top-k, windows, set ops, JSON extraction.
+
+The reference's only aggregations are per-column profile reductions
+(ref: src/etl_2022.py:50-109) and its only multi-input op is a
+same-schema union (ref: src/etl_2020.py:157). The engine generalizes
+to the full relational surface because the driver fixtures are a
+TPC-H-ish star schema — and because a user at 100 TB needs grouped
+aggs/joins/windows as first-class, not as pandas afterthoughts.
+
+Scale notes baked into each operator:
+- grouped aggs are partial+final hash aggregates (map-side combine
+  is automatic — never pre-`collect` to "help");
+- dimension joins broadcast explicitly (`F.broadcast`) so the fact
+  table never shuffles for a dim lookup;
+- top-k is `orderBy+limit`, which Spark executes as per-partition
+  top-k + driver merge (TakeOrderedAndProject), not a global sort;
+- windows declare explicit orderBy keys with deterministic
+  tiebreaks so results are stable under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """Flagship grouped aggregation (TPC-H Q1 shape) over the fact
+    table: filter → groupBy(2) → 8 aggregates → sort.
+
+    Generalizes the reference's scalar quality reductions (ref:
+    src/etl_2022.py:50-58,100-105) to grouped form. Executes as
+    scan(pushdown: l_shipdate<=cutoff, 7-column ReadSchema) →
+    partial hash agg → shuffle on the 2 grouping cols (tiny
+    cardinality: ~6 groups) → final hash agg. At 100 TB the shuffle
+    carries only num_partitions×num_groups pre-aggregated rows —
+    this plan is scale-invariant.
+    """
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def star_join_revenue(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Revenue by region/nation across the full star:
+    lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+
+    Join strategy for 100 TB: the fact⋈orders join is the only real
+    shuffle (both large, keyed on orderkey — a bucketed layout on
+    l_orderkey/o_orderkey would remove even that); customer may
+    shuffle at full scale but nation/region are broadcast
+    unconditionally. Catalyst reorders the dim chain; we still hint
+    `broadcast` on the guaranteed-small sides so the plan never
+    degrades to sort-merge for a 25-row table.
+    """
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def top_k(
+    df: DataFrame, order_cols: list[Column], k: int = 10
+) -> DataFrame:
+    """Top-k (ref has no sort/limit — SURVEY §2.6 — this is the
+    generalization). Callers MUST include a unique tiebreak column so
+    the k-boundary is deterministic. Executes as
+    TakeOrderedAndProject: per-partition heap + driver merge of k×P
+    rows — no global sort, no shuffle."""
+    return df.orderBy(*order_cols).limit(k)
+
+
+def top_orders(orders: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k orders by price, orderkey tiebreak."""
+    return top_k(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k,
+    )
+
+
+def window_rank_events(events: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k-per-group via ranking window: the k highest-value events
+    per user (deterministic tiebreak on event_id).
+
+    One shuffle on user_id; rows stay sorted within partitions for
+    the rank. At scale, a skewed hot user is handled by AQE; for
+    k≪group size a `window + filter` beats a global sort by never
+    materializing full per-group order past the filter.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        events.select("user_id", "event_id", "event_type", "value")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def window_running_sum(events: DataFrame) -> DataFrame:
+    """Running per-user cumulative sum ordered by event time —
+    the unbounded-preceding frame the reference's mean-imputation
+    degenerates to (SURVEY §2.6)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
+    )
+
+
+def union_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Same-schema union by name (ref: ``pd.concat(all_data,
+    ignore_index=True)`` src/etl_2020.py:157, src/etl_2022.py:257;
+    Qkey setop_union_all). ``ignore_index`` parity is inherent —
+    Spark rows carry no index. Zero-shuffle: partitions concatenate.
+    """
+    return a.unionByName(b)
+
+
+def intersect_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Set intersection (beyond-reference; SURVEY §2.6 'built-in if
+    needed'). Hash-shuffles both sides on all columns."""
+    return a.intersectAll(b)
+
+
+def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Set difference (beyond-reference)."""
+    return a.exceptAll(b)
+
+
+def extract_json_props(events: DataFrame) -> DataFrame:
+    """Parse the JSON ``props`` payload with a declared schema (ref:
+    ``json.loads(message['Body'])`` src/etl_2025.py:243; metrics docs
+    src/etl_2022.py:161-165 → SURVEY §2.7 json family).
+
+    `from_json` with an explicit schema is codegen'd JVM-side — no
+    Python, no inference pass; at 100 TB schema inference over JSON
+    strings is a full extra scan, so the schema is always declared.
+    """
+    return events.select(
+        "event_id",
+        "event_type",
+        F.from_json(F.col("props"), "k INT").getField("k").alias("props_k"),
+    )
+
+
+def grouped_agg_events(events: DataFrame) -> DataFrame:
+    """Per-key grouped aggregation on the stream-shaped table:
+    count / sum / avg / distinct-users per event_type."""
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -1,0 +1,4 @@
+"""Declared queries: importing this package registers every
+query/oracle pair with etl_jobs_spark.registry."""
+
+from etl_jobs_spark.queries import relational  # noqa: F401

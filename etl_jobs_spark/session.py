@@ -1,0 +1,67 @@
+"""SparkSession factory tuned for this engine.
+
+Local test mode runs one JVM with N threads; production is a real
+cluster — the configs below are chosen to be correct for both:
+AQE handles runtime re-planning (partition coalescing, skew joins),
+shuffle partitions default to the core count locally (overridden by
+AQE advisory sizing at cluster scale), Arrow is on for every
+pandas-interop path, and the session timezone is pinned to UTC so
+timestamps compare bit-for-bit against external oracles.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Defaults applied to every session this engine builds. At cluster
+#: scale these are the settings you want on a 1000-executor job too:
+#: AQE re-plans shuffles from runtime statistics (coalesces small
+#: post-shuffle partitions, splits skewed ones, demotes sort-merge to
+#: broadcast when a side turns out small), and Arrow keeps any
+#: pandas-interop off the slow pickle path.
+ENGINE_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 128 MB input splits — the parquet scan parallelism knob that
+    # matters at 100 TB (≈800k splits; AQE coalesces downstream).
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Broadcast threshold: dims (region/nation/customer/supplier/part
+    # at per-query filter selectivity) should broadcast; 64 MB is
+    # safe with 4g+ executors.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "etl_jobs_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or
+    ``local[*]``) when no cluster master is configured; on a real
+    cluster, leave it unset and spark-submit supplies it.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 1)
+    conf = dict(ENGINE_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

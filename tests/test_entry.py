@@ -1,0 +1,26 @@
+"""Driver-contract smoke tests mirroring t1."""
+
+from __future__ import annotations
+
+import importlib.util
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _load_entry_module():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", REPO / "__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_contract(spark):
+    mod = _load_entry_module()
+    df = mod.entry(spark)
+    assert df.count() > 0
+    q, o = mod.queries(), mod.oracle_sql()
+    assert q, "queries() must not be empty"
+    assert set(o) <= set(q), "every oracle key must have a query"
