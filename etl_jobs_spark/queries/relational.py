@@ -17,9 +17,9 @@ from etl_jobs_spark.sources.readers import read_table
            round(sum(l_extendedprice), 2)                                     AS sum_base_price,
            round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
-           round(avg(l_quantity), 6)                                          AS avg_qty,
-           round(avg(l_extendedprice), 6)                                     AS avg_price,
-           round(avg(l_discount), 6)                                          AS avg_disc,
+           round(avg(l_quantity), 4)                                          AS avg_qty,
+           round(avg(l_extendedprice), 4)                                     AS avg_price,
+           round(avg(l_discount), 4)                                          AS avg_disc,
            count(*)                                                           AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -176,7 +176,7 @@ def json_extract_props(spark, sf_dir):
     SELECT event_type,
            count(*)                   AS n_events,
            round(sum(value), 2)       AS total_value,
-           round(avg(value), 6)       AS avg_value,
+           round(avg(value), 4)       AS avg_value,
            count(DISTINCT user_id)    AS n_users
     FROM events
     GROUP BY event_type
