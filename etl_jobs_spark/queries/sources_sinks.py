@@ -1,0 +1,169 @@
+"""Source/sink Qkeys as oracle-checked ROUNDTRIPS: each query
+materializes fixture data through the source/sink under test and
+returns the read-back DataFrame, so the DuckDB oracle (the original
+table) verifies end-to-end fidelity — types, headers, precision.
+
+- scan_csv_single / scan_csv_pandas  ref: src/etl_2016.py:4-10,
+  src/etl_2020.py:79-84
+- scan_glob_union                    ref: src/etl_2020.py:150-157,
+  src/etl_2022.py:242-257
+- sink_jdbc_append                   ref: src/etl_2018.py:65-92,
+  src/etl_2020.py:108-138 — real JDBC via embedded Derby
+- source_s3 / sink_s3                ref: src/etl_2025.py:53-84 —
+  URI-addressed object-store read/write (exercised with file://;
+  s3a:// is the same call with hadoop-aws on the classpath)
+- sink_json_report                   ref: src/etl_2022.py:161-165
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from etl_jobs_spark.operators import quality as Q
+from etl_jobs_spark.queries.reference_parity import _dirty_rules, dirty_events
+from etl_jobs_spark.registry import register
+from etl_jobs_spark.sources import readers, writers
+from etl_jobs_spark.sources.readers import read_table
+
+REGION_SCHEMA = "r_regionkey INT, r_name STRING"
+NATION_SCHEMA = "n_nationkey INT, n_name STRING, n_regionkey INT"
+CUSTOMER_SCHEMA = (
+    "c_custkey BIGINT, c_name STRING, c_nationkey INT, "
+    "c_acctbal DOUBLE, c_mktsegment STRING"
+)
+
+
+def _workdir(tag: str) -> Path:
+    d = Path(tempfile.gettempdir()) / f"etl_jobs_spark_{tag}_{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
+@register("scan_csv_single", oracle="SELECT * FROM region")
+def scan_csv_single(spark, sf_dir):
+    """CSV write → schema-declared CSV scan; fidelity checked against
+    the parquet original."""
+    d = _workdir("csv_single")
+    writers.sink_csv(read_table(spark, sf_dir, "region"), str(d / "region_csv"))
+    return readers.scan_csv(spark, str(d / "region_csv"), schema=REGION_SCHEMA)
+
+
+@register("scan_csv_pandas", oracle="SELECT * FROM nation")
+def scan_csv_pandas(spark, sf_dir):
+    """Header-inferred CSV scan (the reference's ``pd.read_csv``
+    shape — no declared schema, inference on)."""
+    d = _workdir("csv_infer")
+    writers.sink_csv(read_table(spark, sf_dir, "nation"), str(d / "nation_csv"))
+    return readers.scan_csv(spark, str(d / "nation_csv"), schema=None)
+
+
+@register("scan_glob_union", oracle="SELECT * FROM customer")
+def scan_glob_union(spark, sf_dir):
+    """Per-segment CSV files + a decoy ``output`` dir; the glob-union
+    scan must pick up exactly the ``input_*`` files — filename-level
+    pruning inside ONE scan (no driver-side concat loop)."""
+    d = _workdir("glob_union")
+    cust = read_table(spark, sf_dir, "customer")
+    for seg in [r[0] for r in cust.select("c_mktsegment").distinct().collect()]:
+        writers.sink_csv(
+            cust.filter(F.col("c_mktsegment") == seg), str(d / f"input_{seg}")
+        )
+    # decoy the scan must NOT read (ref: skipping output.csv, src/etl_2020.py:151)
+    writers.sink_csv(cust.limit(7), str(d / "output"))
+    return readers.scan_glob_union(
+        spark,
+        str(d / "input_*"),
+        schema=CUSTOMER_SCHEMA,
+        path_glob_filter="*.csv",
+        fmt="csv",
+    )
+
+
+@register("sink_jdbc_append", oracle="SELECT * FROM supplier")
+def sink_jdbc_append(spark, sf_dir):
+    """REAL JDBC roundtrip through embedded Derby (in the Spark JVM):
+    append-mode batched insert, then a JDBC scan back."""
+    db = _workdir("derby") / "db"
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    writers.sink_jdbc_append(
+        read_table(spark, sf_dir, "supplier"),
+        url,
+        "supplier_sink",
+        properties=props,
+        batchsize=500,
+        num_partitions=2,
+    )
+    return spark.read.jdbc(url, "supplier_sink", properties=props)
+
+
+@register("sink_s3", oracle="SELECT * FROM part")
+def sink_s3(spark, sf_dir):
+    """Object-store sink: write parquet to a ``processed/`` prefix
+    under a file:// URI (same API as s3a://), read back. SSE for real
+    S3 is a filesystem conf, not a code change (see
+    sources/readers.py::source_object_store)."""
+    d = _workdir("objstore")
+    uri = (d / "processed" / "part").as_uri()
+    writers.sink_parquet(read_table(spark, sf_dir, "part"), uri, mode="overwrite")
+    return spark.read.parquet(uri)
+
+
+@register("source_s3", oracle="SELECT * FROM orders")
+def source_s3(spark, sf_dir):
+    """Object-store source: CSV under a ``raw/`` prefix read by URI —
+    the reference's download-to-temp step (src/etl_2025.py:70-84) is
+    deleted, not ported; Spark reads the store directly."""
+    d = _workdir("objstore_src")
+    raw_uri = (d / "raw" / "orders").as_uri()
+    writers.sink_csv(read_table(spark, sf_dir, "orders"), raw_uri)
+    return readers.source_object_store(
+        spark,
+        raw_uri,
+        schema=(
+            "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+            "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING"
+        ),
+        fmt="csv",
+    )
+
+
+@register(
+    "sink_json_report",
+    oracle="""
+    WITH dirty AS (
+      SELECT event_id, user_id, event_type, value, props,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value_n,
+             CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END AS event_type_n
+      FROM events)
+    SELECT count(*) AS total_records,
+           sum(CAST(value_n IS NOT NULL
+                    AND coalesce(trim(event_type_n) <> '', FALSE)
+                    AND coalesce(value_n BETWEEN 0 AND 150, FALSE)
+               AS INTEGER)) AS valid_records,
+           round(sum(CAST(value_n IS NOT NULL
+                    AND coalesce(trim(event_type_n) <> '', FALSE)
+                    AND coalesce(value_n BETWEEN 0 AND 150, FALSE) AS INTEGER))
+                 * 100.0 / count(*), 6) AS completion_rate,
+           round(sum(CAST(value_n IS NOT NULL
+                    AND coalesce(trim(event_type_n) <> '', FALSE)
+                    AND coalesce(value_n BETWEEN 0 AND 150, FALSE) AS INTEGER))
+                 * 100.0 / count(*), 6) AS success_rate
+    FROM dirty
+    """,
+)
+def sink_json_report(spark, sf_dir):
+    """Metrics → single-file JSON report → read back with declared
+    schema (ref: src/etl_2022.py:161-165)."""
+    d = _workdir("json_report")
+    metrics = Q.run_quality_metrics(dirty_events(spark, sf_dir), _dirty_rules())
+    writers.sink_json_report(metrics, str(d / "quality_metrics"))
+    return spark.read.schema(
+        "total_records BIGINT, valid_records BIGINT, "
+        "completion_rate DOUBLE, success_rate DOUBLE"
+    ).json(str(d / "quality_metrics"))

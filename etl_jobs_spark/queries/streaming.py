@@ -1,0 +1,280 @@
+"""Streaming query declarations.
+
+Each query stages fixture data into a temp dir, runs a REAL
+Structured Streaming job (file source → checkpointed sink,
+availableNow trigger so it drains and stops), and returns the
+result as a batch DataFrame for the oracle comparison. The oracles
+encode the streaming semantics themselves — e.g. the watermark query's
+oracle computes which windows are finalized at end-of-stream.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_jobs_spark.registry import register
+from etl_jobs_spark.sources.readers import read_table
+from etl_jobs_spark.streaming import pipelines as S
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+EVENTS_CSV_SCHEMA = "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+
+
+def _stage(spark: SparkSession, sf_dir: str, fmt: str, n_files: int) -> Path:
+    """Stage events into a temp 'raw/' prefix as n_files files — the
+    arriving-files queue the 2025 pipeline polls."""
+    d = Path(tempfile.gettempdir()) / f"etl_stream_{uuid.uuid4().hex[:8]}"
+    ev = read_table(spark, sf_dir, "events")
+    if fmt == "parquet":
+        ev.repartition(n_files).write.parquet(str(d / "raw"))
+    else:
+        ev.select("event_id", "user_id", "event_type", "value").repartition(
+            n_files
+        ).write.option("header", "true").csv(str(d / "raw"))
+    return d
+
+
+@register(
+    "stream_window_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_window_counts(spark, sf_dir):
+    """Tumbling 1h event-time windows, complete mode (streaming
+    groupBy+window over a file-arrival source)."""
+    d = _stage(spark, sf_dir, "parquet", 3)
+    src = S.file_stream_source(spark, str(d / "raw"), EVENTS_SCHEMA, "parquet", 1)
+    return S.run_to_memory(
+        S.windowed_counts(src, "1 hour"), str(d / "ck"), "complete"
+    )
+
+
+@register(
+    "stream_watermark_append",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS cutoff FROM events),
+    w AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1, 2)
+    SELECT window_start, event_type, n, total_value
+    FROM w, wm
+    WHERE window_start + INTERVAL 1 HOUR <= cutoff
+    """,
+)
+def stream_watermark_append(spark, sf_dir):
+    """Watermarked append mode: ONLY finalized windows (window_end ≤
+    max event time − 10 min delay) are emitted; the oracle states
+    that contract exactly. This is the late-data/state-bounding
+    mechanism the reference lacks (SURVEY §2.8 last row).
+
+    Staged as ONE file: with arbitrarily-shuffled multi-file input
+    the watermark jumps ahead mid-stream and out-of-order rows drop
+    as late — real streaming behavior, but nondeterministic for an
+    oracle. One file = one batch + trailing flush, which emits
+    exactly the finalized-window contract stated above."""
+    d = _stage(spark, sf_dir, "parquet", 1)
+    src = S.file_stream_source(spark, str(d / "raw"), EVENTS_SCHEMA, "parquet", 1)
+    return S.run_to_memory(
+        S.windowed_counts(src, "1 hour", watermark="10 minutes"),
+        str(d / "ck"),
+        "append",
+    )
+
+
+@register(
+    "stream_sliding_counts",
+    oracle="""
+    SELECT ws AS window_start, event_type, count(*) AS n
+    FROM (
+      SELECT event_type, ts,
+             unnest([time_bucket(INTERVAL 30 MINUTES, ts),
+                     time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES]) AS ws
+      FROM events) t
+    WHERE ts >= ws AND ts < ws + INTERVAL 1 HOUR
+    GROUP BY ws, event_type
+    """,
+)
+def stream_sliding_counts(spark, sf_dir):
+    """Sliding 1h/30m windows (each event in 2 windows)."""
+    d = _stage(spark, sf_dir, "parquet", 2)
+    src = S.file_stream_source(spark, str(d / "raw"), EVENTS_SCHEMA, "parquet", 1)
+    return S.run_to_memory(
+        S.sliding_window_counts(src, "1 hour", "30 minutes"), str(d / "ck"), "complete"
+    )
+
+
+SESSION_ORACLE = """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    g AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 5 MINUTE
+                         THEN 1 ELSE 0 END AS new_sess FROM g_src),
+    s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS sess_no FROM g)
+    SELECT min(ts) AS session_start, user_id,
+           count(*) AS n_events, round(sum(value), 2) AS session_value
+    FROM s GROUP BY user_id, sess_no
+""".replace("g_src", "o")
+
+
+@register("stream_session_windows", oracle=SESSION_ORACLE)
+def stream_session_windows(spark, sf_dir):
+    """Native session_window over the stream, 5-minute inactivity
+    gap; the oracle derives identical sessions via lag+gap+cumsum."""
+    d = _stage(spark, sf_dir, "parquet", 2)
+    src = S.file_stream_source(spark, str(d / "raw"), EVENTS_SCHEMA, "parquet", 1)
+    return S.run_to_memory(S.session_windows(src, "5 minutes"), str(d / "ck"), "complete")
+
+
+@register("sessionize_batch", oracle=SESSION_ORACLE)
+def sessionize_batch(spark, sf_dir):
+    """The SAME sessionization as a batch window query (lag + gap >=
+    threshold + running sum) — batch/stream unification: one
+    semantic, two execution modes, one oracle."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev").isNull()
+                | (
+                    F.col("ts").cast("double") - F.col("prev").cast("double")
+                    >= F.lit(300.0)
+                )
+            ).cast("int"),
+        )
+        .withColumn(
+            "sess_no",
+            F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    return g.groupBy("user_id", "sess_no").agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    ).select("session_start", "user_id", "n_events", "session_value")
+
+
+TRANSFORM_ORACLE_WHERE = (
+    "value BETWEEN 0 AND 150 AND coalesce(trim(event_type) <> '', FALSE)"
+)
+
+
+@register(
+    "source_queue",
+    oracle=f"""
+    SELECT event_id, user_id, upper(event_type) AS event_type, value
+    FROM events WHERE {TRANSFORM_ORACLE_WHERE}
+    """,
+)
+def source_queue(spark, sf_dir):
+    """2025-era pipeline end-to-end: file-arrival 'queue' (CSV files
+    under raw/, maxFilesPerTrigger=2 ≈ max_messages), the batch
+    validate+clean transform, foreachBatch dual sink (parquet archive
+    = the processed/ prefix + queue notification), checkpointed
+    exactly-once. Returns the archive read-back."""
+    d = _stage(spark, sf_dir, "csv", 5)
+    src = S.file_stream_source(
+        spark, str(d / "raw"), EVENTS_CSV_SCHEMA, "csv", 2
+    )
+    cleaned = src.filter(
+        F.col("value").between(0, 150) & (F.trim("event_type") != "")
+    ).select("event_id", "user_id", F.upper("event_type").alias("event_type"), "value")
+
+    processed = str(d / "processed")
+    queue_out = str(d / "queue_out")
+
+    def sinks(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        batch_df.write.mode("append").parquet(processed)
+        n = batch_df.count()
+        batch_df.sparkSession.createDataFrame(
+            [(int(batch_id), int(n))], "batch_id BIGINT, n_rows BIGINT"
+        ).write.mode("append").json(queue_out)
+        batch_df.unpersist()
+
+    S.foreach_batch_pipeline(cleaned, str(d / "ck"), sinks)
+    return spark.read.schema(EVENTS_CSV_SCHEMA).parquet(processed)
+
+
+@register(
+    "sink_queue",
+    oracle=f"""
+    SELECT count(*) AS total_sent FROM events WHERE {TRANSFORM_ORACLE_WHERE}
+    """,
+)
+def sink_queue(spark, sf_dir):
+    """Queue-sink parity (ref: send_message src/etl_2025.py:93-105):
+    the foreachBatch notifier writes one JSON message per micro-batch;
+    the sum of message row-counts equals the rows processed —
+    batch-split-invariant, so oracle-checkable."""
+    d = _stage(spark, sf_dir, "csv", 4)
+    src = S.file_stream_source(spark, str(d / "raw"), EVENTS_CSV_SCHEMA, "csv", 2)
+    cleaned = src.filter(
+        F.col("value").between(0, 150) & (F.trim("event_type") != "")
+    )
+    queue_out = str(d / "queue_out")
+
+    def sinks(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        batch_df.sparkSession.createDataFrame(
+            [(int(batch_id), int(n))], "batch_id BIGINT, n_rows BIGINT"
+        ).write.mode("append").json(queue_out)
+
+    S.foreach_batch_pipeline(cleaned, str(d / "ck"), sinks)
+    msgs = spark.read.schema("batch_id BIGINT, n_rows BIGINT").json(queue_out)
+    return msgs.select(F.sum("n_rows").alias("total_sent"))
+
+
+@register(
+    "stream_stateful_pandas",
+    oracle="SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
+)
+def stream_stateful_pandas(spark, sf_dir):
+    """Custom stateful streaming operator via applyInPandasWithState:
+    a per-user running event counter (Arrow-batched Python state
+    machine — the escape hatch for semantics window functions can't
+    express). Single input file → one micro-batch → the update-mode
+    output is the final per-user count."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    d = Path(tempfile.gettempdir()) / f"etl_stream_{uuid.uuid4().hex[:8]}"
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_id")
+    ev.coalesce(1).write.parquet(str(d / "raw"))
+    src = S.file_stream_source(
+        spark, str(d / "raw"), "user_id BIGINT, event_id BIGINT", "parquet", None
+    )
+
+    def count_events(key, pdf_iter, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    counted = src.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        "user_id BIGINT, n_events BIGINT",
+        "n BIGINT",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return S.run_to_memory(counted, str(d / "ck"), "update")

@@ -1,0 +1,146 @@
+"""Streaming pipelines.
+
+The reference's 2025 era is a poll loop: SQS message → S3 download →
+pandas transform → MySQL insert → S3 archive, sleeping 1 s when idle,
+never deleting messages (at-least-once-ish; ref:
+src/etl_2025.py:233-263, idle backoff :238, no-delete :261-263).
+
+Spark mapping (SURVEY §2.8):
+- trigger: `processingTime="1 second"` ≈ the poll loop;
+  `availableNow` = drain-and-stop (used by tests/queries so runs
+  terminate);
+- source: file-arrival stream on the raw prefix —
+  `maxFilesPerTrigger=10` ≈ `max_messages=10` (ref:
+  src/etl_2025.py:107);
+- transform: the SAME batch DataFrame functions — batch/stream
+  unification is free;
+- sink: `foreachBatch` for the dual sink (relational insert +
+  archive copy + queue notification);
+- semantics: checkpointing gives exactly-once file processing —
+  strictly stronger than the reference's redelivery loop
+  (documented upgrade, SURVEY §7).
+
+At scale: streaming state (windows, sessions) lives in the state
+store keyed by group — watermarks bound it; without a watermark,
+complete-mode aggregations are only for bounded key spaces.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def file_stream_source(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = 10,
+    header: bool = True,
+) -> DataFrame:
+    """File-arrival stream (Qkey source_queue): new files under the
+    raw prefix are the 'messages' (ref: src/etl_2025.py:107-119);
+    `maxFilesPerTrigger` caps the per-batch fetch like
+    `max_messages=10`."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if fmt == "csv":
+        reader = reader.option("header", str(header).lower())
+    return reader.format(fmt).load(path)
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Drain a streaming DataFrame into an in-memory table with
+    `availableNow` (drain-and-stop) and return the result as a batch
+    DataFrame. The memory sink is a TEST/DEMO sink — production
+    streams use parquet/JDBC/foreachBatch sinks below."""
+    name = f"mem_{uuid.uuid4().hex[:10]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str | None = None
+) -> DataFrame:
+    """Tumbling event-time window aggregation (beyond-reference
+    streaming surface; SURVEY §2.8 last row). With a watermark,
+    append mode emits exactly the finalized windows
+    (window_end ≤ max(ts) − delay) — late data beyond the delay is
+    dropped, bounding state size at scale."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame, window: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding (hopping) event-time windows — each event lands in
+    window/slide overlapping windows."""
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Per-user session windows with a fixed inactivity gap —
+    Spark's native session_window; a new session starts when the
+    inter-event gap is ≥ the threshold."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            F.col("sw.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def foreach_batch_pipeline(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    batch_sinks: Callable[[DataFrame, int], None],
+) -> None:
+    """The 2025-era dual-sink loop: per micro-batch, run arbitrary
+    sinks (relational insert + archive + queue notify) exactly once
+    per batch id (ref: src/etl_2025.py:233-263). Drains with
+    availableNow so callers control the run length."""
+    q = (
+        stream_df.writeStream.foreachBatch(batch_sinks)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
