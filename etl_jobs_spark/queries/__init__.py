@@ -6,4 +6,5 @@ from etl_jobs_spark.queries import (  # noqa: F401
     relational,
     sources_sinks,
     streaming,
+    text_analysis,
 )

@@ -1,0 +1,108 @@
+"""Text-analysis query declarations (SURVEY.md §7 step 7).
+
+Each oracle is GENERATED from the same expression builders the Spark
+operator uses (``operators/hashing.py``), so the two engines compute
+the identical formula — the only duplication is the dialect, handled
+inside the builders.
+"""
+
+from __future__ import annotations
+
+from etl_jobs_spark.operators import text as TX
+from etl_jobs_spark.operators.hashing import (
+    char_shingles,
+    hash60,
+    norm_text,
+    word_tokens,
+)
+from etl_jobs_spark.registry import register
+from etl_jobs_spark.sources.readers import read_table
+
+_N = norm_text("text", "duckdb")
+_TOKS = word_tokens("n", "duckdb")
+_NORM_SUB = f"(SELECT doc_id, lang, {_N} AS n FROM documents)"
+_TOK_SUB = f"(SELECT doc_id, lang, n, {_TOKS} AS toks FROM {_NORM_SUB})"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT)                AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           CAST(len(regexp_extract_all(n, '{TX.BPE_RE}')) AS BIGINT)
+                                                    AS n_bpe_tokens,
+           round(CAST(length(replace(n, ' ', '')) AS DOUBLE) / len(toks), 4)
+                                                    AS avg_token_len,
+           CAST(length(n) AS BIGINT)                AS n_chars_norm
+    FROM {_TOK_SUB}
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Whitespace + BPE-ish token counting per document (map-only)."""
+    return TX.token_stats(read_table(spark, sf_dir, "documents"))
+
+
+def _lang_oracle() -> str:
+    scores = {
+        lang: TX.lang_score_sql("toks", lang, "duckdb")
+        for lang in TX.LANG_ORDER
+    }
+    score_cols = ", ".join(
+        f"{sql} AS score_{lang}" for lang, sql in scores.items()
+    )
+    pick = TX.lang_pick_sql({lg: f"score_{lg}" for lg in TX.LANG_ORDER})
+    return f"""
+    SELECT doc_id, declared_lang, {", ".join(f"score_{lg}" for lg in TX.LANG_ORDER)},
+           {pick} AS predicted_lang
+    FROM (SELECT doc_id, lang AS declared_lang, {score_cols} FROM {_TOK_SUB})
+    """
+
+
+@register("text_lang_id", oracle=_lang_oracle())
+def text_lang_id(spark, sf_dir):
+    """Marker-lexicon language ID with deterministic argmax."""
+    return TX.lang_id(read_table(spark, sf_dir, "documents"))
+
+
+_PUNCT = "CAST(length(regexp_replace(n, '[a-z0-9 ]', '', 'g')) AS DOUBLE)"
+_STOP = TX.lang_score_sql("toks", "en", "duckdb")
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(n) AS BIGINT) AS n_chars_norm,
+           round({_PUNCT} / greatest(length(n), 1), 4) AS punct_ratio,
+           round(CAST({_STOP} AS DOUBLE) / len(toks), 4) AS stopword_ratio,
+           round(CAST(length(replace(n, ' ', '')) AS DOUBLE) / len(toks), 4)
+             AS avg_word_len,
+           round(least(1.0, CAST(length(n) AS DOUBLE) / 200)
+                 * (1.0 - least(1.0, {_PUNCT} / greatest(length(n), 1))), 4)
+             AS quality
+    FROM {_TOK_SUB}
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Length/punctuation/stopword quality heuristics per document."""
+    return TX.quality_score(read_table(spark, sf_dir, "documents"))
+
+
+_SH = char_shingles("n", "duckdb")
+_H60S = hash60("s", "duckdb")
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5(n) AS fingerprint,
+           CAST(coalesce(
+                 list_min(list_transform(sh, s -> {_H60S})),
+                 {hash60("n", "duckdb")}) AS BIGINT) AS min_shingle_hash
+    FROM (SELECT doc_id, n, {_SH} AS sh FROM {_NORM_SUB})
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """md5 exact-dup fingerprint + min-shingle rolling-hash key."""
+    return TX.fingerprint(read_table(spark, sf_dir, "documents"))
