@@ -1,0 +1,367 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Beyond-reference surface (SURVEY.md §7 step 7). The reference's only
+dedup is the exact full-row drop (``df.drop_duplicates()``,
+src/etl_2022.py:178, src/etl_2025.py:201 — Qkey ``dedup_full_row``);
+a corpus pipeline needs the whole near-dup ladder:
+
+- exact content dedup (hash-groupBy on normalized text),
+- MinHash + LSH banding (shingle → minhash → band → bucket-join),
+- SimHash (weighted bit-vote fingerprint + hamming-radius pairs),
+- word n-gram Jaccard (shingle-join with blocking),
+- embedding-cosine near-dup (label-blocked pair scan).
+
+Every derived value is built from the engine-portable fragments in
+``hashing.py`` so the DuckDB oracle computes bit-identical results.
+
+Scale design (the part that matters at 100 TB):
+
+- **No all-pairs anywhere.** Every pair-producing operator goes
+  through a *blocking key* — LSH band hash, SimHash chunk, shared
+  n-gram, or embedding label — so the join is an equi-join Catalyst
+  shuffles on the key, and candidate sets stay near-linear.
+- **MinHash needs no shingle dedup**: MIN over a multiset equals MIN
+  over the set, so the explode feeds the groupBy directly — one
+  shuffle total for signatures, map-side partial MIN applied.
+- **Skew**: a degenerate band bucket (all-identical docs) creates a
+  hot key; AQE skew-join handles moderate cases, and the band hash
+  can be salted with a bucket-size cutoff for adversarial corpora
+  (documented, not needed on the fixtures).
+- Expressions are pure Column algebra → whole-stage codegen; the
+  only Python in the pipeline is plan construction.
+
+To make the operators *provably fire* on the synthetic fixtures
+(whose 500 random documents contain no true near-dups), each query
+plants deterministic duplicates derived from the fixture itself —
+exact copies or 7-char-truncated copies of docs 0..24, with ids
+offset by 1,000,000 — identically in the Spark plan and the oracle
+SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_jobs_spark.operators.hashing import (
+    MERSENNE_P,
+    char_shingles,
+    dot_unrolled,
+    hash60,
+    minhash_expr,
+    minhash_params,
+    norm_text,
+    norm_unrolled,
+    popcount_unrolled,
+    sig_match_frac,
+    word_ngrams,
+    word_tokens,
+    xor_expr,
+)
+
+#: Planted-duplicate knobs (shared with the oracles).
+PLANT_OFFSET = 1_000_000
+PLANT_MAX_ID = 25
+PLANT_TRUNC = 7
+
+#: MinHash geometry: K permutations in B bands of R rows.
+MINHASH_K = 16
+MINHASH_BANDS = 4
+MINHASH_ROWS = 4
+_MINHASH_PARAMS = minhash_params(MINHASH_K)
+
+#: SimHash width and reporting radius (banding over 4 byte-chunks is
+#: complete for hamming distance <= 3 by pigeonhole).
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4
+SIMHASH_RADIUS = 3
+
+EMBED_DIM = 64
+COSINE_DUP_THRESHOLD = 0.99
+
+
+def planted_corpus(docs: DataFrame, mutate: bool) -> DataFrame:
+    """Fixture docs + planted duplicates: ``(doc_id, lang, n)`` with
+    normalized text; docs 0..24 reappear at ``doc_id + 1e6`` either
+    verbatim (``mutate=False``) or with the last 7 chars dropped."""
+    base = docs.select(
+        "doc_id", "lang", F.expr(norm_text("text", "spark")).alias("n")
+    )
+    plant = base.filter(F.col("doc_id") < PLANT_MAX_ID).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        "lang",
+        (
+            F.expr(f"substring(n, 1, greatest(length(n) - {PLANT_TRUNC}, 1))")
+            if mutate
+            else F.col("n")
+        ).alias("n"),
+    )
+    return base.unionByName(plant)
+
+
+def planted_corpus_sql(mutate: bool, engine: str = "duckdb") -> str:
+    """Oracle-side mirror of :func:`planted_corpus`."""
+    n = norm_text("text", engine)
+    sub = "substr" if engine == "duckdb" else "substring"
+    mut = (
+        f"{sub}(n, 1, greatest(length(n) - {PLANT_TRUNC}, 1))"
+        if mutate
+        else "n"
+    )
+    return f"""
+    (SELECT doc_id, lang, {n} AS n FROM documents
+     UNION ALL
+     SELECT doc_id + {PLANT_OFFSET}, lang, {mut}
+     FROM (SELECT doc_id, lang, {n} AS n FROM documents)
+     WHERE doc_id < {PLANT_MAX_ID})
+    """
+
+
+def exact_dedup(corpus: DataFrame) -> DataFrame:
+    """Exact content dedup: groupBy(md5(text)) → group size +
+    keep-first (min doc_id) survivor. One keyed shuffle with
+    map-side partial agg; the canonical 100 TB exact-dedup shape
+    (hash is computed in the map stage, so the shuffle carries
+    16-byte keys, not document text)."""
+    return (
+        corpus.select("doc_id", F.expr("md5(n)").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def minhash_signatures(corpus: DataFrame) -> DataFrame:
+    """Char-5-shingle MinHash signatures, one column per permutation.
+
+    explode(shingles) → groupBy(doc_id).agg(K mins). Duplicate
+    shingles need no dedup (MIN is set-insensitive), so this is a
+    single shuffle keyed on doc_id with partial MIN map-side."""
+    sh = corpus.select(
+        "doc_id", F.explode(F.expr(char_shingles("n", "spark"))).alias("s")
+    ).select(
+        "doc_id",
+        (F.expr(hash60("s", "spark")) % MERSENNE_P).alias("base"),
+    )
+    aggs = [
+        F.min(F.expr(minhash_expr("base", a, b))).alias(f"s{i}")
+        for i, (a, b) in enumerate(_MINHASH_PARAMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _band_hash(j: int) -> str:
+    cols = ", ".join(
+        f"s{i}" for i in range(j * MINHASH_ROWS, (j + 1) * MINHASH_ROWS)
+    )
+    return f"md5(concat_ws(',', {cols}))"
+
+
+def minhash_lsh_pairs(corpus: DataFrame) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate
+    pairs; similarity is estimated as the matching-signature
+    fraction. The pair join is an equi-join on (band_id, band_hash) —
+    shuffle on the bucket key, never all-pairs."""
+    sig = minhash_signatures(corpus)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.expr(_band_hash(j)).alias("band_hash"),
+                    )
+                    for j in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    a, b = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        a.join(
+            b,
+            (F.col("ba.band_id") == F.col("bb.band_id"))
+            & (F.col("ba.band_hash") == F.col("bb.band_hash"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_a"),
+            F.col("bb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    out = cand.join(
+        sig.alias("sa"), cand.doc_a == F.col("sa.doc_id")
+    ).join(sig.alias("sb"), cand.doc_b == F.col("sb.doc_id"))
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.expr(f"round({sig_match_frac('sa', 'sb', MINHASH_K)}, 4)").alias(
+            "est_sim"
+        ),
+    )
+
+
+def simhash_fingerprints(corpus: DataFrame) -> DataFrame:
+    """32-bit SimHash: each token occurrence votes ±1 per bit of its
+    hash; the sign of each bit-sum becomes the fingerprint bit.
+    explode → groupBy(doc_id) with 32 conditional SUMs — one shuffle,
+    partial aggregation map-side."""
+    toks = corpus.select(
+        "doc_id",
+        F.explode(F.expr(word_tokens("n", "spark"))).alias("tok"),
+    ).select("doc_id", F.expr(hash60("tok", "spark")).alias("h"))
+    bit_aggs = [
+        F.sum(
+            F.expr(f"CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END")
+        ).alias(f"w{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    bits = toks.groupBy("doc_id").agg(*bit_aggs)
+    fp = " + ".join(
+        f"CASE WHEN w{b} > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return bits.select(
+        "doc_id", F.expr(f"CAST({fp} AS BIGINT)").alias("simhash")
+    )
+
+
+def simhash_pairs(corpus: DataFrame) -> DataFrame:
+    """Hamming-radius pairs via byte-chunk banding: split the 32-bit
+    fingerprint into 4 bytes; any pair within hamming distance 3
+    shares at least one byte (pigeonhole), so the equi-join on
+    (chunk_id, chunk) finds all of them without an all-pairs scan."""
+    fp = simhash_fingerprints(corpus)
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("chunk_id"),
+                        F.expr(f"(simhash >> {8 * k}) & 255").alias("chunk"),
+                    )
+                    for k in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk")
+    a, b = chunks.alias("ca"), chunks.alias("cb")
+    ham = popcount_unrolled("x", SIMHASH_BITS)
+    return (
+        a.join(
+            b,
+            (F.col("ca.chunk_id") == F.col("cb.chunk_id"))
+            & (F.col("ca.chunk") == F.col("cb.chunk"))
+            & (F.col("ca.doc_id") < F.col("cb.doc_id")),
+        )
+        .select(
+            F.col("ca.doc_id").alias("doc_a"),
+            F.col("cb.doc_id").alias("doc_b"),
+            F.expr(
+                xor_expr("ca.simhash", "cb.simhash", "spark")
+            ).alias("x"),
+        )
+        .distinct()
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"CAST({ham} AS BIGINT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_RADIUS)
+    )
+
+
+def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact word-3-gram Jaccard over language-blocked candidates.
+
+    shingle-join: (gram, lang) equi-join counts the intersection per
+    pair; per-doc distinct-gram counts re-join to finish
+    J = |A∩B| / (|A|+|B|−|A∩B|). Word trigrams are near-unique per
+    document, so shared-gram groups — the only quadratic risk — stay
+    tiny; blocking on ``lang`` additionally partitions the space."""
+    toks = corpus.select(
+        "doc_id", "lang", F.expr(word_tokens("n", "spark")).alias("toks"), "n"
+    )
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr(word_ngrams("toks", "n", "spark"))).alias("g"),
+    ).distinct()
+    counts = grams.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams")
+    )
+    a, b = grams.alias("ga"), grams.alias("gb")
+    inter = (
+        a.join(
+            b,
+            (F.col("ga.g") == F.col("gb.g"))
+            & (F.col("ga.lang") == F.col("gb.lang"))
+            & (F.col("ga.doc_id") < F.col("gb.doc_id")),
+        )
+        .groupBy(
+            F.col("ga.doc_id").alias("doc_a"),
+            F.col("gb.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("long").alias("i"))
+    )
+    out = (
+        inter.join(counts.alias("na"), inter.doc_a == F.col("na.doc_id"))
+        .join(counts.alias("nb"), inter.doc_b == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "round(CAST(i AS DOUBLE) / (na.n_grams + nb.n_grams - i), 4)"
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def planted_embeddings(emb: DataFrame) -> DataFrame:
+    """Embeddings + planted exact copies of vec 0..24 (cosine 1.0)."""
+    plant = emb.filter(F.col("vec_id") < PLANT_MAX_ID).select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    return emb.select("vec_id", "embedding", "label").unionByName(plant)
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame, threshold: float = COSINE_DUP_THRESHOLD
+) -> DataFrame:
+    """Embedding near-dup pairs, blocked on ``label`` (the coarse
+    quantizer cell — the IVF pattern: at scale, labels come from a
+    k-means pass and the pair scan is per-cell, not global).
+
+    Norms are precomputed per vector (one map pass), the pair join is
+    an equi-join on label, and the dot product is an unrolled
+    codegen'd expression — no UDF, no all-pairs."""
+    vecs = planted_embeddings(emb).select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(norm_unrolled("embedding", EMBED_DIM, "spark")).alias("nrm"),
+    )
+    a, b = vecs.alias("va"), vecs.alias("vb")
+    dot = dot_unrolled("va.embedding", "vb.embedding", EMBED_DIM, "spark")
+    return (
+        a.join(
+            b,
+            (F.col("va.label") == F.col("vb.label"))
+            & (F.col("va.vec_id") < F.col("vb.vec_id")),
+        )
+        .select(
+            F.col("va.vec_id").alias("vec_a"),
+            F.col("vb.vec_id").alias("vec_b"),
+            F.expr(f"round({dot} / (va.nrm * vb.nrm), 6)").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

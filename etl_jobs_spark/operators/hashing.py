@@ -152,3 +152,50 @@ def dot_const_unrolled(col: str, consts: list[float], engine: str) -> str:
 def norm_unrolled(col: str, dim: int, engine: str) -> str:
     """sqrt(Σ col[i]^2), unrolled (see dot_unrolled)."""
     return f"sqrt({dot_unrolled(col, col, dim, engine)})"
+
+
+def xor_expr(a: str, b: str, engine: str) -> str:
+    """Bitwise XOR: infix in Spark SQL, function-call in DuckDB."""
+    return f"({a} ^ {b})" if engine == "spark" else f"xor({a}, {b})"
+
+
+def popcount_unrolled(col: str, bits: int) -> str:
+    """Population count as Σ ((x >> b) & 1) — dialect-neutral (both
+    engines share `>>`/`&`), avoiding bit_count() portability."""
+    return (
+        "("
+        + " + ".join(f"(({col} >> {b}) & 1)" for b in range(bits))
+        + ")"
+    )
+
+
+def sig_match_frac(a_prefix: str, b_prefix: str, k: int) -> str:
+    """Fraction of equal MinHash signature components between two
+    signature rows with columns ``<prefix>.s0..s{k-1}`` —
+    dialect-neutral, round(…, 4) applied by the caller."""
+    matches = " + ".join(
+        f"CASE WHEN {a_prefix}.s{i} = {b_prefix}.s{i} THEN 1 ELSE 0 END"
+        for i in range(k)
+    )
+    # CAST(...AS DOUBLE), not a `/ k.0` literal: Spark parses `16.0`
+    # as DECIMAL(3,1) and the result column becomes DecimalType,
+    # which pandas renders as Decimal objects → driver hash mismatch.
+    return f"(CAST({matches} AS DOUBLE) / {k})"
+
+
+def word_ngrams(toks_col: str, norm_col: str, engine: str, n: int = 3) -> str:
+    """Word n-gram list from a pre-split token array; a doc with
+    fewer than n tokens contributes its whole normalized text."""
+    if engine == "spark":
+        parts = ", ".join(f"{toks_col}[i + {j}]" for j in range(n))
+        return (
+            f"case when size({toks_col}) < {n} then array({norm_col}) "
+            f"else transform(sequence(0, size({toks_col}) - {n}), "
+            f"i -> concat_ws(' ', {parts})) end"
+        )
+    parts = ", ".join(f"{toks_col}[i + {j}]" for j in range(n))
+    return (
+        f"case when len({toks_col}) < {n} then [{norm_col}] "
+        f"else list_transform(range(1, len({toks_col}) - {n - 2}), "
+        f"i -> concat_ws(' ', {parts})) end"
+    )

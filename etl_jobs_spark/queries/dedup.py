@@ -1,0 +1,208 @@
+"""Dedup query declarations (SURVEY.md §7 step 7).
+
+Every oracle below is generated from the same builders the Spark
+operators use (``operators/hashing.py``), with planted duplicates
+derived identically in both engines — see ``operators/dedup.py`` for
+the scale rationale (blocking keys, single-shuffle signatures, no
+all-pairs joins).
+"""
+
+from __future__ import annotations
+
+from etl_jobs_spark.operators import dedup as DD
+from etl_jobs_spark.operators.hashing import (
+    MERSENNE_P,
+    char_shingles,
+    dot_unrolled,
+    hash60,
+    minhash_expr,
+    minhash_params,
+    norm_unrolled,
+    popcount_unrolled,
+    sig_match_frac,
+    word_ngrams,
+    word_tokens,
+    xor_expr,
+)
+from etl_jobs_spark.registry import register
+from etl_jobs_spark.sources.readers import read_table
+
+_P = minhash_params(DD.MINHASH_K)
+
+
+@register(
+    "dedup_exact_text",
+    oracle=f"""
+    SELECT md5(n) AS content_hash,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           min(doc_id)              AS keep_doc_id
+    FROM {DD.planted_corpus_sql(mutate=False)} corpus
+    GROUP BY md5(n)
+    """,
+)
+def dedup_exact_text(spark, sf_dir):
+    """Exact content dedup via hash-groupBy (keep-first survivor)."""
+    return DD.exact_dedup(
+        DD.planted_corpus(read_table(spark, sf_dir, "documents"), mutate=False)
+    )
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n           ".join(
+        f"min({minhash_expr('base', a, b)}) AS s{i}"
+        for i, (a, b) in enumerate(_P)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {j} AS band_id, md5(concat_ws(',', "
+        + ", ".join(
+            f"s{i}"
+            for i in range(j * DD.MINHASH_ROWS, (j + 1) * DD.MINHASH_ROWS)
+        )
+        + ")) AS band_hash FROM sig"
+        for j in range(DD.MINHASH_BANDS)
+    )
+    return f"""
+    WITH corpus AS {DD.planted_corpus_sql(mutate=True)},
+    sh AS (
+      SELECT doc_id, ({hash60("s", "duckdb")}) % {MERSENNE_P} AS base
+      FROM (SELECT doc_id, unnest({char_shingles("n", "duckdb")}) AS s
+            FROM corpus)),
+    sig AS (
+      SELECT doc_id,
+           {mins}
+      FROM sh GROUP BY doc_id),
+    bands AS (
+      {band_rows}),
+    cand AS (
+      SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
+      FROM bands ba JOIN bands bb
+        ON ba.band_id = bb.band_id AND ba.band_hash = bb.band_hash
+       AND ba.doc_id < bb.doc_id)
+    SELECT doc_a, doc_b,
+           round({sig_match_frac("sa", "sb", DD.MINHASH_K)}, 4) AS est_sim
+    FROM cand
+    JOIN sig sa ON cand.doc_a = sa.doc_id
+    JOIN sig sb ON cand.doc_b = sb.doc_id
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding near-dup candidates with estimated
+    similarity (shingle → minhash → band → bucket-join)."""
+    return DD.minhash_lsh_pairs(
+        DD.planted_corpus(read_table(spark, sf_dir, "documents"), mutate=True)
+    )
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n           ".join(
+        f"SUM(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS w{b}"
+        for b in range(DD.SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN w{b} > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(DD.SIMHASH_BITS)
+    )
+    chunk_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, simhash, {k} AS chunk_id, "
+        f"(simhash >> {8 * k}) & 255 AS chunk FROM fp"
+        for k in range(DD.SIMHASH_CHUNKS)
+    )
+    ham = popcount_unrolled("x", DD.SIMHASH_BITS)
+    return f"""
+    WITH corpus AS {DD.planted_corpus_sql(mutate=True)},
+    toks AS (
+      SELECT doc_id, {hash60("tok", "duckdb")} AS h
+      FROM (SELECT doc_id, unnest({word_tokens("n", "duckdb")}) AS tok
+            FROM corpus)),
+    bits AS (
+      SELECT doc_id,
+           {bit_sums}
+      FROM toks GROUP BY doc_id),
+    fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits),
+    chunks AS (
+      {chunk_rows}),
+    cand AS (
+      SELECT DISTINCT ca.doc_id AS doc_a, cb.doc_id AS doc_b,
+             {xor_expr("ca.simhash", "cb.simhash", "duckdb")} AS x
+      FROM chunks ca JOIN chunks cb
+        ON ca.chunk_id = cb.chunk_id AND ca.chunk = cb.chunk
+       AND ca.doc_id < cb.doc_id)
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT doc_a, doc_b, CAST({ham} AS BIGINT) AS hamming FROM cand)
+    WHERE hamming <= {DD.SIMHASH_RADIUS}
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark, sf_dir):
+    """SimHash fingerprints + hamming-radius pairs via byte-chunk
+    banding (complete for distance <= 3 by pigeonhole)."""
+    return DD.simhash_pairs(
+        DD.planted_corpus(read_table(spark, sf_dir, "documents"), mutate=True)
+    )
+
+
+def _ngram_jaccard_oracle() -> str:
+    return f"""
+    WITH corpus AS {DD.planted_corpus_sql(mutate=True)},
+    tk AS (SELECT doc_id, lang, n, {word_tokens("n", "duckdb")} AS toks
+           FROM corpus),
+    grams AS (
+      SELECT DISTINCT doc_id, lang, g FROM (
+        SELECT doc_id, lang,
+               unnest({word_ngrams("toks", "n", "duckdb")}) AS g
+        FROM tk)),
+    counts AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+      FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS i
+      FROM grams ga JOIN grams gb
+        ON ga.g = gb.g AND ga.lang = gb.lang AND ga.doc_id < gb.doc_id
+      GROUP BY ga.doc_id, gb.doc_id)
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT doc_a, doc_b,
+             round(CAST(i AS DOUBLE) / (na.n_grams + nb.n_grams - i), 4)
+               AS jaccard
+      FROM inter
+      JOIN counts na ON inter.doc_a = na.doc_id
+      JOIN counts nb ON inter.doc_b = nb.doc_id)
+    WHERE jaccard >= 0.5
+    """
+
+
+@register("dedup_ngram_jaccard", oracle=_ngram_jaccard_oracle())
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard pairs, language-blocked."""
+    return DD.ngram_jaccard_pairs(
+        DD.planted_corpus(read_table(spark, sf_dir, "documents"), mutate=True)
+    )
+
+
+def _embed_cosine_oracle() -> str:
+    dot = dot_unrolled("va.embedding", "vb.embedding", DD.EMBED_DIM, "duckdb")
+    nrm = norm_unrolled("embedding", DD.EMBED_DIM, "duckdb")
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      UNION ALL
+      SELECT vec_id + {DD.PLANT_OFFSET}, embedding, label
+      FROM embeddings WHERE vec_id < {DD.PLANT_MAX_ID}),
+    vecs AS (SELECT vec_id, label, embedding, {nrm} AS nrm FROM corpus)
+    SELECT vec_a, vec_b, cosine FROM (
+      SELECT va.vec_id AS vec_a, vb.vec_id AS vec_b,
+             round({dot} / (va.nrm * vb.nrm), 6) AS cosine
+      FROM vecs va JOIN vecs vb
+        ON va.label = vb.label AND va.vec_id < vb.vec_id)
+    WHERE cosine >= {DD.COSINE_DUP_THRESHOLD}
+    """
+
+
+@register("dedup_embed_cosine", oracle=_embed_cosine_oracle())
+def dedup_embed_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, label-blocked (IVF-style
+    coarse quantizer cells)."""
+    return DD.embedding_cosine_pairs(read_table(spark, sf_dir, "embeddings"))
