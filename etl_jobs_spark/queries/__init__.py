@@ -5,6 +5,7 @@ from etl_jobs_spark.queries import (  # noqa: F401
     dedup,
     reference_parity,
     relational,
+    similarity,
     sources_sinks,
     streaming,
     text_analysis,

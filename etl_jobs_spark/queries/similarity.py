@@ -1,0 +1,81 @@
+"""Similarity-search query declarations (SURVEY.md §7 step 7).
+
+Oracles share the exact unrolled vector arithmetic with the Spark
+operators (``operators/hashing.py``) — fixed summation order makes
+the doubles bit-identical, so ranking cuts agree too.
+"""
+
+from __future__ import annotations
+
+from etl_jobs_spark.operators import similarity as SIM
+from etl_jobs_spark.operators.hashing import (
+    dot_unrolled,
+    norm_unrolled,
+)
+from etl_jobs_spark.registry import register
+from etl_jobs_spark.sources.readers import read_table
+
+_QIDS = ", ".join(str(i) for i in SIM.QUERY_IDS)
+_NRM = norm_unrolled("embedding", SIM.EMBED_DIM, "duckdb")
+_DOT = dot_unrolled("q.q_emb", "c.embedding", SIM.EMBED_DIM, "duckdb")
+
+_VECS = f"(SELECT vec_id, embedding, {_NRM} AS nrm FROM embeddings)"
+_QUERIES = (
+    f"(SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm "
+    f"FROM {_VECS} WHERE vec_id IN ({_QIDS}))"
+)
+
+
+@register(
+    "embed_cosine_topk",
+    oracle=f"""
+    SELECT query_id, vec_id, round(cos_raw, 6) AS cosine,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT query_id, vec_id, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, vec_id ASC) AS rnk
+      FROM (
+        SELECT q.query_id, c.vec_id,
+               {_DOT} / (q.q_nrm * c.nrm) AS cos_raw
+        FROM {_QUERIES} q CROSS JOIN {_VECS} c
+        WHERE c.vec_id <> q.query_id))
+    WHERE rnk <= {SIM.DEFAULT_K}
+    """,
+)
+def embed_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-k (the ANN correctness baseline)."""
+    return SIM.cosine_topk_bruteforce(read_table(spark, sf_dir, "embeddings"))
+
+
+def _lsh_oracle() -> str:
+    bucket = SIM.bucket_expr("embedding", "duckdb")
+    vecs = (
+        f"(SELECT vec_id, embedding, {_NRM} AS nrm, {bucket} AS bucket "
+        f"FROM embeddings)"
+    )
+    queries = (
+        f"(SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, "
+        f"bucket AS q_bucket FROM {vecs} q0 WHERE vec_id IN ({_QIDS}))"
+    )
+    return f"""
+    SELECT query_id, vec_id, bucket, round(cos_raw, 6) AS cosine,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT query_id, vec_id, bucket, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, vec_id ASC) AS rnk
+      FROM (
+        SELECT q.query_id, c.vec_id, c.bucket,
+               {_DOT} / (q.q_nrm * c.nrm) AS cos_raw
+        FROM {queries} q JOIN {vecs} c ON q.q_bucket = c.bucket
+        WHERE c.vec_id <> q.query_id))
+    WHERE rnk <= {SIM.DEFAULT_K}
+    """
+
+
+@register("embed_lsh_topk", oracle=_lsh_oracle())
+def embed_lsh_topk(spark, sf_dir):
+    """Sign-LSH bucketed ANN top-k (the 100 TB scale path: bucket id
+    doubles as the storage partitioning key)."""
+    return SIM.cosine_topk_lsh(read_table(spark, sf_dir, "embeddings"))
