@@ -164,7 +164,12 @@ def minhash_lsh_pairs(corpus: DataFrame) -> DataFrame:
     pairs; similarity is estimated as the matching-signature
     fraction. The pair join is an equi-join on (band_id, band_hash) —
     shuffle on the bucket key, never all-pairs."""
-    sig = minhash_signatures(corpus)
+    # The signature table feeds BOTH sides of the band self-join AND
+    # the est_sim re-join — without persist, Spark recomputes the
+    # explode+md5+groupBy subplan 4×. At cluster scale this is the
+    # intermediate you'd checkpoint/bucket-write; in-session,
+    # persist is the same decision.
+    sig = minhash_signatures(corpus).persist()
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -235,7 +240,8 @@ def simhash_pairs(corpus: DataFrame) -> DataFrame:
     fingerprint into 4 bytes; any pair within hamming distance 3
     shares at least one byte (pigeonhole), so the equi-join on
     (chunk_id, chunk) finds all of them without an all-pairs scan."""
-    fp = simhash_fingerprints(corpus)
+    # Feeds both sides of the chunk self-join → persist once.
+    fp = simhash_fingerprints(corpus).persist()
     chunks = fp.select(
         "doc_id",
         "simhash",
@@ -288,11 +294,16 @@ def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     toks = corpus.select(
         "doc_id", "lang", F.expr(word_tokens("n", "spark")).alias("toks"), "n"
     )
-    grams = toks.select(
-        "doc_id",
-        "lang",
-        F.explode(F.expr(word_ngrams("toks", "n", "spark"))).alias("g"),
-    ).distinct()
+    # Used 3× (both join sides + per-doc counts) → persist once.
+    grams = (
+        toks.select(
+            "doc_id",
+            "lang",
+            F.explode(F.expr(word_ngrams("toks", "n", "spark"))).alias("g"),
+        )
+        .distinct()
+        .persist()
+    )
     counts = grams.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_grams")
     )

@@ -29,9 +29,20 @@ EVENTS_SCHEMA = (
 EVENTS_CSV_SCHEMA = "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
 
 
+#: Staged raw/ prefixes are immutable once written → memoize per
+#: (sf_dir, fmt, n_files) so bench + driver runs in one session pay
+#: the staging write once. Checkpoints and sink outputs are NEVER
+#: shared (append sinks would accumulate across runs) — each query
+#: run gets a fresh _workdir().
+_STAGED: dict[tuple[str, str, int], Path] = {}
+
+
 def _stage(spark: SparkSession, sf_dir: str, fmt: str, n_files: int) -> Path:
     """Stage events into a temp 'raw/' prefix as n_files files — the
     arriving-files queue the 2025 pipeline polls."""
+    key = (sf_dir, fmt, n_files)
+    if key in _STAGED:
+        return _STAGED[key]
     d = Path(tempfile.gettempdir()) / f"etl_stream_{uuid.uuid4().hex[:8]}"
     ev = read_table(spark, sf_dir, "events")
     if fmt == "parquet":
@@ -40,7 +51,13 @@ def _stage(spark: SparkSession, sf_dir: str, fmt: str, n_files: int) -> Path:
         ev.select("event_id", "user_id", "event_type", "value").repartition(
             n_files
         ).write.option("header", "true").csv(str(d / "raw"))
+    _STAGED[key] = d
     return d
+
+
+def _workdir() -> Path:
+    """Fresh per-run dir for checkpoints and sink outputs."""
+    return Path(tempfile.gettempdir()) / f"etl_stream_wk_{uuid.uuid4().hex[:8]}"
 
 
 @register(
@@ -54,10 +71,11 @@ def _stage(spark: SparkSession, sf_dir: str, fmt: str, n_files: int) -> Path:
 def stream_window_counts(spark, sf_dir):
     """Tumbling 1h event-time windows, complete mode (streaming
     groupBy+window over a file-arrival source)."""
-    d = _stage(spark, sf_dir, "parquet", 3)
-    src = S.file_stream_source(spark, str(d / "raw"), EVENTS_SCHEMA, "parquet", 1)
+    raw = _stage(spark, sf_dir, "parquet", 2)
+    wk = _workdir()
+    src = S.file_stream_source(spark, str(raw / "raw"), EVENTS_SCHEMA, "parquet", 1)
     return S.run_to_memory(
-        S.windowed_counts(src, "1 hour"), str(d / "ck"), "complete"
+        S.windowed_counts(src, "1 hour"), str(wk / "ck"), "complete"
     )
 
 
@@ -85,11 +103,12 @@ def stream_watermark_append(spark, sf_dir):
     as late — real streaming behavior, but nondeterministic for an
     oracle. One file = one batch + trailing flush, which emits
     exactly the finalized-window contract stated above."""
-    d = _stage(spark, sf_dir, "parquet", 1)
-    src = S.file_stream_source(spark, str(d / "raw"), EVENTS_SCHEMA, "parquet", 1)
+    raw = _stage(spark, sf_dir, "parquet", 1)
+    wk = _workdir()
+    src = S.file_stream_source(spark, str(raw / "raw"), EVENTS_SCHEMA, "parquet", 1)
     return S.run_to_memory(
         S.windowed_counts(src, "1 hour", watermark="10 minutes"),
-        str(d / "ck"),
+        str(wk / "ck"),
         "append",
     )
 
@@ -109,10 +128,11 @@ def stream_watermark_append(spark, sf_dir):
 )
 def stream_sliding_counts(spark, sf_dir):
     """Sliding 1h/30m windows (each event in 2 windows)."""
-    d = _stage(spark, sf_dir, "parquet", 2)
-    src = S.file_stream_source(spark, str(d / "raw"), EVENTS_SCHEMA, "parquet", 1)
+    raw = _stage(spark, sf_dir, "parquet", 2)
+    wk = _workdir()
+    src = S.file_stream_source(spark, str(raw / "raw"), EVENTS_SCHEMA, "parquet", 1)
     return S.run_to_memory(
-        S.sliding_window_counts(src, "1 hour", "30 minutes"), str(d / "ck"), "complete"
+        S.sliding_window_counts(src, "1 hour", "30 minutes"), str(wk / "ck"), "complete"
     )
 
 
@@ -135,9 +155,10 @@ SESSION_ORACLE = """
 def stream_session_windows(spark, sf_dir):
     """Native session_window over the stream, 5-minute inactivity
     gap; the oracle derives identical sessions via lag+gap+cumsum."""
-    d = _stage(spark, sf_dir, "parquet", 2)
-    src = S.file_stream_source(spark, str(d / "raw"), EVENTS_SCHEMA, "parquet", 1)
-    return S.run_to_memory(S.session_windows(src, "5 minutes"), str(d / "ck"), "complete")
+    raw = _stage(spark, sf_dir, "parquet", 2)
+    wk = _workdir()
+    src = S.file_stream_source(spark, str(raw / "raw"), EVENTS_SCHEMA, "parquet", 1)
+    return S.run_to_memory(S.session_windows(src, "5 minutes"), str(wk / "ck"), "complete")
 
 
 @register("sessionize_batch", oracle=SESSION_ORACLE)
@@ -191,16 +212,17 @@ def source_queue(spark, sf_dir):
     validate+clean transform, foreachBatch dual sink (parquet archive
     = the processed/ prefix + queue notification), checkpointed
     exactly-once. Returns the archive read-back."""
-    d = _stage(spark, sf_dir, "csv", 5)
+    raw = _stage(spark, sf_dir, "csv", 4)
+    wk = _workdir()
     src = S.file_stream_source(
-        spark, str(d / "raw"), EVENTS_CSV_SCHEMA, "csv", 2
+        spark, str(raw / "raw"), EVENTS_CSV_SCHEMA, "csv", 2
     )
     cleaned = src.filter(
         F.col("value").between(0, 150) & (F.trim("event_type") != "")
     ).select("event_id", "user_id", F.upper("event_type").alias("event_type"), "value")
 
-    processed = str(d / "processed")
-    queue_out = str(d / "queue_out")
+    processed = str(wk / "processed")
+    queue_out = str(wk / "queue_out")
 
     def sinks(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
@@ -211,7 +233,7 @@ def source_queue(spark, sf_dir):
         ).write.mode("append").json(queue_out)
         batch_df.unpersist()
 
-    S.foreach_batch_pipeline(cleaned, str(d / "ck"), sinks)
+    S.foreach_batch_pipeline(cleaned, str(wk / "ck"), sinks)
     return spark.read.schema(EVENTS_CSV_SCHEMA).parquet(processed)
 
 
@@ -226,12 +248,13 @@ def sink_queue(spark, sf_dir):
     the foreachBatch notifier writes one JSON message per micro-batch;
     the sum of message row-counts equals the rows processed —
     batch-split-invariant, so oracle-checkable."""
-    d = _stage(spark, sf_dir, "csv", 4)
-    src = S.file_stream_source(spark, str(d / "raw"), EVENTS_CSV_SCHEMA, "csv", 2)
+    raw = _stage(spark, sf_dir, "csv", 4)
+    wk = _workdir()
+    src = S.file_stream_source(spark, str(raw / "raw"), EVENTS_CSV_SCHEMA, "csv", 2)
     cleaned = src.filter(
         F.col("value").between(0, 150) & (F.trim("event_type") != "")
     )
-    queue_out = str(d / "queue_out")
+    queue_out = str(wk / "queue_out")
 
     def sinks(batch_df: DataFrame, batch_id: int) -> None:
         n = batch_df.count()
@@ -239,7 +262,7 @@ def sink_queue(spark, sf_dir):
             [(int(batch_id), int(n))], "batch_id BIGINT, n_rows BIGINT"
         ).write.mode("append").json(queue_out)
 
-    S.foreach_batch_pipeline(cleaned, str(d / "ck"), sinks)
+    S.foreach_batch_pipeline(cleaned, str(wk / "ck"), sinks)
     msgs = spark.read.schema("batch_id BIGINT, n_rows BIGINT").json(queue_out)
     return msgs.select(F.sum("n_rows").alias("total_sent"))
 
@@ -256,11 +279,16 @@ def stream_stateful_pandas(spark, sf_dir):
     output is the final per-user count."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    d = Path(tempfile.gettempdir()) / f"etl_stream_{uuid.uuid4().hex[:8]}"
-    ev = read_table(spark, sf_dir, "events").select("user_id", "event_id")
-    ev.coalesce(1).write.parquet(str(d / "raw"))
+    key = (sf_dir, "stateful", 1)
+    if key not in _STAGED:
+        d = Path(tempfile.gettempdir()) / f"etl_stream_{uuid.uuid4().hex[:8]}"
+        ev = read_table(spark, sf_dir, "events").select("user_id", "event_id")
+        ev.coalesce(1).write.parquet(str(d / "raw"))
+        _STAGED[key] = d
+    raw = _STAGED[key]
+    wk = _workdir()
     src = S.file_stream_source(
-        spark, str(d / "raw"), "user_id BIGINT, event_id BIGINT", "parquet", None
+        spark, str(raw / "raw"), "user_id BIGINT, event_id BIGINT", "parquet", None
     )
 
     def count_events(key, pdf_iter, state: GroupState):
@@ -277,4 +305,4 @@ def stream_stateful_pandas(spark, sf_dir):
         "update",
         GroupStateTimeout.NoTimeout,
     )
-    return S.run_to_memory(counted, str(d / "ck"), "update")
+    return S.run_to_memory(counted, str(wk / "ck"), "update")
