@@ -1,0 +1,61 @@
+"""User-extension surface: Arrow-vectorized UDF hooks (SURVEY §2.9).
+
+The reference's extensibility story is "edit the Python": the
+row-level hook is ``DataValidator.validate_row`` (ref:
+src/etl_2018.py:15-36, swapped in 2020 src/etl_2020.py:37-62), the
+partition-level hook is ``process_chunk`` (ref: src/etl_2020.py:64-77),
+the table-level hook ``_transform_data`` (ref: src/etl_2025.py:198-213).
+
+Spark-first mapping — every hook becomes an Arrow-batched pandas
+construct (never row-at-a-time Python UDFs, which serialize per row):
+
+- row-level     → ``@pandas_udf`` scalar (vectorized Series→Series),
+- partition-level → ``mapInPandas`` (see operators/multimodal.py),
+- group-level   → ``applyInPandas`` grouped map (this module),
+- stateful      → ``applyInPandasWithState`` (queries/streaming.py).
+
+Built-in Column expressions remain the hot path (everything in
+SURVEY §2.2-2.3 is expressible without UDFs); these hooks exist for
+logic that genuinely needs Python — and the examples here are chosen
+to be deterministic so even the UDF path is oracle-checked.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import pandas_udf
+
+
+def normalize_text_udf():
+    """Row-level hook as a vectorized scalar pandas UDF (the
+    ``validate_row``-style per-value transform, Arrow-batched:
+    one Python call per ~10k values, not per row). Constructed
+    lazily — pandas_udf DDL-type parsing needs an active session."""
+
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.str.strip().str.lower()
+
+    return pandas_udf(_norm, "string")
+
+
+def rank_within_group(events: DataFrame) -> DataFrame:
+    """Group-level hook: ``applyInPandas`` grouped map ranking events
+    per type by value (the ``process_chunk`` shape — whole-group
+    pandas logic — with Spark doing the shuffle/grouping).
+
+    Integer ranks with a deterministic (value DESC, event_id ASC)
+    order make the Python path exactly reproducible in SQL."""
+
+    def rank(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["value", "event_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        pdf["rnk"] = range(1, len(pdf) + 1)
+        return pdf[["event_id", "event_type", "value", "rnk"]]
+
+    return events.select("event_id", "event_type", "value").groupBy(
+        "event_type"
+    ).applyInPandas(
+        rank, "event_id BIGINT, event_type STRING, value DOUBLE, rnk BIGINT"
+    )

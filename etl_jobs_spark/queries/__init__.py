@@ -3,6 +3,7 @@ query/oracle pair with etl_jobs_spark.registry."""
 
 from etl_jobs_spark.queries import (  # noqa: F401
     dedup,
+    extensibility,
     multimodal,
     reference_parity,
     relational,
