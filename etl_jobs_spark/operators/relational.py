@@ -130,7 +130,7 @@ def window_rank_events(events: DataFrame, k: int = 3) -> DataFrame:
     )
     return (
         events.select("user_id", "event_id", "event_type", "value")
-        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
 

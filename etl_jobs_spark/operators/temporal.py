@@ -1,0 +1,150 @@
+"""Temporal / advanced join operators: as-of join, range-band join,
+time-bucketed rollups.
+
+Beyond-reference surface: the reference has no joins at all
+(SURVEY §2.5); these are the time-series operators a production
+analytics engine needs that Spark has no single built-in for —
+re-expressed as compositions of DataFrame primitives (the
+"composition of existing ops" tier of the custom-operator ladder;
+Pandas-UDF fallbacks are never needed here).
+
+**As-of join** (latest right row with right.ts <= left.ts per key):
+implemented as union → single window pass:
+
+    tag sides → unionByName → last(right_payload, ignorenulls)
+      OVER (PARTITION BY key ORDER BY ts, side ROWS UNBOUNDED PRECEDING)
+    → keep left rows
+
+One shuffle on the join key, one sort — the same cost profile as a
+sort-merge join, with no range-explosion. At 100 TB this is THE
+scalable as-of strategy: state is one carried struct per partition
+stream, skewed keys can be salted by time-range, and the window
+never buffers more than the sort run. (A backward broadcast probe
+works when the right side is small; this composition needs neither
+side small.)
+
+**Range-band join** (value ∈ [lo, hi) against a bands dimension):
+a broadcast inequality join — O(n·k) for k bands, ideal for small
+dimension tables. For large band tables, the arithmetic band-key
+equi-join (floor(value/width)) is the scale path; noted inline.
+
+**Time rollup / cube**: hierarchical aggregates over time buckets —
+Spark's ``rollup``/``cube`` produce the grouping-set lattice in ONE
+shuffle (partial aggs per set map-side), the idiomatic form of a
+hypertable continuous-aggregate backfill.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    right_payload: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` within ``key`` (inner semantics: left
+    rows with no prior right row are dropped).
+
+    ``tiebreak`` orders simultaneous rows deterministically; at equal
+    ``ts`` the right row sorts first (side 0 < 1), so a same-instant
+    right row IS visible to the left row — the <= contract.
+    """
+    r = right.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(0).alias("_side"),
+        F.col(tiebreak).alias("_tb"),
+        F.struct(*[F.col(c) for c in right_payload]).alias("_rp"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+        ).alias("_lp"),
+    )
+    lt = left.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(1).alias("_side"),
+        F.col(tiebreak).alias("_tb"),
+        F.lit(None).cast(r.schema["_rp"].dataType).alias("_rp"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lp"),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        r.unionByName(lt)
+        .withColumn("_carry", F.last("_rp", ignorenulls=True).over(w))
+        .filter((F.col("_side") == 1) & F.col("_carry").isNotNull())
+    )
+    out_cols = [F.col(f"_lp.{c}").alias(c) for c in left.columns] + [
+        F.col(f"_carry.{c}").alias(f"{prefix}{c}") for c in right_payload
+    ]
+    return carried.select(*out_cols)
+
+
+def range_band_join(
+    facts: DataFrame, bands: DataFrame, value_col: str
+) -> DataFrame:
+    """Join facts to a small bands dimension on
+    ``lo <= value < hi`` — explicit broadcast so the inequality join
+    is a nested-loop probe of an in-memory dimension, never a
+    shuffle. (Large band tables → precompute an arithmetic band key
+    and equi-join instead; inequality NLJ is O(n·k).)"""
+    return facts.join(
+        F.broadcast(bands),
+        (F.col(value_col) >= F.col("lo")) & (F.col(value_col) < F.col("hi")),
+    )
+
+
+def rollup_time(events: DataFrame) -> DataFrame:
+    """Hierarchical (hour, event_type) rollup — the grouping-set
+    lattice in one shuffle. NULL grouping slots are coalesced to
+    sentinels so the result is total-order comparable."""
+    bucketed = events.select(
+        F.date_trunc("hour", "ts").alias("bucket_hour"), "event_type", "value"
+    )
+    return (
+        bucketed.rollup("bucket_hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce(
+                "bucket_hour", F.to_timestamp(F.lit("1970-01-01"))
+            ).alias("bucket_hour"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+def cube_events(events: DataFrame) -> DataFrame:
+    """CUBE over (day-of-week, event_type): all four grouping sets in
+    one pass."""
+    basis = events.select(
+        F.dayofweek("ts").cast("long").alias("dow"), "event_type", "value"
+    )
+    return (
+        basis.cube("dow", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.coalesce("dow", F.lit(-1)).alias("dow"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n",
+            "avg_value",
+        )
+    )

@@ -10,5 +10,6 @@ from etl_jobs_spark.queries import (  # noqa: F401
     similarity,
     sources_sinks,
     streaming,
+    temporal,
     text_analysis,
 )

@@ -91,7 +91,7 @@ def proj_cast_int(spark, sf_dir):
 @register(
     "proj_add_ts",
     oracle=f"""
-    SELECT c_custkey, TIMESTAMP '{TS_LIT}' AS processed_at FROM customer
+    SELECT c_custkey, CAST(TIMESTAMP '{TS_LIT}' AS TIMESTAMP_NS) AS processed_at FROM customer
     """,
 )
 def proj_add_ts(spark, sf_dir):
@@ -384,10 +384,10 @@ def agg_record_count(spark, sf_dir):
     oracle=f"""
     WITH dirty AS ({DIRTY_SQL})
     SELECT count(*) AS total_records,
-           sum(CAST(value_n IS NOT NULL
+           CAST(sum(CAST(value_n IS NOT NULL
                     AND coalesce(trim(event_type_n) <> '', FALSE)
                     AND coalesce(value_n BETWEEN 0 AND 150, FALSE)
-               AS INTEGER)) AS valid_records,
+               AS INTEGER)) AS BIGINT) AS valid_records,
            round(sum(CAST(value_n IS NOT NULL
                     AND coalesce(trim(event_type_n) <> '', FALSE)
                     AND coalesce(value_n BETWEEN 0 AND 150, FALSE) AS INTEGER))
@@ -403,6 +403,40 @@ def agg_completion_rate(spark, sf_dir):
     """Also covers Qkey agg_success_rate — same ratio, two aliases
     (ref: src/etl_2022.py:39 and src/etl_2020.py:33)."""
     return Q.run_quality_metrics(dirty_events(spark, sf_dir), _dirty_rules())
+
+
+@register(
+    "agg_success_rate",
+    oracle=f"""
+    WITH dirty AS ({DIRTY_SQL})
+    SELECT CAST(sum(CAST(value_n IS NOT NULL
+                    AND coalesce(trim(event_type_n) <> '', FALSE)
+                    AND coalesce(value_n BETWEEN 0 AND 150, FALSE)
+               AS BIGINT)) AS BIGINT)                        AS processed,
+           CAST(sum(CAST(NOT (value_n IS NOT NULL
+                    AND coalesce(trim(event_type_n) <> '', FALSE)
+                    AND coalesce(value_n BETWEEN 0 AND 150, FALSE))
+               AS BIGINT)) AS BIGINT)                        AS failed,
+           round(sum(CAST(value_n IS NOT NULL
+                    AND coalesce(trim(event_type_n) <> '', FALSE)
+                    AND coalesce(value_n BETWEEN 0 AND 150, FALSE) AS INTEGER))
+                 * 100.0 / count(*), 6)                      AS success_rate
+    FROM dirty
+    """,
+)
+def agg_success_rate(spark, sf_dir):
+    """ETLMetrics success rate: processed/(processed+failed)×100
+    (ref: src/etl_2020.py:26-34, the `:33` ratio) as an explicit
+    Qkey — pass/fail counters from one observed-style aggregation."""
+    d = dirty_events(spark, sf_dir)
+    ok = V.passes_all(_dirty_rules()).cast("long")
+    return d.select(
+        F.sum(ok).alias("processed"),
+        F.sum(1 - ok).alias("failed"),
+        F.round(
+            F.sum(ok.cast("int")) * 100.0 / F.count(F.lit(1)), 6
+        ).alias("success_rate"),
+    )
 
 
 @register(

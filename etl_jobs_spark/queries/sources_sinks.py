@@ -114,7 +114,14 @@ def sink_s3(spark, sf_dir):
     return spark.read.parquet(uri)
 
 
-@register("source_s3", oracle="SELECT * FROM orders")
+@register(
+    "source_s3",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(o_orderdate AS TIMESTAMP_NS) AS o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
 def source_s3(spark, sf_dir):
     """Object-store source: CSV under a ``raw/`` prefix read by URI —
     the reference's download-to-temp step (src/etl_2025.py:70-84) is
@@ -145,7 +152,7 @@ def source_s3(spark, sf_dir):
            sum(CAST(value_n IS NOT NULL
                     AND coalesce(trim(event_type_n) <> '', FALSE)
                     AND coalesce(value_n BETWEEN 0 AND 150, FALSE)
-               AS INTEGER)) AS valid_records,
+               AS INTEGER)) :: BIGINT AS valid_records,
            round(sum(CAST(value_n IS NOT NULL
                     AND coalesce(trim(event_type_n) <> '', FALSE)
                     AND coalesce(value_n BETWEEN 0 AND 150, FALSE) AS INTEGER))

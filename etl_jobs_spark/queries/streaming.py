@@ -63,7 +63,7 @@ def _workdir() -> Path:
 @register(
     "stream_window_counts",
     oracle="""
-    SELECT date_trunc('hour', ts) AS window_start, event_type,
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP_NS) AS window_start, event_type,
            count(*) AS n, round(sum(value), 2) AS total_value
     FROM events GROUP BY 1, 2
     """,
@@ -84,7 +84,7 @@ def stream_window_counts(spark, sf_dir):
     oracle="""
     WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS cutoff FROM events),
     w AS (
-      SELECT date_trunc('hour', ts) AS window_start, event_type,
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP_NS) AS window_start, event_type,
              count(*) AS n, round(sum(value), 2) AS total_value
       FROM events GROUP BY 1, 2)
     SELECT window_start, event_type, n, total_value
@@ -116,7 +116,7 @@ def stream_watermark_append(spark, sf_dir):
 @register(
     "stream_sliding_counts",
     oracle="""
-    SELECT ws AS window_start, event_type, count(*) AS n
+    SELECT CAST(ws AS TIMESTAMP_NS) AS window_start, event_type, count(*) AS n
     FROM (
       SELECT event_type, ts,
              unnest([time_bucket(INTERVAL 30 MINUTES, ts),
@@ -145,7 +145,7 @@ SESSION_ORACLE = """
                          THEN 1 ELSE 0 END AS new_sess FROM g_src),
     s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
                     ROWS UNBOUNDED PRECEDING) AS sess_no FROM g)
-    SELECT min(ts) AS session_start, user_id,
+    SELECT CAST(min(ts) AS TIMESTAMP_NS) AS session_start, user_id,
            count(*) AS n_events, round(sum(value), 2) AS session_value
     FROM s GROUP BY user_id, sess_no
 """.replace("g_src", "o")

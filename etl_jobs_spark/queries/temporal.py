@@ -1,0 +1,123 @@
+"""Temporal/advanced-join query declarations.
+
+The as-of oracle uses DuckDB's native ASOF JOIN — an independent
+implementation of the same semantics, so agreement is strong
+evidence the union+window composition is correct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_jobs_spark.operators import temporal as TP
+from etl_jobs_spark.registry import register
+from etl_jobs_spark.sources.readers import read_table
+
+#: Irregular value bands (deliberately non-uniform so an arithmetic
+#: band key canNOT express the join — a true range join).
+BANDS = [(0.0, 5.0, "micro"), (5.0, 20.0, "small"), (20.0, 50.0, "mid"),
+         (50.0, 150.0, "large"), (150.0, 1000.0, "jumbo")]
+
+
+@register(
+    "join_asof_events",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, max(event_id) AS event_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    purchases AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP_NS) AS ts, p.value,
+           c.event_id AS asof_event_id, CAST(c.ts AS TIMESTAMP_NS) AS asof_ts
+    FROM purchases p
+    ASOF JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_events(spark, sf_dir):
+    """As-of join: each purchase gets the user's latest click at or
+    before it (clicks deduped to one per instant). Spark side is the
+    union+window composition; oracle is DuckDB's native ASOF JOIN."""
+    ev = read_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return TP.asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+        right_payload=["event_id", "ts"],
+    )
+
+
+def _bands_values() -> str:
+    return ", ".join(f"({lo}, {hi}, '{name}')" for lo, hi, name in BANDS)
+
+
+@register(
+    "join_range_band",
+    oracle=f"""
+    WITH bands(lo, hi, band) AS (VALUES {_bands_values()})
+    SELECT band, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY band
+    """,
+)
+def join_range_band(spark, sf_dir):
+    """Range join against an irregular bands dimension (broadcast
+    inequality join), aggregated per band."""
+    ev = read_table(spark, sf_dir, "events")
+    bands = ev.sparkSession.createDataFrame(
+        BANDS, "lo DOUBLE, hi DOUBLE, band STRING"
+    )
+    return (
+        TP.range_band_join(ev, bands, "value")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "agg_rollup_time",
+    oracle="""
+    SELECT CAST(coalesce(date_trunc('hour', ts), TIMESTAMP '1970-01-01')
+                AS TIMESTAMP_NS) AS bucket_hour,
+           coalesce(event_type, 'ALL') AS event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY ROLLUP (date_trunc('hour', ts), event_type)
+    """,
+)
+def agg_rollup_time(spark, sf_dir):
+    """Hierarchical time rollup (hour → type → grand total) — the
+    hypertable continuous-aggregate shape, one shuffle."""
+    return TP.rollup_time(read_table(spark, sf_dir, "events"))
+
+
+@register(
+    "agg_cube_events",
+    oracle="""
+    SELECT coalesce(dayofweek(ts) + 1, -1) AS dow,
+           coalesce(event_type, 'ALL') AS event_type,
+           count(*) AS n, round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY CUBE (dayofweek(ts) + 1, event_type)
+    """,
+)
+def agg_cube_events(spark, sf_dir):
+    """CUBE over (day-of-week, event_type): the full grouping-set
+    lattice in one pass (Spark dayofweek is 1=Sunday; DuckDB's is
+    0-based, offset in the oracle)."""
+    return TP.cube_events(read_table(spark, sf_dir, "events"))
