@@ -196,3 +196,37 @@ def grouped_agg_events(events: DataFrame) -> DataFrame:
         F.round(F.avg("value"), 4).alias("avg_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+def salted_agg_events(events: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Skew-resistant two-phase grouped aggregation: group on
+    (key, salt) first, then re-aggregate per key.
+
+    The standard cure for a hot grouping key at 100 TB: phase 1
+    spreads each key over ``n_salts`` reducers (shuffle 1 is
+    uniform by construction), phase 2 combines ``n_salts`` partial
+    rows per key (shuffle 2 is tiny: |keys|×n_salts rows). Only
+    decomposable aggregates compose across salts — count/sum here;
+    avg is derived sum/count at the end (never averaged twice).
+    AQE's skew-join handling covers joins; this is the groupBy
+    equivalent it doesn't cover.
+
+    The salt is derived from user_id (deterministic), NOT rand():
+    nondeterministic salts break task-retry idempotence — a retried
+    map task must re-salt identically or partial aggs double-count.
+    """
+    salted = events.withColumn(
+        "_salt", F.pmod(F.col("user_id"), F.lit(n_salts))
+    )
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("psum"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("psum"), 2).alias("total_value"),
+            F.round(F.sum("psum") / F.sum("pn"), 4).alias("avg_value"),
+        )
+    )

@@ -184,3 +184,20 @@ def json_extract_props(spark, sf_dir):
 )
 def agg_events_by_type(spark, sf_dir):
     return R.grouped_agg_events(read_table(spark, sf_dir, "events"))
+
+
+@register(
+    "agg_salted_events",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2)     AS total_value,
+           round(sum(value) / count(*), 4) AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_salted_events(spark, sf_dir):
+    """Two-phase salted aggregation — same answer as a direct
+    groupBy (the oracle), different physical plan (skew-resistant)."""
+    return R.salted_agg_events(read_table(spark, sf_dir, "events"))
