@@ -48,14 +48,18 @@ def asof_join(
     tiebreak: str,
     right_payload: list[str],
     prefix: str = "asof_",
+    left_tiebreak: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.ts <= left.ts`` within ``key`` (inner semantics: left
     rows with no prior right row are dropped).
 
-    ``tiebreak`` orders simultaneous rows deterministically; at equal
-    ``ts`` the right row sorts first (side 0 < 1), so a same-instant
-    right row IS visible to the left row — the <= contract.
+    ``tiebreak`` (right side; ``left_tiebreak`` defaults to it)
+    orders simultaneous rows deterministically; at equal ``ts`` the
+    right row sorts first (side 0 < 1), so a same-instant right row
+    IS visible to the left row — the <= contract. Multiple right
+    rows at one instant resolve to the max-``tiebreak`` row (last
+    wins in the carried window).
     """
     r = right.select(
         F.col(key),
@@ -71,7 +75,7 @@ def asof_join(
         F.col(key),
         F.col(ts),
         F.lit(1).alias("_side"),
-        F.col(tiebreak).alias("_tb"),
+        F.col(left_tiebreak or tiebreak).alias("_tb"),
         F.lit(None).cast(r.schema["_rp"].dataType).alias("_rp"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lp"),
     )
