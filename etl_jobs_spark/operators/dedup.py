@@ -355,12 +355,13 @@ def embedding_cosine_pairs(
     Norms are precomputed per vector (one map pass), the pair join is
     an equi-join on label, and the dot product is an unrolled
     codegen'd expression — no UDF, no all-pairs."""
+    # Both join sides read this — persist so norms compute once.
     vecs = planted_embeddings(emb).select(
         "vec_id",
         "label",
         "embedding",
         F.expr(norm_unrolled("embedding", EMBED_DIM, "spark")).alias("nrm"),
-    )
+    ).persist()
     a, b = vecs.alias("va"), vecs.alias("vb")
     dot = dot_unrolled("va.embedding", "vb.embedding", EMBED_DIM, "spark")
     return (

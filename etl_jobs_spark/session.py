@@ -53,10 +53,19 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.appName(app_name)
-    builder = builder.master(master or f"local[{cpus}]")
+    resolved_master = master or f"local[{cpus}]"
+    builder = builder.master(resolved_master)
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 1)
     conf = dict(ENGINE_CONF)
+    if resolved_master.startswith("local"):
+        # local mode = driver JVM does ALL executor work; Java's 1g
+        # default heap GC-thrashes under 32 concurrent tasks. On a
+        # cluster, spark-submit sizes executors instead.
+        conf.setdefault(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:
         conf.update(extra_conf)
