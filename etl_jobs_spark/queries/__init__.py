@@ -2,6 +2,7 @@
 query/oracle pair with etl_jobs_spark.registry."""
 
 from etl_jobs_spark.queries import (  # noqa: F401
+    analytics_ext,
     dedup,
     extensibility,
     multimodal,

@@ -1,0 +1,128 @@
+"""Analytics-extension queries: pivot, approximate sketches,
+partition-pruned storage layout, streaming dedup.
+
+Each one demonstrates a scale-critical pattern over the fixtures:
+pivot = conditional aggregation (one shuffle, no per-value scans);
+sketches = fixed-memory approximate aggregates (the only viable
+distinct-count/quantile at 100 TB); partitioned writes = scan-time
+partition pruning; streaming dropDuplicates = stateful exactly-once
+dedup over an unbounded source.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from etl_jobs_spark.registry import register
+from etl_jobs_spark.sources.readers import read_table
+from etl_jobs_spark.streaming import pipelines as S
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "agg_pivot_events",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(
+               f"round(coalesce(sum(value) FILTER (WHERE event_type = '{t}'), 0), 2) AS {t}"
+               for t in EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_pivot_events(spark, sf_dir):
+    """Pivot (long → wide): per-user value totals, one column per
+    event type. With explicit pivot values Spark does ONE pass of
+    conditional aggregation — never the two-pass distinct-values
+    scan implicit-pivot needs (a full extra scan at 100 TB)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2))
+    )
+
+
+@register("agg_approx_sketches", oracle=None)
+def agg_approx_sketches(spark, sf_dir):
+    """Sketch aggregates: HyperLogLog distinct counts and quantile
+    sketches — fixed memory regardless of cardinality, mergeable
+    across partitions (THE 100 TB distinct-count/quantile answer;
+    exact variants are in agg_profile_stats/agg_quantiles_iqr).
+
+    No SQL oracle: DuckDB's HLL implementation differs, so equality
+    is not defined — accuracy is asserted in tests
+    (tests/test_sketches.py) against exact values instead.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.approx_count_distinct("event_id", rsd=0.02).alias("approx_events"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_median_value"),
+        F.percentile_approx("value", 0.99, 10000).alias("approx_p99_value"),
+    )
+
+
+#: Partitioned-layout staging (memoized like queries/streaming.py).
+_PART_MEMO: dict[str, Path] = {}
+
+
+@register(
+    "scan_partition_pruned",
+    oracle="""
+    SELECT event_id, user_id, value FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def scan_partition_pruned(spark, sf_dir):
+    """Partitioned write + pruned read: events land partitioned by
+    event_type; the filter becomes a PartitionFilter — Spark lists
+    ONE directory and reads 1/5 of the data, no row-level filtering
+    at all. At 100 TB, partition layout is the first-order
+    performance decision; this query is the end-to-end proof."""
+    if sf_dir not in _PART_MEMO:
+        d = Path(tempfile.gettempdir()) / f"etl_part_{uuid.uuid4().hex[:8]}"
+        read_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value", "event_type"
+        ).write.partitionBy("event_type").parquet(str(d))
+        _PART_MEMO[sf_dir] = d
+    return (
+        spark.read.parquet(str(_PART_MEMO[sf_dir]))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+
+
+@register(
+    "stream_dedup_exact",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def stream_dedup_exact(spark, sf_dir):
+    """Streaming exact dedup: the raw prefix receives the SAME batch
+    twice (at-least-once delivery); watermarked dropDuplicates emits
+    each event_id once — exactly-once semantics built from state, the
+    streaming face of the dedup ladder (operators/dedup.py). State is
+    bounded by the watermark: ids older than the delay are evicted."""
+    d = Path(tempfile.gettempdir()) / f"etl_sdedup_{uuid.uuid4().hex[:8]}"
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.coalesce(1).write.parquet(str(d / "raw"))
+    ev.coalesce(1).write.mode("append").parquet(str(d / "raw"))  # duplicate delivery
+    src = S.file_stream_source(
+        spark,
+        str(d / "raw"),
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE",
+        "parquet",
+        None,
+    )
+    deduped = src.withWatermark("ts", "1 hour").dropDuplicates(["event_id"]) \
+        .select("event_id", "user_id", "event_type", "value")
+    return S.run_to_memory(deduped, str(d / "ck"), "append")

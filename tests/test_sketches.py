@@ -1,0 +1,26 @@
+"""Accuracy contract for the sketch aggregates (no SQL oracle —
+different HLL implementations aren't comparable; accuracy vs exact
+values is the meaningful check)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_jobs_spark.queries.analytics_ext import agg_approx_sketches
+from etl_jobs_spark.sources.readers import read_table
+from tests.conftest import SF_DIR
+
+
+def test_sketches_within_tolerance(spark):
+    ev = read_table(spark, SF_DIR, "events")
+    exact = ev.select(
+        F.countDistinct("user_id").alias("users"),
+        F.countDistinct("event_id").alias("events"),
+        F.expr("percentile(value, 0.5)").alias("median"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    ).first()
+    approx = agg_approx_sketches(spark, SF_DIR).first()
+    assert abs(approx["approx_users"] - exact["users"]) <= max(3, 0.05 * exact["users"])
+    assert abs(approx["approx_events"] - exact["events"]) <= 0.05 * exact["events"]
+    assert abs(approx["approx_median_value"] - exact["median"]) <= 0.05 * max(exact["median"], 1)
+    assert abs(approx["approx_p99_value"] - exact["p99"]) <= 0.05 * max(exact["p99"], 1)
