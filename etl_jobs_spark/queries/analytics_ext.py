@@ -126,3 +126,31 @@ def stream_dedup_exact(spark, sf_dir):
     deduped = src.withWatermark("ts", "1 hour").dropDuplicates(["event_id"]) \
         .select("event_id", "user_id", "event_type", "value")
     return S.run_to_memory(deduped, str(d / "ck"), "append")
+
+
+#: JSONL staging memo.
+_JSONL_MEMO: dict[str, Path] = {}
+
+
+@register(
+    "scan_json_lines",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def scan_json_lines(spark, sf_dir):
+    """JSON-lines source with a DECLARED schema (the reference's JSON
+    surface is its metrics sink + SQS bodies, src/etl_2022.py:161-165,
+    src/etl_2025.py:243; this is the source side). Schema inference
+    over JSON costs a full extra scan at 100 TB — always declare."""
+    if sf_dir not in _JSONL_MEMO:
+        d = Path(tempfile.gettempdir()) / f"etl_jsonl_{uuid.uuid4().hex[:8]}"
+        read_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        ).coalesce(2).write.json(str(d))
+        _JSONL_MEMO[sf_dir] = d
+    return spark.read.schema(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    ).json(str(_JSONL_MEMO[sf_dir])).select(
+        "event_id", "user_id", "event_type", "value"
+    )
