@@ -31,6 +31,11 @@ HEADLINE = [
     "agg_events_by_type",
     "window_rank_events",
     "topk_orders",
+    "join_asof_events",
+    "agg_rollup_time",
+    "agg_pivot_events",
+    "scan_partition_pruned",
+    "multimodal_decode_features",
 ]
 
 
