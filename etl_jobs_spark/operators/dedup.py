@@ -377,3 +377,60 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Dedup clustering: connected components over near-dup pair
+    edges via iterative min-label propagation — the step that turns
+    pairwise matches into keep-one-per-cluster groups.
+
+    Each iteration: every node takes min(own label, neighbors'
+    labels); converges to min-reachable-id in O(graph diameter)
+    rounds (dup clusters are shallow — single digits). This is the
+    standard large-graph CC recipe on Spark (GraphFrames does the
+    same dance); each round is one shuffle keyed on node id.
+
+    ``localCheckpoint(eager=True)`` truncates lineage every round —
+    without it the plan doubles per iteration and the driver chokes
+    on plan compilation long before data size matters.
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_min", F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") < F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "component")

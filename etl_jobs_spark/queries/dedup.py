@@ -206,3 +206,34 @@ def dedup_embed_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs, label-blocked (IVF-style
     coarse quantizer cells)."""
     return DD.embedding_cosine_pairs(read_table(spark, sf_dir, "embeddings"))
+
+
+def _components_oracle() -> str:
+    return f"""
+    WITH RECURSIVE
+    pairs AS (
+      SELECT doc_a, doc_b FROM ({_minhash_oracle()}) q WHERE est_sim >= 0.5),
+    edges(a, b) AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs),
+    nodes(n) AS (SELECT DISTINCT a FROM edges),
+    reach(node, root) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node)
+    SELECT node AS doc_id, min(root) AS component FROM reach GROUP BY node
+    """
+
+
+@register("dedup_cluster_components", oracle=_components_oracle())
+def dedup_cluster_components(spark, sf_dir):
+    """Near-dup clustering: connected components over MinHash-LSH
+    pair edges (est_sim >= 0.5) — iterative min-label propagation on
+    Spark, verified against a recursive-CTE reachability oracle."""
+    from pyspark.sql import functions as F
+
+    pairs = DD.minhash_lsh_pairs(
+        DD.planted_corpus(read_table(spark, sf_dir, "documents"), mutate=True)
+    ).filter(F.col("est_sim") >= 0.5)
+    return DD.connected_components(pairs)

@@ -174,3 +174,13 @@ def sink_json_report(spark, sf_dir):
         "total_records BIGINT, valid_records BIGINT, "
         "completion_rate DOUBLE, success_rate DOUBLE"
     ).json(str(d / "quality_metrics"))
+
+
+@register("scan_orc_roundtrip", oracle="SELECT * FROM nation")
+def scan_orc_roundtrip(spark, sf_dir):
+    """ORC write → ORC scan (the second columnar format after
+    parquet; same pushdown/pruning machinery via the vectorized ORC
+    reader)."""
+    d = _workdir("orc")
+    read_table(spark, sf_dir, "nation").write.orc(str(d / "nation_orc"))
+    return spark.read.schema(NATION_SCHEMA).orc(str(d / "nation_orc"))

@@ -106,3 +106,43 @@ _H60S = hash60("s", "duckdb")
 def text_fingerprint(spark, sf_dir):
     """md5 exact-dup fingerprint + min-shingle rolling-hash key."""
     return TX.fingerprint(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_top_terms",
+    oracle=f"""
+    SELECT lang, tok, n, rnk FROM (
+      SELECT lang, tok, n,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY n DESC, tok ASC) AS BIGINT) AS rnk
+      FROM (
+        SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT lang, unnest(toks) AS tok FROM {_TOK_SUB})
+        GROUP BY lang, tok))
+    WHERE rnk <= 5
+    """,
+)
+def text_top_terms(spark, sf_dir):
+    """Top-5 terms per language: explode → count → rank — the
+    vocabulary-profiling pass of a corpus pipeline. One shuffle for
+    the count (map-side partial), one for the per-lang rank over the
+    tiny aggregated table."""
+    from pyspark.sql import Window, functions as F
+
+    from etl_jobs_spark.operators.hashing import norm_text, word_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.expr(word_tokens(norm_text("text", "spark"), "spark"))
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tok").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )
