@@ -201,3 +201,81 @@ def agg_salted_events(spark, sf_dir):
     """Two-phase salted aggregation — same answer as a direct
     groupBy (the oracle), different physical plan (skew-resistant)."""
     return R.salted_agg_events(read_table(spark, sf_dir, "events"))
+
+
+@register(
+    "agg_histogram_value",
+    oracle="""
+    SELECT CAST(floor(value / 25) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 2) AS lo, round(max(value), 2) AS hi
+    FROM events GROUP BY 1
+    """,
+)
+def agg_histogram_value(spark, sf_dir):
+    """Equal-width histogram via arithmetic bucketing — an equi-key
+    groupBy (scale-invariant), not a sort or range join."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / 25).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )
+
+
+@register(
+    "join_semi_anti",
+    oracle="""
+    SELECT c.c_custkey, 'has_urgent' AS status FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT c.c_custkey, 'no_orders' AS status FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi_anti(spark, sf_dir):
+    """Left-semi and left-anti joins (EXISTS / NOT EXISTS): existence
+    checks that never materialize the right side's columns — at scale
+    the build side ships only its join keys."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = read_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    any_o = orders.select(F.col("o_custkey").alias("c_custkey"))
+    semi = cust.join(urgent, "c_custkey", "left_semi").select(
+        "c_custkey", F.lit("has_urgent").alias("status")
+    )
+    anti = cust.join(any_o, "c_custkey", "left_anti").select(
+        "c_custkey", F.lit("no_orders").alias("status")
+    )
+    return semi.unionByName(anti)
+
+
+@register(
+    "window_ntile_quartiles",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(ntile(4) OVER (PARTITION BY event_type
+                               ORDER BY value ASC, event_id ASC) AS BIGINT)
+             AS quartile
+    FROM events
+    """,
+)
+def window_ntile_quartiles(spark, sf_dir):
+    """ntile bucketing per group (quartile assignment) — rank-family
+    window with a deterministic tiebreak."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

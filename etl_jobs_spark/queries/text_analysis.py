@@ -146,3 +146,53 @@ def text_top_terms(spark, sf_dir):
         counts.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 5)
     )
+
+
+@register(
+    "text_tfidf",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest(toks) AS tok FROM {_TOK_SUB}),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, tok),
+    df AS (
+      SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.tok, tf.tf,
+           round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+    FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    """,
+)
+def text_tfidf(spark, sf_dir):
+    """TF-IDF weights per (doc, term): tf from one explode+groupBy,
+    df from a second aggregation over the same exploded table
+    (persisted — it feeds both), idf = ln((N+1)/(df+1)) smoothed.
+    The df table is tiny (vocabulary-sized) → broadcast joined back,
+    so the fact-side never reshuffles."""
+    from pyspark.sql import functions as F
+
+    from etl_jobs_spark.operators.hashing import norm_text, word_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(word_tokens(norm_text("text", "spark"), "spark"))
+        ).alias("tok"),
+    ).persist()
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.count()
+    return tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        "tf",
+        F.round(
+            F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
