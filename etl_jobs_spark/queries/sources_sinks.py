@@ -184,3 +184,49 @@ def scan_orc_roundtrip(spark, sf_dir):
     d = _workdir("orc")
     read_table(spark, sf_dir, "nation").write.orc(str(d / "nation_orc"))
     return spark.read.schema(NATION_SCHEMA).orc(str(d / "nation_orc"))
+
+
+@register(
+    "scan_csv_corrupt_quarantine",
+    oracle="""
+    SELECT CAST(count(*) FILTER (WHERE n_nationkey IS NOT NULL) AS BIGINT)
+             AS clean_rows,
+           CAST(count(*) FILTER (WHERE n_nationkey IS NULL) AS BIGINT)
+             AS corrupt_rows
+    FROM (
+      SELECT n_nationkey FROM nation
+      UNION ALL
+      SELECT NULL FROM range(3))
+    """,
+)
+def scan_csv_corrupt_quarantine(spark, sf_dir):
+    """Parser-level bad-row handling: a CSV with injected garbage
+    lines read in PERMISSIVE mode — malformed rows land in
+    ``_corrupt_record`` instead of failing the scan (the schema-level
+    face of the reference's row validation, ref: src/etl_2018.py:26-36,
+    which only sees rows the parser already accepted). Returns
+    clean/quarantined counts."""
+    d = _workdir("corrupt")
+    writers.sink_csv(read_table(spark, sf_dir, "nation"), str(d / "csv"))
+    bad = d / "csv" / "part-bad.csv"
+    bad.write_text(
+        "n_nationkey,n_name,n_regionkey\n"
+        "not_an_int,BROKEN,also_bad\nxx,,yy\n,,,too,many,cols\n"
+    )
+    df = spark.read.schema(
+        NATION_SCHEMA + ", _corrupt_record STRING"
+    ).option("header", "true").option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).csv(str(d / "csv"))
+    # Spark refuses raw-parse queries projecting ONLY the corrupt
+    # column; cache materializes the full parse first (its own
+    # documented pattern).
+    df = df.cache()
+    return df.select(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1))
+        .cast("long")
+        .alias("clean_rows"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1))
+        .cast("long")
+        .alias("corrupt_rows"),
+    )

@@ -306,3 +306,28 @@ def stream_stateful_pandas(spark, sf_dir):
         GroupStateTimeout.NoTimeout,
     )
     return S.run_to_memory(counted, str(wk / "ck"), "update")
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.value, c.c_mktsegment AS segment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_static_join(spark, sf_dir):
+    """Stream-static enrichment: the event stream joins a static
+    dimension table per micro-batch (the dimension re-resolves each
+    batch — slowly-changing dims pick up updates for free). The
+    static side broadcasts: no stream-side shuffle at all."""
+    raw = _stage(spark, sf_dir, "parquet", 2)
+    wk = _workdir()
+    src = S.file_stream_source(spark, str(raw / "raw"), EVENTS_SCHEMA, "parquet", 1)
+    dim = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    joined = (
+        src.join(F.broadcast(dim), src.user_id == dim.c_custkey)
+        .select("event_id", "user_id", "value", "segment")
+    )
+    return S.run_to_memory(joined, str(wk / "ck"), "append")
