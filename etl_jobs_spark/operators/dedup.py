@@ -379,27 +379,68 @@ def embedding_cosine_pairs(
     )
 
 
+#: Below this edge count the dedup graph fits comfortably on the
+#: driver and a union-find beats 10+ distributed rounds of fixed
+#: scheduling overhead. The blocking stages (LSH bands etc.) shrink
+#: a 100 TB corpus's edge set by orders of magnitude before this
+#: point — edges, not documents, are what must fit.
+CC_DRIVER_EDGE_LIMIT = 5_000_000
+
+
 def connected_components(
     edges: DataFrame, src: str = "doc_a", dst: str = "doc_b",
     max_iterations: int = 20,
 ) -> DataFrame:
     """Dedup clustering: connected components over near-dup pair
-    edges via iterative min-label propagation — the step that turns
-    pairwise matches into keep-one-per-cluster groups.
+    edges — the step that turns pairwise matches into
+    keep-one-per-cluster groups.
 
-    Each iteration: every node takes min(own label, neighbors'
-    labels); converges to min-reachable-id in O(graph diameter)
-    rounds (dup clusters are shallow — single digits). This is the
-    standard large-graph CC recipe on Spark (GraphFrames does the
-    same dance); each round is one shuffle keyed on node id.
+    Hybrid strategy, the shape production dedup pipelines use:
 
-    ``localCheckpoint(eager=True)`` truncates lineage every round —
-    without it the plan doubles per iteration and the driver chokes
-    on plan compilation long before data size matters.
+    - **edge set small** (≤ CC_DRIVER_EDGE_LIMIT — the usual case
+      AFTER blocking, since candidate pairs are ~linear in corpus
+      size): collect edges, union-find on the driver, parallelize
+      the labels back. One collect beats 10+ shuffle rounds whose
+      per-round scheduling overhead dwarfs the work.
+    - **edge set large**: iterative min-label propagation — every
+      node takes min(own, neighbors') per round, converging to
+      min-reachable-id in O(diameter) rounds (dup clusters are
+      shallow). The standard large-graph CC recipe on Spark;
+      ``localCheckpoint(eager=True)`` truncates lineage each round so
+      the plan doesn't double per iteration.
+
+    Both paths produce component = min reachable node id — the exact
+    contract the recursive-CTE oracle states.
     """
+    # persist: the edge set is read twice (size probe + traversal)
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    ).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).persist()
+    n_edges = sym.count()
+    if n_edges <= CC_DRIVER_EDGE_LIMIT:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for row in sym.collect():
+            a, b = int(row["a"]), int(row["b"])
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so the root IS the component label
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(n, find(n)) for n in parent]
+        return edges.sparkSession.createDataFrame(
+            rows, "doc_id BIGINT, component BIGINT"
+        )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

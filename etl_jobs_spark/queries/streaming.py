@@ -331,3 +331,61 @@ def stream_static_join(spark, sf_dir):
         .select("event_id", "user_id", "value", "segment")
     )
     return S.run_to_memory(joined, str(wk / "ck"), "append")
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join: purchases joined to the same
+    user's clicks from the preceding hour, BOTH sides watermarked so
+    the join state is bounded (a click's state is droppable once the
+    watermark passes its ts + 1h — without watermarks, stream-stream
+    join state grows forever). The attribution-join shape of every
+    event pipeline."""
+    key = (sf_dir, "ivj", 2)
+    if key not in _STAGED:
+        d = Path(tempfile.gettempdir()) / f"etl_ivj_{uuid.uuid4().hex[:8]}"
+        ev = read_table(spark, sf_dir, "events")
+        ev.filter(F.col("event_type") == "purchase").coalesce(1).write.parquet(
+            str(d / "purchases")
+        )
+        ev.filter(F.col("event_type") == "click").coalesce(1).write.parquet(
+            str(d / "clicks")
+        )
+        _STAGED[key] = d
+    raw = _STAGED[key]
+    wk = _workdir()
+    p = (
+        S.file_stream_source(spark, str(raw / "purchases"), EVENTS_SCHEMA, "parquet", None)
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        S.file_stream_source(spark, str(raw / "clicks"), EVENTS_SCHEMA, "parquet", None)
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "click_id", "user_id")
+    return S.run_to_memory(joined, str(wk / "ck"), "append")
