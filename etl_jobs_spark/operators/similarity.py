@@ -143,3 +143,94 @@ def cosine_topk_lsh(emb: DataFrame, k: int = DEFAULT_K) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    k: int = DEFAULT_K,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: a k-means coarse quantizer (pyspark.ml) partitions
+    the corpus into cells; a query scores only candidates in its
+    ``n_probe`` nearest cells. The third tier of the ANN ladder
+    (brute force → sign-LSH → IVF): cells adapt to the data
+    distribution, and cell count scales with corpus size (k ∝ n
+    keeps per-cell cost constant — see docs/SCALE.md).
+
+    At 100 TB: fit the quantizer on a sample, write the corpus
+    partitioned by ``cell``, and a probe prunes to n_probe
+    partitions. Results are approximate (recall measured in
+    tests/test_ivf.py), hence no SQL oracle — the driver's rows-only
+    check applies.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = _with_norm(emb).withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features",
+                predictionCol="cell")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select(
+        "vec_id", "embedding", "nrm", "cell"
+    ).persist()
+
+    # centroid table (tiny) — compute each query's n_probe cells
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        centroids, "cell INT, centroid ARRAY<DOUBLE>"
+    )
+    queries = assigned.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cdot = (
+        "aggregate(zip_with(q_emb, centroid, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    probe = (
+        queries.crossJoin(F.broadcast(cent_df))
+        .withColumn("cdist", F.expr(cdot))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cdist").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") <= n_probe)
+        .select("query_id", "q_emb", "q_nrm", "cell")
+    )
+    dot = dot_unrolled("q_emb", "embedding", EMBED_DIM, "spark")
+    scored = (
+        F.broadcast(probe).join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "cell",
+            F.expr(f"{dot} / (q_nrm * nrm)").alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            "cell",
+            F.round("cos_raw", 6).alias("cosine"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -79,3 +79,11 @@ def embed_lsh_topk(spark, sf_dir):
     """Sign-LSH bucketed ANN top-k (the 100 TB scale path: bucket id
     doubles as the storage partitioning key)."""
     return SIM.cosine_topk_lsh(read_table(spark, sf_dir, "embeddings"))
+
+
+@register("embed_ivf_topk", oracle=None)
+def embed_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k with a k-means coarse quantizer (approximate —
+    recall vs brute force asserted in tests/test_ivf.py; driver
+    rows-only check)."""
+    return SIM.cosine_topk_ivf(read_table(spark, sf_dir, "embeddings"))
