@@ -230,3 +230,66 @@ def scan_csv_corrupt_quarantine(spark, sf_dir):
         .cast("long")
         .alias("corrupt_rows"),
     )
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT r_regionkey, r_name, NULL::VARCHAR AS r_comment FROM region
+    UNION ALL
+    SELECT r_regionkey, r_name, 'v2' AS r_comment FROM region
+    """,
+)
+def scan_schema_evolution(spark, sf_dir):
+    """Schema evolution: a v1 write (2 columns) and a v2 write
+    (adds r_comment) under one prefix, read with ``mergeSchema`` —
+    old files surface NULL for the new column. The lakehouse
+    append-only evolution contract; without mergeSchema the scan
+    would silently serve whichever footer it sampled."""
+    d = _workdir("evolve")
+    region = read_table(spark, sf_dir, "region")
+    region.select("r_regionkey", "r_name").write.parquet(
+        str(d / "t"), mode="append"
+    )
+    region.select(
+        "r_regionkey", "r_name", F.lit("v2").alias("r_comment")
+    ).write.parquet(str(d / "t"), mode="append")
+    return spark.read.option("mergeSchema", "true").parquet(str(d / "t"))
+
+
+@register(
+    "sink_partition_overwrite",
+    oracle="""
+    SELECT event_id, user_id, value, event_type FROM events
+    WHERE event_type <> 'click'
+    UNION ALL
+    SELECT event_id, user_id, round(value * 2, 2) AS value, event_type
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def sink_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite: rewrite ONLY the partitions the
+    incoming batch touches (spark.sql.sources.partitionOverwriteMode=
+    dynamic), leaving sibling partitions intact — the idempotent
+    backfill/restatement primitive (static mode would wipe the whole
+    table root)."""
+    d = _workdir("dynov")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round("value", 2).alias("value"), "event_type"
+    )
+    ev.write.partitionBy("event_type").parquet(str(d / "t"))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        restated = ev.filter(F.col("event_type") == "click").withColumn(
+            "value", F.round(F.col("value") * 2, 2)
+        )
+        restated.write.mode("overwrite").partitionBy("event_type").parquet(
+            str(d / "t")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    out = spark.read.parquet(str(d / "t")).select(
+        "event_id", "user_id", F.round("value", 2).alias("value"), "event_type"
+    )
+    return out

@@ -77,3 +77,25 @@ def sink_json_report(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     ``data/*_{ts}.json``). Reports are tiny aggregates, so the
     single-file coalesce is safe — never do this to a data table."""
     df.coalesce(1).write.mode(mode).json(path)
+
+
+def compact_parquet(spark, path: str, target_files: int) -> None:
+    """Small-file compaction: rewrite a parquet prefix into
+    ``target_files`` files (read → repartition → overwrite-to-temp →
+    swap). The operational cure for streaming sinks' many-small-files
+    problem — at 100 TB, scan throughput dies on file-open overhead
+    long before bytes do (aim for ~128 MB-1 GB files).
+
+    The rewrite goes through a sibling temp dir + atomic-ish rename,
+    never read-and-overwrite in place (which would corrupt on
+    failure mid-write).
+    """
+    import shutil
+    from pathlib import Path
+
+    p = Path(path)
+    tmp = p.with_name(p.name + "__compact_tmp")
+    df = spark.read.parquet(path)
+    df.repartition(target_files).write.mode("overwrite").parquet(str(tmp))
+    shutil.rmtree(p)
+    tmp.rename(p)
