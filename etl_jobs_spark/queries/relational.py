@@ -279,3 +279,38 @@ def window_ntile_quartiles(spark, sf_dir):
         "event_type",
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT)   AS n_last_hour,
+           round(sum(value) OVER w, 2)       AS sum_last_hour
+    FROM (SELECT event_id, user_id, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """Time-RANGE window frame: per-user rolling 1-hour count/sum —
+    the sliding-aggregate shape rows-frames can't express (frame
+    bounds are in event-time units, not row counts). Spark range
+    frames need a numeric sort key, so BOTH engines order by floored
+    epoch seconds with a [-3600, 0] frame — an exact-INTERVAL oracle
+    would disagree on sub-second boundary pairs."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("sum_last_hour"),
+    )
