@@ -470,3 +470,52 @@ def pred_alert_thresholds(spark, sf_dir):
         F.count(F.when(F.col("value_n").isNull(), F.lit(1))).alias("null_count"),
     )
     return Q.pred_alert_thresholds(metrics)
+
+
+@register(
+    "pipeline_2022_end_to_end",
+    oracle=f"""
+    WITH dirty AS ({DIRTY_SQL}),
+    dedup AS (SELECT DISTINCT * FROM dirty),
+    scored AS (
+      SELECT *,
+             round(1.0 - (CAST(value_n IS NULL AS INT)
+                          + CAST(event_type_n IS NULL AS INT))
+                   / CAST(2 AS DOUBLE), 6) AS quality_score
+      FROM dedup),
+    m AS (SELECT round(avg(value_n), 6) AS mean_v FROM dedup)
+    SELECT event_id, user_id,
+           upper(coalesce(event_type_n, 'UNKNOWN')) AS event_type_clean,
+           CAST(trunc(coalesce(value_n, m.mean_v)) AS INT) AS value_int,
+           quality_score,
+           '20260101_000000' AS batch_id
+    FROM scored CROSS JOIN m
+    """,
+)
+def pipeline_2022_end_to_end(spark, sf_dir):
+    """The 2022-era pipeline COMPOSED end-to-end from the operator
+    kit (ref: src/etl_2022.py:233-272 __main__ flow): dirty scan →
+    full-row dedup → row quality score (scored BEFORE imputation so
+    it measures the raw data, ref computes it post-clean at :216) →
+    constant + mean imputation → casing + int cast → batch-id audit
+    column. One lazy DataFrame chain — Catalyst fuses every step
+    into the scan projection except the scalar-mean broadcast; the
+    chain shape is what replaces the reference's five sequential
+    script stages."""
+    d = C.dedup_full_row(dirty_events(spark, sf_dir))
+    d = d.withColumn(
+        "quality_score", C.quality_score(d, ["value_n", "event_type_n"])
+    )
+    d = C.fillna_const(d, {"event_type_n": "UNKNOWN"})
+    d = C.fillna_mean(d, "value_n")
+    d = C.proj_upper(d, "event_type_n", "event_type_clean")
+    d = C.proj_cast_int(d, "value_n", "value_int")
+    d = C.proj_batch_id(d, TS_LIT)
+    return d.select(
+        "event_id",
+        "user_id",
+        "event_type_clean",
+        "value_int",
+        "quality_score",
+        "batch_id",
+    )
