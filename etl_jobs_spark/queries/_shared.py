@@ -1,0 +1,61 @@
+"""Shared fixture projections used by multiple query modules.
+
+Kept registration-free on purpose: query modules import from here
+without triggering another module's ``@register`` calls, so the
+registration order in ``queries/__init__.py`` is exactly the module
+import order there (the driver's correctness sweep walks the
+registry dict in that order).
+
+The fixture tables have no nulls/dirty rows, so validation and
+imputation Qkeys run over a deterministic "dirtied" projection of
+``events`` (nulls injected by event_id modulus — same CTE on the
+oracle side), exactly the dirty-row cases FIXTURES.md §A calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_jobs_spark.operators import validation as V
+from etl_jobs_spark.sources.readers import read_table
+
+#: Pinned audit-column literals (production path uses
+#: current_timestamp(); see operators/cleaning.py).
+TS_LIT = "2026-01-01 00:00:00"
+
+#: Deterministic dirty projection of events (nulls via modulus).
+DIRTY_SQL = """
+    SELECT event_id, user_id, event_type, value, props,
+           CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value_n,
+           CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END AS event_type_n
+    FROM events
+"""
+
+
+def dirty_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value_n"),
+        F.when(F.col("event_id") % 11 == 0, F.lit(None))
+        .otherwise(F.col("event_type"))
+        .alias("event_type_n"),
+    )
+
+
+def _dirty_rules() -> list[V.Rule]:
+    """The users-pipeline rule set mapped onto dirty events:
+    required field (ref: src/etl_2018.py:19-20), non-blank string
+    (:23-24), numeric range [0,150] (:26-31)."""
+    return [
+        V.required_fields("value_n")[0],
+        V.nonempty_string("event_type_n"),
+        V.numeric_range("value_n", 0, 150),
+    ]

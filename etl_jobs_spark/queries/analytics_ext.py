@@ -125,7 +125,7 @@ def stream_dedup_exact(spark, sf_dir):
     )
     deduped = src.withWatermark("ts", "1 hour").dropDuplicates(["event_id"]) \
         .select("event_id", "user_id", "event_type", "value")
-    return S.run_to_memory(deduped, str(d / "ck"), "append")
+    return S.run_to_memory(deduped, str(d / "ck"), "append", state_partitions=4)
 
 
 #: JSONL staging memo.

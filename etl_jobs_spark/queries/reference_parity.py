@@ -10,54 +10,19 @@ oracle-stable (SURVEY §7 hard parts: nondeterminism).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_jobs_spark.operators import cleaning as C
 from etl_jobs_spark.operators import quality as Q
 from etl_jobs_spark.operators import validation as V
+from etl_jobs_spark.queries._shared import (  # noqa: F401  (re-export)
+    DIRTY_SQL,
+    TS_LIT,
+    _dirty_rules,
+    dirty_events,
+)
 from etl_jobs_spark.registry import register
 from etl_jobs_spark.sources.readers import read_table
-
-#: Pinned audit-column literals (production path uses
-#: current_timestamp(); see operators/cleaning.py).
-TS_LIT = "2026-01-01 00:00:00"
-
-#: Deterministic dirty projection of events (nulls via modulus).
-DIRTY_SQL = """
-    SELECT event_id, user_id, event_type, value, props,
-           CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value_n,
-           CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END AS event_type_n
-    FROM events
-"""
-
-
-def dirty_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        "user_id",
-        "event_type",
-        "value",
-        "props",
-        F.when(F.col("event_id") % 7 == 0, F.lit(None))
-        .otherwise(F.col("value"))
-        .alias("value_n"),
-        F.when(F.col("event_id") % 11 == 0, F.lit(None))
-        .otherwise(F.col("event_type"))
-        .alias("event_type_n"),
-    )
-
-
-def _dirty_rules() -> list[V.Rule]:
-    """The users-pipeline rule set mapped onto dirty events:
-    required field (ref: src/etl_2018.py:19-20), non-blank string
-    (:23-24), numeric range [0,150] (:26-31)."""
-    return [
-        V.required_fields("value_n")[0],
-        V.nonempty_string("event_type_n"),
-        V.numeric_range("value_n", 0, 150),
-    ]
 
 
 # ---------------------------------------------------------------- projections

@@ -25,7 +25,7 @@ from pathlib import Path
 from pyspark.sql import functions as F
 
 from etl_jobs_spark.operators import quality as Q
-from etl_jobs_spark.queries.reference_parity import _dirty_rules, dirty_events
+from etl_jobs_spark.queries._shared import _dirty_rules, dirty_events
 from etl_jobs_spark.registry import register
 from etl_jobs_spark.sources import readers, writers
 from etl_jobs_spark.sources.readers import read_table

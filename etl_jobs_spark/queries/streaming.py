@@ -75,7 +75,8 @@ def stream_window_counts(spark, sf_dir):
     wk = _workdir()
     src = S.file_stream_source(spark, str(raw / "raw"), EVENTS_SCHEMA, "parquet", 1)
     return S.run_to_memory(
-        S.windowed_counts(src, "1 hour"), str(wk / "ck"), "complete"
+        S.windowed_counts(src, "1 hour"), str(wk / "ck"), "complete",
+        state_partitions=4,
     )
 
 
@@ -110,6 +111,7 @@ def stream_watermark_append(spark, sf_dir):
         S.windowed_counts(src, "1 hour", watermark="10 minutes"),
         str(wk / "ck"),
         "append",
+        state_partitions=4,
     )
 
 
@@ -132,7 +134,8 @@ def stream_sliding_counts(spark, sf_dir):
     wk = _workdir()
     src = S.file_stream_source(spark, str(raw / "raw"), EVENTS_SCHEMA, "parquet", 1)
     return S.run_to_memory(
-        S.sliding_window_counts(src, "1 hour", "30 minutes"), str(wk / "ck"), "complete"
+        S.sliding_window_counts(src, "1 hour", "30 minutes"), str(wk / "ck"),
+        "complete", state_partitions=4,
     )
 
 
@@ -158,7 +161,10 @@ def stream_session_windows(spark, sf_dir):
     raw = _stage(spark, sf_dir, "parquet", 2)
     wk = _workdir()
     src = S.file_stream_source(spark, str(raw / "raw"), EVENTS_SCHEMA, "parquet", 1)
-    return S.run_to_memory(S.session_windows(src, "5 minutes"), str(wk / "ck"), "complete")
+    return S.run_to_memory(
+        S.session_windows(src, "5 minutes"), str(wk / "ck"), "complete",
+        state_partitions=4,
+    )
 
 
 @register("sessionize_batch", oracle=SESSION_ORACLE)
@@ -233,7 +239,7 @@ def source_queue(spark, sf_dir):
         ).write.mode("append").json(queue_out)
         batch_df.unpersist()
 
-    S.foreach_batch_pipeline(cleaned, str(wk / "ck"), sinks)
+    S.foreach_batch_pipeline(cleaned, str(wk / "ck"), sinks, state_partitions=4)
     return spark.read.schema(EVENTS_CSV_SCHEMA).parquet(processed)
 
 
@@ -262,7 +268,7 @@ def sink_queue(spark, sf_dir):
             [(int(batch_id), int(n))], "batch_id BIGINT, n_rows BIGINT"
         ).write.mode("append").json(queue_out)
 
-    S.foreach_batch_pipeline(cleaned, str(wk / "ck"), sinks)
+    S.foreach_batch_pipeline(cleaned, str(wk / "ck"), sinks, state_partitions=4)
     msgs = spark.read.schema("batch_id BIGINT, n_rows BIGINT").json(queue_out)
     return msgs.select(F.sum("n_rows").alias("total_sent"))
 
@@ -305,7 +311,7 @@ def stream_stateful_pandas(spark, sf_dir):
         "update",
         GroupStateTimeout.NoTimeout,
     )
-    return S.run_to_memory(counted, str(wk / "ck"), "update")
+    return S.run_to_memory(counted, str(wk / "ck"), "update", state_partitions=4)
 
 
 @register(
@@ -330,7 +336,7 @@ def stream_static_join(spark, sf_dir):
         src.join(F.broadcast(dim), src.user_id == dim.c_custkey)
         .select("event_id", "user_id", "value", "segment")
     )
-    return S.run_to_memory(joined, str(wk / "ck"), "append")
+    return S.run_to_memory(joined, str(wk / "ck"), "append", state_partitions=4)
 
 
 @register(
@@ -388,4 +394,4 @@ def stream_interval_join(spark, sf_dir):
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("c_ts") <= F.col("p_ts")),
     ).select("purchase_id", "click_id", "user_id")
-    return S.run_to_memory(joined, str(wk / "ck"), "append")
+    return S.run_to_memory(joined, str(wk / "ck"), "append", state_partitions=4)

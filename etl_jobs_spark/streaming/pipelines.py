@@ -54,26 +54,56 @@ def file_stream_source(
     return reader.format(fmt).load(path)
 
 
+class _state_partitions:
+    """Pin ``spark.sql.shuffle.partitions`` for the duration of one
+    streaming query start.
+
+    A stateful streaming query materializes ONE state store instance
+    per shuffle partition per micro-batch (open + commit + checkpoint
+    file each). The partition count is a per-query sizing decision —
+    match it to key cardinality × throughput, not the session-wide
+    batch default: a 1000-executor job wants thousands, a
+    local-oracle drain over 10k rows wants a handful (32 stores × N
+    batches of pure fixed cost otherwise). The count is baked into
+    the checkpoint on first start, so it must be set BEFORE
+    ``.start()`` — hence this guard, not a post-hoc repartition."""
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        if self.n is not None:
+            self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        if self.n is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def run_to_memory(
     stream_df: DataFrame,
     checkpoint_dir: str,
     output_mode: str = "append",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a streaming DataFrame into an in-memory table with
     `availableNow` (drain-and-stop) and return the result as a batch
     DataFrame. The memory sink is a TEST/DEMO sink — production
     streams use parquet/JDBC/foreachBatch sinks below."""
     name = f"mem_{uuid.uuid4().hex[:10]}"
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    spark = stream_df.sparkSession
+    with _state_partitions(spark, state_partitions):
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
 
 
 def windowed_counts(
@@ -132,15 +162,30 @@ def foreach_batch_pipeline(
     stream_df: DataFrame,
     checkpoint_dir: str,
     batch_sinks: Callable[[DataFrame, int], None],
+    state_partitions: int | None = None,
+    trigger: dict | None = None,
+    await_seconds: float | None = None,
 ) -> None:
     """The 2025-era dual-sink loop: per micro-batch, run arbitrary
     sinks (relational insert + archive + queue notify) exactly once
-    per batch id (ref: src/etl_2025.py:233-263). Drains with
-    availableNow so callers control the run length."""
-    q = (
-        stream_df.writeStream.foreachBatch(batch_sinks)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    per batch id (ref: src/etl_2025.py:233-263).
+
+    ``trigger`` defaults to ``availableNow`` (drain-and-stop, so
+    oracle runs terminate); pass
+    ``{"processingTime": "1 second"}`` for the reference's
+    continuous poll-loop mode (ref: src/etl_2025.py:236-239) with
+    ``await_seconds`` bounding the run."""
+    with _state_partitions(stream_df.sparkSession, state_partitions):
+        q = (
+            stream_df.writeStream.foreachBatch(batch_sinks)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )
+        if await_seconds is None:
+            q.awaitTermination()
+        else:
+            try:
+                q.awaitTermination(await_seconds)
+            finally:
+                q.stop()
