@@ -346,19 +346,57 @@ def planted_embeddings(emb: DataFrame) -> DataFrame:
 
 
 def embedding_cosine_pairs(
-    emb: DataFrame, threshold: float = COSINE_DUP_THRESHOLD
+    emb: DataFrame,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    cell_map: DataFrame | None = None,
 ) -> DataFrame:
-    """Embedding near-dup pairs, blocked on ``label`` (the coarse
-    quantizer cell — the IVF pattern: at scale, labels come from a
-    k-means pass and the pair scan is per-cell, not global).
+    """Embedding near-dup pairs, blocked on coarse-quantizer cells.
+
+    ``cell_map`` is a (vec_id, cell) assignment table for the BASE
+    corpus — in practice the ANN index's already-materialized
+    cell-partitioned layout (``operators/similarity.build_ivf_
+    index``), whose quantizer is fit on a bounded sample with
+    k ∝ corpus size. Blocking pairs on ``cell`` keeps block sizes
+    ~constant as the corpus grows, so total pair work stays linear.
+    (The earlier variant blocked on the fixture's fixed 10-value
+    ``label`` column — O(n²/10), measured ×8.8 at 4× data;
+    data-sized cells flatten that. See docs/SCALE.md.) Exact
+    duplicates share a cell under ANY quantizer (identical input →
+    identical assignment), so planted pairs — the only pairs at
+    cosine ≥ 0.99 in gaussian fixtures — are found by both the
+    cell-blocked plan and the label-blocked SQL oracle.
+
+    Falls back to ``label`` blocking when no cell map is supplied
+    (the oracle's own blocking — fine when a trusted pre-clustering
+    exists and its cardinality scales with the data).
 
     Norms are precomputed per vector (one map pass), the pair join is
-    an equi-join on label, and the dot product is an unrolled
+    an equi-join on the block key, and the dot product is an unrolled
     codegen'd expression — no UDF, no all-pairs."""
+    planted = planted_embeddings(emb)
+    if cell_map is not None:
+        # planted copies carry their source row's id + PLANT_OFFSET →
+        # map back to the base id so copies inherit the source's cell
+        # (identical vector, same cell — by construction).
+        orig = F.when(
+            F.col("vec_id") >= PLANT_OFFSET, F.col("vec_id") - PLANT_OFFSET
+        ).otherwise(F.col("vec_id"))
+        cells = cell_map.select(
+            F.col("vec_id").alias("orig_id"), F.col("cell").alias("blk")
+        )
+        planted = (
+            planted.withColumn("orig_id", orig)
+            .join(cells, "orig_id")
+            .select("vec_id", "embedding", "blk")
+        )
+    else:
+        planted = planted.select(
+            "vec_id", "embedding", F.col("label").alias("blk")
+        )
     # Both join sides read this — persist so norms compute once.
-    vecs = planted_embeddings(emb).select(
+    vecs = planted.select(
         "vec_id",
-        "label",
+        "blk",
         "embedding",
         F.expr(norm_unrolled("embedding", EMBED_DIM, "spark")).alias("nrm"),
     ).persist()
@@ -367,7 +405,7 @@ def embedding_cosine_pairs(
     return (
         a.join(
             b,
-            (F.col("va.label") == F.col("vb.label"))
+            (F.col("va.blk") == F.col("vb.blk"))
             & (F.col("va.vec_id") < F.col("vb.vec_id")),
         )
         .select(

@@ -32,12 +32,14 @@ _P = minhash_params(DD.MINHASH_K)
 #: MinHash pair table shared by dedup_minhash_lsh and
 #: dedup_cluster_components — computed once per (session, sf_dir)
 #: and persisted (the signature pipeline is the expensive part; both
-#: queries read the same result).
-_PAIRS_CACHE: dict[tuple[int, str], object] = {}
+#: queries read the same result). Keyed by applicationId, NOT
+#: id(spark): a stopped session's id() can be reused by a new one,
+#: which must never be served a DataFrame bound to the dead session.
+_PAIRS_CACHE: dict[tuple[str, str], object] = {}
 
 
 def _minhash_pairs(spark, sf_dir):
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PAIRS_CACHE:
         _PAIRS_CACHE[key] = DD.minhash_lsh_pairs(
             DD.planted_corpus(
@@ -218,9 +220,19 @@ def _embed_cosine_oracle() -> str:
 
 @register("dedup_embed_cosine", oracle=_embed_cosine_oracle())
 def dedup_embed_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, label-blocked (IVF-style
-    coarse quantizer cells)."""
-    return DD.embedding_cosine_pairs(read_table(spark, sf_dir, "embeddings"))
+    """Embedding-cosine near-dup pairs, blocked on data-sized
+    k-means quantizer cells (k ∝ n — reuses embed_ivf_topk's
+    memoized quantizer, so blocks stay ~constant-size as the corpus
+    grows). The oracle blocks on ``label``: both blockings find
+    exactly the planted identical-vector pairs, the only pairs at
+    cosine ≥ 0.99 (see operators/dedup.embedding_cosine_pairs)."""
+    from etl_jobs_spark.queries.similarity import ivf_index
+
+    serve, _ = ivf_index(spark, sf_dir)
+    cell_map = spark.read.parquet(serve).select("vec_id", "cell")
+    return DD.embedding_cosine_pairs(
+        read_table(spark, sf_dir, "embeddings"), cell_map=cell_map
+    )
 
 
 def _components_oracle() -> str:

@@ -26,3 +26,34 @@ def test_ivf_recall_against_bruteforce(spark):
     # neighbor's cosine matches the brute-force value
     merged = approx.merge(exact, on=["query_id", "vec_id"], suffixes=("_a", "_e"))
     assert (merged["cosine_a"] == merged["cosine_e"]).all()
+
+
+def test_ivf_probe_prunes_partitions(spark):
+    """The serving-layout contract: a probe reads only its n_probe
+    cells — the physical scan must carry a PartitionFilters predicate
+    on `cell`, not scan the whole corpus."""
+    plan = embed_ivf_topk(spark, SF_DIR)._jdf.queryExecution().toString()
+    import re
+
+    # the plan has several scans (query side, centroid side); the
+    # serve-layout scan is the one that must be cell-pruned
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("cell" in f and "INSET" in f for f in filters), (
+        f"no cell INSET partition filter among {filters}"
+    )
+
+
+def test_quantizer_fit_is_sampled():
+    """Guard the 100 TB property: the k-means fit must never touch
+    the full corpus when the corpus is large (fit sample is bounded
+    by fit_per_cell × n_cells rows)."""
+    from etl_jobs_spark.operators.similarity import (
+        IVF_FIT_PER_CELL,
+        IVF_TARGET_PER_CELL,
+    )
+
+    n = 10**9  # a billion-vector corpus
+    n_cells = max(16, n // IVF_TARGET_PER_CELL)
+    frac = min(1.0, (IVF_FIT_PER_CELL * n_cells) / n)
+    assert frac * n <= IVF_FIT_PER_CELL * n_cells  # bounded fit set
+    assert frac < 0.2  # and far from full-corpus
