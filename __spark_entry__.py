@@ -21,15 +21,40 @@ from etl_jobs_spark import registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+    """Flagship smoke on /root/testdata/sf0.001; driver checks rows>0.
 
-    Grouped pricing summary over the fact table (the engine's
-    headline aggregate shape — partial+final hash agg, pushdown
-    filter, 7-column pruned scan).
+    A pipeline run report covering the engine's two signature
+    shapes in one stable-schema result:
+
+    - the reference's 2022 era end-to-end (validate → dedup → clean
+      → impute → score → audit columns), summarized as metric rows;
+    - the headline relational aggregate (q1 pricing summary:
+      pushdown filter + pruned scan + partial/final hash agg),
+      summarized the same way.
     """
+    from pyspark.sql import functions as F
+
+    from etl_jobs_spark.queries.reference_parity import (
+        pipeline_2022_end_to_end,
+    )
     from etl_jobs_spark.queries.relational import q1_pricing_summary
 
-    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
+    sf = "/root/testdata/sf0.001"
+    piped = pipeline_2022_end_to_end(spark, sf)
+    pipe_report = piped.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+        F.countDistinct("event_type_clean").cast("long").alias("distinct_types"),
+    ).select(F.lit("pipeline_2022").alias("stage"), "rows", "mean_quality",
+             "distinct_types")
+    q1 = q1_pricing_summary(spark, sf)
+    q1_report = q1.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.round(F.avg("avg_price"), 6).alias("mean_quality"),
+        F.countDistinct("l_returnflag").cast("long").alias("distinct_types"),
+    ).select(F.lit("q1_pricing").alias("stage"), "rows", "mean_quality",
+             "distinct_types")
+    return pipe_report.unionByName(q1_report)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

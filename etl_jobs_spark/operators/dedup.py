@@ -485,6 +485,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
         nbr = (
             sym.join(labels, sym.b == labels.node)
@@ -511,5 +512,19 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Returning partial labels would silently violate the
+        # min-reachable-id contract (a > max_iterations-diameter
+        # chain would split into several wrong components). Label
+        # propagation halves the effective diameter nowhere — it
+        # shrinks by 1 hop/round — so a non-converged run means
+        # max_iterations was undersized for the graph; fail loudly.
+        raise RuntimeError(
+            f"connected_components: min-label propagation did not "
+            f"converge within max_iterations={max_iterations} "
+            f"(graph diameter exceeds the round budget); raise "
+            f"max_iterations"
+        )
     return labels.select(F.col("node").alias("doc_id"), "component")

@@ -259,11 +259,15 @@ def scan_schema_evolution(spark, sf_dir):
 
 @register(
     "sink_partition_overwrite",
+    # the oracle mirrors the staged pipeline EXACTLY: the staged
+    # table stores round(value, 2); the restatement doubles the
+    # STORED value and re-rounds — not round(raw*2, 2), which only
+    # coincidentally agrees while fixtures carry <= 2 decimals
     oracle="""
-    SELECT event_id, user_id, value, event_type FROM events
-    WHERE event_type <> 'click'
+    SELECT event_id, user_id, round(value, 2) AS value, event_type
+    FROM events WHERE event_type <> 'click'
     UNION ALL
-    SELECT event_id, user_id, round(value * 2, 2) AS value, event_type
+    SELECT event_id, user_id, round(round(value, 2) * 2, 2) AS value, event_type
     FROM events WHERE event_type = 'click'
     """,
 )

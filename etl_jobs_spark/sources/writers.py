@@ -86,16 +86,24 @@ def compact_parquet(spark, path: str, target_files: int) -> None:
     problem — at 100 TB, scan throughput dies on file-open overhead
     long before bytes do (aim for ~128 MB-1 GB files).
 
-    The rewrite goes through a sibling temp dir + atomic-ish rename,
-    never read-and-overwrite in place (which would corrupt on
-    failure mid-write).
+    The rewrite goes through a sibling temp dir, then a rename-aside
+    swap: old → ``__old``, tmp → live, delete ``__old``. The live
+    path is only missing for the instant between two renames, and a
+    crash at any point leaves a complete copy recoverable by a
+    rename (never read-and-overwrite in place, which corrupts on
+    failure mid-write; and never delete-then-rename, which loses the
+    live path entirely if the swap is interrupted).
     """
     import shutil
     from pathlib import Path
 
     p = Path(path)
     tmp = p.with_name(p.name + "__compact_tmp")
+    old = p.with_name(p.name + "__compact_old")
     df = spark.read.parquet(path)
     df.repartition(target_files).write.mode("overwrite").parquet(str(tmp))
-    shutil.rmtree(p)
+    if old.exists():  # leftover from an earlier crashed swap
+        shutil.rmtree(old)
+    p.rename(old)
     tmp.rename(p)
+    shutil.rmtree(old)

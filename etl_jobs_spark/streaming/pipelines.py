@@ -165,6 +165,7 @@ def foreach_batch_pipeline(
     state_partitions: int | None = None,
     trigger: dict | None = None,
     await_seconds: float | None = None,
+    stop_when: Callable[[], bool] | None = None,
 ) -> None:
     """The 2025-era dual-sink loop: per micro-batch, run arbitrary
     sinks (relational insert + archive + queue notify) exactly once
@@ -173,8 +174,11 @@ def foreach_batch_pipeline(
     ``trigger`` defaults to ``availableNow`` (drain-and-stop, so
     oracle runs terminate); pass
     ``{"processingTime": "1 second"}`` for the reference's
-    continuous poll-loop mode (ref: src/etl_2025.py:236-239) with
-    ``await_seconds`` bounding the run."""
+    continuous poll-loop mode (ref: src/etl_2025.py:236-239), with
+    ``await_seconds`` bounding the run and optional ``stop_when``
+    (polled between micro-batches) ending it early — e.g. "stop
+    once N batches landed" in tests, where production would run
+    until redeploy."""
     with _state_partitions(stream_df.sparkSession, state_partitions):
         q = (
             stream_df.writeStream.foreachBatch(batch_sinks)
@@ -185,7 +189,14 @@ def foreach_batch_pipeline(
         if await_seconds is None:
             q.awaitTermination()
         else:
+            import time
+
+            deadline = time.monotonic() + await_seconds
             try:
-                q.awaitTermination(await_seconds)
+                while q.isActive and time.monotonic() < deadline:
+                    if stop_when is not None and stop_when():
+                        break
+                    time.sleep(0.25)
             finally:
                 q.stop()
+                q.awaitTermination(10)

@@ -1,0 +1,54 @@
+"""Distributed connected-components contract: the min-label
+propagation fallback (edge sets too big for the driver union-find)
+must produce the same min-reachable-id labels as the driver path —
+and must refuse to return partial labels when the graph's diameter
+exceeds the round budget, instead of silently splitting components.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_jobs_spark.operators import dedup as DD
+
+
+def _chain_edges(spark, n):
+    """A single path graph 0-1-2-...-n (diameter n)."""
+    return spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a BIGINT, doc_b BIGINT"
+    )
+
+
+def test_distributed_path_matches_contract(spark, monkeypatch):
+    """Force the distributed branch (limit 0) on a chain + an island
+    pair: every node's component must be the min reachable id."""
+    monkeypatch.setattr(DD, "CC_DRIVER_EDGE_LIMIT", 0)
+    edges = _chain_edges(spark, 12).union(
+        spark.createDataFrame([(100, 101)], "doc_a BIGINT, doc_b BIGINT")
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in DD.connected_components(edges, max_iterations=30).collect()
+    }
+    want = {i: 0 for i in range(13)} | {100: 100, 101: 100}
+    assert got == want
+
+
+def test_distributed_path_raises_when_not_converged(spark, monkeypatch):
+    """Diameter > round budget: partial labels would violate the
+    min-reachable-id contract, so the operator must fail loudly."""
+    monkeypatch.setattr(DD, "CC_DRIVER_EDGE_LIMIT", 0)
+    edges = _chain_edges(spark, 8)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.connected_components(edges, max_iterations=3)
+
+
+def test_driver_path_same_labels(spark):
+    """The default driver union-find gives identical labels on the
+    same graph (path-parity between the two branches)."""
+    edges = _chain_edges(spark, 12)
+    got = {
+        r["doc_id"]: r["component"]
+        for r in DD.connected_components(edges).collect()
+    }
+    assert got == {i: 0 for i in range(13)}
