@@ -15,6 +15,7 @@ from etl_jobs_spark.queries import (  # noqa: F401
     text_analysis,
     sources_sinks,
     streaming,
+    training_pipeline,
     relational,
     analytics_ext,
     dedup,

@@ -7,6 +7,138 @@ from pyspark.sql import functions as F
 from etl_jobs_spark.operators import relational as R
 from etl_jobs_spark.registry import register
 from etl_jobs_spark.sources.readers import read_table
+# Registration order: the driver's correctness sweep walks the
+# registry in registration order and may not reach the tail each
+# round -- queries still lacking a green driver row register first.
+
+@register(
+    "agg_salted_events",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2)     AS total_value,
+           round(sum(value) / count(*), 4) AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_salted_events(spark, sf_dir):
+    """Two-phase salted aggregation — same answer as a direct
+    groupBy (the oracle), different physical plan (skew-resistant)."""
+    return R.salted_agg_events(read_table(spark, sf_dir, "events"))
+
+
+@register(
+    "agg_histogram_value",
+    oracle="""
+    SELECT CAST(floor(value / 25) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 2) AS lo, round(max(value), 2) AS hi
+    FROM events GROUP BY 1
+    """,
+)
+def agg_histogram_value(spark, sf_dir):
+    """Equal-width histogram via arithmetic bucketing — an equi-key
+    groupBy (scale-invariant), not a sort or range join."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / 25).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )
+
+
+@register(
+    "join_semi_anti",
+    oracle="""
+    SELECT c.c_custkey, 'has_urgent' AS status FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT c.c_custkey, 'no_orders' AS status FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi_anti(spark, sf_dir):
+    """Left-semi and left-anti joins (EXISTS / NOT EXISTS): existence
+    checks that never materialize the right side's columns — at scale
+    the build side ships only its join keys."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = read_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    any_o = orders.select(F.col("o_custkey").alias("c_custkey"))
+    semi = cust.join(urgent, "c_custkey", "left_semi").select(
+        "c_custkey", F.lit("has_urgent").alias("status")
+    )
+    anti = cust.join(any_o, "c_custkey", "left_anti").select(
+        "c_custkey", F.lit("no_orders").alias("status")
+    )
+    return semi.unionByName(anti)
+
+
+@register(
+    "window_ntile_quartiles",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(ntile(4) OVER (PARTITION BY event_type
+                               ORDER BY value ASC, event_id ASC) AS BIGINT)
+             AS quartile
+    FROM events
+    """,
+)
+def window_ntile_quartiles(spark, sf_dir):
+    """ntile bucketing per group (quartile assignment) — rank-family
+    window with a deterministic tiebreak."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT)   AS n_last_hour,
+           round(sum(value) OVER w, 2)       AS sum_last_hour
+    FROM (SELECT event_id, user_id, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """Time-RANGE window frame: per-user rolling 1-hour count/sum —
+    the sliding-aggregate shape rows-frames can't express (frame
+    bounds are in event-time units, not row counts). Spark range
+    frames need a numeric sort key, so BOTH engines order by floored
+    epoch seconds with a [-3600, 0] frame — an exact-INTERVAL oracle
+    would disagree on sub-second boundary pairs."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("sum_last_hour"),
+    )
 
 
 @register(
@@ -184,133 +316,3 @@ def json_extract_props(spark, sf_dir):
 )
 def agg_events_by_type(spark, sf_dir):
     return R.grouped_agg_events(read_table(spark, sf_dir, "events"))
-
-
-@register(
-    "agg_salted_events",
-    oracle="""
-    SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2)     AS total_value,
-           round(sum(value) / count(*), 4) AS avg_value
-    FROM events
-    GROUP BY event_type
-    """,
-)
-def agg_salted_events(spark, sf_dir):
-    """Two-phase salted aggregation — same answer as a direct
-    groupBy (the oracle), different physical plan (skew-resistant)."""
-    return R.salted_agg_events(read_table(spark, sf_dir, "events"))
-
-
-@register(
-    "agg_histogram_value",
-    oracle="""
-    SELECT CAST(floor(value / 25) AS BIGINT) AS bucket,
-           CAST(count(*) AS BIGINT) AS n,
-           round(min(value), 2) AS lo, round(max(value), 2) AS hi
-    FROM events GROUP BY 1
-    """,
-)
-def agg_histogram_value(spark, sf_dir):
-    """Equal-width histogram via arithmetic bucketing — an equi-key
-    groupBy (scale-invariant), not a sort or range join."""
-    ev = read_table(spark, sf_dir, "events")
-    return ev.groupBy(
-        F.floor(F.col("value") / 25).cast("long").alias("bucket")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.min("value"), 2).alias("lo"),
-        F.round(F.max("value"), 2).alias("hi"),
-    )
-
-
-@register(
-    "join_semi_anti",
-    oracle="""
-    SELECT c.c_custkey, 'has_urgent' AS status FROM customer c
-    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
-                  AND o.o_orderpriority = '1-URGENT')
-    UNION ALL
-    SELECT c.c_custkey, 'no_orders' AS status FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-)
-def join_semi_anti(spark, sf_dir):
-    """Left-semi and left-anti joins (EXISTS / NOT EXISTS): existence
-    checks that never materialize the right side's columns — at scale
-    the build side ships only its join keys."""
-    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
-    orders = read_table(spark, sf_dir, "orders")
-    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
-        F.col("o_custkey").alias("c_custkey")
-    )
-    any_o = orders.select(F.col("o_custkey").alias("c_custkey"))
-    semi = cust.join(urgent, "c_custkey", "left_semi").select(
-        "c_custkey", F.lit("has_urgent").alias("status")
-    )
-    anti = cust.join(any_o, "c_custkey", "left_anti").select(
-        "c_custkey", F.lit("no_orders").alias("status")
-    )
-    return semi.unionByName(anti)
-
-
-@register(
-    "window_ntile_quartiles",
-    oracle="""
-    SELECT event_id, event_type,
-           CAST(ntile(4) OVER (PARTITION BY event_type
-                               ORDER BY value ASC, event_id ASC) AS BIGINT)
-             AS quartile
-    FROM events
-    """,
-)
-def window_ntile_quartiles(spark, sf_dir):
-    """ntile bucketing per group (quartile assignment) — rank-family
-    window with a deterministic tiebreak."""
-    from pyspark.sql import Window
-
-    ev = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("value").asc(), F.col("event_id").asc()
-    )
-    return ev.select(
-        "event_id",
-        "event_type",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-    )
-
-
-@register(
-    "window_range_frame",
-    oracle="""
-    SELECT event_id, user_id,
-           CAST(count(*) OVER w AS BIGINT)   AS n_last_hour,
-           round(sum(value) OVER w, 2)       AS sum_last_hour
-    FROM (SELECT event_id, user_id, value,
-                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events)
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
-                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-    """,
-)
-def window_range_frame(spark, sf_dir):
-    """Time-RANGE window frame: per-user rolling 1-hour count/sum —
-    the sliding-aggregate shape rows-frames can't express (frame
-    bounds are in event-time units, not row counts). Spark range
-    frames need a numeric sort key, so BOTH engines order by floored
-    epoch seconds with a [-3600, 0] frame — an exact-INTERVAL oracle
-    would disagree on sub-second boundary pairs."""
-    from pyspark.sql import Window
-
-    ev = read_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-3600, 0)
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.count(F.lit(1)).over(w).alias("n_last_hour"),
-        F.round(F.sum("value").over(w), 2).alias("sum_last_hour"),
-    )

@@ -1,0 +1,201 @@
+"""Training-data pipeline query declarations (the shard/sample/
+pack/gate/materialize steps between raw corpus and tokenizer-ready
+batches — see ``operators/training.py`` for the scale rationale).
+
+Oracles are generated from the same dual-dialect fragment builders
+the Spark operators use, so both engines state the identical
+computation (hash-based decisions, window frames, rounding)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_jobs_spark.operators import dedup as DD
+from etl_jobs_spark.operators import training as TR
+from etl_jobs_spark.operators.hashing import (
+    norm_text,
+    norm_unrolled,
+    word_tokens,
+)
+from etl_jobs_spark.registry import register
+from etl_jobs_spark.sources.readers import read_table
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           {TR.scrub_expr(TR.pii_input_expr("duckdb"), "duckdb")} AS clean_text
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII scrub: map-only regex redaction of emails and long digit
+    runs (a deterministic contact line is planted per doc — fixtures
+    carry no real PII — so the redaction provably fires)."""
+    return TR.pii_scrub(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_shard_assign",
+    oracle=f"""
+    SELECT {TR.shard_expr("duckdb")} AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM documents GROUP BY 1
+    """,
+)
+def doc_shard_assign(spark, sf_dir):
+    """Stable hash-sharding report (md5-derived shard id mod 64):
+    the balanced, rerun-stable write-partitioning key for corpus
+    shards."""
+    return TR.shard_assign(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {TR.sample_keep_expr("duckdb")}
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic per-language sampling by doc-key hash (not
+    rand(): reproducible across runs, engines, and retries)."""
+    return TR.stratified_sample(read_table(spark, sf_dir, "documents"))
+
+
+def _pack_oracle() -> str:
+    n = norm_text("text", "duckdb")
+    toks = word_tokens("n", "duckdb")
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang, CAST(len({toks}) AS BIGINT) AS n_tokens
+      FROM (SELECT doc_id, lang, {n} AS n FROM documents)),
+    c AS (
+      SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT lang,
+           CAST(floor((cum - n_tokens) / {float(TR.PACK_BUDGET)}) AS BIGINT)
+             AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM c GROUP BY 1, 2
+    """
+
+
+@register("pack_sequences", oracle=_pack_oracle())
+def pack_sequences(spark, sf_dir):
+    """Next-fit sequence packing into ~2048-token bins per language
+    (running-sum window + keyed agg) — the batch-building step
+    before tokenization."""
+    return TR.pack_sequences(read_table(spark, sf_dir, "documents"))
+
+
+def _quality_gate_oracle() -> str:
+    n = norm_text("text", "duckdb")
+    toks = word_tokens("n", "duckdb")
+    punct = "CAST(length(regexp_replace(n, '[a-z0-9 ]', '', 'g')) AS DOUBLE)"
+    quality = (
+        f"round(least(1.0, CAST(length(n) AS DOUBLE) / 200)"
+        f" * (1.0 - least(1.0, {punct} / greatest(length(n), 1))), 4)"
+    )
+    return f"""
+    SELECT doc_id, lang, quality FROM (
+      SELECT doc_id, lang, quality,
+             ntile(2) OVER (PARTITION BY lang
+                            ORDER BY quality DESC, doc_id ASC) AS half
+      FROM (SELECT doc_id, lang, {quality} AS quality
+            FROM (SELECT doc_id, lang, {n} AS n FROM documents)))
+    WHERE half = 1
+    """
+
+
+@register("quality_filter_top_half", oracle=_quality_gate_oracle())
+def quality_filter_top_half(spark, sf_dir):
+    """Quality gate: keep each language's better half by the
+    composite quality heuristic — rank-based (ntile), so the cut is
+    exact integer logic with no float-boundary ambiguity."""
+    return TR.quality_top_half(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_keep_canonical",
+    oracle=f"""
+    SELECT doc_id, lang, CAST(length(n) AS BIGINT) AS n_chars_norm FROM (
+      SELECT doc_id, lang, n,
+             row_number() OVER (PARTITION BY md5(n) ORDER BY doc_id) AS rnk
+      FROM {DD.planted_corpus_sql(mutate=False)} corpus)
+    WHERE rnk = 1
+    """,
+)
+def dedup_keep_canonical(spark, sf_dir):
+    """Dedup materialization: the surviving corpus (first doc per
+    exact-content fingerprint) over the planted-duplicate corpus —
+    the artifact a training run reads, vs dedup_exact_text's cluster
+    report."""
+    return TR.keep_canonical(
+        DD.planted_corpus(read_table(spark, sf_dir, "documents"), mutate=False)
+    )
+
+
+_NRM = norm_unrolled("embedding", 64, "duckdb")
+
+
+@register(
+    "embed_norm_stats",
+    oracle=f"""
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(nrm), 4) AS avg_norm,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm
+    FROM (SELECT label, {_NRM} AS nrm FROM embeddings)
+    GROUP BY label
+    """,
+)
+def embed_norm_stats(spark, sf_dir):
+    """Embedding health stats per label (count, mean/min/max L2
+    norm): the sanity gate before vectors enter dedup or ANN — a
+    partial+final hash agg over a map-computed norm, no Python.
+    avg is rounded to 4 (not 6): double summation order differs
+    between engines at ~1e-13, min/max are order-free."""
+    from etl_jobs_spark.operators.similarity import _with_norm
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        _with_norm(emb.select("vec_id", "embedding"))
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+@register(
+    "agg_user_gap_stats",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) + 1 AS BIGINT) AS n_events,
+           round(avg(gap), 2) AS avg_gap_s,
+           round(max(gap), 2) AS max_gap_s
+    FROM (
+      SELECT user_id,
+             epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS gap
+      FROM events)
+    WHERE gap IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def agg_user_gap_stats(spark, sf_dir):
+    """Per-user inter-event gap features (mean/max seconds between
+    consecutive events) — one keyed window pass + keyed agg; the
+    timeline features behind sessionization and burst detection."""
+    return TR.user_gap_stats(read_table(spark, sf_dir, "events"))
