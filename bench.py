@@ -36,6 +36,13 @@ HEADLINE = [
     "agg_pivot_events",
     "scan_partition_pruned",
     "multimodal_decode_features",
+    # round-2 training-pipeline surface (the rest of the module is
+    # picked up by the dedup_/embed_/text_ prefix scan below)
+    "doc_shard_assign",
+    "sample_stratified",
+    "pack_sequences",
+    "quality_filter_top_half",
+    "agg_user_gap_stats",
 ]
 
 
