@@ -16,6 +16,7 @@ from etl_jobs_spark.queries import (  # noqa: F401
     sources_sinks,
     streaming,
     training_pipeline,
+    observability_ext,
     relational,
     analytics_ext,
     dedup,

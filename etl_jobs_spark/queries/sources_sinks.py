@@ -297,3 +297,34 @@ def sink_partition_overwrite(spark, sf_dir):
         "event_id", "user_id", F.round("value", 2).alias("value"), "event_type"
     )
     return out
+
+
+@register(
+    "scan_incremental_watermark",
+    oracle="""
+    SELECT event_id, user_id FROM events
+    WHERE ts > (SELECT max(ts) FROM events WHERE event_id % 2 = 0)
+    """,
+)
+def scan_incremental_watermark(spark, sf_dir):
+    """High-watermark incremental ingest: load only source rows newer
+    than the last loaded timestamp (the already-loaded set is modeled
+    as the even event_ids). The watermark is ONE scalar fetched to
+    the driver — pipeline *metadata*, exactly what an ingest job
+    stores in its state table — and then a LITERAL in the batch
+    filter. Both the watermark aggregate and the filter run on the
+    STORED column (this parquet's raw nanosecond long — a micros
+    round-trip would drop sub-microsecond digits and shift the
+    boundary), so the predicate pushes down to the scan
+    (PushedFilters GreaterThan(ts, ...) — asserted in
+    tests/test_incremental_scan.py): the 100 TB property is that an
+    incremental run scans the new tail, not the table."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wm = (
+        raw.filter(F.col("event_id") % 2 == 0)
+        .agg(F.max("ts").alias("wm"))
+        .collect()[0]["wm"]
+    )
+    return raw.filter(F.col("ts") > F.lit(wm)).select("event_id", "user_id")
