@@ -485,8 +485,13 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    converged = False
-    for _ in range(max_iterations):
+    # max_iterations bounds the PROPAGATION rounds (rounds that still
+    # change labels — convergence needs `diameter` of them); the
+    # zero-change round that PROVES convergence doesn't consume the
+    # budget, so a diameter == max_iterations graph succeeds instead
+    # of spuriously raising on a fully-correct result.
+    changed_rounds = 0
+    while True:
         nbr = (
             sym.join(labels, sym.b == labels.node)
             .groupBy("a")
@@ -512,19 +517,19 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            converged = True
             break
-    if not converged:
-        # Returning partial labels would silently violate the
-        # min-reachable-id contract (a > max_iterations-diameter
-        # chain would split into several wrong components). Label
-        # propagation halves the effective diameter nowhere — it
-        # shrinks by 1 hop/round — so a non-converged run means
-        # max_iterations was undersized for the graph; fail loudly.
-        raise RuntimeError(
-            f"connected_components: min-label propagation did not "
-            f"converge within max_iterations={max_iterations} "
-            f"(graph diameter exceeds the round budget); raise "
-            f"max_iterations"
-        )
+        changed_rounds += 1
+        if changed_rounds > max_iterations:
+            # Returning partial labels would silently violate the
+            # min-reachable-id contract (a longer-than-budget chain
+            # would split into several wrong component ids). Label
+            # propagation shrinks distance 1 hop/round, so this means
+            # the graph's diameter exceeds max_iterations; fail
+            # loudly instead of silently splitting clusters.
+            raise RuntimeError(
+                f"connected_components: min-label propagation did "
+                f"not converge within max_iterations={max_iterations} "
+                f"propagation rounds (graph diameter exceeds the "
+                f"budget); raise max_iterations"
+            )
     return labels.select(F.col("node").alias("doc_id"), "component")

@@ -294,13 +294,22 @@ def cosine_topk_ivf(
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
+    # Rank cells by the SAME metric assign_cells used — Euclidean
+    # argmin(|c|^2 - 2 q·c), expressed as (2 q·c - |c|^2) DESC. A raw
+    # dot-product ranking silently disagrees with the assignment when
+    # centroid norms vary: the query's Euclidean-nearest cell (where
+    # its neighbors actually live) can fall outside the n_probe cut.
     cdot = (
         "aggregate(zip_with(q_emb, centroid, (x, y) -> CAST(x AS DOUBLE) * y), "
         "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
+    c_sq = (
+        "aggregate(transform(centroid, x -> x * x), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
     probe = (
         q.crossJoin(F.broadcast(centroid_table(spark, centroids)))
-        .withColumn("cdist", F.expr(cdot))
+        .withColumn("cdist", F.expr(f"2.0 * ({cdot}) - ({c_sq})"))
         .withColumn(
             "rk",
             F.row_number().over(

@@ -59,3 +59,24 @@ def _dirty_rules() -> list[V.Rule]:
         V.nonempty_string("event_type_n"),
         V.numeric_range("value_n", 0, 150),
     ]
+
+
+#: Session-scoped artifact memos (staged layouts, fitted indexes,
+#: bucketed tables). Keyed by applicationId, NEVER id(spark): a
+#: stopped session's id() can be recycled and must not serve a new
+#: session artifacts bound to the dead one.
+_SESSION_MEMOS: dict[str, dict] = {}
+
+
+def session_memo(spark, namespace: str, key, build):
+    """Build-once-per-(session, key) artifact cache.
+
+    ``build()`` runs on first access for this SparkSession +
+    ``key`` and its result is returned on every later access. One
+    shared implementation so every cache gets the applicationId
+    keying rule for free."""
+    app = spark.sparkContext.applicationId
+    ns = _SESSION_MEMOS.setdefault(f"{app}:{namespace}", {})
+    if key not in ns:
+        ns[key] = build()
+    return ns[key]

@@ -29,24 +29,23 @@ from etl_jobs_spark.sources.readers import read_table
 
 _P = minhash_params(DD.MINHASH_K)
 
-#: MinHash pair table shared by dedup_minhash_lsh and
-#: dedup_cluster_components — computed once per (session, sf_dir)
-#: and persisted (the signature pipeline is the expensive part; both
-#: queries read the same result). Keyed by applicationId, NOT
-#: id(spark): a stopped session's id() can be reused by a new one,
-#: which must never be served a DataFrame bound to the dead session.
-_PAIRS_CACHE: dict[tuple[str, str], object] = {}
-
-
 def _minhash_pairs(spark, sf_dir):
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _PAIRS_CACHE:
-        _PAIRS_CACHE[key] = DD.minhash_lsh_pairs(
+    """MinHash pair table shared by dedup_minhash_lsh and
+    dedup_cluster_components — computed once per (session, sf_dir)
+    and persisted (the signature pipeline is the expensive part;
+    both queries read the same result)."""
+    from etl_jobs_spark.queries._shared import session_memo
+
+    return session_memo(
+        spark,
+        "minhash_pairs",
+        sf_dir,
+        lambda: DD.minhash_lsh_pairs(
             DD.planted_corpus(
                 read_table(spark, sf_dir, "documents"), mutate=True
             )
-        ).persist()
-    return _PAIRS_CACHE[key]
+        ).persist(),
+    )
 
 
 @register(

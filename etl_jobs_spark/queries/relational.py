@@ -11,21 +11,18 @@ from etl_jobs_spark.sources.readers import read_table
 # registry in registration order and may not reach the tail each
 # round -- queries still lacking a green driver row register first.
 
-#: One bucketed table pair per (session, corpus) — the layout is
-#: built once (like a real warehouse) and every co-located join
-#: reuses it. Keyed by applicationId: never serve a dead session's
-#: catalog entries to a new one.
-_BUCKETED: dict[tuple[str, str], tuple[str, str]] = {}
-
-
 def _bucketed_tables(spark, sf_dir):
+    """One bucketed table pair per (session, corpus) — the layout is
+    built once (like a real warehouse) and every co-located join
+    reuses it."""
     import hashlib
     import tempfile
     import uuid
     from pathlib import Path
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _BUCKETED:
+    from etl_jobs_spark.queries._shared import session_memo
+
+    def build():
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         base = Path(tempfile.gettempdir()) / f"bucketed_{uuid.uuid4().hex[:8]}"
         names = (f"orders_b_{tag}", f"customer_b_{tag}")
@@ -41,8 +38,9 @@ def _bucketed_tables(spark, sf_dir):
                 .mode("overwrite")
                 .saveAsTable(name)
             )
-        _BUCKETED[key] = names
-    return _BUCKETED[key]
+        return names
+
+    return session_memo(spark, "bucketed_tables", sf_dir, build)
 
 
 @register(

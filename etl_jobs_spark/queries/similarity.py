@@ -83,29 +83,27 @@ def embed_lsh_topk(spark, sf_dir):
     return SIM.cosine_topk_lsh(read_table(spark, sf_dir, "embeddings"))
 
 
-#: One IVF index per (session, corpus): quantizer fit on a sample +
-#: cell-partitioned serving layout, built once and probed many times
-#: — the index-build/probe split every real ANN serving system has.
-_IVF_INDEX: dict[tuple[str, str], tuple[str, object]] = {}
-
-
 def ivf_index(spark, sf_dir):
-    """Memoized IVF index for one corpus. Keyed by applicationId so
-    a dead session's cached index is never served to a new one."""
+    """One IVF index per (session, corpus): quantizer fit on a
+    sample + cell-partitioned serving layout, built once and probed
+    many times — the index-build/probe split every real ANN serving
+    system has. Returns (serve_dir, centroids)."""
     import tempfile
     import uuid
     from pathlib import Path
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _IVF_INDEX:
+    from etl_jobs_spark.queries._shared import session_memo
+
+    def build():
         serve = str(
             Path(tempfile.gettempdir()) / f"ivf_serve_{uuid.uuid4().hex[:8]}"
         )
         centroids, _ = SIM.build_ivf_index(
             read_table(spark, sf_dir, "embeddings"), serve
         )
-        _IVF_INDEX[key] = (serve, centroids)
-    return _IVF_INDEX[key]
+        return serve, centroids
+
+    return session_memo(spark, "ivf_index", sf_dir, build)
 
 
 @register("embed_ivf_topk", oracle=None)

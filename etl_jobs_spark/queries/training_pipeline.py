@@ -158,16 +158,17 @@ _NRM = norm_unrolled("embedding", 64, "duckdb")
 )
 def embed_norm_stats(spark, sf_dir):
     """Embedding health stats per label (count, mean/min/max L2
-    norm): the sanity gate before vectors enter dedup or ANN — a
-    partial+final hash agg over a map-computed norm, no Python.
+    norm): the sanity gate before vectors enter dedup or ANN — ONE
+    map-only projection computes the norm alongside the label, then
+    a partial+final hash agg; no second scan, no join, no Python.
     avg is rounded to 4 (not 6): double summation order differs
     between engines at ~1e-13, min/max are order-free."""
-    from etl_jobs_spark.operators.similarity import _with_norm
-
     emb = read_table(spark, sf_dir, "embeddings")
     return (
-        _with_norm(emb.select("vec_id", "embedding"))
-        .join(emb.select("vec_id", "label"), "vec_id")
+        emb.select(
+            "label",
+            F.expr(norm_unrolled("embedding", 64, "spark")).alias("nrm"),
+        )
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),

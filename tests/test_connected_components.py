@@ -34,6 +34,20 @@ def test_distributed_path_matches_contract(spark, monkeypatch):
     assert got == want
 
 
+def test_distributed_path_diameter_equals_budget(spark, monkeypatch):
+    """Boundary: a graph whose diameter EQUALS max_iterations must
+    succeed — the budget counts propagation rounds, and the final
+    zero-change round that proves convergence is free."""
+    monkeypatch.setattr(DD, "CC_DRIVER_EDGE_LIMIT", 0)
+    got = {
+        r["doc_id"]: r["component"]
+        for r in DD.connected_components(
+            _chain_edges(spark, 5), max_iterations=5
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(6)}
+
+
 def test_distributed_path_raises_when_not_converged(spark, monkeypatch):
     """Diameter > round budget: partial labels would violate the
     min-reachable-id contract, so the operator must fail loudly."""

@@ -43,17 +43,31 @@ def test_ivf_probe_prunes_partitions(spark):
     )
 
 
-def test_quantizer_fit_is_sampled():
-    """Guard the 100 TB property: the k-means fit must never touch
-    the full corpus when the corpus is large (fit sample is bounded
-    by fit_per_cell × n_cells rows)."""
-    from etl_jobs_spark.operators.similarity import (
-        IVF_FIT_PER_CELL,
-        IVF_TARGET_PER_CELL,
-    )
+def test_quantizer_fit_is_sampled(spark, monkeypatch):
+    """Guard the 100 TB property by EXERCISING it: fit_quantizer on
+    a corpus much larger than its fit budget must collect only the
+    bounded sample to the driver, never the full corpus."""
+    from pyspark.sql import functions as F
 
-    n = 10**9  # a billion-vector corpus
-    n_cells = max(16, n // IVF_TARGET_PER_CELL)
-    frac = min(1.0, (IVF_FIT_PER_CELL * n_cells) / n)
-    assert frac * n <= IVF_FIT_PER_CELL * n_cells  # bounded fit set
-    assert frac < 0.2  # and far from full-corpus
+    from etl_jobs_spark.operators.similarity import fit_quantizer
+
+    n, n_cells, per_cell = 20_000, 4, 64  # budget: 256 of 20k rows
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(1), F.rand(2), F.rand(3)).alias("embedding"),
+    )
+    collected = []
+    cls = type(vecs)  # the concrete DataFrame class this session uses
+    orig = cls.collect
+
+    def spy(self):
+        rows = orig(self)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", spy)
+    cent = fit_quantizer(vecs, n, n_cells, fit_per_cell=per_cell)
+    assert len(cent) == n_cells
+    # every driver-side collect during the fit is the SAMPLE
+    # (binomial around 256 rows), nowhere near the 20k corpus
+    assert collected and max(collected) < 2 * per_cell * n_cells
