@@ -211,13 +211,13 @@ def user_gap_stats(events: DataFrame) -> DataFrame:
     and bot/burst detection. One keyed window pass per user; group
     size bounded by per-user activity."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # cast through TIMESTAMP first: sources that store TIMESTAMP_NTZ
+    # (e.g. Spark-written replicas) can't cast straight to DOUBLE;
+    # LTZ sources pass through unchanged (session tz is pinned UTC)
+    sec = F.col("ts").cast("timestamp").cast("double")
     gaps = (
         events.select("user_id", "ts", "event_id")
-        .withColumn(
-            "gap",
-            F.col("ts").cast("double")
-            - F.lag(F.col("ts").cast("double")).over(w),
-        )
+        .withColumn("gap", sec - F.lag(sec).over(w))
         .filter(F.col("gap").isNotNull())
     )
     return gaps.groupBy("user_id").agg(

@@ -183,7 +183,10 @@ def sessionize_batch(spark, sf_dir):
             (
                 F.col("prev").isNull()
                 | (
-                    F.col("ts").cast("double") - F.col("prev").cast("double")
+                    # via TIMESTAMP: NTZ-stored sources can't cast
+                    # straight to DOUBLE (session tz pinned UTC)
+                    F.col("ts").cast("timestamp").cast("double")
+                    - F.col("prev").cast("timestamp").cast("double")
                     >= F.lit(300.0)
                 )
             ).cast("int"),
