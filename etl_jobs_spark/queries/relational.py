@@ -79,6 +79,78 @@ def join_bucketed_colocated(spark, sf_dir):
 
 
 @register(
+    "join_salted_skew",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """Skew-resistant fact-dim join via key salting: the fact side
+    carries a deterministic salt (event_id mod R), the dim side is
+    replicated R ways (crossJoin with the salt range — R× a dim is
+    cheap; R× a hot fact key is the win), and the join key becomes
+    (key, salt) so ONE hot key's rows spread over R shuffle
+    partitions instead of hammering one reducer. Same answer as the
+    plain join (the oracle); different physical distribution — the
+    join-side counterpart of agg_salted_events, for when AQE's
+    skew-join split can't kick in (e.g. pre-AQE stages, or
+    deliberately partitioned outputs)."""
+    R = 8
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "value", (F.col("event_id") % R).cast("int").alias("salt")
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    salts = spark.range(R).select(F.col("id").cast("int").alias("salt"))
+    cust_rep = cust.crossJoin(salts)
+    return (
+        ev.join(
+            cust_rep,
+            (ev.user_id == cust_rep.c_custkey) & (ev.salt == cust_rep.salt),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT event_type, user_id % 5 AS user_band,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id % 5), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the lattice rollup/cube generalize):
+    three aggregation granularities in ONE shuffle pass via the
+    Expand operator — at 100 TB this replaces three separate scans
+    with one, the same machinery behind agg_rollup_time/
+    agg_cube_events but with a hand-picked set list."""
+    ev = read_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT event_type, user_id % 5 AS user_band,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (user_id % 5), ())
+        """
+    )
+
+
+@register(
     "agg_salted_events",
     oracle="""
     SELECT event_type,
