@@ -111,6 +111,44 @@ def sample_frames(media_df: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
     )
 
 
+AUDIO_CHUNK = 4
+CHUNK_SCHEMA = "doc_id long, chunk_idx long, n_samples long, energy long"
+
+
+def chunk_audio(media_df: DataFrame, chunk: int = AUDIO_CHUNK) -> DataFrame:
+    """Fixed-window "audio" segmentation: split the sample stream
+    into ``chunk``-sample windows and compute per-window integer
+    energy (sum of squares) — the windowed-segmentation primitive
+    behind VAD/feature pipelines, as a row-exploding Arrow-batched
+    mapInPandas stage. Integer-only math so the SQL oracle
+    reproduces every value from the md5 hex. At scale the chunker
+    runs per partition over object-store blobs — no shuffle until
+    the (much smaller) feature rows aggregate."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["media"]):
+                bb = bytes(b)
+                for ci in range(0, len(bb), chunk):
+                    seg = bb[ci:ci + chunk]
+                    rows.append(
+                        (
+                            int(doc_id),
+                            ci // chunk,
+                            len(seg),
+                            sum(x * x for x in seg),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "chunk_idx", "n_samples", "energy"]
+            )
+
+    return media_df.select("doc_id", "media").mapInPandas(
+        batches, schema=CHUNK_SCHEMA
+    )
+
+
 def decode_image_real(media_df: DataFrame) -> DataFrame:
     """REAL image decode — STUB. The container ships no image codecs
     (no PIL/opencv); on a real cluster install pillow on executors

@@ -55,3 +55,24 @@ def multimodal_frame_sample(spark, sf_dir):
     row-exploding mapInPandas decode shape."""
     docs = read_table(spark, sf_dir, "documents")
     return MM.sample_frames(MM.attach_fake_media(docs))
+
+
+def _audio_oracle() -> str:
+    selects = []
+    for ci in range(MM.MEDIA_BYTES // MM.AUDIO_CHUNK):
+        js = range(ci * MM.AUDIO_CHUNK, (ci + 1) * MM.AUDIO_CHUNK)
+        energy = " + ".join(f"({_byte(j)} * {_byte(j)})" for j in js)
+        selects.append(
+            f"SELECT doc_id, CAST({ci} AS BIGINT) AS chunk_idx, "
+            f"CAST({MM.AUDIO_CHUNK} AS BIGINT) AS n_samples, "
+            f"CAST({energy} AS BIGINT) AS energy FROM documents"
+        )
+    return "\n    UNION ALL\n    ".join(selects)
+
+
+@register("multimodal_audio_chunks", oracle=_audio_oracle())
+def multimodal_audio_chunks(spark, sf_dir):
+    """Fixed-window audio segmentation with per-window integer
+    energy — the VAD/feature-pipeline chunking shape, Arrow-batched."""
+    docs = read_table(spark, sf_dir, "documents")
+    return MM.chunk_audio(MM.attach_fake_media(docs))
