@@ -196,3 +196,54 @@ def text_tfidf(spark, sf_dir):
             F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
         ).alias("tfidf"),
     )
+
+
+@register(
+    "text_unigram_commonness",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(toks) AS t FROM {_TOK_SUB}),
+    freq AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY t),
+    d AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(cnt) AS BIGINT) AS total
+      FROM tok JOIN freq USING (t) GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           CAST(total // n_tokens AS BIGINT) AS commonness
+    FROM d
+    """,
+)
+def text_unigram_commonness(spark, sf_dir):
+    """Corpus-frequency commonness score: mean corpus count of a
+    document's tokens (integer division — deterministic, no float
+    log hazards). The classic unigram-LM quality signal shape:
+    boilerplate scores high, rare-token noise scores low. One
+    persisted token explode feeds the vocabulary count AND the
+    per-doc aggregate; the vocabulary table broadcasts at scale (a
+    corpus vocabulary is tiny next to the corpus)."""
+    from pyspark.sql import functions as F
+
+    from etl_jobs_spark.operators.hashing import norm_text, word_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(word_tokens(norm_text("text", "spark"), "spark"))
+        ).alias("t"),
+    ).persist()
+    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        toks.join(F.broadcast(freq), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").alias("total"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("CAST(total div n_tokens AS BIGINT)").alias("commonness"),
+        )
+    )
