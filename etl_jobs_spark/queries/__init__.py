@@ -17,6 +17,7 @@ from etl_jobs_spark.queries import (  # noqa: F401
     streaming,
     training_pipeline,
     observability_ext,
+    functions_suite,
     relational,
     analytics_ext,
     dedup,

@@ -1,0 +1,137 @@
+"""Scalar-function surface suites (SURVEY §2.7 breadth).
+
+One query per function family, each exercising a batch of built-in
+scalar functions in a single narrow projection with a DuckDB oracle
+— proving the engine's function surface is not just present but
+semantically identical cross-engine (names differ per dialect;
+values must not). All map-only: these fuse into the scan under
+whole-stage codegen, the right shape for expression-heavy ETL at
+any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_jobs_spark.registry import register
+from etl_jobs_spark.sources.readers import read_table
+
+
+@register(
+    "fn_string_suite",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                          AS up,
+           lower(c_mktsegment)                    AS lo,
+           CAST(length(c_name) AS BIGINT)         AS len,
+           reverse(c_mktsegment)                  AS rev,
+           substr(c_name, 10, 9)                  AS sub,
+           replace(c_name, 'Customer#', 'C-')     AS repl,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+           concat(c_mktsegment, ':', CAST(c_custkey AS VARCHAR)) AS joined,
+           CAST(strpos(c_name, '#') AS BIGINT)    AS hash_at,
+           split_part(c_name, '#', 2)             AS after_hash,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS tr,
+           repeat(left(c_mktsegment, 2), 2)       AS rep2,
+           trim(concat('  ', c_mktsegment, '  ')) AS trimmed
+    FROM customer
+    """,
+)
+def fn_string_suite(spark, sf_dir):
+    """String-function suite: 14 built-ins in one fused projection —
+    upper/lower/length/reverse/substr/replace/lpad/concat/instr/
+    split_part/translate/repeat/left/trim. Dialect note: Spark
+    ``instr`` ≡ DuckDB ``strpos`` (1-based, 0 when absent)."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.length("c_name").cast("long").alias("len"),
+        F.reverse("c_mktsegment").alias("rev"),
+        F.substring("c_name", 10, 9).alias("sub"),
+        F.expr("replace(c_name, 'Customer#', 'C-')").alias("repl"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.concat_ws(":", "c_mktsegment", F.col("c_custkey").cast("string")).alias(
+            "joined"
+        ),
+        F.expr("CAST(instr(c_name, '#') AS BIGINT)").alias("hash_at"),
+        F.expr("split_part(c_name, '#', 2)").alias("after_hash"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("tr"),
+        F.expr("repeat(left(c_mktsegment, 2), 2)").alias("rep2"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit("  "))).alias(
+            "trimmed"
+        ),
+    )
+
+
+@register(
+    "fn_datetime_suite",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT)   AS yr,
+           CAST(month(o_orderdate) AS BIGINT)  AS mth,
+           CAST(day(o_orderdate) AS BIGINT)    AS dom,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP_NS) AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR)   AS month_end,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS BIGINT)   AS days_since,
+           strftime(o_orderdate, '%Y-%m')      AS ym,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr
+    FROM orders
+    """,
+)
+def fn_datetime_suite(spark, sf_dir):
+    """Datetime-function suite: year/month/day/quarter extraction,
+    month truncation, last_day, day arithmetic against an epoch
+    date, and formatting — one fused projection. Dialect note:
+    Spark ``datediff(end, start)`` ≡ DuckDB
+    ``date_diff('day', start, end)``; Spark ``date_format`` ≡
+    DuckDB ``strftime``."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mth"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+                WHEN count(o.o_orderkey) = 0 THEN 'customer_only'
+                ELSE 'matched' END AS side
+    FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, o.o_custkey
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    """Full-outer reconciliation: customers without orders AND
+    orders without customers survive with the missing side null —
+    the data-reconciliation join (source-vs-sink audits). At scale a
+    full-outer is one co-partitioned shuffle on the key, same cost
+    class as inner."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.groupBy("c_custkey", "o_custkey").agg(
+        F.count("o_orderkey").alias("n_orders")
+    ).select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "n_orders",
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("n_orders") == 0, "customer_only")
+        .otherwise("matched")
+        .alias("side"),
+    )
