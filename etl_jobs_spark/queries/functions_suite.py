@@ -135,3 +135,89 @@ def join_full_outer(spark, sf_dir):
         .otherwise("matched")
         .alias("side"),
     )
+
+
+@register(
+    "fn_window_suite",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           round(percent_rank() OVER w, 6)     AS prnk,
+           round(cume_dist()    OVER w, 6)     AS cdist,
+           lag(event_id)  OVER w               AS prev_id,
+           lead(event_id) OVER w               AS next_id,
+           first_value(event_id) OVER w        AS first_id,
+           CAST(ntile(10) OVER w AS BIGINT)    AS decile
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+    """,
+)
+def fn_window_suite(spark, sf_dir):
+    """Window-function family in one pass over one window spec:
+    rank/dense_rank/percent_rank/cume_dist/lag/lead/first_value/
+    ntile — all share the (event_type, value, event_id) total order,
+    so Spark evaluates them in a single sort per partition.
+    percent_rank and cume_dist are exact rationals (k/n) — identical
+    doubles cross-engine; rounding is belt-and-braces."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.lag("event_id").over(w).alias("prev_id"),
+        F.lead("event_id").over(w).alias("next_id"),
+        F.first("event_id").over(w).alias("first_id"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
+@register(
+    "fn_array_suite",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT)                    AS n,
+           CAST(len(list_distinct(toks)) AS BIGINT)     AS n_distinct,
+           list_sort(list_distinct(toks))[1]            AS first_sorted,
+           CAST(list_contains(toks, 'the') AS BOOLEAN)  AS has_the,
+           toks[1]                                      AS head,
+           toks[-1]                                     AS last,
+           array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 3),
+                           '|')                         AS top3_sorted
+    FROM (SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                              ' ') AS toks
+          FROM documents)
+    """,
+)
+def fn_array_suite(spark, sf_dir):
+    """Array-function family over the token list: size/distinct/
+    sort/contains/head/last/slice/join — per-row array algebra (no
+    explode, no shuffle; the map-only shape array-heavy schemas
+    need). Dialect note: Spark ``element_at(a, -1)`` ≡ DuckDB
+    ``a[-1]``; Spark ``slice``/``array_join`` ≡ DuckDB
+    ``list_slice``/``array_to_string``."""
+    from etl_jobs_spark.operators.hashing import norm_text, word_tokens
+
+    toks = word_tokens(norm_text("text", "spark"), "spark")
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n"),
+        F.expr(f"CAST(size(array_distinct({toks})) AS BIGINT)").alias("n_distinct"),
+        F.expr(f"sort_array(array_distinct({toks}))[0]").alias("first_sorted"),
+        F.expr(f"array_contains({toks}, 'the')").alias("has_the"),
+        F.expr(f"({toks})[0]").alias("head"),
+        F.expr(f"element_at({toks}, -1)").alias("last"),
+        F.expr(
+            f"array_join(slice(sort_array(array_distinct({toks})), 1, 3), '|')"
+        ).alias("top3_sorted"),
+    )
