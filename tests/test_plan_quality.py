@@ -1,0 +1,50 @@
+"""Plan-quality regression tests: the scale-critical plan shapes
+docs/PLANS.md documents, locked into CI — a change that silently
+loses pushdown, broadcast, or the top-k physical operator fails
+here, not in a 100 TB run."""
+
+from __future__ import annotations
+
+import re
+
+from etl_jobs_spark.queries.relational import (
+    join_star_revenue,
+    q1_pricing_summary,
+    topk_orders,
+)
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_reaches_scan(spark):
+    plan = _plan(q1_pricing_summary(spark, SF_DIR))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("LessThanOrEqual(l_shipdate" in p for p in pushed), pushed
+
+
+def test_q1_scan_prunes_columns(spark):
+    plan = _plan(q1_pricing_summary(spark, SF_DIR))
+    # plan toString truncates long lines — capture to end of line
+    m = re.search(r"ReadSchema: struct<([^\n]*)", plan)
+    assert m, plan[:1500]
+    cols = m.group(1)
+    # the needed measure columns lead; the unneeded 16-column tail
+    # (partkey/suppkey/comment/...) is pruned away
+    assert cols.startswith("l_quantity:double,l_extendedprice:double"), cols
+    assert "l_comment" not in cols and "l_partkey" not in cols, cols
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(join_star_revenue(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_compiles_to_take_ordered(spark):
+    plan = _plan(topk_orders(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    # no global sort node — the whole point of the top-k operator
+    assert not re.search(r"\bSort \[", plan), plan[:1500]
