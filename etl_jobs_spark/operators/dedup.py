@@ -345,6 +345,48 @@ def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def lsh_verified_pairs(
+    cands: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Two-stage near-dup: probabilistic candidates verified by
+    EXACT Jaccard — the production dedup shape. Stage 1 (MinHash
+    LSH) prunes the pair space to ~linear in corpus size; stage 2
+    computes true word-3-gram Jaccard ONLY for survivors, as a
+    per-pair ``array_intersect`` over each doc's distinct-gram
+    array (no gram explode-join at all — the candidate set is small
+    enough that per-pair array math beats re-blocking). False
+    positives die here; false-negative rate is stage 1's banding
+    guarantee. ``cands``: (doc_a, doc_b)."""
+    t = corpus.select(
+        "doc_id", F.expr(word_tokens("n", "spark")).alias("toks"), "n"
+    )
+    g = t.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct({word_ngrams('toks', 'n', 'spark')})"
+        ).alias("g"),
+    ).withColumn("ng", F.size("g").cast("long"))
+    out = (
+        cands.join(g.alias("pa"), cands.doc_a == F.col("pa.doc_id"))
+        .join(g.alias("pb"), cands.doc_b == F.col("pb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(size(array_intersect(pa.g, pb.g)) AS BIGINT)").alias("i"),
+            F.col("pa.ng").alias("na"),
+            F.col("pb.ng").alias("nb"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("round(CAST(i AS DOUBLE) / (na + nb - i), 4)").alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
 def planted_embeddings(emb: DataFrame) -> DataFrame:
     """Embeddings + planted exact copies of vec 0..24 (cosine 1.0)."""
     plant = emb.filter(F.col("vec_id") < PLANT_MAX_ID).select(

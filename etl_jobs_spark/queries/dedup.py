@@ -9,6 +9,8 @@ all-pairs joins).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from etl_jobs_spark.operators import dedup as DD
 from etl_jobs_spark.operators.hashing import (
     MERSENNE_P,
@@ -196,6 +198,56 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return DD.ngram_jaccard_pairs(
         DD.planted_corpus(read_table(spark, sf_dir, "documents"), mutate=True)
     )
+
+
+CAND_EST_SIM = 0.25  # stage-1 cut: 4 of 16 signature positions
+
+
+def _lsh_verified_oracle() -> str:
+    ngrams = word_ngrams("toks", "n", "duckdb")
+    return f"""
+    WITH pairs AS (
+      SELECT doc_a, doc_b FROM ({_minhash_oracle()}) mh
+      WHERE est_sim >= {CAND_EST_SIM}),
+    corpus AS {DD.planted_corpus_sql(mutate=True)},
+    g AS (
+      SELECT doc_id, list_distinct({ngrams}) AS g
+      FROM (SELECT doc_id, n, {word_tokens("n", "duckdb")} AS toks
+            FROM corpus)),
+    scored AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_filter(pa.g, x -> list_contains(pb.g, x)))
+                  AS BIGINT) AS i,
+             CAST(len(pa.g) AS BIGINT) AS na,
+             CAST(len(pb.g) AS BIGINT) AS nb
+      FROM pairs
+      JOIN g pa ON pairs.doc_a = pa.doc_id
+      JOIN g pb ON pairs.doc_b = pb.doc_id)
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT doc_a, doc_b,
+             round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+      FROM scored)
+    WHERE jaccard >= 0.5
+    """
+
+
+@register("dedup_lsh_verified", oracle=_lsh_verified_oracle())
+def dedup_lsh_verified(spark, sf_dir):
+    """Two-stage production dedup: MinHash-LSH candidates (est_sim
+    >= 0.25, reusing the session's cached pair table) verified by
+    EXACT word-3-gram Jaccard >= 0.5 via per-pair array
+    intersection. The cheap probabilistic stage makes the pair space
+    ~linear; the exact stage kills its false positives — the
+    compose-don't-choose answer to LSH-vs-exact."""
+    cands = (
+        _minhash_pairs(spark, sf_dir)
+        .filter(F.col("est_sim") >= CAND_EST_SIM)
+        .select("doc_a", "doc_b")
+    )
+    corpus = DD.planted_corpus(
+        read_table(spark, sf_dir, "documents"), mutate=True
+    )
+    return DD.lsh_verified_pairs(cands, corpus)
 
 
 def _embed_cosine_oracle() -> str:
