@@ -231,6 +231,7 @@ def build_ivf_index(
     n_cells: int | None = None,
     target_per_cell: int = IVF_TARGET_PER_CELL,
     seed: int = 42,
+    centroids=None,
 ):
     """Build the IVF serving layout: fit the coarse quantizer on a
     sample, assign every vector its cell (one map pass), and write
@@ -245,12 +246,16 @@ def build_ivf_index(
 
     Returns ``(centroids, n_cells)``.
     """
-    # row count from the source scan (parquet footer counts — cheap;
-    # at cluster scale this is table-stats metadata, not a scan)
-    n = emb.count()
-    if n_cells is None:
-        n_cells = max(16, n // target_per_cell)
-    centroids = fit_quantizer(emb, n, n_cells, seed)
+    if centroids is None:
+        # row count from the source scan (parquet footer counts —
+        # cheap; at cluster scale this is table-stats metadata, not
+        # a scan)
+        n = emb.count()
+        if n_cells is None:
+            n_cells = max(16, n // target_per_cell)
+        centroids = fit_quantizer(emb, n, n_cells, seed)
+    else:
+        n_cells = len(centroids)
     assigned = assign_cells(
         centroids, _with_norm(emb), keep=["vec_id", "embedding", "nrm"]
     )

@@ -274,16 +274,19 @@ def dedup_embed_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs, blocked on data-sized
     k-means quantizer cells (k ∝ n — reuses embed_ivf_topk's
     memoized quantizer, so blocks stay ~constant-size as the corpus
-    grows). The oracle blocks on ``label``: both blockings find
-    exactly the planted identical-vector pairs, the only pairs at
-    cosine ≥ 0.99 (see operators/dedup.embedding_cosine_pairs)."""
-    from etl_jobs_spark.queries.similarity import ivf_index
+    grows). The cell map is one in-memory map pass over the corpus
+    (broadcast centroid matmul) — no serving-layout write, which
+    only the ANN probe path needs. The oracle blocks on ``label``:
+    both blockings find exactly the planted identical-vector pairs,
+    the only pairs at cosine ≥ 0.99 (see
+    operators/dedup.embedding_cosine_pairs)."""
+    from etl_jobs_spark.operators import similarity as SIM
+    from etl_jobs_spark.queries.similarity import ivf_quantizer
 
-    serve, _ = ivf_index(spark, sf_dir)
-    cell_map = spark.read.parquet(serve).select("vec_id", "cell")
-    return DD.embedding_cosine_pairs(
-        read_table(spark, sf_dir, "embeddings"), cell_map=cell_map
-    )
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = ivf_quantizer(spark, sf_dir)
+    cell_map = SIM.assign_cells(centroids, emb, keep=["vec_id"])
+    return DD.embedding_cosine_pairs(emb, cell_map=cell_map)
 
 
 def _components_oracle() -> str:

@@ -83,6 +83,25 @@ def embed_lsh_topk(spark, sf_dir):
     return SIM.cosine_topk_lsh(read_table(spark, sf_dir, "embeddings"))
 
 
+def ivf_quantizer(spark, sf_dir):
+    """Memoized coarse-quantizer centroids per (session, corpus).
+
+    Split out of ``ivf_index`` so consumers that only need a CELL
+    MAP (``dedup_embed_cosine``'s blocking key) share the bounded-
+    sample fit without paying for the serving layout's partitioned
+    write — fit once, assign anywhere."""
+    from etl_jobs_spark.queries._shared import session_memo
+
+    def build():
+        emb = read_table(spark, sf_dir, "embeddings")
+        n = emb.count()
+        return SIM.fit_quantizer(
+            emb, n, max(16, n // SIM.IVF_TARGET_PER_CELL)
+        )
+
+    return session_memo(spark, "ivf_quantizer", sf_dir, build)
+
+
 def ivf_index(spark, sf_dir):
     """One IVF index per (session, corpus): quantizer fit on a
     sample + cell-partitioned serving layout, built once and probed
@@ -98,8 +117,11 @@ def ivf_index(spark, sf_dir):
         serve = str(
             Path(tempfile.gettempdir()) / f"ivf_serve_{uuid.uuid4().hex[:8]}"
         )
-        centroids, _ = SIM.build_ivf_index(
-            read_table(spark, sf_dir, "embeddings"), serve
+        centroids = ivf_quantizer(spark, sf_dir)
+        SIM.build_ivf_index(
+            read_table(spark, sf_dir, "embeddings"),
+            serve,
+            centroids=centroids,
         )
         return serve, centroids
 
