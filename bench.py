@@ -43,6 +43,11 @@ HEADLINE = [
     "pack_sequences",
     "quality_filter_top_half",
     "agg_user_gap_stats",
+    # warehouse-ext surface (round 2)
+    "fuzzy_pairs_names",
+    "ts_resample_interpolate",
+    "merge_upsert_customers",
+    "agg_unpivot_metrics",
 ]
 
 

@@ -1,0 +1,71 @@
+"""Fuzzy string matching via deletion-neighborhood blocking.
+
+The reference validates strings but never fuzzy-matches them
+(`src/etl_2018.py:19-31` is exact-predicate validation only); entity
+resolution over noisy keys is a standard warehouse op the engine
+adds as a first-class surface.
+
+Scale design — the SymSpell / FastSS insight (public algorithm,
+Garbe 2012 / Bocek et al. 2007): two strings are within edit
+distance 1 iff they share an entry in each other's single-deletion
+neighborhood (the string itself + the string with one char removed).
+So instead of an O(n²) all-pairs Levenshtein scan, emit |s|+1
+deletion variants per row (a map-only explode), equi-join on the
+variant, and verify the ~linear candidate set with one exact
+levenshtein() per distinct pair. The variant join key is
+high-cardinality and uniformly distributed, so the shuffle is
+balanced; candidate buckets are bounded by real near-dup density,
+never by corpus size. At 100 TB this is the same plan: explode →
+hash-shuffle on variant → verify, with no stage whose cost grows
+quadratically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def deletion_variants(df: DataFrame, key: str, text: str) -> DataFrame:
+    """(key, text, variant) — the string itself plus every
+    single-character deletion, generated JVM-side with higher-order
+    array functions (no UDF, stays in codegen)."""
+    variants = F.expr(
+        f"array_union(array({text}), transform(sequence(1, length({text})),"
+        f" i -> concat(substr({text}, 1, i - 1), substr({text}, i + 1))))"
+    )
+    return df.select(
+        F.col(key), F.col(text), F.explode(variants).alias("variant")
+    )
+
+
+def fuzzy_pairs(
+    df: DataFrame, key: str, text: str, max_dist: int = 1
+) -> DataFrame:
+    """All (a, b) pairs with levenshtein(text_a, text_b) <= max_dist
+    (a < b), found via deletion-neighborhood candidates + exact
+    verification. ``max_dist`` must be 1: the single-deletion
+    neighborhood is only complete for distance <= 1 (deeper radii
+    need the recursive delete set)."""
+    if max_dist != 1:
+        raise ValueError("deletion-neighborhood blocking covers max_dist=1")
+    v = deletion_variants(df, key, text)
+    a = v.select(
+        F.col(key).alias("key_a"), F.col(text).alias("text_a"), "variant"
+    )
+    b = v.select(
+        F.col(key).alias("key_b"), F.col(text).alias("text_b"), "variant"
+    )
+    cands = (
+        a.join(b, "variant")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "text_a", "text_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "dist", F.levenshtein("text_a", "text_b").cast("bigint")
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select("key_a", "key_b", "dist")
+    )
