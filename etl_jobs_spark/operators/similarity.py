@@ -175,16 +175,34 @@ def fit_quantizer(
 
     Returns the centroid matrix, shape (n_cells, dim) float64.
     """
-    import numpy as np
-
     frac = min(1.0, (fit_per_cell * n_cells) / max(n_rows, 1))
     sampled = vecs.sample(False, frac, seed) if frac < 1.0 else vecs
-    pts = np.array(
-        [r["e"] for r in sampled.select(F.col("embedding").cast("array<double>").alias("e")).collect()],
+    pts = _collect_vectors(sampled)
+    return _lloyd(pts, n_cells, seed, max_iter)
+
+
+def _collect_vectors(vecs: DataFrame):
+    """Bounded-sample vector collect as a float64 matrix."""
+    import numpy as np
+
+    return np.array(
+        [
+            r["e"]
+            for r in vecs.select(
+                F.col("embedding").cast("array<double>").alias("e")
+            ).collect()
+        ],
         dtype=np.float64,
     )
+
+
+def _lloyd(pts, k: int, seed: int, max_iter: int):
+    """Driver-side Lloyd iterations on an already-bounded sample
+    (sample-point init, argmin via one matmul per round)."""
+    import numpy as np
+
     rng = np.random.default_rng(seed)
-    cent = pts[rng.choice(len(pts), size=min(n_cells, len(pts)), replace=False)]
+    cent = pts[rng.choice(len(pts), size=min(k, len(pts)), replace=False)]
     for _ in range(max_iter):
         # argmin ||x-c||^2 = argmin |c|^2 - 2 x·c (one matmul)
         d = (cent * cent).sum(axis=1)[None, :] - 2.0 * (pts @ cent.T)
@@ -360,6 +378,195 @@ def cosine_topk_ivf(
             "query_id",
             "vec_id",
             "cell",
+            F.round("cos_raw", 6).alias("cosine"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Product quantization (PQ): the memory-resident ANN tier.
+#
+# IVF prunes WHICH vectors a probe scans; PQ compresses WHAT a scan
+# reads: each (unit-normalized) vector becomes PQ_M subspace codes of
+# log2(PQ_KSUB) bits — 8 codes × 6 bits ≈ 6 bytes instead of 256
+# bytes of float32, a ~40× smaller scan that fits in memory at
+# corpus sizes where raw embeddings cannot (the faiss IVFADC design,
+# Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+# Search"). A probe computes one tiny (M × KSUB) lookup table of
+# query-to-centroid distances, scores every code row by summing M
+# table entries (asymmetric distance, ADC), keeps a shortlist, and
+# exact-reranks only the shortlist against the full vectors.
+#
+# Scale shape: codebook fit is a bounded-sample driver problem (like
+# the IVF quantizer); encoding is one Arrow-batched map pass; the
+# ADC scan is pure JVM column algebra — the LUT rides the broadcast
+# query row as a literal array and `aggregate()` sums the lookups,
+# so the hot loop never leaves whole-stage codegen; the exact rerank
+# touches |Q| × shortlist rows, not the corpus.
+# --------------------------------------------------------------------
+
+#: Subspaces (EMBED_DIM 64 → 8 dims per subspace).
+PQ_M = 8
+#: Centroids per subspace codebook (6-bit codes).
+PQ_KSUB = 64
+#: ADC shortlist size, as a multiple of k, that the exact rerank
+#: re-scores (recall/cost knob; tests/test_pq.py pins the recall
+#: floor this buys on the gaussian fixtures).
+PQ_SHORTLIST_FACTOR = 20
+#: Codebook fit sample bound (rows) — like the IVF fit, never a
+#: function of corpus size.
+PQ_FIT_SAMPLE = 4096
+
+
+def fit_pq_codebooks(
+    emb: DataFrame,
+    n_rows: int,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    seed: int = 42,
+):
+    """Per-subspace k-means codebooks fit on a bounded sample of
+    unit-normalized vectors. Returns an (m, ksub, dim/m) float64
+    array."""
+    import numpy as np
+
+    frac = min(1.0, PQ_FIT_SAMPLE / max(n_rows, 1))
+    sampled = emb.sample(False, frac, seed) if frac < 1.0 else emb
+    pts = _collect_vectors(sampled)
+    pts = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    d = pts.shape[1] // m
+    return np.stack(
+        [
+            _lloyd(
+                np.ascontiguousarray(pts[:, i * d : (i + 1) * d]),
+                ksub,
+                seed + i,
+                5,
+            )
+            for i in range(m)
+        ]
+    )
+
+
+def pq_encode(emb: DataFrame, books) -> DataFrame:
+    """(vec_id, codes): each vector's PQ code word, one Arrow-batched
+    map pass (normalize → per-subspace argmin via matmul). At scale
+    this table IS the serving index — ~6 bytes/vector."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cent = np.asarray(books, dtype=np.float64)
+    m, ksub, d = cent.shape
+    csq = (cent**2).sum(axis=2)
+
+    def _codes(e):
+        x = np.array(e.tolist(), dtype=np.float64)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        out = np.empty((len(x), m), dtype=np.int32)
+        for i in range(m):
+            sub = x[:, i * d : (i + 1) * d]
+            dist = csq[i][None, :] - 2.0 * (sub @ cent[i].T)
+            out[:, i] = dist.argmin(axis=1)
+        return pd.Series(list(out))
+
+    _codes.__annotations__ = {"e": pd.Series, "return": pd.Series}
+    codes_udf = pandas_udf(_codes, "array<int>")
+    return emb.select(
+        "vec_id",
+        codes_udf(F.col("embedding").cast("array<double>")).alias("codes"),
+    )
+
+
+def cosine_topk_pq(
+    spark,
+    emb: DataFrame,
+    books,
+    codes: DataFrame,
+    k: int = DEFAULT_K,
+    shortlist_factor: int = PQ_SHORTLIST_FACTOR,
+) -> DataFrame:
+    """PQ-ADC top-k with exact rerank for the fixed query set.
+
+    Per query: LUT[i][j] = ||q_i − c_ij||² over unit vectors (driver
+    numpy, m × ksub doubles), carried as a literal array column on
+    the broadcast query row. ADC distance = Σ_i LUT[i·ksub +
+    codes[i]] — a JVM `aggregate()` over the code array, no Python
+    in the scan. The ADC shortlist (k × shortlist_factor per query)
+    is exact-reranked against the full vectors."""
+    import numpy as np
+
+    cent = np.asarray(books, dtype=np.float64)
+    m, ksub, d = cent.shape
+    q_rows = (
+        emb.filter(F.col("vec_id").isin(*QUERY_IDS))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .collect()
+    )
+    lut_rows = []
+    for r in q_rows:
+        qv = np.array(r["e"], dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
+        lut = np.concatenate(
+            [
+                ((cent[i] - qv[i * d : (i + 1) * d][None, :]) ** 2).sum(
+                    axis=1
+                )
+                for i in range(m)
+            ]
+        )
+        lut_rows.append((int(r["vec_id"]), [float(x) for x in lut]))
+    luts = spark.createDataFrame(
+        lut_rows, "query_id BIGINT, lut ARRAY<DOUBLE>"
+    )
+    adc = F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0D,"
+        f" (acc, i) -> acc + lut[i * {ksub} + codes[i]])"
+    )
+    shortlisted = (
+        F.broadcast(luts)
+        .crossJoin(codes)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", adc.alias("adc"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    short = (
+        shortlisted.withColumn("srnk", F.row_number().over(w_adc))
+        .filter(F.col("srnk") <= k * shortlist_factor)
+        .select("query_id", "vec_id")
+    )
+    # exact rerank: shortlist ids × full vectors (both tiny joins)
+    vecs = _with_norm(emb)
+    queries = F.broadcast(
+        vecs.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    dot = dot_unrolled("q_emb", "embedding", EMBED_DIM, "spark")
+    scored = (
+        F.broadcast(short)
+        .join(vecs, "vec_id")
+        .join(queries, "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(f"{dot} / (q_nrm * nrm)").alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "vec_id",
             F.round("cos_raw", 6).alias("cosine"),
             F.col("rnk").cast("long").alias("rnk"),
         )

@@ -128,6 +128,34 @@ def ivf_index(spark, sf_dir):
     return session_memo(spark, "ivf_index", sf_dir, build)
 
 
+def pq_index(spark, sf_dir):
+    """Memoized PQ index per (session, corpus): bounded-sample
+    codebook fit + one encode pass; the codes table persists because
+    every probe reads it (it IS the serving index)."""
+    from etl_jobs_spark.queries._shared import session_memo
+
+    def build():
+        emb = read_table(spark, sf_dir, "embeddings")
+        books = SIM.fit_pq_codebooks(emb, emb.count())
+        codes = SIM.pq_encode(emb, books).persist()
+        return books, codes
+
+    return session_memo(spark, "pq_index", sf_dir, build)
+
+
+@register("embed_pq_topk", oracle=None)
+def embed_pq_topk(spark, sf_dir):
+    """Product-quantization ANN top-k (ADC scan over 6-byte code
+    words via a JVM aggregate() over a broadcast literal LUT, then
+    exact rerank of the shortlist — the faiss IVFADC shape;
+    approximate, so driver rows-only: recall vs brute force is
+    pinned in tests/test_pq.py)."""
+    books, codes = pq_index(spark, sf_dir)
+    return SIM.cosine_topk_pq(
+        spark, read_table(spark, sf_dir, "embeddings"), books, codes
+    )
+
+
 @register("embed_ivf_topk", oracle=None)
 def embed_ivf_topk(spark, sf_dir):
     """IVF ANN top-k: coarse quantizer fit on a bounded sample, probe
