@@ -48,6 +48,10 @@ HEADLINE = [
     "ts_resample_interpolate",
     "merge_upsert_customers",
     "agg_unpivot_metrics",
+    # product-analytics surface (round 2)
+    "scd2_history",
+    "agg_retention_cohorts",
+    "agg_funnel_steps",
 ]
 
 

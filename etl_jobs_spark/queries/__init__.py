@@ -11,6 +11,7 @@ they have a green CORRECTNESS row, then let them drift back."""
 
 from etl_jobs_spark.queries import (  # noqa: F401
     warehouse_ext,
+    product_analytics,
     similarity,
     temporal,
     text_analysis,

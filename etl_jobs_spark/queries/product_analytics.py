@@ -1,0 +1,89 @@
+"""Product-analytics query declarations (SCD2 history, retention
+cohorts, funnel conversion) — see ``operators/analytics.py`` for
+the plan-shape rationale."""
+
+from __future__ import annotations
+
+from etl_jobs_spark.operators import analytics as AN
+from etl_jobs_spark.registry import register
+from etl_jobs_spark.sources.readers import read_table
+
+
+@register(
+    "scd2_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type)
+    SELECT user_id, event_type,
+           CAST(effective_from AS TIMESTAMP_NS) AS effective_from,
+           CAST(effective_to AS TIMESTAMP_NS) AS effective_to,
+           effective_to IS NULL AS is_current
+    FROM (
+      SELECT user_id, event_type, ts AS effective_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS effective_to
+      FROM changes)
+    """,
+)
+def scd2_history(spark, sf_dir):
+    """Type-2 slowly-changing history of each user's event_type
+    state: change detection + interval close-off, two keyed window
+    passes, no joins."""
+    return AN.scd2_history(read_table(spark, sf_dir, "events"))
+
+
+@register(
+    "agg_retention_cohorts",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    first_day AS (
+      SELECT user_id, min(day) AS cohort_day FROM user_days GROUP BY 1)
+    SELECT CAST(cohort_day AS TIMESTAMP_NS) AS cohort_day,
+           CAST(date_diff('day', cohort_day, day) AS BIGINT)
+             AS offset_days,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM user_days JOIN first_day USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def agg_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle: users bucketed by first-activity
+    day, counted per day-offset of subsequent activity."""
+    return AN.retention_cohorts(read_table(spark, sf_dir, "events"))
+
+
+@register(
+    "agg_funnel_steps",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+      FROM events GROUP BY 1),
+    r AS (
+      SELECT (t0 IS NOT NULL) AS r0,
+             (t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0) AS r1,
+             (t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+              AND t2 IS NOT NULL AND t2 > t1) AS r2
+      FROM per_user)
+    SELECT CAST(0 AS BIGINT) AS step, 'view' AS event_type,
+           CAST(sum(CAST(r0 AS INT)) AS BIGINT) AS n_users FROM r
+    UNION ALL
+    SELECT 1, 'click', CAST(sum(CAST(r1 AS INT)) AS BIGINT) FROM r
+    UNION ALL
+    SELECT 2, 'purchase', CAST(sum(CAST(r2 AS INT)) AS BIGINT) FROM r
+    """,
+)
+def agg_funnel_steps(spark, sf_dir):
+    """Ordered view→click→purchase funnel: one conditional agg per
+    user (no per-step self-joins), strict time ordering between
+    steps."""
+    return AN.funnel_conversion(read_table(spark, sf_dir, "events"))
