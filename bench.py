@@ -55,6 +55,12 @@ HEADLINE = [
 ]
 
 
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -72,6 +78,20 @@ def main() -> None:
 
     # warmup: touch the fact table once (JVM + codegen + FS caches)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # host calibration: a fixed pure-CPU workload (537M xxhash64 +
+    # partial-agg sum) so per-round bench numbers are comparable
+    # across VMs of different speed — round-1's recorded 64.9s total
+    # and round-2's run on hardware measured ~2.6x slower by THIS
+    # metric are the same engine (docs/SCALE.md "Host variance").
+    calib = min(
+        _timed(
+            lambda: spark.range(1 << 29)
+            .selectExpr("sum(xxhash64(id) % 1000000) s")
+            .collect()
+        )
+        for _ in range(2)
+    )
+    print(f"# calib: {calib:.3f}s", file=sys.stderr)
     # pre-stage streaming fixture inputs (memoized) so stream_* timings
     # measure the streaming operators, not the one-time test staging
     from etl_jobs_spark.queries import streaming as SQ
@@ -95,6 +115,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "calib_sec": round(calib, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
