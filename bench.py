@@ -52,6 +52,12 @@ HEADLINE = [
     "scd2_history",
     "agg_retention_cohorts",
     "agg_funnel_steps",
+    # corpus-governance + warehouse surface (round 2)
+    "decontam_ngram_overlap",
+    "text_repetition_signals",
+    "mix_rebalance_sources",
+    "cdc_apply_changelog",
+    "zorder_layout_stats",
 ]
 
 

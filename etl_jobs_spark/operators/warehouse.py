@@ -73,3 +73,132 @@ def unpivot_metrics(
     n = len(value_cols)
     args = ", ".join(f"'{lbl}', {col}" for lbl, col in value_cols.items())
     return df.selectExpr(f"stack({n}, {args}) AS (metric, val)")
+
+
+def cdc_op_expr(engine: str) -> str:
+    """Map the event feed to CDC operation codes: signups insert a
+    NEW key (offset past the snapshot's key range), errors delete,
+    everything else upserts. Purely illustrative mapping — the
+    operator below is generic over any (key, op, ts) changelog."""
+    return (
+        "CASE WHEN event_type = 'signup' THEN 'I' "
+        "WHEN event_type = 'error' THEN 'D' ELSE 'U' END"
+    )
+
+
+def cdc_latest_apply(
+    snapshot: DataFrame, changes: DataFrame
+) -> DataFrame:
+    """Apply an out-of-order CDC changelog (Debezium/Delta-CDF
+    shape: key, op ∈ I/U/D, new value, commit timestamp) to a
+    snapshot: latest-wins per key, deletes drop, updates/inserts
+    upsert. Returns the post-image with a ``change_status`` audit
+    column.
+
+    Scale design: changelog compaction (latest-per-key) is ONE
+    row_number window partitioned by key — state bounded by key
+    cardinality, skew handled by AQE; the apply is ONE full-outer
+    join on the same key, so the window's shuffle partitioning is
+    reused by the join (no second exchange of the change side).
+    Compacting BEFORE joining is the part that matters at 100 TB:
+    the join sees one row per changed key, not the whole log.
+
+    ``changes`` columns: ``key``, ``op``, ``newbal``, ``ts``,
+    ``seq`` (tiebreak for same-timestamp commits).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy(
+        F.col("ts").desc(), F.col("seq").desc()
+    )
+    latest = (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "ts", "seq")
+    )
+    snap = snapshot.alias("b")
+    ch = latest.alias("c")
+    joined = snap.join(
+        ch, F.col("b.c_custkey") == F.col("c.key"), "full_outer"
+    )
+    return (
+        joined.filter(
+            F.col("c.op").isNull() | (F.col("c.op") != F.lit("D"))
+        )
+        .select(
+            F.coalesce(F.col("b.c_custkey"), F.col("c.key")).alias(
+                "c_custkey"
+            ),
+            F.coalesce(
+                F.col("b.c_name"),
+                F.concat(F.lit("cdc-"), F.col("c.key").cast("string")),
+            ).alias("c_name"),
+            F.round(
+                F.when(F.col("c.op").isNotNull(), F.col("c.newbal"))
+                .otherwise(F.col("b.c_acctbal")),
+                2,
+            ).alias("c_acctbal"),
+            F.when(F.col("c.op").isNull(), F.lit("kept"))
+            .when(F.col("b.c_custkey").isNull(), F.lit("inserted"))
+            .otherwise(F.lit("updated"))
+            .alias("change_status"),
+        )
+    )
+
+
+def zorder_expr(x_col: str, y_col: str, bits: int) -> str:
+    """Z-order (Morton) key: interleave ``bits`` low bits of two
+    non-negative integer expressions. Emitted as floor-div/mod
+    arithmetic that parses and evaluates identically in Spark SQL
+    and DuckDB (no dialect-specific bit operators).
+
+    This is the multi-dimensional clustering key behind data
+    skipping: sorting a table by z(x, y) keeps each file's min/max
+    envelope tight in BOTH dimensions, so a predicate on either
+    column prunes files — a single-column sort only prunes its own
+    column. At 100 TB the key feeds ``df.sort(zkey).write...``
+    (range-partitioned layout); the report operator below audits the
+    envelopes that layout produces.
+    """
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"(CAST(floor({x_col} / {1 << i}) AS BIGINT) % 2)"
+            f" * {1 << (2 * i + 1)}"
+        )
+        terms.append(
+            f"(CAST(floor({y_col} / {1 << i}) AS BIGINT) % 2)"
+            f" * {1 << (2 * i)}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_layout_report(
+    events: DataFrame, bits: int = 8, n_buckets: int = 64
+) -> DataFrame:
+    """Per-file-bucket min/max envelopes under a z-ordered layout:
+    bucket the z-key range into ``n_buckets`` "files" and report
+    each file's bounding box over (user bucket, value bucket) — the
+    stats a scan consults to skip files. Tight boxes in both
+    dimensions = both predicates prune."""
+    ux = "(user_id % 256)"
+    vx = "least(255, CAST(floor(value / 2) AS BIGINT))"
+    z = zorder_expr(ux, vx, bits)
+    width = (1 << (2 * bits)) // n_buckets
+    return (
+        events.select(
+            F.expr(f"CAST(floor({z} / {width}) AS BIGINT)").alias(
+                "file_bucket"
+            ),
+            F.expr(f"CAST({ux} AS BIGINT)").alias("ux"),
+            F.expr(vx).alias("vx"),
+        )
+        .groupBy("file_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ux").alias("ux_min"),
+            F.max("ux").alias("ux_max"),
+            F.min("vx").alias("vx_min"),
+            F.max("vx").alias("vx_max"),
+        )
+    )

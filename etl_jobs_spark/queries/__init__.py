@@ -10,6 +10,7 @@ already-green modules follow. Keep new modules near the front until
 they have a green CORRECTNESS row, then let them drift back."""
 
 from etl_jobs_spark.queries import (  # noqa: F401
+    corpus_governance,
     warehouse_ext,
     product_analytics,
     similarity,

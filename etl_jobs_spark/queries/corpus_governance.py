@@ -1,0 +1,152 @@
+"""Corpus-governance query declarations: decontamination,
+repetition gating, split assignment, mixture rebalance (see
+``operators/governance.py`` for the scale rationale).
+
+Oracles are generated from the same dual-dialect fragment builders
+the Spark operators use, so both engines state the identical
+computation (hash membership, n-gram units, integer quota
+arithmetic, rounding)."""
+
+from __future__ import annotations
+
+from etl_jobs_spark.operators import governance as GV
+from etl_jobs_spark.operators.hashing import (
+    hash60,
+    norm_text,
+    word_ngrams,
+    word_tokens,
+)
+from etl_jobs_spark.registry import register
+from etl_jobs_spark.sources.readers import read_table
+
+_N = norm_text("text", "duckdb")
+_TOKS = word_tokens(_N, "duckdb")
+
+
+@register(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               {GV.eval_member_expr("duckdb")} AS is_eval,
+               unnest(list_distinct(
+                   {word_ngrams(_TOKS, _N, "duckdb", GV.DECONTAM_NGRAM)}
+               )) AS gram
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, is_eval, {hash60("gram", "duckdb")} AS gh FROM base
+    ),
+    train AS (SELECT doc_id, gh FROM hashed WHERE NOT is_eval),
+    eval_grams AS (SELECT DISTINCT gh FROM hashed WHERE is_eval),
+    totals AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        FROM train GROUP BY doc_id
+    ),
+    matched AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched
+        FROM train WHERE gh IN (SELECT gh FROM eval_grams)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_grams,
+           COALESCE(m.n_matched, 0) AS n_matched,
+           round(CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / t.n_grams, 4)
+               AS overlap_frac
+    FROM totals t LEFT JOIN matched m USING (doc_id)
+    WHERE round(CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / t.n_grams, 4)
+          >= {GV.DECONTAM_THRESHOLD}
+    """,
+)
+def decontam_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination: train docs sharing ≥30% of their
+    distinct word-5-grams with the held-out eval set (a deterministic
+    ~2% hash slice standing in for a benchmark suite). Gram hashes
+    (8 bytes) cross the wire, never text; the eval side broadcasts."""
+    return GV.decontam_overlap(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_repetition_signals",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_words,
+           {GV.dup_frac_expr(word_ngrams(_TOKS, _N, "duckdb", 2), "duckdb")}
+               AS dup_word2_frac,
+           {GV.dup_frac_expr(word_ngrams(_TOKS, _N, "duckdb", 3), "duckdb")}
+               AS dup_word3_frac,
+           {GV.dup_frac_expr(GV.sentences_expr(_N, "duckdb"), "duckdb")}
+               AS dup_sent_frac,
+           CAST(
+             {GV.dup_frac_expr(word_ngrams(_TOKS, _N, "duckdb", 3), "duckdb")}
+                 > {GV.REP_W3_GATE}
+             OR {GV.dup_frac_expr(GV.sentences_expr(_N, "duckdb"), "duckdb")}
+                 > {GV.REP_SENT_GATE}
+           AS BIGINT) AS is_repetitive
+    FROM documents
+    """,
+)
+def text_repetition_signals(spark, sf_dir):
+    """Repetition quality signals (the Gopher-rule family): duplicate
+    word-2-gram/3-gram/sentence fractions per doc, entirely map-only
+    array algebra — no explode, no shuffle."""
+    return GV.repetition_signals(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "split_train_holdout",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT lang, {GV.split_expr("duckdb")} AS split FROM documents
+    ),
+    per AS (
+        SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
+        FROM assigned GROUP BY lang, split
+    )
+    SELECT lang, split, n_docs,
+           round(CAST(n_docs AS DOUBLE)
+                 / sum(n_docs) OVER (PARTITION BY lang), 4) AS frac_of_lang
+    FROM per
+    """,
+)
+def split_train_holdout(spark, sf_dir):
+    """Deterministic train/val/test census: 90/5/5 split pinned by
+    hash60(doc key) — rerun-, engine- and parallelism-stable, unlike
+    rand() splits — reported per language."""
+    return GV.split_report(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "mix_rebalance_sources",
+    oracle=f"""
+    WITH stats AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_src,
+               {GV.source_weight_expr("duckdb")} AS w
+        FROM documents GROUP BY source
+    ),
+    quota AS (
+        SELECT source,
+               least(n_src, CAST(floor(
+                   CAST(sum(n_src) OVER () AS DOUBLE) * {GV.MIX_BUDGET_BP}
+                   / 10000 * w / sum(w) OVER ()) AS BIGINT)) AS keep_n
+        FROM stats
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {hash60(GV._doc_key("duckdb", "mix"), "duckdb")},
+                            doc_id
+               ) AS BIGINT) AS rnk
+        FROM documents
+    )
+    SELECT r.doc_id, r.source
+    FROM ranked r JOIN quota q USING (source)
+    WHERE r.rnk <= q.keep_n
+    """,
+)
+def mix_rebalance_sources(spark, sf_dir):
+    """Target-mixture rebalance: a 55%-of-corpus budget allocated
+    across sources by deterministic weights, materialized via
+    hash-ranked exact per-source selection (small quota table
+    broadcast; one keyed window over the corpus)."""
+    return GV.mixture_rebalance(read_table(spark, sf_dir, "documents"))

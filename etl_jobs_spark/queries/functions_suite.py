@@ -221,3 +221,30 @@ def fn_array_suite(spark, sf_dir):
             f"array_join(slice(sort_array(array_distinct({toks})), 1, 3), '|')"
         ).alias("top3_sorted"),
     )
+
+
+@register(
+    "fn_percentile_suite",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)               AS n,
+           round(quantile_cont(value, 0.25), 4)   AS p25,
+           round(median(value), 4)                AS med,
+           round(quantile_cont(value, 0.90), 4)   AS p90,
+           round(quantile_cont(value, 0.99), 4)   AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def fn_percentile_suite(spark, sf_dir):
+    """Exact-percentile family per group: p25/median/p90/p99 with
+    linear interpolation — Spark ``percentile()`` ≡ DuckDB
+    ``quantile_cont`` (both sort-based exact; the approx variant for
+    100 TB is covered by ``agg_approx_sketches``)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 4).alias("med"),
+        F.round(F.expr("percentile(value, 0.90)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )

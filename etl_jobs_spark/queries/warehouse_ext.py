@@ -200,3 +200,85 @@ def agg_unpivot_metrics(spark, sf_dir):
         F.round(F.min("val"), 2).alias("vmin"),
         F.round(F.max("val"), 2).alias("vmax"),
     )
+
+
+@register(
+    "cdc_apply_changelog",
+    oracle=f"""
+    WITH mx AS (SELECT max(c_custkey) AS mk FROM customer),
+    changes AS (
+        SELECT CASE WHEN event_type = 'signup' THEN mk + 1 + user_id
+                    ELSE user_id END AS key,
+               {WH.cdc_op_expr("duckdb")} AS op,
+               value AS newbal, ts, event_id AS seq
+        FROM events, mx
+    ),
+    latest AS (
+        SELECT key, op, newbal FROM (
+            SELECT key, op, newbal,
+                   row_number() OVER (PARTITION BY key
+                                      ORDER BY ts DESC, seq DESC) AS rn
+            FROM changes
+        ) WHERE rn = 1
+    )
+    SELECT COALESCE(b.c_custkey, c.key) AS c_custkey,
+           COALESCE(b.c_name, 'cdc-' || CAST(c.key AS VARCHAR)) AS c_name,
+           round(CASE WHEN c.op IS NOT NULL THEN c.newbal
+                      ELSE b.c_acctbal END, 2) AS c_acctbal,
+           CASE WHEN c.op IS NULL THEN 'kept'
+                WHEN b.c_custkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS change_status
+    FROM customer b FULL OUTER JOIN latest c ON b.c_custkey = c.key
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+)
+def cdc_apply_changelog(spark, sf_dir):
+    """CDC changelog apply: compact an out-of-order I/U/D event feed
+    to latest-per-key (one keyed window), then apply it to the
+    customer snapshot in one full-outer join that reuses the window's
+    partitioning — the Debezium/Delta-CDF ingestion pattern as a pure
+    transform. Signups insert keys beyond the snapshot range, errors
+    delete, the rest upsert."""
+    ev = read_table(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer")
+    mx = cust.agg(F.max("c_custkey").alias("mk"))
+    changes = ev.crossJoin(F.broadcast(mx)).select(
+        F.expr(
+            "CASE WHEN event_type = 'signup' THEN mk + 1 + user_id"
+            " ELSE user_id END"
+        ).alias("key"),
+        F.expr(WH.cdc_op_expr("spark")).alias("op"),
+        F.col("value").alias("newbal"),
+        "ts",
+        F.col("event_id").alias("seq"),
+    )
+    return WH.cdc_latest_apply(cust, changes)
+
+
+@register(
+    "zorder_layout_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT CAST(floor(
+                   {WH.zorder_expr("(user_id % 256)",
+                                   "least(255, CAST(floor(value / 2) AS BIGINT))",
+                                   8)}
+                   / 1024) AS BIGINT) AS file_bucket,
+               CAST((user_id % 256) AS BIGINT) AS ux,
+               least(255, CAST(floor(value / 2) AS BIGINT)) AS vx
+        FROM events
+    )
+    SELECT file_bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           min(ux) AS ux_min, max(ux) AS ux_max,
+           min(vx) AS vx_min, max(vx) AS vx_max
+    FROM t GROUP BY file_bucket
+    """,
+)
+def zorder_layout_stats(spark, sf_dir):
+    """Z-order layout audit: bucket events by an 8+8-bit Morton key
+    over (user, value) into 64 file-sized ranges and report each
+    file's min/max envelope in BOTH dimensions — the data-skipping
+    stats a z-ordered write layout exists to tighten. The key is
+    pure integer column algebra (portable floor-div/mod bit
+    interleave, no UDF)."""
+    return WH.zorder_layout_report(read_table(spark, sf_dir, "events"))
