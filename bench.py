@@ -58,6 +58,8 @@ HEADLINE = [
     "mix_rebalance_sources",
     "cdc_apply_changelog",
     "zorder_layout_stats",
+    "graph_pagerank_transitions",
+    "dq_k_anonymity",
 ]
 
 

@@ -11,6 +11,8 @@ they have a green CORRECTNESS row, then let them drift back."""
 
 from etl_jobs_spark.queries import (  # noqa: F401
     corpus_governance,
+    data_quality,
+    graph_analytics,
     warehouse_ext,
     product_analytics,
     similarity,

@@ -1,0 +1,174 @@
+"""Data-quality / governance checks over warehouse tables:
+k-anonymity audit, referential-integrity orphan scan, feed
+staleness. The dbt-test / Great-Expectations family of operators,
+generalizing the reference's per-row validation era
+(src/etl_2018.py:19-31, src/etl_2022.py:140-188) to whole-table
+contract checks.
+
+Scale shapes: k-anonymity is one hash aggregation on the
+quasi-identifier tuple; orphan scans are LEFT ANTI joins (the dim
+side broadcasts when small, and at 100 TB the anti-join is the same
+shuffle the fact table's next join would pay anyway); staleness is
+a tiny per-key agg against a broadcast corpus watermark."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_jobs_spark.registry import register
+from etl_jobs_spark.sources.readers import read_table
+
+#: k-anonymity threshold: quasi-identifier groups smaller than this
+#: are re-identification risks.
+K_ANON = 5
+
+#: Simulated upstream deletion for the orphan scan: every 97th
+#: customer key is dropped from the dim (fixtures ship referentially
+#: intact, so the check needs a deterministic violation source).
+ORPHAN_MOD = 97
+
+
+@register(
+    "dq_k_anonymity",
+    oracle=f"""
+    SELECT c_mktsegment, c_nationkey,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer
+    GROUP BY 1, 2, 3
+    HAVING count(*) < {K_ANON}
+    """,
+)
+def dq_k_anonymity(spark, sf_dir):
+    """k-anonymity audit: quasi-identifier groups (segment ×
+    nation × coarse balance band) with fewer than k=5 members —
+    each output row is a re-identification risk a privacy gate
+    must suppress or generalize. One hash aggregation; the QI
+    tuple is the grouping key, so the shuffle carries only the
+    tuple + partial counts."""
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_nationkey",
+            F.expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").alias(
+                "bal_band"
+            ),
+        )
+        .groupBy("c_mktsegment", "c_nationkey", "bal_band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") < K_ANON)
+    )
+
+
+@register(
+    "dq_referential_orphans",
+    oracle=f"""
+    WITH dim AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % {ORPHAN_MOD} <> 0
+    ),
+    ev AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_facts,
+               CAST(sum(CAST(user_id NOT IN (SELECT c_custkey FROM dim)
+                    AS INTEGER)) AS BIGINT) AS n_orphans
+        FROM events
+    ),
+    ords AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_facts,
+               CAST(sum(CAST(o_custkey NOT IN (SELECT c_custkey FROM dim)
+                    AS INTEGER)) AS BIGINT) AS n_orphans
+        FROM orders
+    )
+    SELECT 'events.user_id->customer' AS check_name, n_facts, n_orphans,
+           round(CAST(n_orphans AS DOUBLE) / n_facts, 6) AS orphan_rate
+    FROM ev
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', n_facts, n_orphans,
+           round(CAST(n_orphans AS DOUBLE) / n_facts, 6)
+    FROM ords
+    """,
+)
+def dq_referential_orphans(spark, sf_dir):
+    """Referential-integrity scan: fact rows whose foreign key has
+    no dim match (dim simulates upstream deletions by dropping every
+    97th key). LEFT ANTI join per fact table — the dim key column
+    broadcasts; counting orphans costs one map-side pass over each
+    fact table, no fact-side shuffle."""
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % ORPHAN_MOD != 0
+    )
+    dim = F.broadcast(cust.select("c_custkey"))
+
+    def check(fact, key, name):
+        orphans = fact.join(
+            dim, fact[key] == dim["c_custkey"], "left_anti"
+        )
+        return (
+            fact.agg(F.count(F.lit(1)).alias("n_facts"))
+            .crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            )
+            .select(
+                F.lit(name).alias("check_name"),
+                "n_facts",
+                "n_orphans",
+                F.expr(
+                    "round(CAST(n_orphans AS DOUBLE) / n_facts, 6)"
+                ).alias("orphan_rate"),
+            )
+        )
+
+    ev = check(
+        read_table(spark, sf_dir, "events"),
+        "user_id",
+        "events.user_id->customer",
+    )
+    orders = check(
+        read_table(spark, sf_dir, "orders"),
+        "o_custkey",
+        "orders.o_custkey->customer",
+    )
+    return ev.unionByName(orders)
+
+
+@register(
+    "dq_stale_feeds",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS corpus_max FROM events),
+    per AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               max(ts) AS last_ts
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, last_ts,
+           CAST(floor((epoch(corpus_max) - epoch(last_ts)) / 60)
+                AS BIGINT) AS minutes_behind,
+           CAST(floor((epoch(corpus_max) - epoch(last_ts)) / 60) > 1440
+                AS BIGINT) AS is_stale
+    FROM per, mx
+    """,
+)
+def dq_stale_feeds(spark, sf_dir):
+    """Feed-freshness check: each event type's high watermark vs the
+    corpus watermark (a pinned reference point, so the check is
+    deterministic — production would use current_timestamp()).
+    Tiny per-key agg + broadcast of the 1-row corpus max."""
+    ev = read_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("corpus_max"))
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.max("ts").alias("last_ts")
+    )
+    # seconds-epoch double arithmetic (not interval division): the
+    # same floor((a - b) / 60) both engines state; casts route
+    # through TIMESTAMP for NTZ-stored sources.
+    lag_min = (
+        "floor((CAST(CAST(corpus_max AS TIMESTAMP) AS DOUBLE)"
+        " - CAST(CAST(last_ts AS TIMESTAMP) AS DOUBLE)) / 60)"
+    )
+    return per.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        "n",
+        "last_ts",
+        F.expr(f"CAST({lag_min} AS BIGINT)").alias("minutes_behind"),
+        F.expr(f"CAST({lag_min} > 1440 AS BIGINT)").alias("is_stale"),
+    )

@@ -1,0 +1,145 @@
+"""Graph analytics over event streams: the user-journey transition
+graph and link-analysis ranking on it.
+
+The scale story is in the GRAPH CONSTRUCTION, not the iteration:
+extracting weighted edges from 100 TB of events is one lag() window
+partitioned by user (bounded per-user state, AQE-handled skew)
+followed by one (src, dst) count aggregation — after which the
+projected graph is tiny (|event types|² rows max) and the PageRank
+iterations are constant-size broadcast work. For ranking over
+graphs whose NODE set itself is huge (web-scale link graphs), the
+iterative shape is ``dedup_cluster_components``' distributed
+min-label propagation (operators/dedup.py) with a rank payload —
+same loop, localCheckpoint lineage truncation, convergence check.
+
+The fixed-iteration unrolling here is what makes the operator
+ORACLE-CHECKABLE: both engines state the identical three damped
+iterations, so the result hash-matches bit-for-bit after rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_jobs_spark.registry import register
+from etl_jobs_spark.sources.readers import read_table
+
+#: PageRank damping factor and unrolled iteration count.
+DAMPING = 0.85
+N_ITERS = 3
+
+
+def _edges_sql() -> str:
+    """Weighted transition edges (shared CTE text for the oracle):
+    consecutive same-user events, (prev type -> type, count)."""
+    return """
+    steps AS (
+        SELECT user_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS src,
+               event_type AS dst
+        FROM events
+    ),
+    edges AS (
+        SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+        FROM steps WHERE src IS NOT NULL GROUP BY src, dst
+    ),
+    outw AS (
+        SELECT src, sum(w) AS w_out FROM edges GROUP BY src
+    ),
+    norm AS (
+        SELECT e.src, e.dst, e.w / o.w_out AS p
+        FROM edges e JOIN outw o USING (src)
+    ),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events)
+    """
+
+
+@register(
+    "graph_pagerank_transitions",
+    oracle=f"""
+    WITH {_edges_sql()},
+    n_nodes AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    pr0 AS (SELECT node, 1.0 / n AS pr FROM nodes, n_nodes),
+    pr1 AS (
+        SELECT nd.node,
+               (1 - {DAMPING}) / nn.n
+               + {DAMPING} * COALESCE(sum(p.pr * norm.p), 0) AS pr
+        FROM nodes nd
+        CROSS JOIN n_nodes nn
+        LEFT JOIN norm ON norm.dst = nd.node
+        LEFT JOIN pr0 p ON p.node = norm.src
+        GROUP BY nd.node, nn.n
+    ),
+    pr2 AS (
+        SELECT nd.node,
+               (1 - {DAMPING}) / nn.n
+               + {DAMPING} * COALESCE(sum(p.pr * norm.p), 0) AS pr
+        FROM nodes nd
+        CROSS JOIN n_nodes nn
+        LEFT JOIN norm ON norm.dst = nd.node
+        LEFT JOIN pr1 p ON p.node = norm.src
+        GROUP BY nd.node, nn.n
+    ),
+    pr3 AS (
+        SELECT nd.node,
+               (1 - {DAMPING}) / nn.n
+               + {DAMPING} * COALESCE(sum(p.pr * norm.p), 0) AS pr
+        FROM nodes nd
+        CROSS JOIN n_nodes nn
+        LEFT JOIN norm ON norm.dst = nd.node
+        LEFT JOIN pr2 p ON p.node = norm.src
+        GROUP BY nd.node, nn.n
+    )
+    SELECT node AS event_type, round(pr, 6) AS pagerank
+    FROM pr3
+    """,
+)
+def graph_pagerank_transitions(spark, sf_dir):
+    """PageRank over the user-journey transition graph: which event
+    types user flows concentrate on. Edge extraction is the 100 TB
+    stage (one user-keyed lag window + one count agg → a tiny
+    projected graph); three damped iterations run as broadcast joins
+    on the aggregated graph, unrolled so the DuckDB oracle states
+    the identical computation."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    ).filter(F.col("src").isNotNull())
+    edges = steps.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
+    norm = (
+        edges.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("w_out")).alias("p"))
+        .cache()
+    )
+    nodes = ev.select(
+        F.col("event_type").alias("node")
+    ).distinct().cache()
+    n_nodes = nodes.count()
+
+    pr = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
+    for _ in range(N_ITERS):
+        contrib = (
+            norm.join(pr, norm["src"] == pr["node"])
+            .select("dst", (F.col("pr") * F.col("p")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("mass"))
+        )
+        pr = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit((1 - DAMPING) / n_nodes)
+                + F.lit(DAMPING) * F.coalesce("mass", F.lit(0.0))
+            ).alias("pr"),
+        )
+    return pr.select(
+        F.col("node").alias("event_type"), F.round("pr", 6).alias("pagerank")
+    )

@@ -328,3 +328,41 @@ def scan_incremental_watermark(spark, sf_dir):
         .collect()[0]["wm"]
     )
     return raw.filter(F.col("ts") > F.lit(wm)).select("event_id", "user_id")
+
+
+@register(
+    "scan_binary_files",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS file_key,
+           CAST(length(n_name) AS BIGINT) AS n_bytes,
+           md5(n_name) AS content_md5
+    FROM nation
+    """,
+)
+def scan_binary_files(spark, sf_dir):
+    """Opaque-binary ingestion via Spark's built-in ``binaryFile``
+    source — the scan that feeds the multimodal surface (images/
+    audio land as whole-file binary columns + path metadata). One
+    file per nation row staged, read back as (path, content) and
+    fingerprinted; the oracle checks byte-length + md5 fidelity
+    against the original strings. At 100 TB this source is how raw
+    media enters the engine: each file is one row, partitioned by
+    Spark's file-listing parallelism, decode deferred to the
+    mapInPandas stage (operators/multimodal.py)."""
+    d = _workdir("binfiles")
+    d.mkdir(parents=True, exist_ok=True)
+    rows = (
+        read_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .collect()
+    )
+    for r in rows:  # 25 rows — staging only, not a data path
+        (d / f"{r['n_nationkey']}.bin").write_bytes(r["n_name"].encode())
+    df = spark.read.format("binaryFile").load(str(d))
+    return df.select(
+        F.expr(
+            "CAST(regexp_extract(path, '([0-9]+)[.]bin$', 1) AS BIGINT)"
+        ).alias("file_key"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
