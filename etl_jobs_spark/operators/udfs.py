@@ -59,3 +59,52 @@ def rank_within_group(events: DataFrame) -> DataFrame:
     ).applyInPandas(
         rank, "event_id BIGINT, event_type STRING, value DOUBLE, rnk BIGINT"
     )
+
+
+def rms_udaf():
+    """Aggregate-level hook: a grouped-agg pandas UDF (true UDAF —
+    Series in, scalar out, Arrow-batched per group). Root-mean-square
+    is chosen because no single built-in computes it, yet it is
+    exactly restatable as sqrt(avg(v*v)) for the oracle."""
+    import numpy as np
+
+    def _rms(v: pd.Series) -> float:
+        return float(np.sqrt((v.astype(float) ** 2).mean()))
+
+    return pandas_udf(_rms, "double")
+
+
+def count_udaf():
+    """Companion grouped-agg UDF: Spark disallows mixing pandas and
+    built-in aggregates in one ``agg()``, so the row count rides the
+    same Arrow batch as the RMS."""
+
+    def _n(v: pd.Series) -> int:
+        return int(len(v))
+
+    return pandas_udf(_n, "long")
+
+
+#: Passage width (words) for the chunking UDTF.
+CHUNK_WORDS = 16
+
+
+def passage_chunk_udtf():
+    """Table-level hook: a Python UDTF (one input row → N output
+    rows) chunking normalized text into fixed-width passages — the
+    retrieval-indexing segmentation step, and the generator shape
+    flatMap-style parsers need. Lazily constructed; the caller
+    registers it and invokes via LATERAL join."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: bigint, passage: string")
+    class PassageChunk:
+        def eval(self, text: str):  # noqa: D401
+            if text is not None:
+                toks = text.split(" ")
+                for i in range(0, len(toks), CHUNK_WORDS):
+                    yield i // CHUNK_WORDS + 1, " ".join(
+                        toks[i : i + CHUNK_WORDS]
+                    )
+
+    return PassageChunk

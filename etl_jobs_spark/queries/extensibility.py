@@ -66,3 +66,66 @@ def udf_grouped_map(spark, sf_dir):
     """applyInPandas grouped map (group-level extension hook, the
     process_chunk shape) — hash-matches a window-function oracle."""
     return U.rank_within_group(read_table(spark, sf_dir, "events"))
+
+
+@register(
+    "udaf_grouped_pandas",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sqrt(avg(value * value)), 6) AS rms_value
+    FROM events GROUP BY event_type
+    """,
+)
+def udaf_grouped_pandas(spark, sf_dir):
+    """Grouped-agg pandas UDF (the UDAF hook: Series → scalar per
+    group, Arrow-batched) computing per-type RMS — hash-matches the
+    sqrt(avg(v*v)) restatement. Completes the §2.9 trio with
+    udf_scalar_pandas (row) and udf_grouped_map (group map)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        U.count_udaf()(F.col("value")).alias("n"),
+        F.round(U.rms_udaf()(F.col("value")), 6).alias("rms_value"),
+    )
+
+
+@register(
+    "udtf_passage_chunks",
+    oracle="""
+    SELECT doc_id,
+           CAST(u['i'] AS BIGINT) AS chunk_idx,
+           u['v'] AS passage
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, CAST(ceil(len(toks) / 16.0) AS BIGINT) + 1),
+                   i -> {'i': i,
+                         'v': array_to_string(
+                                  list_slice(toks, (i - 1) * 16 + 1, i * 16),
+                                  ' ')}
+               )) AS u
+        FROM (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)),
+                                               '\\s+', ' ', 'g'), ' ') AS toks
+            FROM documents
+        )
+    )
+    """,
+)
+def udtf_passage_chunks(spark, sf_dir):
+    """Python UDTF via LATERAL join: one document row → N fixed-width
+    passage rows (retrieval-index segmentation; the flatMap-style
+    table-function hook). The oracle restates the chunking with an
+    indexed list_transform + unnest, so even the UDTF path is
+    hash-checked."""
+    from etl_jobs_spark.operators.hashing import norm_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    spark.udtf.register("passage_chunk", U.passage_chunk_udtf())
+    docs.select(
+        "doc_id", F.expr(norm_text("text", "spark")).alias("n")
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, s.chunk_idx, s.passage "
+        "FROM _udtf_docs, LATERAL passage_chunk(n) s"
+    )
