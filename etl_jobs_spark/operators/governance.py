@@ -130,14 +130,32 @@ def decontam_overlap(docs: DataFrame) -> DataFrame:
     is joined in place, never re-shuffled on text.
     """
     n = norm_text("text", "spark")
-    toks = word_tokens(n, "spark")
-    grams = word_ngrams(toks, n, "spark", DECONTAM_NGRAM)
-    base = docs.select(
+    # materialize norm+tokens as REAL columns before the n-gram
+    # transform: the fragment builders splice expression TEXT, so
+    # inlining `toks` would re-run split(regexp_replace(...)) once
+    # per token position (measured 18s -> 3s at sf0.1). Catalyst
+    # keeps the staged projection because `toks` is non-cheap and
+    # multiply-referenced (CollapseProject's duplication guard).
+    staged = docs.select(
         "doc_id",
         F.expr(eval_member_expr("spark")).alias("is_eval"),
-        F.explode(F.array_distinct(F.expr(grams))).alias("gram"),
-    ).select(
-        "doc_id", "is_eval", F.expr(hash60("gram", "spark")).alias("gh")
+        F.expr(n).alias("nrm"),
+    ).withColumn("toks", F.expr(word_tokens("nrm", "spark")))
+    grams = word_ngrams("toks", "nrm", "spark", DECONTAM_NGRAM)
+    base = (
+        staged.select(
+            "doc_id",
+            "is_eval",
+            F.explode(F.array_distinct(F.expr(grams))).alias("gram"),
+        )
+        .select(
+            "doc_id", "is_eval", F.expr(hash60("gram", "spark")).alias("gh")
+        )
+        # feeds BOTH branches (train rows + the eval gram set); the
+        # normalize→ngram→md5 explode is the expensive stage, so
+        # compute it once (same rationale as the persisted MinHash
+        # signature table, operators/dedup.py). ~16 bytes/row.
+        .persist()
     )
     train = base.filter(~F.col("is_eval")).select("doc_id", "gh")
     eval_grams = (
