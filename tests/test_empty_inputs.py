@@ -47,3 +47,37 @@ def test_gap_stats_single_event_user(spark):
         "event_id BIGINT, ts STRING, user_id BIGINT",
     ).withColumn("ts", F.to_timestamp("ts"))
     assert TR.user_gap_stats(events).count() == 0
+
+
+def test_governance_ops_empty_corpus(spark):
+    from etl_jobs_spark.operators import governance as GV
+
+    docs = _empty(
+        spark, "doc_id BIGINT, text STRING, lang STRING, source STRING"
+    )
+    assert GV.decontam_overlap(docs).count() == 0
+    assert GV.repetition_signals(docs).count() == 0
+    assert GV.split_report(docs).count() == 0
+    assert GV.mixture_rebalance(docs).count() == 0
+
+
+def test_cdc_apply_empty_changelog(spark):
+    from etl_jobs_spark.operators import warehouse as WH
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0)], "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE"
+    )
+    changes = _empty(
+        spark,
+        "key BIGINT, op STRING, newbal DOUBLE, ts TIMESTAMP, seq BIGINT",
+    )
+    out = WH.cdc_latest_apply(snap, changes)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["change_status"] == "kept"
+
+
+def test_zorder_empty_events(spark):
+    from etl_jobs_spark.operators import warehouse as WH
+
+    ev = _empty(spark, "event_id BIGINT, user_id BIGINT, value DOUBLE")
+    assert WH.zorder_layout_report(ev).count() == 0
