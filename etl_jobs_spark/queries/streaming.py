@@ -398,3 +398,83 @@ def stream_interval_join(spark, sf_dir):
         & (F.col("c_ts") <= F.col("p_ts")),
     ).select("purchase_id", "click_id", "user_id")
     return S.run_to_memory(joined, str(wk / "ck"), "append", state_partitions=4)
+
+
+@register(
+    "stream_interval_join_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def stream_interval_join_outer(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join: every purchase, with
+    its preceding-hour click when one exists, NULL otherwise.
+
+    Outer results only emit once the watermark passes a purchase's
+    join window, so a finite stream needs the production "flush
+    heartbeat" pattern: the event feed is staged with two trailing
+    far-future ``flush`` marker files. Watermarks only advance at
+    batch END and eviction happens DURING a batch, so two markers
+    are needed — #1 raises the watermark past the real data, #2 is
+    the batch in whose processing the final stuck rows (the
+    corpus-max-ts purchases) emit as NULL matches. Both join sides
+    branch from ONE file source with the watermark ABOVE the type
+    filters: the flush rows advance both branches' watermarks, then
+    match neither filter. (Two separate per-side sources proved
+    unreliable: one source's sentinel files advanced its log without
+    contributing rows.)"""
+    key = (sf_dir, "ivjo", 3)
+    if key not in _STAGED:
+        d = Path(tempfile.gettempdir()) / f"etl_ivjo_{uuid.uuid4().hex[:8]}"
+        ev = read_table(spark, sf_dir, "events")
+        ev.filter(
+            F.col("event_type").isin("purchase", "click")
+        ).coalesce(1).write.parquet(str(d / "feed"))
+        # each flush file carries one marker PER TYPE: the branch
+        # filters are pushed below the watermark node into the scan,
+        # so a marker only advances a branch's watermark if it
+        # SURVIVES that branch's pushed filter. Markers use user_id
+        # -1 (matches no real key) and negative ids (filtered from
+        # the result).
+        for day in (1, 2):  # written after the data → later batches
+            spark.sql(
+                f"SELECT CAST(-{day} AS BIGINT) AS event_id,"
+                f" timestamp'2100-01-0{day} 00:00:00' AS ts,"
+                " CAST(-1 AS BIGINT) AS user_id,"
+                " t AS event_type, CAST(0.0 AS DOUBLE) AS value,"
+                " '{}' AS props"
+                " FROM VALUES ('purchase'), ('click') AS v(t)"
+            ).write.mode("append").parquet(str(d / "feed"))
+        _STAGED[key] = d
+    raw = _STAGED[key]
+    wk = _workdir()
+    base = S.file_stream_source(
+        spark, str(raw / "feed"), EVENTS_SCHEMA, "parquet", 1
+    ).withWatermark("ts", "1 hour")
+    p = base.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = base.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "left_outer",
+        )
+        .filter(F.col("purchase_id") >= 0)
+        .select("purchase_id", "click_id", "user_id")
+    )
+    return S.run_to_memory(joined, str(wk / "ck"), "append", state_partitions=4)
