@@ -19,8 +19,15 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from etl_jobs_spark import registry
+from etl_jobs_spark import cache, registry
 from etl_jobs_spark.session import get_spark
+
+#: Round-2 host's calibration time (BENCH_r02.json `calib_sec`).
+#: Normalized timings below are expressed in round-2-host seconds
+#: (raw * CALIB_REF_SEC / this_host_calib) so per-query deltas
+#: across rounds compare engines, not VMs — the round-2 judge found
+#: hosts varying 2.58x on identical code.
+CALIB_REF_SEC = 0.372
 
 #: The queries that define the engine's throughput story: the
 #: flagship agg, the star join, a window, dedup + similarity (the
@@ -113,9 +120,11 @@ def main() -> None:
         df = queries[name](spark, sf_dir)
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        cache.release_all()  # don't let one query's persist leak into the next
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    scale = CALIB_REF_SEC / calib if calib > 0 else 1.0
     print(
         json.dumps(
             {
@@ -123,7 +132,15 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                # raw * (ref-host calib / this-host calib): per-query
+                # seconds as the round-2 reference host would measure
+                # them, so cross-round deltas compare code not VMs.
+                "queries_norm": {
+                    k: round(v * scale, 3) for k, v in timings.items()
+                },
+                "value_norm": round(sum(timings.values()) * scale, 3),
                 "calib_sec": round(calib, 3),
+                "calib_ref_sec": CALIB_REF_SEC,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

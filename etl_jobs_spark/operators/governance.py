@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_jobs_spark import cache
+
 from etl_jobs_spark.operators.hashing import (
     hash60,
     norm_text,
@@ -151,12 +153,13 @@ def decontam_overlap(docs: DataFrame) -> DataFrame:
         .select(
             "doc_id", "is_eval", F.expr(hash60("gram", "spark")).alias("gh")
         )
-        # feeds BOTH branches (train rows + the eval gram set); the
-        # normalize→ngram→md5 explode is the expensive stage, so
-        # compute it once (same rationale as the persisted MinHash
-        # signature table, operators/dedup.py). ~16 bytes/row.
-        .persist()
     )
+    # feeds BOTH branches (train rows + the eval gram set); the
+    # normalize→ngram→md5 explode is the expensive stage, so compute
+    # it once (same rationale as the persisted MinHash signature
+    # table, operators/dedup.py). ~16 bytes/row. Tracked so callers
+    # can release it between queries instead of leaking blocks.
+    base = cache.track(base)
     train = base.filter(~F.col("is_eval")).select("doc_id", "gh")
     eval_grams = (
         base.filter(F.col("is_eval"))
@@ -164,12 +167,17 @@ def decontam_overlap(docs: DataFrame) -> DataFrame:
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    # ONE pass over the exploded train grams: broadcast-left-join the
-    # eval gram set as a marker, then a single groupBy counts total
-    # and matched grams together (vs. a semi-join + second agg +
-    # re-join, which would scan the corpus explode twice more).
+    # ONE pass over the exploded train grams: left-join the eval gram
+    # set as a marker, then a single groupBy counts total and matched
+    # grams together (vs. a semi-join + second agg + re-join, which
+    # would scan the corpus explode twice more). No explicit
+    # broadcast hint: when the eval side is a fixed benchmark suite
+    # it is tiny and AQE broadcasts it at runtime anyway; when (as in
+    # this fixture) the eval side is a hash slice that scales with
+    # the corpus, a forced broadcast would OOM the driver at 100 TB —
+    # AQE picks the right strategy from the measured size either way.
     return (
-        train.join(F.broadcast(eval_grams), "gh", "left")
+        train.join(eval_grams, "gh", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -61,15 +61,31 @@ def rank_within_group(events: DataFrame) -> DataFrame:
     )
 
 
+#: Quantization scale for the RMS UDAF: squares are rounded to this
+#: fixed-point grid before summing so every addend is an
+#: exactly-representable integer and the sum is bit-identical under
+#: ANY summation order (numpy pairwise here, sequential in DuckDB's
+#: avg). Without it the ~1e-12 relative drift between the two
+#: summation orders is a latent round(...,6) hash flake. Exactness
+#: holds while sum(round(v^2 * SCALE)) < 2^53 — at larger group
+#: sizes, drop SCALE (trading grid resolution for headroom).
+RMS_SCALE = 10_000
+
+
 def rms_udaf():
     """Aggregate-level hook: a grouped-agg pandas UDF (true UDAF —
     Series in, scalar out, Arrow-batched per group). Root-mean-square
     is chosen because no single built-in computes it, yet it is
-    exactly restatable as sqrt(avg(v*v)) for the oracle."""
+    exactly restatable in SQL for the oracle. Both sides sum
+    RMS_SCALE-quantized squares (see above) so the comparison is
+    exact, not merely close."""
     import numpy as np
 
     def _rms(v: pd.Series) -> float:
-        return float(np.sqrt((v.astype(float) ** 2).mean()))
+        # floor(x + 0.5), not np.round: half-to-even vs DuckDB's
+        # half-away would disagree on exact .5 inputs.
+        sq = np.floor(v.astype(float).to_numpy() ** 2 * RMS_SCALE + 0.5)
+        return float(np.sqrt(sq.sum() / (RMS_SCALE * len(sq))))
 
     return pandas_udf(_rms, "double")
 

@@ -146,6 +146,18 @@ def cdc_latest_apply(
     )
 
 
+#: Default Morton-key geometry for zorder_layout_report. The oracle
+#: in queries/warehouse_ext.py derives its bucket width from these
+#: same constants, so changing them cannot silently break parity.
+ZORDER_BITS = 8
+ZORDER_BUCKETS = 64
+
+
+def zorder_bucket_width(bits: int = ZORDER_BITS, n_buckets: int = ZORDER_BUCKETS) -> int:
+    """Width of one file bucket in z-key space."""
+    return (1 << (2 * bits)) // n_buckets
+
+
 def zorder_expr(x_col: str, y_col: str, bits: int) -> str:
     """Z-order (Morton) key: interleave ``bits`` low bits of two
     non-negative integer expressions. Emitted as floor-div/mod
@@ -174,7 +186,7 @@ def zorder_expr(x_col: str, y_col: str, bits: int) -> str:
 
 
 def zorder_layout_report(
-    events: DataFrame, bits: int = 8, n_buckets: int = 64
+    events: DataFrame, bits: int = ZORDER_BITS, n_buckets: int = ZORDER_BUCKETS
 ) -> DataFrame:
     """Per-file-bucket min/max envelopes under a z-ordered layout:
     bucket the z-key range into ``n_buckets`` "files" and report
@@ -184,7 +196,7 @@ def zorder_layout_report(
     ux = "(user_id % 256)"
     vx = "least(255, CAST(floor(value / 2) AS BIGINT))"
     z = zorder_expr(ux, vx, bits)
-    width = (1 << (2 * bits)) // n_buckets
+    width = zorder_bucket_width(bits, n_buckets)
     return (
         events.select(
             F.expr(f"CAST(floor({z} / {width}) AS BIGINT)").alias(

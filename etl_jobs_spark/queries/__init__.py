@@ -1,14 +1,14 @@
 """Declared queries: importing this package registers every
 query/oracle pair with etl_jobs_spark.registry.
 
-Import order == registration order == the order the driver's
-correctness sweep walks the registry. Round 1's sweep stopped after
-the first 50 entries, so the modules whose queries lacked a driver
-correctness row that round (sources/sinks, streaming, text,
-temporal, similarity, the relational tail) register FIRST; the 50
-already-green modules follow. Keep new modules near the front until
-they have a green CORRECTNESS row, then let them drift back."""
+Registration order == the order the driver's correctness sweep walks
+the registry (50 per round). Rounds 1+2 verified 100 distinct queries
+with zero failures; the ``_NEEDS_CORRECTNESS_ROW`` list below promotes
+the remaining never-driver-checked queries (plus any newly added ones)
+to the front so the round-3 sweep covers them. After a query earns a
+green CORRECTNESS row, drop it from the list and let it drift back."""
 
+from etl_jobs_spark import registry
 from etl_jobs_spark.queries import (  # noqa: F401
     corpus_governance,
     data_quality,
@@ -30,3 +30,43 @@ from etl_jobs_spark.queries import (  # noqa: F401
     multimodal,
     reference_parity,
 )
+
+# Queries with no green row in CORRECTNESS_r01/r02 — promoted to the
+# front of the registry so the next 50-query sweep reaches all of them.
+_NEEDS_CORRECTNESS_ROW = [
+    "source_queue",
+    "sink_queue",
+    "stream_stateful_pandas",
+    "stream_static_join",
+    "stream_interval_join",
+    "stream_interval_join_outer",
+    "text_pii_scrub",
+    "doc_shard_assign",
+    "sample_stratified",
+    "pack_sequences",
+    "quality_filter_top_half",
+    "dedup_keep_canonical",
+    "embed_norm_stats",
+    "agg_user_gap_stats",
+    "obs_prometheus_text",
+    "fn_string_suite",
+    "fn_datetime_suite",
+    "join_full_outer",
+    "fn_window_suite",
+    "fn_array_suite",
+    "fn_percentile_suite",
+    "join_bucketed_colocated",
+    "join_salted_skew",
+    "agg_grouping_sets",
+    "agg_salted_events",
+    "agg_histogram_value",
+    "join_semi_anti",
+    "window_ntile_quartiles",
+    "window_range_frame",
+    "dedup_lsh_verified",
+    "udaf_grouped_pandas",
+    "udtf_passage_chunks",
+    "multimodal_audio_chunks",
+]
+
+registry.promote(_NEEDS_CORRECTNESS_ROW)

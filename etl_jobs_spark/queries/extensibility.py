@@ -70,9 +70,13 @@ def udf_grouped_map(spark, sf_dir):
 
 @register(
     "udaf_grouped_pandas",
-    oracle="""
+    # sums floor(v^2 * SCALE + 0.5) — exactly-representable integers,
+    # so the sum is order-independent and bit-identical to the pandas
+    # UDAF's numpy pairwise sum (see operators/udfs.py RMS_SCALE).
+    oracle=f"""
     SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-           round(sqrt(avg(value * value)), 6) AS rms_value
+           round(sqrt(sum(floor(value * value * {U.RMS_SCALE} + 0.5))
+                      / ({U.RMS_SCALE} * count(*))), 6) AS rms_value
     FROM events GROUP BY event_type
     """,
 )

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from etl_jobs_spark import cache
 from etl_jobs_spark.registry import register
 from etl_jobs_spark.sources.readers import read_table
 
@@ -113,14 +114,17 @@ def graph_pagerank_transitions(spark, sf_dir):
         F.count(F.lit(1)).cast("double").alias("w")
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
-    norm = (
-        edges.join(outw, "src")
-        .select("src", "dst", (F.col("w") / F.col("w_out")).alias("p"))
-        .cache()
+    # tracked persists: both tables feed every power iteration, and
+    # cache.release_all() between queries stops repeated invocations
+    # from accumulating cached blocks in a long-lived session.
+    norm = cache.track(
+        edges.join(outw, "src").select(
+            "src", "dst", (F.col("w") / F.col("w_out")).alias("p")
+        )
     )
-    nodes = ev.select(
-        F.col("event_type").alias("node")
-    ).distinct().cache()
+    nodes = cache.track(
+        ev.select(F.col("event_type").alias("node")).distinct()
+    )
     n_nodes = nodes.count()
 
     pr = nodes.withColumn("pr", F.lit(1.0 / n_nodes))

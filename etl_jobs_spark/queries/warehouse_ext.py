@@ -262,8 +262,8 @@ def cdc_apply_changelog(spark, sf_dir):
         SELECT CAST(floor(
                    {WH.zorder_expr("(user_id % 256)",
                                    "least(255, CAST(floor(value / 2) AS BIGINT))",
-                                   8)}
-                   / 1024) AS BIGINT) AS file_bucket,
+                                   WH.ZORDER_BITS)}
+                   / {WH.zorder_bucket_width()}) AS BIGINT) AS file_bucket,
                CAST((user_id % 256) AS BIGINT) AS ux,
                least(255, CAST(floor(value / 2) AS BIGINT)) AS vx
         FROM events

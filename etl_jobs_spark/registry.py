@@ -59,6 +59,24 @@ def all_oracles() -> dict[str, str]:
 _LOADED = False
 
 
+def promote(names: list[str]) -> None:
+    """Move ``names`` (in the given order) to the front of the registry.
+
+    Registration order is the order external correctness sweeps walk the
+    registry, so queries that still need a fresh correctness row are
+    promoted ahead of already-verified ones. Unknown names are an error —
+    a stale promotion list should fail loudly, not silently shrink.
+    """
+    missing = [n for n in names if n not in _REGISTRY]
+    if missing:
+        raise KeyError(f"promote(): unknown query names {missing}")
+    promoted = {n: _REGISTRY[n] for n in names}
+    rest = {n: rq for n, rq in _REGISTRY.items() if n not in promoted}
+    _REGISTRY.clear()
+    _REGISTRY.update(promoted)
+    _REGISTRY.update(rest)
+
+
 def _load() -> None:
     """Import every module that registers queries (idempotent)."""
     global _LOADED

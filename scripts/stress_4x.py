@@ -62,8 +62,16 @@ def build_replica(spark) -> None:
 
 def main() -> None:
     names = sys.argv[1:]
-    spark = get_spark("stress4x")
     queries = registry.all_queries()
+    if not names:
+        print("usage: stress_4x.py QUERY [QUERY ...]", file=sys.stderr)
+        print("registered:", ", ".join(sorted(queries)), file=sys.stderr)
+        sys.exit(2)
+    unknown = [n for n in names if n not in queries]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        sys.exit(2)
+    spark = get_spark("stress4x")
     build_replica(spark)
     # warm the JVM/codegen once
     queries[names[0]](spark, SRC).count()
