@@ -197,17 +197,28 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     ``array_distinct`` arithmetic — no explode, no shuffle, fused
     into the parquet scan by whole-stage codegen. The gate flags
     degenerate (template/spam) documents."""
-    n = norm_text("text", "spark")
-    toks = word_tokens(n, "spark")
-    w2 = word_ngrams(toks, n, "spark", 2)
-    w3 = word_ngrams(toks, n, "spark", 3)
-    sents = sentences_expr(n, "spark")
-    return docs.select(
+    # Stage norm/tokens/gram-arrays as REAL columns before the
+    # dup-frac arithmetic: the fragment builders splice expression
+    # TEXT, so inlining `toks` into word_ngrams and then referencing
+    # each gram array twice (array_distinct + size) would re-run the
+    # split(regexp_replace(...)) chain ~10x per row — the same
+    # blow-up fixed in decontam_overlap (measured 7.7s -> ~1s for
+    # 500 docs at sf0.01). Catalyst keeps each staged projection
+    # because every staged column is non-cheap and multiply
+    # referenced (CollapseProject's duplication guard).
+    staged = (
+        docs.select("doc_id", F.expr(norm_text("text", "spark")).alias("nrm"))
+        .withColumn("toks", F.expr(word_tokens("nrm", "spark")))
+        .withColumn("w2", F.expr(word_ngrams("toks", "nrm", "spark", 2)))
+        .withColumn("w3", F.expr(word_ngrams("toks", "nrm", "spark", 3)))
+        .withColumn("sents", F.expr(sentences_expr("nrm", "spark")))
+    )
+    return staged.select(
         "doc_id",
-        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_words"),
-        F.expr(dup_frac_expr(w2, "spark")).alias("dup_word2_frac"),
-        F.expr(dup_frac_expr(w3, "spark")).alias("dup_word3_frac"),
-        F.expr(dup_frac_expr(sents, "spark")).alias("dup_sent_frac"),
+        F.expr("CAST(size(toks) AS BIGINT)").alias("n_words"),
+        F.expr(dup_frac_expr("w2", "spark")).alias("dup_word2_frac"),
+        F.expr(dup_frac_expr("w3", "spark")).alias("dup_word3_frac"),
+        F.expr(dup_frac_expr("sents", "spark")).alias("dup_sent_frac"),
     ).withColumn(
         "is_repetitive",
         (

@@ -20,6 +20,7 @@ from etl_jobs_spark.queries import (  # noqa: F401
     text_analysis,
     sources_sinks,
     streaming,
+    tpch_plus,
     training_pipeline,
     observability_ext,
     functions_suite,
@@ -34,6 +35,14 @@ from etl_jobs_spark.queries import (  # noqa: F401
 # Queries with no green row in CORRECTNESS_r01/r02 — promoted to the
 # front of the registry so the next 50-query sweep reaches all of them.
 _NEEDS_CORRECTNESS_ROW = [
+    # round-3 additions (tpch_plus)
+    "q6_forecast_revenue",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "embed_centroid_labels",
+    "approx_distinct_kmv",
+    # never driver-checked through round 2
     "source_queue",
     "sink_queue",
     "stream_stateful_pandas",

@@ -11,13 +11,12 @@ dedup over an unbounded source.
 
 from __future__ import annotations
 
-import tempfile
-import uuid
 from pathlib import Path
 
 from pyspark.sql import functions as F
 
 from etl_jobs_spark.registry import register
+from etl_jobs_spark.scratch import scratch_dir
 from etl_jobs_spark.sources.readers import read_table
 from etl_jobs_spark.streaming import pipelines as S
 
@@ -85,7 +84,7 @@ def scan_partition_pruned(spark, sf_dir):
     at all. At 100 TB, partition layout is the first-order
     performance decision; this query is the end-to-end proof."""
     if sf_dir not in _PART_MEMO:
-        d = Path(tempfile.gettempdir()) / f"etl_part_{uuid.uuid4().hex[:8]}"
+        d = scratch_dir("etl_part")
         read_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "value", "event_type"
         ).write.partitionBy("event_type").parquet(str(d))
@@ -95,6 +94,10 @@ def scan_partition_pruned(spark, sf_dir):
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "value")
     )
+
+
+#: Immutable duplicated-feed staging memo for stream_dedup_exact.
+_SDEDUP_MEMO: dict[str, Path] = {}
 
 
 @register(
@@ -108,13 +111,21 @@ def stream_dedup_exact(spark, sf_dir):
     twice (at-least-once delivery); watermarked dropDuplicates emits
     each event_id once — exactly-once semantics built from state, the
     streaming face of the dedup ladder (operators/dedup.py). State is
-    bounded by the watermark: ids older than the delay are evicted."""
-    d = Path(tempfile.gettempdir()) / f"etl_sdedup_{uuid.uuid4().hex[:8]}"
-    ev = read_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    ev.coalesce(1).write.parquet(str(d / "raw"))
-    ev.coalesce(1).write.mode("append").parquet(str(d / "raw"))  # duplicate delivery
+    bounded by the watermark: ids older than the delay are evicted.
+
+    The duplicated raw feed is immutable once staged → memoized per
+    corpus (round 2 re-staged it every invocation, double-writing
+    events each run; only the checkpoint must be fresh)."""
+    if sf_dir not in _SDEDUP_MEMO:
+        d = scratch_dir("etl_sdedup")
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        ev.coalesce(1).write.parquet(str(d / "raw"))
+        ev.coalesce(1).write.mode("append").parquet(str(d / "raw"))  # dup delivery
+        _SDEDUP_MEMO[sf_dir] = d
+    d = _SDEDUP_MEMO[sf_dir]
+    ck = scratch_dir("etl_sdedup_ck")
     src = S.file_stream_source(
         spark,
         str(d / "raw"),
@@ -125,7 +136,7 @@ def stream_dedup_exact(spark, sf_dir):
     )
     deduped = src.withWatermark("ts", "1 hour").dropDuplicates(["event_id"]) \
         .select("event_id", "user_id", "event_type", "value")
-    return S.run_to_memory(deduped, str(d / "ck"), "append", state_partitions=4)
+    return S.run_to_memory(deduped, str(ck), "append", state_partitions=4)
 
 
 #: JSONL staging memo.
@@ -144,7 +155,7 @@ def scan_json_lines(spark, sf_dir):
     src/etl_2025.py:243; this is the source side). Schema inference
     over JSON costs a full extra scan at 100 TB — always declare."""
     if sf_dir not in _JSONL_MEMO:
-        d = Path(tempfile.gettempdir()) / f"etl_jsonl_{uuid.uuid4().hex[:8]}"
+        d = scratch_dir("etl_jsonl")
         read_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", "value"
         ).coalesce(2).write.json(str(d))

@@ -16,15 +16,14 @@ def _bucketed_tables(spark, sf_dir):
     built once (like a real warehouse) and every co-located join
     reuses it."""
     import hashlib
-    import tempfile
-    import uuid
-    from pathlib import Path
+
+    from etl_jobs_spark.scratch import scratch_dir
 
     from etl_jobs_spark.queries._shared import session_memo
 
     def build():
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        base = Path(tempfile.gettempdir()) / f"bucketed_{uuid.uuid4().hex[:8]}"
+        base = scratch_dir("bucketed")
         names = (f"orders_b_{tag}", f"customer_b_{tag}")
         for name, tbl, bcol in (
             (names[0], "orders", "o_custkey"),

@@ -107,16 +107,11 @@ def ivf_index(spark, sf_dir):
     sample + cell-partitioned serving layout, built once and probed
     many times — the index-build/probe split every real ANN serving
     system has. Returns (serve_dir, centroids)."""
-    import tempfile
-    import uuid
-    from pathlib import Path
-
     from etl_jobs_spark.queries._shared import session_memo
+    from etl_jobs_spark.scratch import scratch_dir
 
     def build():
-        serve = str(
-            Path(tempfile.gettempdir()) / f"ivf_serve_{uuid.uuid4().hex[:8]}"
-        )
+        serve = str(scratch_dir("ivf_serve"))
         centroids = ivf_quantizer(spark, sf_dir)
         SIM.build_ivf_index(
             read_table(spark, sf_dir, "embeddings"),

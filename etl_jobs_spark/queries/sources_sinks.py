@@ -18,8 +18,6 @@ table) verifies end-to-end fidelity — types, headers, precision.
 from __future__ import annotations
 
 import shutil
-import tempfile
-import uuid
 from pathlib import Path
 
 from pyspark.sql import functions as F
@@ -27,6 +25,7 @@ from pyspark.sql import functions as F
 from etl_jobs_spark.operators import quality as Q
 from etl_jobs_spark.queries._shared import _dirty_rules, dirty_events
 from etl_jobs_spark.registry import register
+from etl_jobs_spark.scratch import scratch_dir
 from etl_jobs_spark.sources import readers, writers
 from etl_jobs_spark.sources.readers import read_table
 
@@ -39,7 +38,7 @@ CUSTOMER_SCHEMA = (
 
 
 def _workdir(tag: str) -> Path:
-    d = Path(tempfile.gettempdir()) / f"etl_jobs_spark_{tag}_{uuid.uuid4().hex[:8]}"
+    d = scratch_dir(f"etl_jobs_spark_{tag}")
     shutil.rmtree(d, ignore_errors=True)
     return d
 

@@ -10,8 +10,6 @@ oracle computes which windows are finalized at end-of-stream.
 
 from __future__ import annotations
 
-import tempfile
-import uuid
 from pathlib import Path
 
 import pandas as pd
@@ -19,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_jobs_spark.registry import register
+from etl_jobs_spark.scratch import scratch_dir
 from etl_jobs_spark.sources.readers import read_table
 from etl_jobs_spark.streaming import pipelines as S
 
@@ -43,7 +42,7 @@ def _stage(spark: SparkSession, sf_dir: str, fmt: str, n_files: int) -> Path:
     key = (sf_dir, fmt, n_files)
     if key in _STAGED:
         return _STAGED[key]
-    d = Path(tempfile.gettempdir()) / f"etl_stream_{uuid.uuid4().hex[:8]}"
+    d = scratch_dir("etl_stream")
     ev = read_table(spark, sf_dir, "events")
     if fmt == "parquet":
         ev.repartition(n_files).write.parquet(str(d / "raw"))
@@ -57,7 +56,7 @@ def _stage(spark: SparkSession, sf_dir: str, fmt: str, n_files: int) -> Path:
 
 def _workdir() -> Path:
     """Fresh per-run dir for checkpoints and sink outputs."""
-    return Path(tempfile.gettempdir()) / f"etl_stream_wk_{uuid.uuid4().hex[:8]}"
+    return scratch_dir("etl_stream_wk")
 
 
 @register(
@@ -290,7 +289,7 @@ def stream_stateful_pandas(spark, sf_dir):
 
     key = (sf_dir, "stateful", 1)
     if key not in _STAGED:
-        d = Path(tempfile.gettempdir()) / f"etl_stream_{uuid.uuid4().hex[:8]}"
+        d = scratch_dir("etl_stream")
         ev = read_table(spark, sf_dir, "events").select("user_id", "event_id")
         ev.coalesce(1).write.parquet(str(d / "raw"))
         _STAGED[key] = d
@@ -362,7 +361,7 @@ def stream_interval_join(spark, sf_dir):
     event pipeline."""
     key = (sf_dir, "ivj", 2)
     if key not in _STAGED:
-        d = Path(tempfile.gettempdir()) / f"etl_ivj_{uuid.uuid4().hex[:8]}"
+        d = scratch_dir("etl_ivj")
         ev = read_table(spark, sf_dir, "events")
         ev.filter(F.col("event_type") == "purchase").coalesce(1).write.parquet(
             str(d / "purchases")
@@ -430,7 +429,7 @@ def stream_interval_join_outer(spark, sf_dir):
     contributing rows.)"""
     key = (sf_dir, "ivjo", 3)
     if key not in _STAGED:
-        d = Path(tempfile.gettempdir()) / f"etl_ivjo_{uuid.uuid4().hex[:8]}"
+        d = scratch_dir("etl_ivjo")
         ev = read_table(spark, sf_dir, "events")
         ev.filter(
             F.col("event_type").isin("purchase", "click")

@@ -1,0 +1,316 @@
+"""Classic warehouse query shapes over the TPC-H-ish fixture tables
+(round-3 breadth): multi-way join pipelines with selective filters,
+top-k, and a sketch-based approx-distinct — the shapes that exercise
+Catalyst's join reordering, filter pushdown, broadcast selection, and
+TakeOrderedAndProject at 100 TB.
+
+The reference computes fixed-report aggregations over one table at a
+time (src/etl_2016.py:38-63, src/etl_2022.py:75-118); these queries
+generalize that reporting surface to the multi-table analytics a
+warehouse user actually runs. Shapes follow the public TPC-H spec
+(Q3/Q5/Q6/Q10 analogues), adapted to the fixture's columns.
+
+Scale notes (verified via .explain on each):
+- dimension sides (region/nation/customer/supplier) broadcast — the
+  fact table (lineitem) is never shuffled before its aggregation;
+- date/segment filters push into the parquet scans (PushedFilters);
+- top-k uses TakeOrderedAndProject (no global sort, no full shuffle);
+- every aggregate is rounded identically on both sides, and top-k
+  ties are broken by a unique key so the result SET is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_jobs_spark.operators.hashing import hash60
+from etl_jobs_spark.registry import register
+from etl_jobs_spark.sources.readers import read_table
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + single-row aggregate. The whole
+    predicate reaches the parquet scan (PushedFilters on shipdate /
+    discount / quantity), so at 100 TB this reads only row groups
+    whose min/max stats overlap one shipdate year — the canonical
+    proof that declarative filters beat hand-written loops."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-01'
+      AND l_shipdate  > TIMESTAMP '1997-06-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join, selective filters on both dims,
+    top-10 by revenue. Customer (filtered to one segment) broadcasts;
+    lineitem only shuffles for the final per-order aggregation; the
+    limit compiles to TakeOrderedAndProject — per-partition heaps, a
+    10-row driver merge, no global sort. Ties broken by l_orderkey so
+    the 10-row SET is identical on both sides."""
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1997-06-01"
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1997-06-01"
+    )
+    return (
+        li.join(
+            F.broadcast(orders), li.l_orderkey == orders.o_orderkey
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name AS nation_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND c_nationkey = s_nationkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: six-way join where every dimension broadcasts
+    and the local-supplier predicate (customer and supplier in the
+    same nation) is a post-join filter. lineitem flows through a
+    chain of BroadcastHashJoins without a single fact-side shuffle
+    until the 5-row nation aggregation."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name AS nation_name
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: who returned the most revenue last quarter.
+    Broadcast dims, one fact aggregation keyed by customer, top-20
+    via TakeOrderedAndProject with a c_custkey tiebreak."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "nation_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+#: Fixed-point grid for centroid averaging: float32 components are
+#: quantized to integers before summing so the mean is bit-identical
+#: under any summation order on both engines (same rationale as
+#: operators/udfs.py RMS_SCALE).
+_CENTROID_SCALE = 1_000_000
+
+
+@register(
+    "embed_centroid_labels",
+    oracle=f"""
+    SELECT label, dim,
+           round(sum(q) / ({_CENTROID_SCALE} * count(*)), 6) AS centroid_val
+    FROM (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             floor(CAST(unnest(embedding) AS DOUBLE) * {_CENTROID_SCALE}
+                   + 0.5) AS q
+      FROM embeddings)
+    GROUP BY label, dim
+    """,
+)
+def embed_centroid_labels(spark, sf_dir):
+    """Per-label centroid of the embedding corpus: posexplode the
+    vector column and aggregate each (label, dimension) cell — the
+    class-prototype computation behind centroid classifiers and
+    k-means init. Map-side partial aggregation means the shuffle
+    carries |labels|*dim partial sums, not vectors; at 100 TB the
+    full corpus reduces to a few-KB result without any driver-side
+    vector math. Components are fixed-point-quantized so the mean is
+    summation-order-independent (exact oracle parity)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .withColumn(
+            "q",
+            F.floor(
+                F.col("v").cast("double") * _CENTROID_SCALE + F.lit(0.5)
+            ),
+        )
+        .groupBy("label", F.col("dim").cast("bigint").alias("dim"))
+        .agg(
+            F.round(
+                F.sum("q") / (F.lit(_CENTROID_SCALE) * F.count(F.lit(1))), 6
+            ).alias("centroid_val")
+        )
+    )
+
+
+#: KMV sketch size. Estimate uses the classic (k-1)/F(h_k) unbiased
+#: estimator (Bar-Yossef et al. 2002) over a 60-bit portable hash.
+_KMV_K = 256
+
+
+@register(
+    "approx_distinct_kmv",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT {hash60("CAST(user_id AS VARCHAR)", "duck")} AS hv
+      FROM events),
+    kth AS (
+      SELECT max(hv) AS hk, CAST(count(*) AS BIGINT) AS k
+      FROM (SELECT hv FROM h ORDER BY hv LIMIT {_KMV_K}))
+    SELECT k,
+           CAST(round(({_KMV_K} - 1) * pow(2.0, 60) / hk, 0) AS BIGINT)
+             AS est_distinct
+    FROM kth
+    """,
+)
+def approx_distinct_kmv(spark, sf_dir):
+    """K-minimum-values distinct-count sketch, fully deterministic:
+    hash every key with the engine-portable 60-bit md5 hash, keep the
+    k smallest DISTINCT hashes (TakeOrderedAndProject — per-partition
+    heaps of k, no global sort), estimate n_distinct = (k-1)·2^60 /
+    h_k. Unlike approx_count_distinct's HLL (whose registers are
+    implementation-defined), the KMV sketch is reproducible in ANSI
+    SQL, so the ORACLE CHECKS THE SKETCH ITSELF, not just the shape.
+    At 100 TB: the scan reduces to k 8-byte values per partition,
+    merged on the driver — the sketch never grows with data."""
+    ev = read_table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            F.expr(
+                hash60("CAST(user_id AS STRING)", "spark")
+            ).alias("hv")
+        )
+        .distinct()
+        .orderBy("hv")
+        .limit(_KMV_K)
+    )
+    return h.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.expr(
+            f"CAST(round(({_KMV_K} - 1) * pow(2.0, 60) / max(hv), 0)"
+            " AS BIGINT)"
+        ).alias("est_distinct"),
+    )

@@ -3,7 +3,14 @@ id-offset replica of the mutable fixture tables next to symlinks of
 the rest, then time a query list at sf0.1 (1x) and at the replica
 (4x) in one warm JVM.
 
-Usage: python scripts/stress_4x.py <query> [query...]
+With --skew the events replica is additionally made pathological:
+half of all events collapse onto ONE hot user key and 3/4 onto one
+hot event_type, and the hot keys stay hot across all four copies —
+the workload the salted join/agg exist for. An id-offset replica
+keeps keys uniform and therefore never actually stresses skew
+handling.
+
+Usage: python scripts/stress_4x.py [--skew] <query> [query...]
 """
 
 from __future__ import annotations
@@ -39,49 +46,73 @@ OFFSETS = {
 }
 
 
-def build_replica(spark) -> None:
-    shutil.rmtree(DST, ignore_errors=True)
-    os.makedirs(DST)
+def build_replica(spark, dst: str = DST, skew: bool = False) -> None:
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
     for t in FIXTURE_TABLES:
         src_file = Path(SRC) / f"{t}.parquet"
         if t not in OFFSETS:
-            os.symlink(src_file, Path(DST) / f"{t}.parquet")
+            os.symlink(src_file, Path(dst) / f"{t}.parquet")
             continue
         df = read_table(spark, SRC, t)
+        if skew and t == "events":
+            # Hot-key injection: 50% of events hit user_id 7, 75% hit
+            # event_type 'click'. Offsetting ONLY event_id across
+            # copies keeps those keys hot across all four replicas,
+            # so the 4x corpus has a 4x-hotter key, not four warm ones.
+            df = df.withColumn(
+                "user_id",
+                F.expr("CASE WHEN event_id % 2 = 0 THEN 7 ELSE user_id END"),
+            ).withColumn(
+                "event_type",
+                F.expr(
+                    "CASE WHEN event_id % 4 < 3 THEN 'click'"
+                    " ELSE event_type END"
+                ),
+            )
+        offsets = (
+            {"event_id": OFFSETS[t]["event_id"]}
+            if skew and t == "events"
+            else OFFSETS[t]
+        )
         parts = [df]
         for i in range(1, 4):
             c = df
-            for col, step in OFFSETS[t].items():
+            for col, step in offsets.items():
                 c = c.withColumn(col, F.col(col) + F.lit(i * step))
             parts.append(c)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        out.write.mode("overwrite").parquet(str(Path(DST) / f"{t}.parquet"))
+        out.write.mode("overwrite").parquet(str(Path(dst) / f"{t}.parquet"))
 
 
 def main() -> None:
     names = sys.argv[1:]
+    skew = "--skew" in names
+    names = [n for n in names if n != "--skew"]
     queries = registry.all_queries()
     if not names:
-        print("usage: stress_4x.py QUERY [QUERY ...]", file=sys.stderr)
+        print("usage: stress_4x.py [--skew] QUERY [QUERY ...]", file=sys.stderr)
         print("registered:", ", ".join(sorted(queries)), file=sys.stderr)
         sys.exit(2)
     unknown = [n for n in names if n not in queries]
     if unknown:
         print(f"unknown queries: {unknown}", file=sys.stderr)
         sys.exit(2)
+    dst = DST + ("_skew" if skew else "")
     spark = get_spark("stress4x")
-    build_replica(spark)
+    build_replica(spark, dst, skew=skew)
     # warm the JVM/codegen once
     queries[names[0]](spark, SRC).count()
-    print(f"{'query':34s} {'1x':>8s} {'4x':>8s}  ratio")
+    label = "4x-skew" if skew else "4x"
+    print(f"{'query':34s} {'1x':>8s} {label:>8s}  ratio")
     for n in names:
         t0 = time.time()
         r1 = queries[n](spark, SRC).count()
         t1x = time.time() - t0
         t0 = time.time()
-        r4 = queries[n](spark, DST).count()
+        r4 = queries[n](spark, dst).count()
         t4x = time.time() - t0
         print(
             f"{n:34s} {t1x:7.2f}s {t4x:7.2f}s  x{t4x / max(t1x, 0.01):.1f}"
