@@ -59,6 +59,14 @@ HEADLINE = [
     "scd2_history",
     "agg_retention_cohorts",
     "agg_funnel_steps",
+    # tpch_plus surface (round 3)
+    "q6_forecast_revenue",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "approx_distinct_kmv",
+    "agg_mode_value_bucket",
+    "join_asof_forward",
     # corpus-governance + warehouse surface (round 2)
     "decontam_ngram_overlap",
     "text_repetition_signals",

@@ -95,6 +95,62 @@ def asof_join(
     return carried.select(*out_cols)
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    right_payload: list[str],
+    prefix: str = "next_",
+    left_tiebreak: str | None = None,
+) -> DataFrame:
+    """Forward as-of: for each left row, attach the EARLIEST right
+    row with ``right.ts >= left.ts`` within ``key`` (inner
+    semantics) — the lookahead mirror of :func:`asof_join`, same
+    one-shuffle union+window plan with the traversal reversed
+    (ts DESC, so the carried value is the nearest future right row).
+    At equal ``ts`` the right row is visible (the >= contract);
+    multiple right rows at one instant resolve to the min-``tiebreak``
+    row (first wins in forward order)."""
+    r = right.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(0).alias("_side"),
+        F.col(tiebreak).alias("_tb"),
+        F.struct(*[F.col(c) for c in right_payload]).alias("_rp"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+        ).alias("_lp"),
+    )
+    lt = left.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(1).alias("_side"),
+        F.col(left_tiebreak or tiebreak).alias("_tb"),
+        F.lit(None).cast(r.schema["_rp"].dataType).alias("_rp"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lp"),
+    )
+    # descending time scan: `last(_rp)` over the running frame is the
+    # smallest right ts that is still >= the left row's ts. Among
+    # same-instant right rows, _tb DESC makes the min-tiebreak row
+    # the one that survives the carry.
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).desc(), F.col("_side").asc(), F.col("_tb").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        r.unionByName(lt)
+        .withColumn("_carry", F.last("_rp", ignorenulls=True).over(w))
+        .filter((F.col("_side") == 1) & F.col("_carry").isNotNull())
+    )
+    out_cols = [F.col(f"_lp.{c}").alias(c) for c in left.columns] + [
+        F.col(f"_carry.{c}").alias(f"{prefix}{c}") for c in right_payload
+    ]
+    return carried.select(*out_cols)
+
+
 def range_band_join(
     facts: DataFrame, bands: DataFrame, value_col: str
 ) -> DataFrame:

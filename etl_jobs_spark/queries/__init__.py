@@ -42,6 +42,9 @@ _NEEDS_CORRECTNESS_ROW = [
     "q10_returned_items",
     "embed_centroid_labels",
     "approx_distinct_kmv",
+    "agg_mode_value_bucket",
+    "join_asof_forward",
+    "stream_merge_upsert",
     # never driver-checked through round 2
     "source_queue",
     "sink_queue",

@@ -477,3 +477,74 @@ def stream_interval_join_outer(spark, sf_dir):
         .select("purchase_id", "click_id", "user_id")
     )
     return S.run_to_memory(joined, str(wk / "ck"), "append", state_partitions=4)
+
+
+@register(
+    "stream_merge_upsert",
+    oracle="""
+    SELECT user_id, value AS last_value, event_type AS last_type
+    FROM (
+      SELECT user_id, value, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def stream_merge_upsert(spark, sf_dir):
+    """Streaming MERGE sink: each micro-batch upserts latest-per-key
+    rows into a keyed parquet table via foreachBatch — the pattern
+    behind every streaming-CDC materialized view (Delta MERGE INTO's
+    transform core, re-expressed on plain parquet).
+
+    Batch-split invariance is the correctness property the oracle
+    pins: per-batch latest-wins folded into cross-batch latest-wins
+    (ordered by ts, then event_id) equals latest-per-key over the
+    whole feed no matter how the file source slices batches. Each
+    batch compacts BEFORE merging (one keyed window over the batch,
+    then a full-outer latest-wins against current state), so the
+    merge join sees one row per changed key, not the raw log —
+    exactly the cdc_latest_apply plan (operators/warehouse.py:89)
+    run incrementally. State swaps atomically (write to versioned
+    dir + rename) so a crashed batch can't half-overwrite the table."""
+    raw = _stage(spark, sf_dir, "parquet", 2)
+    wk = _workdir()
+    state = wk / "state"
+    src = S.file_stream_source(spark, str(raw / "raw"), EVENTS_SCHEMA, "parquet", 1)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        ss = batch_df.sparkSession
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        compact = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "ts", "event_id", "value", "event_type")
+        )
+        if state.exists():
+            cur = ss.read.parquet(str(state))
+            merged = (
+                cur.unionByName(compact)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+        else:
+            merged = compact
+        out = wk / f"state_v{batch_id}"
+        merged.write.mode("overwrite").parquet(str(out))
+        if state.exists():
+            import shutil
+
+            shutil.rmtree(str(state))
+        out.rename(state)
+
+    S.foreach_batch_pipeline(src, str(wk / "ck"), merge, state_partitions=4)
+    return spark.read.parquet(str(state)).select(
+        "user_id",
+        F.col("value").alias("last_value"),
+        F.col("event_type").alias("last_type"),
+    )

@@ -58,6 +58,49 @@ def join_asof_events(spark, sf_dir):
     )
 
 
+@register(
+    "join_asof_forward",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, min(event_id) AS event_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    purchases AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP_NS) AS ts, p.value,
+           c.event_id AS next_event_id, CAST(c.ts AS TIMESTAMP_NS) AS next_ts
+    FROM purchases p
+    ASOF JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def join_asof_forward(spark, sf_dir):
+    """Forward as-of join: each purchase gets the user's NEXT click
+    at or after it — the did-the-user-come-back lookahead
+    (post-purchase engagement attribution). Same one-shuffle
+    union+window composition as the backward join with the scan
+    reversed; oracle is DuckDB's native ASOF JOIN with the
+    inequality flipped — an independent implementation of the
+    lookahead semantics."""
+    ev = read_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return TP.asof_join_forward(
+        purchases,
+        clicks,
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+        right_payload=["event_id", "ts"],
+    )
+
+
 def _bands_values() -> str:
     return ", ".join(f"({lo}, {hi}, '{name}')" for lo, hi, name in BANDS)
 

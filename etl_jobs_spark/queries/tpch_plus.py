@@ -21,6 +21,7 @@ Scale notes (verified via .explain on each):
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from etl_jobs_spark.operators.hashing import hash60
@@ -262,6 +263,50 @@ def embed_centroid_labels(spark, sf_dir):
             F.round(
                 F.sum("q") / (F.lit(_CENTROID_SCALE) * F.count(F.lit(1))), 6
             ).alias("centroid_val")
+        )
+    )
+
+
+@register(
+    "agg_mode_value_bucket",
+    oracle="""
+    SELECT event_type, bucket AS mode_bucket,
+           CAST(n AS BIGINT) AS n_in_mode
+    FROM (
+      SELECT event_type, bucket, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, bucket ASC) AS rk
+      FROM (
+        SELECT event_type,
+               CAST(floor(value / 10) AS BIGINT) AS bucket,
+               count(*) AS n
+        FROM events GROUP BY 1, 2))
+    WHERE rk = 1
+    """,
+)
+def agg_mode_value_bucket(spark, sf_dir):
+    """Per-group mode (most frequent value bucket) — the missing
+    built-in aggregate, composed scale-safely: one hash aggregation
+    to (group, bucket) counts (map-side combine shrinks the shuffle
+    to distinct pairs), then a row_number window over the tiny count
+    table. Ties break toward the smallest bucket so the winner is
+    deterministic on both engines. Never collects a value histogram
+    to the driver."""
+    ev = read_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 10).cast("bigint").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("bucket").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("bucket").alias("mode_bucket"),
+            F.col("n").alias("n_in_mode"),
         )
     )
 

@@ -81,3 +81,36 @@ def test_zorder_empty_events(spark):
 
     ev = _empty(spark, "event_id BIGINT, user_id BIGINT, value DOUBLE")
     assert WH.zorder_layout_report(ev).count() == 0
+
+
+def test_fuzzy_pairs_empty_and_singleton(spark):
+    """No names -> no pairs; one name -> no pairs (the self-pair is
+    excluded by key_a < key_b), never a crash in the variant explode."""
+    from etl_jobs_spark.operators import matching as MT
+
+    empty = _empty(spark, "c_custkey BIGINT, c_name STRING")
+    assert MT.fuzzy_pairs(empty, "c_custkey", "c_name").count() == 0
+    one = spark.createDataFrame(
+        [(1, "alice")], "c_custkey BIGINT, c_name STRING"
+    )
+    assert MT.fuzzy_pairs(one, "c_custkey", "c_name").count() == 0
+
+
+def test_kmv_fewer_keys_than_sketch(spark, tmp_path):
+    """A corpus with fewer distinct keys than sketch slots must
+    report k = exact distinct count, not a degenerate estimate."""
+    from etl_jobs_spark.queries.tpch_plus import approx_distinct_kmv
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(10)], "event_id BIGINT, user_id BIGINT"
+    ).selectExpr(
+        "event_id",
+        "TIMESTAMP '2024-01-01' AS ts",
+        "user_id",
+        "'click' AS event_type",
+        "1.0 AS value",
+        "'{}' AS props",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    row = approx_distinct_kmv(spark, str(tmp_path)).collect()[0]
+    assert row["k"] == 3
