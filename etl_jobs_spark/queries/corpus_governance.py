@@ -67,22 +67,30 @@ def decontam_ngram_overlap(spark, sf_dir):
 
 @register(
     "text_repetition_signals",
+    # staged subqueries mirror the Spark side's staged columns: each
+    # list pipeline (norm -> tokens -> gram arrays) is computed ONCE
+    # per row instead of re-expanded at every reference — DuckDB's
+    # projections materialize per operator, so this cuts the oracle's
+    # own cost ~5x (the driver pays query + oracle per check).
     oracle=f"""
     SELECT doc_id,
-           CAST(len({_TOKS}) AS BIGINT) AS n_words,
-           {GV.dup_frac_expr(word_ngrams(_TOKS, _N, "duckdb", 2), "duckdb")}
-               AS dup_word2_frac,
-           {GV.dup_frac_expr(word_ngrams(_TOKS, _N, "duckdb", 3), "duckdb")}
-               AS dup_word3_frac,
-           {GV.dup_frac_expr(GV.sentences_expr(_N, "duckdb"), "duckdb")}
-               AS dup_sent_frac,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           {GV.dup_frac_expr("w2", "duckdb")} AS dup_word2_frac,
+           {GV.dup_frac_expr("w3", "duckdb")} AS dup_word3_frac,
+           {GV.dup_frac_expr("sents", "duckdb")} AS dup_sent_frac,
            CAST(
-             {GV.dup_frac_expr(word_ngrams(_TOKS, _N, "duckdb", 3), "duckdb")}
-                 > {GV.REP_W3_GATE}
-             OR {GV.dup_frac_expr(GV.sentences_expr(_N, "duckdb"), "duckdb")}
-                 > {GV.REP_SENT_GATE}
+             {GV.dup_frac_expr("w3", "duckdb")} > {GV.REP_W3_GATE}
+             OR {GV.dup_frac_expr("sents", "duckdb")} > {GV.REP_SENT_GATE}
            AS BIGINT) AS is_repetitive
-    FROM documents
+    FROM (
+      SELECT doc_id, toks,
+             {word_ngrams("toks", "nrm", "duckdb", 2)} AS w2,
+             {word_ngrams("toks", "nrm", "duckdb", 3)} AS w3,
+             {GV.sentences_expr("nrm", "duckdb")} AS sents
+      FROM (
+        SELECT doc_id, nrm, {word_tokens("nrm", "duckdb")} AS toks
+        FROM (SELECT doc_id, {norm_text("text", "duckdb")} AS nrm
+              FROM documents)))
     """,
 )
 def text_repetition_signals(spark, sf_dir):

@@ -42,6 +42,9 @@ OFFSETS = {
     "events": {"event_id": 10_000_000, "user_id": 1_000_000},
     "customer": {"c_custkey": 1_000_000},
     "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    # l_orderkey steps with o_orderkey so each replica's lineitems
+    # join their own replica's orders (join fan-out stays 1:1)
+    "lineitem": {"l_orderkey": 10_000_000},
     "embeddings": {"vec_id": 1_000_000},
 }
 

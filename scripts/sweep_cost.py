@@ -39,6 +39,8 @@ def main() -> None:
 
     queries = registry.all_queries()
     oracles = registry.all_oracles()
+    # absorb JVM/codegen startup so it doesn't bill the first query
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     rows: dict[str, dict] = {}
     for name, fn in queries.items():
         t0 = time.perf_counter()
