@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_jobs_spark import cache
+
 from etl_jobs_spark.operators.hashing import (
     MERSENNE_P,
     char_shingles,
@@ -179,7 +181,7 @@ def minhash_lsh_pairs(corpus: DataFrame) -> DataFrame:
     # explode+md5+groupBy subplan 4×. At cluster scale this is the
     # intermediate you'd checkpoint/bucket-write; in-session,
     # persist is the same decision.
-    sig = minhash_signatures(corpus).persist()
+    sig = cache.track(minhash_signatures(corpus))
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -251,7 +253,7 @@ def simhash_pairs(corpus: DataFrame) -> DataFrame:
     shares at least one byte (pigeonhole), so the equi-join on
     (chunk_id, chunk) finds all of them without an all-pairs scan."""
     # Feeds both sides of the chunk self-join → persist once.
-    fp = simhash_fingerprints(corpus).persist()
+    fp = cache.track(simhash_fingerprints(corpus))
     chunks = fp.select(
         "doc_id",
         "simhash",
@@ -312,8 +314,8 @@ def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
             F.explode(F.expr(word_ngrams("toks", "n", "spark"))).alias("g"),
         )
         .distinct()
-        .persist()
     )
+    grams = cache.track(grams)
     counts = grams.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_grams")
     )
@@ -343,6 +345,79 @@ def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
         )
     )
     return out.filter(F.col("jaccard") >= threshold)
+
+
+#: Containment threshold: fraction of the contained doc's distinct
+#: grams that appear in the container.
+CONTAIN_THRESHOLD = 0.9
+
+
+def ngram_containment_pairs(
+    corpus: DataFrame, threshold: float = CONTAIN_THRESHOLD
+) -> DataFrame:
+    """Asymmetric near-dup: containment C(A→B) = |A∩B| / |A| — the
+    sub-document/quotation detector Jaccard misses (a paragraph
+    pasted into a much longer doc has low Jaccard but containment
+    ~1.0; the Broder resemblance/containment distinction). Same
+    shared-gram equi-join skeleton as :func:`ngram_jaccard_pairs`
+    (language-blocked, never all-pairs); the pair's larger
+    containment direction is reported, ties (identical gram sets)
+    assign the higher doc_id as the contained copy."""
+    toks = corpus.select(
+        "doc_id", "lang", F.expr(word_tokens("n", "spark")).alias("toks"), "n"
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            "lang",
+            F.explode(F.expr(word_ngrams("toks", "n", "spark"))).alias("g"),
+        )
+        .distinct()
+    )
+    grams = cache.track(grams)
+    counts = grams.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams")
+    )
+    a, b = grams.alias("ga"), grams.alias("gb")
+    inter = (
+        a.join(
+            b,
+            (F.col("ga.g") == F.col("gb.g"))
+            & (F.col("ga.lang") == F.col("gb.lang"))
+            & (F.col("ga.doc_id") < F.col("gb.doc_id")),
+        )
+        .groupBy(
+            F.col("ga.doc_id").alias("doc_a"),
+            F.col("gb.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("long").alias("i"))
+    )
+    both = (
+        inter.join(counts.alias("na"), inter.doc_a == F.col("na.doc_id"))
+        .join(counts.alias("nb"), inter.doc_b == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("round(CAST(i AS DOUBLE) / na.n_grams, 4)").alias("ca"),
+            F.expr("round(CAST(i AS DOUBLE) / nb.n_grams, 4)").alias("cb"),
+        )
+    )
+    return (
+        both.filter(
+            (F.col("ca") >= threshold) | (F.col("cb") >= threshold)
+        )
+        .select(
+            F.expr(
+                "CASE WHEN ca > cb THEN doc_a WHEN cb > ca THEN doc_b"
+                " ELSE greatest(doc_a, doc_b) END"
+            ).alias("contained_doc"),
+            F.expr(
+                "CASE WHEN ca > cb THEN doc_b WHEN cb > ca THEN doc_a"
+                " ELSE least(doc_a, doc_b) END"
+            ).alias("container_doc"),
+            F.expr("greatest(ca, cb)").alias("containment"),
+        )
+    )
 
 
 def lsh_verified_pairs(
@@ -451,7 +526,8 @@ def embedding_cosine_pairs(
         "blk",
         "embedding",
         F.expr(norm_unrolled("embedding", EMBED_DIM, "spark")).alias("nrm"),
-    ).persist()
+    )
+    vecs = cache.track(vecs)
     a, b = vecs.alias("va"), vecs.alias("vb")
     dot = dot_unrolled("va.embedding", "vb.embedding", EMBED_DIM, "spark")
     return (
@@ -507,7 +583,8 @@ def connected_components(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).persist()
+    )
+    sym = cache.track(sym)
     n_edges = sym.count()
     if n_edges <= CC_DRIVER_EDGE_LIMIT:
         parent: dict[int, int] = {}

@@ -45,6 +45,9 @@ _NEEDS_CORRECTNESS_ROW = [
     "agg_mode_value_bucket",
     "join_asof_forward",
     "stream_merge_upsert",
+    "dedup_ngram_containment",
+    "dedup_semantic_keep_best",
+    "dedup_incremental_new_docs",
     # never driver-checked through round 2
     "source_queue",
     "sink_queue",

@@ -19,6 +19,7 @@ from etl_jobs_spark.operators.hashing import (
     hash60,
     minhash_expr,
     minhash_params,
+    norm_text,
     norm_unrolled,
     popcount_unrolled,
     sig_match_frac,
@@ -316,3 +317,223 @@ def dedup_cluster_components(spark, sf_dir):
 
     pairs = _minhash_pairs(spark, sf_dir).filter(F.col("est_sim") >= 0.5)
     return DD.connected_components(pairs)
+
+
+def _containment_oracle() -> str:
+    return f"""
+    WITH corpus AS {DD.planted_corpus_sql(mutate=True)},
+    tk AS (SELECT doc_id, lang, n, {word_tokens("n", "duckdb")} AS toks
+           FROM corpus),
+    grams AS (
+      SELECT DISTINCT doc_id, lang, g FROM (
+        SELECT doc_id, lang,
+               unnest({word_ngrams("toks", "n", "duckdb")}) AS g
+        FROM tk)),
+    counts AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+      FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS i
+      FROM grams ga JOIN grams gb
+        ON ga.g = gb.g AND ga.lang = gb.lang AND ga.doc_id < gb.doc_id
+      GROUP BY ga.doc_id, gb.doc_id),
+    pairfracs AS (
+      SELECT doc_a, doc_b,
+             round(CAST(i AS DOUBLE) / na.n_grams, 4) AS ca,
+             round(CAST(i AS DOUBLE) / nb.n_grams, 4) AS cb
+      FROM inter
+      JOIN counts na ON inter.doc_a = na.doc_id
+      JOIN counts nb ON inter.doc_b = nb.doc_id)
+    SELECT CASE WHEN ca > cb THEN doc_a WHEN cb > ca THEN doc_b
+                ELSE greatest(doc_a, doc_b) END AS contained_doc,
+           CASE WHEN ca > cb THEN doc_b WHEN cb > ca THEN doc_a
+                ELSE least(doc_a, doc_b) END AS container_doc,
+           greatest(ca, cb) AS containment
+    FROM pairfracs
+    WHERE ca >= {DD.CONTAIN_THRESHOLD} OR cb >= {DD.CONTAIN_THRESHOLD}
+    """
+
+
+@register("dedup_ngram_containment", oracle=_containment_oracle())
+def dedup_ngram_containment(spark, sf_dir):
+    """Asymmetric containment pairs (|A∩B| / |A|): catches truncated/
+    quoted sub-documents whose Jaccard is diluted by the container's
+    extra text — the planted corpus's last-7-chars-truncated copies
+    are exactly this shape. Same language-blocked shared-gram
+    equi-join as the Jaccard path; reports each pair's dominant
+    containment direction."""
+    return DD.ngram_containment_pairs(
+        DD.planted_corpus(read_table(spark, sf_dir, "documents"), mutate=True)
+    )
+
+
+def _semantic_keep_best_oracle() -> str:
+    dot = dot_unrolled("va.embedding", "vb.embedding", DD.EMBED_DIM, "duckdb")
+    nrm = norm_unrolled("embedding", DD.EMBED_DIM, "duckdb")
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      UNION ALL
+      SELECT vec_id + {DD.PLANT_OFFSET}, embedding, label
+      FROM embeddings WHERE vec_id < {DD.PLANT_MAX_ID}),
+    vecs AS (SELECT vec_id, label, embedding, {nrm} AS nrm FROM corpus),
+    pairs AS (
+      SELECT vec_a, vec_b FROM (
+        SELECT va.vec_id AS vec_a, vb.vec_id AS vec_b,
+               round({dot} / (va.nrm * vb.nrm), 6) AS cosine
+        FROM vecs va JOIN vecs vb
+          ON va.label = vb.label AND va.vec_id < vb.vec_id)
+      WHERE cosine >= {DD.COSINE_DUP_THRESHOLD}),
+    neigh AS (
+      SELECT vec_a AS me, vec_b AS other FROM pairs
+      UNION ALL
+      SELECT vec_b, vec_a FROM pairs),
+    q AS (
+      SELECT c.vec_id,
+             d.n_chars AS quality
+      FROM corpus c
+      JOIN documents d
+        ON d.doc_id = CASE WHEN c.vec_id >= {DD.PLANT_OFFSET}
+                           THEN c.vec_id - {DD.PLANT_OFFSET}
+                           ELSE c.vec_id END),
+    ranked AS (
+      SELECT n.me, n.other, qo.quality AS oq,
+             row_number() OVER (PARTITION BY n.me
+                                ORDER BY qo.quality DESC, n.other ASC)
+               AS rk
+      FROM neigh n JOIN q qo ON qo.vec_id = n.other)
+    SELECT r.me AS dropped_vec, r.other AS kept_vec
+    FROM ranked r
+    JOIN q qm ON qm.vec_id = r.me
+    WHERE r.rk = 1
+      AND (r.oq > qm.quality OR (r.oq = qm.quality AND r.other < r.me))
+    """
+
+
+@register("dedup_semantic_keep_best", oracle=_semantic_keep_best_oracle())
+def dedup_semantic_keep_best(spark, sf_dir):
+    """SemDeDup-style survivor selection: among embedding-cosine
+    near-dup pairs, drop the lower-quality member (quality = source
+    doc length; ties keep the smaller id — so originals outlive their
+    planted copies). The pairwise keep-best rule needs no clustering
+    pass: a doc is dropped iff SOME neighbor beats it, decided from
+    the pair table alone — one symmetric explode + one keyed window,
+    scale-bounded by the (already-blocked) pair count, not the
+    corpus. Quality joins through the embedding->document id map;
+    the blocked pair generation is shared with dedup_embed_cosine."""
+    from etl_jobs_spark.operators import similarity as SIM
+    from etl_jobs_spark.queries.similarity import ivf_quantizer
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = ivf_quantizer(spark, sf_dir)
+    cell_map = SIM.assign_cells(centroids, emb, keep=["vec_id"])
+    pairs = DD.embedding_cosine_pairs(emb, cell_map=cell_map).select(
+        "vec_a", "vec_b"
+    )
+    neigh = pairs.select(
+        F.col("vec_a").alias("me"), F.col("vec_b").alias("other")
+    ).unionByName(
+        pairs.select(F.col("vec_b").alias("me"), F.col("vec_a").alias("other"))
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    corpus_ids = emb.select("vec_id").unionByName(
+        emb.filter(F.col("vec_id") < DD.PLANT_MAX_ID).select(
+            (F.col("vec_id") + DD.PLANT_OFFSET).alias("vec_id")
+        )
+    )
+    q = corpus_ids.join(
+        F.broadcast(docs),
+        docs.doc_id
+        == F.expr(
+            f"CASE WHEN vec_id >= {DD.PLANT_OFFSET}"
+            f" THEN vec_id - {DD.PLANT_OFFSET} ELSE vec_id END"
+        ),
+    ).select("vec_id", F.col("n_chars").alias("quality"))
+    from pyspark.sql import Window
+
+    ranked = (
+        neigh.join(
+            q.select(
+                F.col("vec_id").alias("other"), F.col("quality").alias("oq")
+            ),
+            "other",
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("me").orderBy(
+                    F.col("oq").desc(), F.col("other").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return (
+        ranked.join(
+            q.select(F.col("vec_id").alias("me"), F.col("quality").alias("mq")),
+            "me",
+        )
+        .filter(
+            (F.col("oq") > F.col("mq"))
+            | ((F.col("oq") == F.col("mq")) & (F.col("other") < F.col("me")))
+        )
+        .select(
+            F.col("me").alias("dropped_vec"), F.col("other").alias("kept_vec")
+        )
+    )
+
+
+#: New-batch split for incremental dedup: plants below this id arrive
+#: verbatim (exact dups of base), the rest truncated (genuinely new).
+_INCR_VERBATIM_MAX = 12
+
+
+def _incremental_oracle() -> str:
+    n = norm_text("text", "duckdb")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, md5({n}) AS fp FROM documents),
+    newbatch AS (
+      SELECT doc_id + {DD.PLANT_OFFSET} AS doc_id,
+             md5(CASE WHEN doc_id < {_INCR_VERBATIM_MAX} THEN n
+                      ELSE substr(n, 1, greatest(length(n) - {DD.PLANT_TRUNC}, 1))
+                 END) AS fp
+      FROM (SELECT doc_id, {n} AS n FROM documents)
+      WHERE doc_id < {DD.PLANT_MAX_ID})
+    SELECT nb.doc_id, nb.fp AS fingerprint
+    FROM newbatch nb ANTI JOIN base b ON nb.fp = b.fp
+    """
+
+
+@register("dedup_incremental_new_docs", oracle=_incremental_oracle())
+def dedup_incremental_new_docs(spark, sf_dir):
+    """Incremental-ingestion dedup: a new batch of documents is
+    checked against the EXISTING corpus by content fingerprint and
+    only unseen docs survive — the daily-crawl-append shape. The
+    fixture's new batch is half verbatim re-deliveries (dropped) and
+    half truncated variants (kept). One LEFT ANTI join on 16-byte
+    fingerprints: at 100 TB the base side is a bucketed fingerprint
+    table and the new batch probes it without rewriting history —
+    state grows with corpus keys, work grows with batch size only."""
+    n = norm_text("text", "spark")
+    base = read_table(spark, sf_dir, "documents").select(
+        F.md5(F.expr(n)).alias("fp")
+    )
+    newbatch = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < DD.PLANT_MAX_ID)
+        .select(
+            (F.col("doc_id") + DD.PLANT_OFFSET).alias("doc_id"),
+            F.md5(
+                F.expr(
+                    f"CASE WHEN doc_id < {_INCR_VERBATIM_MAX} THEN {n}"
+                    f" ELSE substring({n}, 1,"
+                    f" greatest(length({n}) - {DD.PLANT_TRUNC}, 1)) END"
+                )
+            ).alias("fp"),
+        )
+    )
+    return newbatch.join(base, "fp", "left_anti").select(
+        "doc_id", F.col("fp").alias("fingerprint")
+    )

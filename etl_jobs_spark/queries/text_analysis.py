@@ -8,6 +8,7 @@ inside the builders.
 
 from __future__ import annotations
 
+from etl_jobs_spark import cache
 from etl_jobs_spark.operators import text as TX
 from etl_jobs_spark.operators.hashing import (
     char_shingles,
@@ -180,7 +181,8 @@ def text_tfidf(spark, sf_dir):
         F.explode(
             F.expr(word_tokens(norm_text("text", "spark"), "spark"))
         ).alias("tok"),
-    ).persist()
+    )
+    toks = cache.track(toks)
     tf = toks.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).alias("tf")
     )
@@ -232,7 +234,8 @@ def text_unigram_commonness(spark, sf_dir):
         F.explode(
             F.expr(word_tokens(norm_text("text", "spark"), "spark"))
         ).alias("t"),
-    ).persist()
+    )
+    toks = cache.track(toks)
     freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
     return (
         toks.join(F.broadcast(freq), "t")
