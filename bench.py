@@ -67,6 +67,7 @@ HEADLINE = [
     "approx_distinct_kmv",
     "agg_mode_value_bucket",
     "join_asof_forward",
+    "join_range_autobucket",
     # corpus-governance + warehouse surface (round 2)
     "decontam_ngram_overlap",
     "text_repetition_signals",

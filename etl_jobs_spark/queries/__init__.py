@@ -48,6 +48,9 @@ _NEEDS_CORRECTNESS_ROW = [
     "dedup_ngram_containment",
     "dedup_semantic_keep_best",
     "dedup_incremental_new_docs",
+    "text_fertility_by_lang",
+    "join_range_autobucket",
+    "stream_topk_types",
     # never driver-checked through round 2
     "source_queue",
     "sink_queue",

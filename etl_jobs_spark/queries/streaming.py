@@ -548,3 +548,35 @@ def stream_merge_upsert(spark, sf_dir):
         F.col("value").alias("last_value"),
         F.col("event_type").alias("last_type"),
     )
+
+
+@register(
+    "stream_topk_types",
+    oracle="""
+    SELECT event_type, n, total_value FROM (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 2) AS total_value
+      FROM events GROUP BY event_type)
+    ORDER BY n DESC, event_type ASC LIMIT 3
+    """,
+)
+def stream_topk_types(spark, sf_dir):
+    """Continuously-maintained top-k: complete-mode streaming
+    aggregation with ORDER BY + LIMIT — the one streaming output
+    mode where sorting is legal (the sink rewrites the whole result
+    per trigger, so the k rows are always the current global top).
+    The leaderboard/trending-now shape; ties broken by key so the
+    k-row SET is deterministic."""
+    raw = _stage(spark, sf_dir, "parquet", 2)
+    wk = _workdir()
+    src = S.file_stream_source(spark, str(raw / "raw"), EVENTS_SCHEMA, "parquet", 1)
+    agg = (
+        src.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy(F.col("n").desc(), F.col("event_type").asc())
+        .limit(3)
+    )
+    return S.run_to_memory(agg, str(wk / "ck"), "complete", state_partitions=4)

@@ -164,3 +164,60 @@ def agg_cube_events(spark, sf_dir):
     lattice in one pass (Spark dayofweek is 1=Sunday; DuckDB's is
     0-based, offset in the oracle)."""
     return TP.cube_events(read_table(spark, sf_dir, "events"))
+
+
+#: Bucket width for the arithmetic range-join key: the coarsest
+#: width <= every band's span, so each fact row lands in exactly one
+#: bucket and each band explodes to a handful of buckets.
+AUTOBUCKET_W = 5.0
+
+
+@register(
+    "join_range_autobucket",
+    oracle=f"""
+    WITH bands(lo, hi, band) AS (VALUES {_bands_values()})
+    SELECT band, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY band
+    """,
+)
+def join_range_autobucket(spark, sf_dir):
+    """Range join via an arithmetic bucket key — the scale path
+    :func:`operators.temporal.range_band_join`'s docstring promises
+    for when the band table is too large to broadcast-NLJ. Both
+    sides compute bucket = floor(value / W); each band explodes to
+    the buckets it overlaps (map-only, proportional to span/W, on
+    the BAND side — never the fact side); the join is then a plain
+    equi-join on the bucket, post-filtered by the exact bounds.
+    Identical answer to join_range_band (same oracle), shuffle-
+    hash-joinable at any band-table size instead of O(n·k)
+    nested-loop. The inequality never leaves the small side."""
+    ev = read_table(spark, sf_dir, "events")
+    bands = ev.sparkSession.createDataFrame(
+        BANDS, "lo DOUBLE, hi DOUBLE, band STRING"
+    )
+    w = AUTOBUCKET_W
+    band_buckets = bands.select(
+        "lo",
+        "hi",
+        "band",
+        F.explode(
+            F.expr(
+                f"sequence(CAST(floor(lo / {w}) AS BIGINT),"
+                f" CAST(floor((hi - 1e-9) / {w}) AS BIGINT))"
+            )
+        ).alias("bucket"),
+    )
+    facts = ev.select(
+        "value", F.expr(f"CAST(floor(value / {w}) AS BIGINT)").alias("bucket")
+    )
+    return (
+        facts.join(band_buckets, "bucket")
+        .filter((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -250,3 +250,51 @@ def text_unigram_commonness(spark, sf_dir):
             F.expr("CAST(total div n_tokens AS BIGINT)").alias("commonness"),
         )
     )
+
+
+@register(
+    "text_fertility_by_lang",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(nc) AS BIGINT) AS n_chars,
+           round(CAST(sum(nb) AS DOUBLE) / sum(nc), 4) AS tokens_per_char,
+           round(CAST(sum(nc) AS DOUBLE) / sum(nw), 4) AS chars_per_word
+    FROM (SELECT lang,
+                 len(regexp_extract_all(n, '{TX.BPE_RE}')) AS nb,
+                 length(n) AS nc,
+                 len({_TOKS}) AS nw
+          FROM {_NORM_SUB})
+    GROUP BY lang
+    """,
+)
+def text_fertility_by_lang(spark, sf_dir):
+    """Per-language tokenizer fertility: BPE-ish tokens per character
+    and characters per word — the corpus-planning numbers that decide
+    how many TRAINING tokens a mixture actually yields per byte of
+    each language (fertility varies a lot across scripts). Map-only
+    per-doc counters + one tiny per-lang agg; at 100 TB the shuffle
+    carries |langs| partial sums."""
+    from pyspark.sql import functions as F
+
+    from etl_jobs_spark.operators.hashing import norm_text, word_tokens
+    from etl_jobs_spark.operators.text import BPE_RE
+
+    docs = read_table(spark, sf_dir, "documents")
+    n = norm_text("text", "spark")
+    staged = docs.select(
+        "lang", F.expr(n).alias("nrm")
+    ).select(
+        "lang",
+        F.expr(f"CAST(size(regexp_extract_all(nrm, '{BPE_RE}', 0)) AS BIGINT)").alias("nb"),
+        F.expr("CAST(length(nrm) AS BIGINT)").alias("nc"),
+        F.expr(f"CAST(size({word_tokens('nrm', 'spark')}) AS BIGINT)").alias("nw"),
+    )
+    return staged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nb").alias("n_bpe_tokens"),
+        F.sum("nc").alias("n_chars"),
+        F.expr("round(CAST(sum(nb) AS DOUBLE) / sum(nc), 4)").alias("tokens_per_char"),
+        F.expr("round(CAST(sum(nc) AS DOUBLE) / sum(nw), 4)").alias("chars_per_word"),
+    )

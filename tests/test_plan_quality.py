@@ -48,3 +48,24 @@ def test_topk_compiles_to_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     # no global sort node — the whole point of the top-k operator
     assert not re.search(r"\bSort \[", plan), plan[:1500]
+
+
+def test_range_band_broadcasts_nlj(spark):
+    """Small band table: the inequality join is a broadcast
+    nested-loop probe (correct at this size)."""
+    from etl_jobs_spark.queries.temporal import join_range_band
+
+    plan = _plan(join_range_band(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:1500]
+
+
+def test_range_autobucket_is_equi_join(spark):
+    """Scale path: the SAME range join expressed as a bucket
+    equi-join — no nested-loop, no cartesian, broadcastable or
+    shuffle-hash-joinable at any band-table size."""
+    from etl_jobs_spark.queries.temporal import join_range_autobucket
+
+    plan = _plan(join_range_autobucket(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # it IS still a join, on the bucket key
