@@ -571,3 +571,166 @@ def cosine_topk_pq(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+def build_ivfpq_index(
+    emb: DataFrame, codes: DataFrame, centroids, serve_dir: str
+) -> None:
+    """Write the IVF-PQ serving layout: each vector's ~``PQ_M``-byte
+    code word stored IN its coarse cell's partition — the faiss
+    IVFPQ file layout re-expressed as a cell-partitioned parquet
+    table. A probe then reads n_probe partitions of 6-byte codes
+    (PartitionFilters-pruned) instead of n_probe partitions of full
+    vectors: the scan shrinks by another ~20x on top of the cell
+    pruning, which is the whole reason IVF and PQ compose."""
+    assigned = assign_cells(centroids, emb, keep=["vec_id"])
+    (
+        assigned.join(codes, "vec_id")
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(serve_dir)
+    )
+
+
+def cosine_topk_ivfpq(
+    spark,
+    pq_serve_dir: str,
+    vec_serve_dir: str,
+    centroids,
+    books,
+    k: int = DEFAULT_K,
+    n_probe: int = 4,
+    shortlist_factor: int = PQ_SHORTLIST_FACTOR,
+) -> DataFrame:
+    """IVF-PQ ANN: coarse cells prune the scan, PQ-ADC scores the
+    survivors, exact cosine reranks the shortlist — the top tier of
+    the ANN ladder (brute → LSH → IVF → PQ → IVF-PQ), composing the
+    two index structures exactly as faiss IVFPQ does.
+
+    Per query: rank cells by the assignment metric, collect the
+    probe set as plan literals (partition pruning), ADC-score ONLY
+    the probed cells' code words via the broadcast LUT (JVM
+    ``aggregate()``, no Python in the scan), shortlist
+    k·shortlist_factor, exact-rerank that shortlist against the full
+    vectors read (also partition-pruned) from the IVF layout."""
+    import numpy as np
+
+    cent = np.asarray(books, dtype=np.float64)
+    m, ksub, d = cent.shape
+
+    # query vectors + their cell probes (same ranking as cosine_topk_ivf)
+    q_emb = spark.read.parquet(vec_serve_dir).filter(
+        F.col("vec_id").isin(*QUERY_IDS)
+    )
+    q_rows = q_emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).collect()
+    cdot = (
+        "aggregate(zip_with(q_emb, centroid, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    c_sq = (
+        "aggregate(transform(centroid, x -> x * x), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    qdf = spark.createDataFrame(
+        [(int(r["vec_id"]), r["e"]) for r in q_rows],
+        "query_id BIGINT, q_emb ARRAY<DOUBLE>",
+    )
+    probe = (
+        qdf.crossJoin(F.broadcast(centroid_table(spark, centroids)))
+        .withColumn("cdist", F.expr(f"2.0 * ({cdot}) - ({c_sq})"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cdist").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") <= n_probe)
+        .select("query_id", "cell")
+        .collect()
+    )
+    cells = sorted({r["cell"] for r in probe})
+    probe_df = spark.createDataFrame(
+        [(r["query_id"], r["cell"]) for r in probe], "query_id BIGINT, cell INT"
+    )
+
+    # per-query ADC lookup tables over unit queries (driver numpy,
+    # m*ksub doubles each — broadcast literals)
+    lut_rows = []
+    for r in q_rows:
+        qv = np.array(r["e"], dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
+        lut = np.concatenate(
+            [
+                ((cent[i] - qv[i * d : (i + 1) * d][None, :]) ** 2).sum(axis=1)
+                for i in range(m)
+            ]
+        )
+        lut_rows.append((int(r["vec_id"]), [float(x) for x in lut]))
+    luts = spark.createDataFrame(lut_rows, "query_id BIGINT, lut ARRAY<DOUBLE>")
+
+    codes = spark.read.parquet(pq_serve_dir).filter(F.col("cell").isin(cells))
+    adc = F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0D,"
+        f" (acc, i) -> acc + lut[i * {ksub} + codes[i]])"
+    )
+    shortlisted = (
+        F.broadcast(probe_df.join(luts, "query_id"))
+        .join(codes, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", adc.alias("adc"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    short = (
+        shortlisted.withColumn("srnk", F.row_number().over(w_adc))
+        .filter(F.col("srnk") <= k * shortlist_factor)
+        .select("query_id", "vec_id")
+    )
+
+    # exact rerank from the vector layout (small id set)
+    vecs = spark.read.parquet(vec_serve_dir)
+    queries_df = F.broadcast(
+        spark.createDataFrame(
+            [
+                (int(r["vec_id"]), r["e"])
+                for r in q_rows
+            ],
+            "query_id BIGINT, q_emb ARRAY<DOUBLE>",
+        ).withColumn(
+            "q_nrm",
+            F.expr(
+                "sqrt(aggregate(transform(q_emb, x -> x * x), 0D,"
+                " (acc, v) -> acc + v))"
+            ),
+        )
+    )
+    dot = dot_unrolled("q_emb", "embedding", EMBED_DIM, "spark")
+    scored = (
+        F.broadcast(short)
+        .join(vecs, "vec_id")
+        .join(queries_df, "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(f"{dot} / (q_nrm * nrm)").alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

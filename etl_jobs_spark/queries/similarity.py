@@ -165,3 +165,38 @@ def embed_ivf_topk(spark, sf_dir):
         .select("vec_id", "embedding")
     )
     return SIM.cosine_topk_ivf(spark, serve, centroids, queries)
+
+
+def ivfpq_index(spark, sf_dir):
+    """Memoized IVF-PQ serving layout per (session, corpus): the PQ
+    code words written INTO the IVF cell partitions — the composed
+    index both structures exist to feed (faiss IVFPQ's file layout)."""
+    from etl_jobs_spark.queries._shared import session_memo
+    from etl_jobs_spark.scratch import scratch_dir
+
+    def build():
+        vec_serve, centroids = ivf_index(spark, sf_dir)
+        books, codes = pq_index(spark, sf_dir)
+        pq_serve = str(scratch_dir("ivfpq_serve"))
+        SIM.build_ivfpq_index(
+            read_table(spark, sf_dir, "embeddings"), codes, centroids, pq_serve
+        )
+        return pq_serve, vec_serve, centroids, books
+
+    return session_memo(spark, "ivfpq_index", sf_dir, build)
+
+
+@register("embed_ivfpq_topk", oracle=None)
+def embed_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN top-k — the ladder's top tier: coarse cells prune
+    the scan (PartitionFilters), PQ-ADC scores the survivors from
+    ~6-byte code words (broadcast LUT + JVM aggregate, no Python in
+    the scan), exact cosine reranks the shortlist. A probe reads
+    n_probe partitions of code words plus a shortlist of full
+    vectors — at 100 TB that's MBs touched per query, not TBs.
+    Approximate → driver rows-only; recall vs brute force pinned in
+    tests/test_ivfpq.py."""
+    pq_serve, vec_serve, centroids, books = ivfpq_index(spark, sf_dir)
+    return SIM.cosine_topk_ivfpq(
+        spark, pq_serve, vec_serve, centroids, books
+    )
