@@ -295,19 +295,15 @@ def simhash_pairs(corpus: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Exact word-3-gram Jaccard over language-blocked candidates.
-
-    shingle-join: (gram, lang) equi-join counts the intersection per
-    pair; per-doc distinct-gram counts re-join to finish
-    J = |A∩B| / (|A|+|B|−|A∩B|). Word trigrams are near-unique per
-    document, so shared-gram groups — the only quadratic risk — stay
-    tiny; blocking on ``lang`` additionally partitions the space."""
+def distinct_doc_grams(corpus: DataFrame) -> DataFrame:
+    """(doc_id, lang, g): each document's DISTINCT word-3-grams —
+    the shared input of the Jaccard and containment pair generators
+    (callers may memoize + persist it once per corpus; it is the
+    expensive normalize→tokenize→explode stage of both)."""
     toks = corpus.select(
         "doc_id", "lang", F.expr(word_tokens("n", "spark")).alias("toks"), "n"
     )
-    # Used 3× (both join sides + per-doc counts) → persist once.
-    grams = (
+    return (
         toks.select(
             "doc_id",
             "lang",
@@ -315,7 +311,21 @@ def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
         )
         .distinct()
     )
-    grams = cache.track(grams)
+
+
+def ngram_jaccard_pairs(
+    corpus: DataFrame, threshold: float = 0.5, grams: DataFrame | None = None
+) -> DataFrame:
+    """Exact word-3-gram Jaccard over language-blocked candidates.
+
+    shingle-join: (gram, lang) equi-join counts the intersection per
+    pair; per-doc distinct-gram counts re-join to finish
+    J = |A∩B| / (|A|+|B|−|A∩B|). Word trigrams are near-unique per
+    document, so shared-gram groups — the only quadratic risk — stay
+    tiny; blocking on ``lang`` additionally partitions the space."""
+    if grams is None:
+        # Used 3× (both join sides + per-doc counts) → persist once.
+        grams = cache.track(distinct_doc_grams(corpus))
     counts = grams.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_grams")
     )
@@ -353,7 +363,9 @@ CONTAIN_THRESHOLD = 0.9
 
 
 def ngram_containment_pairs(
-    corpus: DataFrame, threshold: float = CONTAIN_THRESHOLD
+    corpus: DataFrame,
+    threshold: float = CONTAIN_THRESHOLD,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup: containment C(A→B) = |A∩B| / |A| — the
     sub-document/quotation detector Jaccard misses (a paragraph
@@ -363,18 +375,8 @@ def ngram_containment_pairs(
     (language-blocked, never all-pairs); the pair's larger
     containment direction is reported, ties (identical gram sets)
     assign the higher doc_id as the contained copy."""
-    toks = corpus.select(
-        "doc_id", "lang", F.expr(word_tokens("n", "spark")).alias("toks"), "n"
-    )
-    grams = (
-        toks.select(
-            "doc_id",
-            "lang",
-            F.explode(F.expr(word_ngrams("toks", "n", "spark"))).alias("g"),
-        )
-        .distinct()
-    )
-    grams = cache.track(grams)
+    if grams is None:
+        grams = cache.track(distinct_doc_grams(corpus))
     counts = grams.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_grams")
     )

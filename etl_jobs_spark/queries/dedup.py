@@ -193,11 +193,32 @@ def _ngram_jaccard_oracle() -> str:
     """
 
 
+def _doc_grams(spark, sf_dir):
+    """Memoized distinct-gram table shared by the Jaccard and
+    containment pair generators (the normalize→tokenize→explode
+    stage is identical and is both queries' dominant cost — computed
+    once per (session, corpus) and persisted, like the MinHash
+    signature table)."""
+    from etl_jobs_spark.queries._shared import session_memo
+
+    return session_memo(
+        spark,
+        "doc_grams",
+        sf_dir,
+        lambda: DD.distinct_doc_grams(
+            DD.planted_corpus(
+                read_table(spark, sf_dir, "documents"), mutate=True
+            )
+        ).persist(),
+    )
+
+
 @register("dedup_ngram_jaccard", oracle=_ngram_jaccard_oracle())
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard pairs, language-blocked."""
     return DD.ngram_jaccard_pairs(
-        DD.planted_corpus(read_table(spark, sf_dir, "documents"), mutate=True)
+        DD.planted_corpus(read_table(spark, sf_dir, "documents"), mutate=True),
+        grams=_doc_grams(spark, sf_dir),
     )
 
 
@@ -364,7 +385,8 @@ def dedup_ngram_containment(spark, sf_dir):
     equi-join as the Jaccard path; reports each pair's dominant
     containment direction."""
     return DD.ngram_containment_pairs(
-        DD.planted_corpus(read_table(spark, sf_dir, "documents"), mutate=True)
+        DD.planted_corpus(read_table(spark, sf_dir, "documents"), mutate=True),
+        grams=_doc_grams(spark, sf_dir),
     )
 
 
