@@ -559,3 +559,33 @@ def dedup_incremental_new_docs(spark, sf_dir):
     return newbatch.join(base, "fp", "left_anti").select(
         "doc_id", F.col("fp").alias("fingerprint")
     )
+
+
+def _cluster_size_hist_oracle() -> str:
+    return f"""
+    WITH comp AS ({_components_oracle()}),
+    sizes AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY component)
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """
+
+
+@register("dedup_cluster_size_hist", oracle=_cluster_size_hist_oracle())
+def dedup_cluster_size_hist(spark, sf_dir):
+    """Near-dup cluster size distribution — the governance number a
+    dedup run reports first (how much of the corpus sits in how-big
+    duplicate families; a heavy tail means template spam). Two tiny
+    aggregations on top of the memoized component assignment; the
+    corpus-sized work is shared with dedup_cluster_components."""
+    pairs = _minhash_pairs(spark, sf_dir).filter(F.col("est_sim") >= 0.5)
+    comp = DD.connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )

@@ -4,6 +4,8 @@ the plan-shape rationale."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from etl_jobs_spark.operators import analytics as AN
 from etl_jobs_spark.registry import register
 from etl_jobs_spark.sources.readers import read_table
@@ -87,3 +89,67 @@ def agg_funnel_steps(spark, sf_dir):
     user (no per-step self-joins), strict time ordering between
     steps."""
     return AN.funnel_conversion(read_table(spark, sf_dir, "events"))
+
+
+@register(
+    "join_dim_snapshot_asof",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type),
+    hist AS (
+      SELECT user_id, event_type, ts AS effective_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS effective_to
+      FROM changes),
+    purchases AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP_NS) AS ts,
+           p.value, h.event_type AS state_at_purchase
+    FROM purchases p JOIN hist h
+      ON p.user_id = h.user_id
+     AND h.effective_from <= p.ts
+     AND (h.effective_to IS NULL OR p.ts < h.effective_to)
+    """,
+)
+def join_dim_snapshot_asof(spark, sf_dir):
+    """Point-in-time join against a type-2 dimension: each purchase
+    picks up the user's state VALID AT the purchase timestamp. The
+    100 TB-critical re-expression: instead of an interval-containment
+    inequality join against the history table (O(n·k) nested-loop or
+    a range-bucketed approximation), PIT-against-SCD2 is EXACTLY a
+    backward as-of join to the change points — one shuffle, one keyed
+    window (operators/temporal.asof_join). The oracle is the naive
+    interval-containment join, so agreement proves the equivalence."""
+    ev = read_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    from etl_jobs_spark.operators import temporal as TP
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return TP.asof_join(
+        purchases,
+        changes,
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+        right_payload=["event_type"],
+        prefix="",
+    ).withColumnRenamed("event_type", "state_at_purchase")
