@@ -34,6 +34,9 @@ from etl_jobs_spark.queries import (  # noqa: F401
 
 # Queries with no green row in CORRECTNESS_r01/r02 — promoted to the
 # front of the registry so the next 50-query sweep reaches all of them.
+# The window holds exactly 50; the round-3 additions that didn't fit
+# (embed_ivfpq_topk — rows-only anyway — scan_with_lineage,
+# dedup_cluster_size_hist) are the round-4 promotion backlog.
 _NEEDS_CORRECTNESS_ROW = [
     # round-3 additions (tpch_plus)
     "q6_forecast_revenue",
@@ -51,6 +54,8 @@ _NEEDS_CORRECTNESS_ROW = [
     "text_fertility_by_lang",
     "join_range_autobucket",
     "stream_topk_types",
+    "join_dim_snapshot_asof",
+    "snapshot_diff_audit",
     # never driver-checked through round 2
     "source_queue",
     "sink_queue",
