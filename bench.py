@@ -68,6 +68,9 @@ HEADLINE = [
     "agg_mode_value_bucket",
     "join_asof_forward",
     "join_range_autobucket",
+    "join_dim_snapshot_asof",
+    "snapshot_diff_audit",
+    "scan_with_lineage",
     # corpus-governance + warehouse surface (round 2)
     "decontam_ngram_overlap",
     "text_repetition_signals",
