@@ -73,6 +73,8 @@ HEADLINE = [
     "scan_with_lineage",
     # corpus-governance + warehouse surface (round 2)
     "decontam_ngram_overlap",
+    "mix_temperature_weights",
+    "corpus_token_budget",
     "text_repetition_signals",
     "mix_rebalance_sources",
     "cdc_apply_changelog",

@@ -36,7 +36,8 @@ from etl_jobs_spark.queries import (  # noqa: F401
 # front of the registry so the next 50-query sweep reaches all of them.
 # The window holds exactly 50; the round-3 additions that didn't fit
 # (embed_ivfpq_topk — rows-only anyway — scan_with_lineage,
-# dedup_cluster_size_hist) are the round-4 promotion backlog.
+# dedup_cluster_size_hist, mix_temperature_weights,
+# corpus_token_budget) are the round-4 promotion backlog.
 _NEEDS_CORRECTNESS_ROW = [
     # round-3 additions (tpch_plus)
     "q6_forecast_revenue",

@@ -9,6 +9,8 @@ arithmetic, rounding)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from etl_jobs_spark.operators import governance as GV
 from etl_jobs_spark.operators.hashing import (
     hash60,
@@ -158,3 +160,143 @@ def mix_rebalance_sources(spark, sf_dir):
     hash-ranked exact per-source selection (small quota table
     broadcast; one keyed window over the corpus)."""
     return GV.mixture_rebalance(read_table(spark, sf_dir, "documents"))
+
+
+#: Temperature for mixture flattening (alpha < 1 upweights small
+#: sources — the multilingual-sampling trick, e.g. alpha=0.7).
+MIX_ALPHA_BP = 7000  # alpha in basis points: 0.7
+
+
+@register(
+    "mix_temperature_weights",
+    oracle=f"""
+    WITH stats AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source),
+    t AS (
+      SELECT source, n_docs, n_chars,
+             pow(CAST(n_chars AS DOUBLE) / sum(n_chars) OVER (),
+                 {MIX_ALPHA_BP} / 10000.0) AS pa
+      FROM stats)
+    SELECT source, n_docs, n_chars,
+           round(CAST(n_chars AS DOUBLE)
+                 / sum(n_chars) OVER (), 6) AS p_natural,
+           round(pa / sum(pa) OVER (), 6) AS p_temperature
+    FROM t
+    """,
+)
+def mix_temperature_weights(spark, sf_dir):
+    """Temperature-scaled source mixture: p_i ∝ (share_i)^alpha with
+    alpha < 1 — the standard flattening that upweights small sources
+    (multilingual/LM sampling practice) without hand-tuned quotas.
+    Reports natural vs temperature-scaled sampling probabilities per
+    source. Pure two-pass aggregation over a |sources|-row table —
+    the corpus-sized stage is one groupBy with map-side partial
+    sums."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    w = Window.partitionBy()
+    alpha = MIX_ALPHA_BP / 10000.0
+    t = stats.withColumn(
+        "pa",
+        F.pow(
+            F.col("n_chars").cast("double") / F.sum("n_chars").over(w), alpha
+        ),
+    )
+    return t.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round(
+            F.col("n_chars").cast("double") / F.sum("n_chars").over(w), 6
+        ).alias("p_natural"),
+        F.round(F.col("pa") / F.sum("pa").over(w), 6).alias("p_temperature"),
+    )
+
+
+#: Global token budget for the allocation planner, as a fraction of
+#: the corpus's total BPE tokens (basis points).
+TOKEN_BUDGET_BP = 6000
+
+
+@register(
+    "corpus_token_budget",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(sum(len(regexp_extract_all(n, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT)
+               AS n_tokens,
+             round(avg(CAST(length(n) AS DOUBLE)), 2) AS avg_chars
+      FROM (SELECT source, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n FROM documents)
+      GROUP BY source),
+    ranked AS (
+      SELECT source, n_tokens, avg_chars,
+             sum(n_tokens) OVER (ORDER BY avg_chars DESC, source
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+             CAST(floor(sum(n_tokens) OVER ()
+                        * {TOKEN_BUDGET_BP} / 10000.0) AS BIGINT) AS budget
+      FROM per_src)
+    SELECT source, n_tokens, cum_tokens,
+           CAST(least(n_tokens,
+                greatest(CAST(0 AS BIGINT),
+                         budget - (cum_tokens - n_tokens)))
+             AS BIGINT) AS tokens_allocated
+    FROM ranked
+    """,
+)
+def corpus_token_budget(spark, sf_dir):
+    """Token-budget allocation planner: sources ranked by a quality
+    proxy (average document length), each granted tokens until the
+    global budget (60% of corpus tokens) runs out — greedy
+    prefix-sum allocation, the fill-the-training-run shape. One
+    corpus aggregation + one |sources|-row running-sum window; the
+    plan a 100 TB corpus build runs FIRST to decide what to
+    materialize."""
+    from pyspark.sql import Window
+
+    from etl_jobs_spark.operators.hashing import norm_text
+    from etl_jobs_spark.operators.text import BPE_RE
+
+    docs = read_table(spark, sf_dir, "documents")
+    n = norm_text("text", "spark")
+    per_src = (
+        docs.select("source", F.expr(n).alias("nrm"))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.expr(f"CAST(size(regexp_extract_all(nrm, '{BPE_RE}', 0)) AS BIGINT)")
+            ).alias("n_tokens"),
+            F.round(F.avg(F.expr("CAST(length(nrm) AS DOUBLE)")), 2).alias(
+                "avg_chars"
+            ),
+        )
+    )
+    w_rank = (
+        Window.partitionBy()
+        .orderBy(F.col("avg_chars").desc(), F.col("source"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy()
+    ranked = per_src.select(
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(w_rank).alias("cum_tokens"),
+        F.floor(
+            F.sum("n_tokens").over(w_all) * F.lit(TOKEN_BUDGET_BP / 10000.0)
+        ).cast("bigint").alias("budget"),
+    )
+    return ranked.select(
+        "source",
+        "n_tokens",
+        "cum_tokens",
+        F.expr(
+            "CAST(least(n_tokens, greatest(CAST(0 AS BIGINT),"
+            " budget - (cum_tokens - n_tokens))) AS BIGINT)"
+        ).alias("tokens_allocated"),
+    )
