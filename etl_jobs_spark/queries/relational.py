@@ -454,3 +454,52 @@ def json_extract_props(spark, sf_dir):
 )
 def agg_events_by_type(spark, sf_dir):
     return R.grouped_agg_events(read_table(spark, sf_dir, "events"))
+
+
+@register(
+    "join_star_shuffle_hash",
+    oracle="""
+    SELECT r_name AS region_name, n_name AS nation_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*)                                          AS n_lineitems,
+           count(DISTINCT o_orderkey)                        AS n_orders
+    FROM lineitem
+    JOIN orders   ON l_orderkey  = o_orderkey
+    JOIN customer ON o_custkey   = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_star_shuffle_hash(spark, sf_dir):
+    """The star join under an explicit SHUFFLE_HASH strategy hint on
+    the orders/customer sides — the plan a cluster runs when a
+    dimension outgrows the broadcast threshold but is still far
+    smaller than the fact (hash-build the small side per partition;
+    no sort of the big side, unlike sort-merge). Identical answer to
+    join_star_revenue (same oracle), different physical strategy —
+    the point is that strategy choice is a per-join knob the engine
+    exposes, not a global fate. Plan asserted in
+    tests/test_plan_quality.py."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").hint("SHUFFLE_HASH")
+    cust = read_table(spark, sf_dir, "customer").hint("SHUFFLE_HASH")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )

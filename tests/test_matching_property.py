@@ -45,3 +45,57 @@ def test_fuzzy_pairs_matches_bruteforce(spark, names):
         if i < j and _lev(a, b) <= 1
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=3, max_size=30),
+        min_size=2, max_size=8,
+    )
+)
+def test_containment_matches_bruteforce(spark, texts):
+    """ngram_containment_pairs finds exactly the pairs whose distinct
+    word-3-gram containment crosses the threshold, per brute force
+    over the same gram sets (completeness of the shared-gram join)."""
+    from etl_jobs_spark.operators.dedup import (
+        CONTAIN_THRESHOLD,
+        ngram_containment_pairs,
+    )
+
+    def norm(t):
+        return " ".join(t.lower().split())
+
+    def grams(t):
+        toks = norm(t).split(" ")
+        if len(toks) < 3:
+            return {norm(t)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    rows = [(i, "en", norm(t)) for i, t in enumerate(texts) if norm(t)]
+    if len(rows) < 2:
+        return
+    df = spark.createDataFrame(rows, "doc_id BIGINT, lang STRING, n STRING")
+    got = {
+        (r["contained_doc"], r["container_doc"])
+        for r in ngram_containment_pairs(df).collect()
+    }
+    want = set()
+    for i, _, a in rows:
+        for j, _, b in rows:
+            if i >= j:
+                continue
+            ga, gb = grams(a), grams(b)
+            inter = len(ga & gb)
+            if not inter:
+                continue
+            ca = round(inter / len(ga), 4)
+            cb = round(inter / len(gb), 4)
+            if max(ca, cb) >= CONTAIN_THRESHOLD:
+                if ca > cb:
+                    want.add((i, j))
+                elif cb > ca:
+                    want.add((j, i))
+                else:
+                    want.add((max(i, j), min(i, j)))
+    assert got == want

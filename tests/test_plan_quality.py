@@ -69,3 +69,15 @@ def test_range_autobucket_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
     assert "CartesianProduct" not in plan
     assert "Join" in plan  # it IS still a join, on the bucket key
+
+
+def test_star_shuffle_hash_hint_respected(spark):
+    """The SHUFFLE_HASH hint must produce ShuffledHashJoin for the
+    hinted dims (no sort of the fact side) while the tiny dims still
+    broadcast."""
+    from etl_jobs_spark.queries.relational import join_star_shuffle_hash
+
+    plan = _plan(join_star_shuffle_hash(spark, SF_DIR))
+    assert "ShuffledHashJoin" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan  # nation/region still broadcast
+    assert "SortMergeJoin" not in plan
