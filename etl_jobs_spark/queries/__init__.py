@@ -37,8 +37,8 @@ from etl_jobs_spark.queries import (  # noqa: F401
 # The window holds exactly 50; the round-3 additions that didn't fit
 # (embed_ivfpq_topk — rows-only anyway — scan_with_lineage,
 # dedup_cluster_size_hist, mix_temperature_weights,
-# corpus_token_budget, join_star_shuffle_hash) are the round-4
-# promotion backlog.
+# corpus_token_budget, join_star_shuffle_hash,
+# source_custom_pushdown) are the round-4 promotion backlog.
 _NEEDS_CORRECTNESS_ROW = [
     # round-3 additions (tpch_plus)
     "q6_forecast_revenue",

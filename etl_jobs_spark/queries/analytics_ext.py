@@ -165,3 +165,44 @@ def scan_json_lines(spark, sf_dir):
     ).json(str(_JSONL_MEMO[sf_dir])).select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+@register(
+    "source_custom_pushdown",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY event_type
+    """,
+)
+def source_custom_pushdown(spark, sf_dir):
+    """Custom Python DataSource (Spark 4 API) end-to-end: the
+    `event_ledger` JSONL source plans one input partition per ledger
+    file and pushes the event_type equality filter INTO the Python
+    reader (rows skip before crossing the Arrow boundary) — the
+    §2.9 extension ladder's read side, subsuming the reference's SQS
+    poll loop as a declaratively-planned source
+    (sources/ledger_source.py). Reuses scan_json_lines' staged JSONL
+    ledger."""
+    from etl_jobs_spark.sources import ledger_source
+
+    if sf_dir not in _JSONL_MEMO:
+        d = scratch_dir("etl_jsonl")
+        read_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        ).coalesce(2).write.json(str(d))
+        _JSONL_MEMO[sf_dir] = d
+    ledger_source.register(spark)
+    return (
+        spark.read.format("event_ledger")
+        .option("path", str(_JSONL_MEMO[sf_dir]))
+        .load()
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

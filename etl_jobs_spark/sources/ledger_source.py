@@ -1,0 +1,103 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API).
+
+``event_ledger`` reads a directory of JSONL event files — the
+append-only ledger shape every queue consumer ultimately lands — as a
+first-class Spark source with:
+
+- a DECLARED schema (no inference scan),
+- partition planning: one input partition per ledger file, so a
+  directory of N files reads N-way parallel (at 100 TB the planner
+  would group small files into splits, same hook),
+- Python-side filter pushdown (``pushFilters``): ``event_type = X``
+  equality filters are applied while scanning each file, so the rows
+  never cross the Python->JVM Arrow boundary — the same
+  skip-early principle as parquet PushedFilters, one level up.
+
+This is the modern (Spark 4) extension surface for sources the
+built-ins can't read — proprietary formats, REST/queue protocols —
+completing the §2.9 extension ladder on the read side. The reference's
+closest analogue is its SQS poll loop (src/etl_2025.py:93-119), which
+this subsumes as "custom source with its own partitioning + pushdown".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+LEDGER_SCHEMA = (
+    "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+)
+
+
+class _LedgerPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class LedgerReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.dir = options["path"]
+        self.eq_event_type: str | None = None
+
+    def pushFilters(self, filters):
+        """Accept EqualTo filters on event_type; everything else is
+        returned to Spark to evaluate post-scan."""
+        from pyspark.sql.datasource import EqualTo
+
+        remaining = []
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and tuple(f.attribute) == ("event_type",)
+                and isinstance(f.value, str)
+            ):
+                self.eq_event_type = f.value
+            else:
+                remaining.append(f)
+        return remaining
+
+    def partitions(self):
+        return [
+            _LedgerPartition(os.path.join(self.dir, name))
+            for name in sorted(os.listdir(self.dir))
+            if name.endswith(".json")
+        ]
+
+    def read(self, partition: _LedgerPartition):
+        want = self.eq_event_type
+        with open(partition.path, "r", encoding="utf-8") as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                if want is not None and rec.get("event_type") != want:
+                    continue
+                yield (
+                    rec.get("event_id"),
+                    rec.get("user_id"),
+                    rec.get("event_type"),
+                    rec.get("value"),
+                )
+
+
+class LedgerDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "event_ledger"
+
+    def schema(self) -> str:
+        return LEDGER_SCHEMA
+
+    def reader(self, schema) -> LedgerReader:
+        return LedgerReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the source with the session and enable
+    Python-source filter pushdown (off by default in Spark 4.1;
+    runtime-settable, so a vanilla external session works too)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(LedgerDataSource)
