@@ -206,3 +206,57 @@ def source_custom_pushdown(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "stream_source_custom",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           round(sum(value), 2) AS total_value
+    FROM events
+    """,
+)
+def stream_source_custom(spark, sf_dir):
+    """Custom Python STREAMING source end-to-end: the event_ledger
+    stream reader tracks consumed-file offsets, each micro-batch
+    reads only newly-arrived ledger files, and readBetweenOffsets
+    gives deterministic checkpoint replay — the reference's SQS poll
+    loop (src/etl_2025.py:93-119) as a declarative exactly-once
+    source (sources/ledger_source.py::LedgerStreamReader). Drains
+    with availableNow into a parquet sink, then aggregates the
+    sink; the count-distinct in the oracle pins exactly-once (no
+    row read twice across batches)."""
+    from etl_jobs_spark.sources import ledger_source
+
+    if sf_dir not in _JSONL_MEMO:
+        d = scratch_dir("etl_jsonl")
+        read_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        ).coalesce(2).write.json(str(d))
+        _JSONL_MEMO[sf_dir] = d
+    ledger_source.register(spark)
+    wk = scratch_dir("ledger_stream_wk")
+    out = str(wk / "out")
+    q = (
+        spark.readStream.format("event_ledger")
+        .option("path", str(_JSONL_MEMO[sf_dir]))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(wk / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from etl_jobs_spark.sources.ledger_source import LEDGER_SCHEMA
+
+    return (
+        spark.read.schema(LEDGER_SCHEMA)
+        .parquet(out)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_id").alias("n_distinct"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -25,7 +25,12 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 LEDGER_SCHEMA = (
     "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
@@ -94,6 +99,9 @@ class LedgerDataSource(DataSource):
     def reader(self, schema) -> LedgerReader:
         return LedgerReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return LedgerStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotently register the source with the session and enable
@@ -101,3 +109,56 @@ def register(spark) -> None:
     runtime-settable, so a vanilla external session works too)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(LedgerDataSource)
+
+
+class LedgerStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the ledger: offsets are the SET of consumed
+    file names, so each micro-batch reads exactly the newly-arrived
+    files — the queue-consumer contract (the reference's SQS loop,
+    src/etl_2025.py:93-119) with exactly-once replay for free:
+    ``readBetweenOffsets`` re-reads any (start, end] range
+    deterministically from the immutable ledger, which is what the
+    checkpoint replays after a crash. At production scale the offset
+    would be a compact high-watermark (sequence number / file mtime),
+    not a name list — same contract, smaller token.
+    """
+
+    def __init__(self, options: dict):
+        self.dir = options["path"]
+
+    def initialOffset(self):
+        return {"files": []}
+
+    def _names(self):
+        return sorted(
+            n for n in os.listdir(self.dir) if n.endswith(".json")
+        )
+
+    def _rows(self, names):
+        for name in names:
+            with open(os.path.join(self.dir, name), encoding="utf-8") as fh:
+                for line in fh:
+                    if line.strip():
+                        rec = json.loads(line)
+                        yield (
+                            rec.get("event_id"),
+                            rec.get("user_id"),
+                            rec.get("event_type"),
+                            rec.get("value"),
+                        )
+
+    def read(self, start):
+        names = self._names()
+        new = [n for n in names if n not in set(start["files"])]
+        # a LIST, not a generator: the simple-reader protocol pickles
+        # prefetched rows into the batch plan (fine for a per-trigger
+        # file increment; a corpus-sized stream belongs on the
+        # partitioned DataSourceStreamReader instead)
+        return list(self._rows(new)), {"files": names}
+
+    def readBetweenOffsets(self, start, end):
+        new = [n for n in end["files"] if n not in set(start["files"])]
+        return list(self._rows(new))
+
+    def commit(self, end):  # ledger files are immutable; nothing to ack
+        pass

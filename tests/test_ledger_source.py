@@ -59,3 +59,31 @@ def test_unsupported_filter_returned(tmp_path):
     other = EqualTo(("user_id",), 7)
     remaining = list(r.pushFilters([other]))
     assert remaining == [other]  # handed back to Spark
+
+
+def test_stream_reader_offsets_and_replay(tmp_path):
+    """Offset contract: read() returns only new files and advances
+    the offset; readBetweenOffsets() replays a range identically."""
+    from etl_jobs_spark.sources.ledger_source import LedgerStreamReader
+
+    _write_ledger(
+        tmp_path,
+        {"a.json": [{"event_id": 1, "user_id": 1, "event_type": "x", "value": 1.0}]},
+    )
+    r = LedgerStreamReader({"path": str(tmp_path)})
+    start = r.initialOffset()
+    rows1, off1 = r.read(start)
+    assert [row[0] for row in rows1] == [1]
+    # nothing new: empty batch, offset stable
+    rows2, off2 = r.read(off1)
+    assert rows2 == [] and off2 == off1
+    # arrival: only the new file is read
+    _write_ledger(
+        tmp_path,
+        {"b.json": [{"event_id": 2, "user_id": 2, "event_type": "y", "value": 2.0}]},
+    )
+    rows3, off3 = r.read(off1)
+    assert [row[0] for row in rows3] == [2]
+    # replay of (start, off3] equals the union of both reads
+    replay = r.readBetweenOffsets(start, off3)
+    assert sorted(row[0] for row in replay) == [1, 2]
