@@ -248,3 +248,40 @@ def fn_percentile_suite(spark, sf_dir):
         F.round(F.expr("percentile(value, 0.90)"), 4).alias("p90"),
         F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
     )
+
+
+@register(
+    "fn_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE CAST(json_extract(props, '$.k')
+                                       AS BIGINT) IS NOT NULL)
+                AS BIGINT) AS n_with_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def fn_variant_json(spark, sf_dir):
+    """Semi-structured props via the VARIANT type (Spark 4):
+    parse_json once into the binary variant encoding, then typed
+    variant_get path extraction — at 100 TB this beats repeated
+    get_json_object string re-parsing because the variant parses the
+    JSON ONCE per row into a navigable binary form (and parquet can
+    store the variant column, shredding paths into columnar form).
+    Aggregates the extracted field per event type; the oracle states
+    the same computation over DuckDB's JSON extraction."""
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.expr("try_variant_get(v, '$.k', 'bigint')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )
