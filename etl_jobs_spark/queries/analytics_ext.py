@@ -260,3 +260,34 @@ def stream_source_custom(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@register("agg_hll_mergeable", oracle=None)
+def agg_hll_mergeable(spark, sf_dir):
+    """MERGEABLE HLL sketches (Apache DataSketches, Spark 3.5+/4):
+    per-type user sketches that hll_union_agg folds into the global
+    estimate — the property approx_count_distinct hides and the one
+    that matters at 100 TB: sketches roll up (store per-partition /
+    per-day sketch columns, union them at query time) instead of
+    re-scanning raw data per grouping. Output: one row per event
+    type plus the ALL row computed BY UNIONING the per-type
+    sketches, never re-reading events. Sketch binaries aren't
+    SQL-reproducible in DuckDB → rows-only; accuracy and the
+    union-vs-direct merge property are pinned in
+    tests/test_sketches.py."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("bigint").alias("uid")
+    )
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("uid").alias("sk")
+    )
+    per_rows = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_users"),
+    )
+    union_row = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("est_users")
+    ).select(F.lit("ALL").alias("event_type"), "est_users")
+    return per_rows.unionByName(union_row)
