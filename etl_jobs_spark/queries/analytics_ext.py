@@ -291,3 +291,42 @@ def agg_hll_mergeable(spark, sf_dir):
         .alias("est_users")
     ).select(F.lit("ALL").alias("event_type"), "est_users")
     return per_rows.unionByName(union_row)
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+    """,
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """EXACT mergeable distinct counts via bitmap aggregates (Spark
+    3.5+): user ids map to (bucket, bit) positions, per-(type,
+    bucket) bitmaps OR together — so per-type counts AND the ALL
+    rollup come from combining stored bitmaps, never re-scanning
+    events (the exact counterpart of agg_hll_mergeable, the
+    ClickHouse/Doris bitmap-index pattern). Unlike HLL this is
+    hash-checkable: the oracle is plain COUNT(DISTINCT)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+        F.expr("bitmap_bit_position(user_id)").alias("pos"),
+    )
+    bitmaps = ev.groupBy("event_type", "bkt").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    per_type = bitmaps.groupBy("event_type").agg(
+        F.expr("CAST(sum(bitmap_count(bm)) AS BIGINT)").alias("n_users")
+    )
+    rollup = (
+        bitmaps.groupBy("bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(
+            F.expr("CAST(sum(bitmap_count(bm)) AS BIGINT)").alias("n_users")
+        )
+        .select(F.lit("ALL").alias("event_type"), "n_users")
+    )
+    return per_type.unionByName(rollup)
