@@ -285,3 +285,53 @@ def fn_variant_json(spark, sf_dir):
         F.sum("k").alias("sum_k"),
         F.max("k").alias("max_k"),
     )
+
+
+@register(
+    "fn_collation_suite",
+    oracle="""
+    SELECT lower(seg) AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT seg_mixed) AS BIGINT) AS n_case_variants
+    FROM (
+      SELECT c_mktsegment AS seg,
+             CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                  ELSE c_mktsegment END AS seg_mixed
+      FROM customer)
+    GROUP BY lower(seg)
+    """,
+)
+def fn_collation_suite(spark, sf_dir):
+    """String collations (Spark 4): grouping under UTF8_LCASE treats
+    case variants as one key — collation-aware comparison as a TYPE
+    property instead of lower() sprinkled through every predicate
+    (wrong-case data keeps its original form; only comparison
+    changes). A deterministically mixed-case segment column groups
+    to the same counts the lower()-normalized oracle computes, while
+    count(DISTINCT) over the BINARY collation still sees both case
+    variants."""
+    cust = read_table(spark, sf_dir, "customer")
+    mixed = cust.select(
+        F.expr(
+            "CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)"
+            " ELSE c_mktsegment END"
+        ).alias("seg_mixed")
+    )
+    return (
+        mixed.select(
+            F.expr("seg_mixed COLLATE UTF8_LCASE").alias("seg_ci"),
+            "seg_mixed",
+        )
+        .groupBy("seg_ci")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("seg_mixed").alias("n_case_variants"),
+        )
+        .select(
+            F.expr("CAST(lower(seg_ci) AS STRING COLLATE UTF8_BINARY)").alias(
+                "segment"
+            ),
+            "n",
+            "n_case_variants",
+        )
+    )

@@ -43,6 +43,10 @@ def _workdir(tag: str) -> Path:
     return d
 
 
+#: Immutable staged layouts, memoized per (format, corpus).
+_STAGE_MEMO: dict[str, Path] = {}
+
+
 @register("scan_csv_single", oracle="SELECT * FROM region")
 def scan_csv_single(spark, sf_dir):
     """CSV write → schema-declared CSV scan; fidelity checked against
@@ -402,4 +406,36 @@ def scan_with_lineage(spark, sf_dir):
             F.min("event_id").alias("min_id"),
             F.max("event_id").alias("max_id"),
         )
+    )
+
+
+@register(
+    "scan_xml_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def scan_xml_roundtrip(spark, sf_dir):
+    """XML source/sink round-trip (XML is built into Spark core
+    since 4.0 — no external package): events written as <row>
+    elements, read back with a DECLARED schema (rowTag + explicit
+    types; schema inference over XML costs a full extra scan, same
+    rule as JSON). The enterprise-integration format the reference
+    era never covered; completes the format matrix (csv / json /
+    parquet / orc / binary / jdbc / xml)."""
+    key = f"xml:{sf_dir}"
+    if key not in _STAGE_MEMO:
+        d = scratch_dir("etl_xml")
+        read_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        ).coalesce(2).write.format("xml").option("rootTag", "events").option(
+            "rowTag", "row"
+        ).save(str(d))
+        _STAGE_MEMO[key] = d
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+        .load(str(_STAGE_MEMO[key]))
+        .select("event_id", "user_id", "event_type", "value")
     )
