@@ -147,3 +147,45 @@ def graph_pagerank_transitions(spark, sf_dir):
     return pr.select(
         F.col("node").alias("event_type"), F.round("pr", 6).alias("pagerank")
     )
+
+
+#: Reachability search depth: 5 node types → paths of length 4
+#: suffice; the bound also terminates the UNION ALL recursion on the
+#: (cyclic) transition graph identically in both engines.
+_REACH_DEPTH = 4
+
+_REACH_SQL = """
+WITH RECURSIVE
+steps AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS src,
+           event_type AS dst
+    FROM events)
+  WHERE src IS NOT NULL AND src <> dst),
+reach(src, dst, depth) AS (
+  SELECT src, dst, 1 FROM steps
+  UNION ALL
+  SELECT r.src, s.dst, r.depth + 1
+  FROM reach r JOIN steps s ON r.dst = s.src
+  WHERE r.depth < {depth}
+)
+SELECT DISTINCT src, dst FROM reach
+"""
+
+
+@register(
+    "graph_reachability_sql",
+    oracle=_REACH_SQL.format(depth=_REACH_DEPTH),
+)
+def graph_reachability_sql(spark, sf_dir):
+    """Transitive closure of the user-journey transition graph via a
+    RECURSIVE CTE (new in Spark 4.0) — the same SQL text runs on both
+    engines, so this also exercises the engine's literal SQL entry
+    point (spark.sql over a registered view) rather than the
+    DataFrame DSL. The corpus-sized stage is the edge extraction (one
+    keyed lag window); the recursion iterates over the tiny projected
+    edge set with a depth bound that terminates the cyclic graph
+    identically in both engines."""
+    read_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_REACH_SQL.format(depth=_REACH_DEPTH))
