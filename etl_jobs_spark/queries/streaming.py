@@ -580,3 +580,94 @@ def stream_topk_types(spark, sf_dir):
         .limit(3)
     )
     return S.run_to_memory(agg, str(wk / "ck"), "complete", state_partitions=4)
+
+
+#: RocksDB provider class (transformWithState requires it).
+_ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+#: transformWithStateInPandas needs google.protobuf for its state
+#: serialization; this container ships a broken protobuf, so the
+#: processor below is NOT registered (a registered query must pass
+#: the driver sweep in this environment). The implementation is
+#: complete and exercised by a skip-gated test
+#: (tests/test_tws_processor.py) — register it once the environment
+#: grows a working protobuf, with the oracle:
+#:   SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+#:          CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT)
+#:            AS total_cents
+#:   FROM events GROUP BY user_id
+def stream_tws_processor(spark, sf_dir):
+    """Spark 4's transformWithStateInPandas: an arbitrary stateful
+    processor object with typed ValueState — the successor API to
+    applyInPandasWithState (adds composite state types, timers, TTL,
+    and state-schema evolution) and the fully-general hook for
+    operators watermarked aggregation can't express. Runs on the
+    RocksDB state store (required by the API — also the right store
+    at scale: state spills instead of living in executor heap).
+    Maintains per-user running (count, cents) totals; values
+    quantized to integer cents so the streaming sum is bit-identical
+    to the oracle regardless of accumulation order."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n BIGINT, cents BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, cents = self._state.get()
+            else:
+                n, cents = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    (pdf["value"] * 100 + 0.5).apply(float).apply(int).sum()
+                )
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_cents": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    key = (sf_dir, "tws", 1)
+    if key not in _STAGED:
+        d = scratch_dir("etl_tws")
+        read_table(spark, sf_dir, "events").select(
+            "user_id", "value"
+        ).coalesce(1).write.parquet(str(d / "raw"))
+        _STAGED[key] = d
+    raw = _STAGED[key]
+    wk = _workdir()
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB)
+    try:
+        src = S.file_stream_source(
+            spark, str(raw / "raw"), "user_id BIGINT, value DOUBLE",
+            "parquet", None,
+        )
+        out = src.groupBy("user_id").transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType="user_id BIGINT, n_events BIGINT, total_cents BIGINT",
+            outputMode="Update",
+            timeMode="None",
+        )
+        return S.run_to_memory(out, str(wk / "ck"), "update", state_partitions=4)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
