@@ -75,6 +75,7 @@ HEADLINE = [
     "decontam_ngram_overlap",
     "mix_temperature_weights",
     "corpus_token_budget",
+    "pipeline_llm_corpus_end_to_end",
     "text_repetition_signals",
     "mix_rebalance_sources",
     "cdc_apply_changelog",

@@ -40,8 +40,8 @@ from etl_jobs_spark.queries import (  # noqa: F401
 # corpus_token_budget, join_star_shuffle_hash,
 # source_custom_pushdown, stream_source_custom, fn_variant_json,
 # agg_hll_mergeable, agg_bitmap_distinct, scan_xml_roundtrip,
-# fn_collation_suite, graph_reachability_sql) are the round-4
-# promotion backlog.
+# fn_collation_suite, graph_reachability_sql,
+# pipeline_llm_corpus_end_to_end) are the round-4 promotion backlog.
 _NEEDS_CORRECTNESS_ROW = [
     # round-3 additions (tpch_plus)
     "q6_forecast_revenue",

@@ -300,3 +300,109 @@ def corpus_token_budget(spark, sf_dir):
             " budget - (cum_tokens - n_tokens))) AS BIGINT)"
         ).alias("tokens_allocated"),
     )
+
+
+def _llm_pipeline_oracle() -> str:
+    from etl_jobs_spark.operators.training import pii_input_expr, scrub_expr
+
+    n = norm_text("text", "duckdb")
+    grams5 = word_ngrams("toks", "nrm", "duckdb", GV.DECONTAM_NGRAM)
+    return f"""
+    WITH scrubbed AS (
+      SELECT doc_id, lang,
+             {scrub_expr(pii_input_expr("duckdb"), "duckdb")} AS text
+      FROM documents),
+    staged AS (
+      SELECT doc_id, lang, {GV.eval_member_expr("duckdb")} AS is_eval,
+             {n} AS nrm
+      FROM scrubbed),
+    tk AS (SELECT doc_id, lang, is_eval, nrm,
+                  {word_tokens("nrm", "duckdb")} AS toks FROM staged),
+    grams AS (
+      SELECT doc_id, is_eval, {hash60("gram", "duckdb")} AS gh FROM (
+        SELECT doc_id, is_eval,
+               unnest(list_distinct({grams5})) AS gram
+        FROM tk)),
+    eval_grams AS (SELECT DISTINCT gh FROM grams WHERE is_eval),
+    contaminated AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               CAST(count(*) FILTER (WHERE gh IN (SELECT gh FROM eval_grams))
+                    AS DOUBLE) / count(*) AS frac
+        FROM grams WHERE NOT is_eval GROUP BY doc_id)
+      WHERE round(frac, 4) >= {GV.DECONTAM_THRESHOLD}),
+    keep1 AS (
+      SELECT doc_id, lang, nrm, toks FROM tk
+      WHERE NOT is_eval AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    gated AS (
+      SELECT doc_id, lang, nrm FROM (
+        SELECT doc_id, lang, nrm,
+               {GV.dup_frac_expr("w3", "duckdb")} AS d3,
+               {GV.dup_frac_expr("sents", "duckdb")} AS ds
+        FROM (SELECT doc_id, lang, nrm,
+                     {word_ngrams("toks", "nrm", "duckdb", 3)} AS w3,
+                     {GV.sentences_expr("nrm", "duckdb")} AS sents
+              FROM keep1))
+      WHERE NOT (d3 > {GV.REP_W3_GATE} OR ds > {GV.REP_SENT_GATE})),
+    keepers AS (
+      SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(nrm)),
+    survivors AS (
+      SELECT g.doc_id, g.lang, g.nrm FROM gated g
+      JOIN keepers k ON g.doc_id = k.doc_id)
+    SELECT {GV.split_expr("duckdb")} AS split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(nrm)) AS BIGINT) AS total_chars
+    FROM survivors GROUP BY 1, lang
+    """
+
+
+@register(
+    "pipeline_llm_corpus_end_to_end", oracle=_llm_pipeline_oracle()
+)
+def pipeline_llm_corpus_end_to_end(spark, sf_dir):
+    """The LLM-era flagship composition — the whole corpus build as
+    ONE declarative plan (the 2025 counterpart of
+    pipeline_2022_end_to_end): PII scrub → benchmark decontamination
+    (eval hash-slice held out, contaminated train docs dropped) →
+    Gopher repetition gate → exact dedup (keep-first survivor per
+    content hash) → deterministic train/val/test split census.
+
+    Every stage is the registered operator's own fragments, so the
+    composed oracle is stage-for-stage identical SQL. Plan shape at
+    100 TB: two corpus-sized map stages (scrub+normalize, gram
+    explode), one gram equi-join against the eval set, one content-
+    hash aggregation, one census aggregation — no stage is
+    quadratic, nothing collects."""
+    from etl_jobs_spark.operators.training import pii_input_expr, scrub_expr
+
+    docs = read_table(spark, sf_dir, "documents")
+    scrubbed = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(scrub_expr(pii_input_expr("spark"), "spark")).alias("text"),
+    )
+    contaminated = GV.decontam_overlap(scrubbed).select("doc_id")
+    keep1 = (
+        scrubbed.filter(~F.expr(GV.eval_member_expr("spark")))
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    gated = (
+        GV.repetition_signals(keep1)
+        .filter(F.col("is_repetitive") == 0)
+        .select("doc_id")
+    )
+    normed = keep1.join(gated, "doc_id").select(
+        "doc_id", "lang", F.expr(norm_text("text", "spark")).alias("nrm")
+    )
+    keepers = normed.groupBy(F.expr("md5(nrm)").alias("ch")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    survivors = normed.join(keepers, "doc_id")
+    return survivors.select(
+        F.expr(GV.split_expr("spark")).alias("split"),
+        "lang",
+        F.expr("CAST(length(nrm) AS BIGINT)").alias("nc"),
+    ).groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nc").alias("total_chars"),
+    )
