@@ -166,6 +166,12 @@ def mix_rebalance_sources(spark, sf_dir):
 #: sources — the multilingual-sampling trick, e.g. alpha=0.7).
 MIX_ALPHA_BP = 7000  # alpha in basis points: 0.7
 
+#: pow() over a transcendental exponent is the one float path whose
+#: libm may differ by 1 ULP between engines; quantize its output to a
+#: fixed-point grid BEFORE normalizing (the RMS_SCALE /
+#: _CENTROID_SCALE pattern) so both sides divide identical integers.
+_POW_SCALE = 1_000_000_000
+
 
 @register(
     "mix_temperature_weights",
@@ -176,13 +182,14 @@ MIX_ALPHA_BP = 7000  # alpha in basis points: 0.7
       FROM documents GROUP BY source),
     t AS (
       SELECT source, n_docs, n_chars,
-             pow(CAST(n_chars AS DOUBLE) / sum(n_chars) OVER (),
-                 {MIX_ALPHA_BP} / 10000.0) AS pa
+             floor(pow(CAST(n_chars AS DOUBLE) / sum(n_chars) OVER (),
+                       {MIX_ALPHA_BP} / 10000.0) * {_POW_SCALE} + 0.5)
+               AS pa_q
       FROM stats)
     SELECT source, n_docs, n_chars,
            round(CAST(n_chars AS DOUBLE)
                  / sum(n_chars) OVER (), 6) AS p_natural,
-           round(pa / sum(pa) OVER (), 6) AS p_temperature
+           round(pa_q / sum(pa_q) OVER (), 6) AS p_temperature
     FROM t
     """,
 )
@@ -204,9 +211,14 @@ def mix_temperature_weights(spark, sf_dir):
     w = Window.partitionBy()
     alpha = MIX_ALPHA_BP / 10000.0
     t = stats.withColumn(
-        "pa",
-        F.pow(
-            F.col("n_chars").cast("double") / F.sum("n_chars").over(w), alpha
+        "pa_q",
+        F.floor(
+            F.pow(
+                F.col("n_chars").cast("double") / F.sum("n_chars").over(w),
+                alpha,
+            )
+            * _POW_SCALE
+            + F.lit(0.5)
         ),
     )
     return t.select(
@@ -216,7 +228,9 @@ def mix_temperature_weights(spark, sf_dir):
         F.round(
             F.col("n_chars").cast("double") / F.sum("n_chars").over(w), 6
         ).alias("p_natural"),
-        F.round(F.col("pa") / F.sum("pa").over(w), 6).alias("p_temperature"),
+        F.round(F.col("pa_q") / F.sum("pa_q").over(w), 6).alias(
+            "p_temperature"
+        ),
     )
 
 
@@ -233,7 +247,7 @@ TOKEN_BUDGET_BP = 6000
              CAST(sum(len(regexp_extract_all(n, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT)
                AS n_tokens,
              round(avg(CAST(length(n) AS DOUBLE)), 2) AS avg_chars
-      FROM (SELECT source, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n FROM documents)
+      FROM (SELECT source, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n FROM documents)
       GROUP BY source),
     ranked AS (
       SELECT source, n_tokens, avg_chars,

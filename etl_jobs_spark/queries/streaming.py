@@ -505,8 +505,10 @@ def stream_merge_upsert(spark, sf_dir):
     then a full-outer latest-wins against current state), so the
     merge join sees one row per changed key, not the raw log —
     exactly the cdc_latest_apply plan (operators/warehouse.py:89)
-    run incrementally. State swaps atomically (write to versioned
-    dir + rename) so a crashed batch can't half-overwrite the table."""
+    run incrementally. State swaps by rename-aside (state →
+    state_old, state_vN → state, drop state_old): a crash at any
+    point leaves a complete state copy on disk under one of the two
+    names, never a half-written table."""
     raw = _stage(spark, sf_dir, "parquet", 2)
     wk = _workdir()
     state = wk / "state"
@@ -516,6 +518,14 @@ def stream_merge_upsert(spark, sf_dir):
         from pyspark.sql import Window
 
         ss = batch_df.sparkSession
+        # crash recovery: if a prior swap died between its two
+        # renames, the complete old state sits under state_old_v*;
+        # restore it before merging so the replayed batch folds into
+        # the accumulated table instead of silently restarting it.
+        if not state.exists():
+            for leftover in sorted(wk.glob("state_old_v*")):
+                leftover.rename(state)
+                break
         w = Window.partitionBy("user_id").orderBy(
             F.col("ts").desc(), F.col("event_id").desc()
         )
@@ -536,11 +546,18 @@ def stream_merge_upsert(spark, sf_dir):
             merged = compact
         out = wk / f"state_v{batch_id}"
         merged.write.mode("overwrite").parquet(str(out))
-        if state.exists():
-            import shutil
+        # rename-aside swap: the old state survives (as state_old)
+        # until the new one is in place, so a crash between steps
+        # never loses the accumulated table — the next batch sees
+        # either the old or the new complete state.
+        import shutil
 
-            shutil.rmtree(str(state))
+        old = wk / f"state_old_v{batch_id}"
+        if state.exists():
+            state.rename(old)
         out.rename(state)
+        if old.exists():
+            shutil.rmtree(str(old))
 
     S.foreach_batch_pipeline(src, str(wk / "ck"), merge, state_partitions=4)
     return spark.read.parquet(str(state)).select(

@@ -1,11 +1,13 @@
 """Per-query correctness-check cost telemetry.
 
 Runs the driver-shaped check (Spark query + DuckDB oracle +
-order-insensitive compare) for EVERY registered query at the driver's
-scale (sf0.01 by default) and records per-query wall time to
-``docs/SWEEP_COST.json``, ranked most-expensive first. The goal: prove
-the full 133-query sweep fits in one round's budget, and point at the
-queries worth trimming if it doesn't.
+order-insensitive VALUE compare via etl_jobs_spark.compare) for EVERY
+registered query at the driver's scale (sf0.01 by default) and records
+per-query wall time to ``docs/SWEEP_COST.json``, ranked most-expensive
+first. ``ok: true`` means row count + schema + values all matched the
+oracle (rows-only queries: ran and returned a stable schema). The
+goal: prove the full registry sweep fits in one round's budget, and
+point at the queries worth trimming if it doesn't.
 
 Usage: python scripts/sweep_cost.py [sf_dir]
 """
@@ -22,6 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import duckdb
 
 from etl_jobs_spark import cache, registry
+from etl_jobs_spark.compare import frames_match
 from etl_jobs_spark.session import get_spark
 
 FIXTURE_TABLES = [
@@ -50,10 +53,9 @@ def main() -> None:
             got = fn(spark, sf_dir).toPandas()
             n = len(got)
             if name in oracles:
-                want = con.sql(oracles[name]).df()
-                ok = len(got) == len(want) and sorted(got.columns) == sorted(
-                    want.columns
-                )
+                # the same order-insensitive VALUE comparison the
+                # driver performs — ok:true means value-level match
+                frames_match(got, con.sql(oracles[name]).df())
         except Exception as e:  # keep sweeping; record the failure
             ok, err, n = False, f"{type(e).__name__}: {e}"[:200], -1
         cache.release_all()
