@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from etl_jobs_spark import cache
 from etl_jobs_spark.operators import governance as GV
 from etl_jobs_spark.operators.hashing import (
     hash60,
@@ -19,7 +20,7 @@ from etl_jobs_spark.operators.hashing import (
     word_tokens,
 )
 from etl_jobs_spark.registry import register
-from etl_jobs_spark.sources.readers import read_table
+from etl_jobs_spark.sources.readers import read_table, spread
 
 _N = norm_text("text", "duckdb")
 _TOKS = word_tokens(_N, "duckdb")
@@ -386,17 +387,25 @@ def pipeline_llm_corpus_end_to_end(spark, sf_dir):
     100 TB: two corpus-sized map stages (scrub+normalize, gram
     explode), one gram equi-join against the eval set, one content-
     hash aggregation, one census aggregation — no stage is
-    quadratic, nothing collects."""
+    quadratic, nothing collects. The three fan-out boundaries
+    (``scrubbed`` → decontam + keep1, ``keep1`` → repetition gate +
+    normalize, ``normed`` → survivor pick + survivor join) are
+    persisted via ``cache.track`` — each is consumed by two plan
+    branches, and without the persist Spark re-derives the regex
+    scrub / normalize chain once per branch (~4 corpus-sized
+    re-reads of the most expensive map stages at 100 TB; on a real
+    cluster the same boundaries would be ``localCheckpoint`` or a
+    staged parquet write)."""
     from etl_jobs_spark.operators.training import pii_input_expr, scrub_expr
 
-    docs = read_table(spark, sf_dir, "documents")
-    scrubbed = docs.select(
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    scrubbed = cache.track(docs.select(
         "doc_id",
         "lang",
         F.expr(scrub_expr(pii_input_expr("spark"), "spark")).alias("text"),
-    )
+    ))
     contaminated = GV.decontam_overlap(scrubbed).select("doc_id")
-    keep1 = (
+    keep1 = cache.track(
         scrubbed.filter(~F.expr(GV.eval_member_expr("spark")))
         .join(contaminated, "doc_id", "left_anti")
     )
@@ -405,9 +414,9 @@ def pipeline_llm_corpus_end_to_end(spark, sf_dir):
         .filter(F.col("is_repetitive") == 0)
         .select("doc_id")
     )
-    normed = keep1.join(gated, "doc_id").select(
+    normed = cache.track(keep1.join(gated, "doc_id").select(
         "doc_id", "lang", F.expr(norm_text("text", "spark")).alias("nrm")
-    )
+    ))
     keepers = normed.groupBy(F.expr("md5(nrm)").alias("ch")).agg(
         F.min("doc_id").alias("doc_id")
     ).select("doc_id")

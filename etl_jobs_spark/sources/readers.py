@@ -64,6 +64,24 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Pin a CPU-heavy narrow stage's parallelism to the session's
+    shuffle partitions when the scan under-partitions its input.
+
+    Byte-based split sizing (``maxPartitionBytes``) assumes cost ∝
+    bytes; a regex/tokenize stage over a small-but-dense text table
+    breaks that assumption (a 600 KB parquet becomes ONE task doing
+    all the CPU work). Repartition only when the scan produced fewer
+    partitions than the session target — at real scale the scan
+    already yields ≥ that many splits and this is a no-op, so no
+    shuffle is inserted where the byte heuristic suffices (same
+    rationale as operators/matching.py's pinned verify stage)."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < n_part:
+        return df.repartition(n_part)
+    return df
+
+
 def scan_csv(
     spark: SparkSession,
     path: str,

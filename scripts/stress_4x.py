@@ -26,7 +26,7 @@ sys.path.insert(0, str(REPO))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from etl_jobs_spark import registry  # noqa: E402
+from etl_jobs_spark import cache, registry  # noqa: E402
 from etl_jobs_spark.session import get_spark  # noqa: E402
 from etl_jobs_spark.sources.readers import (  # noqa: E402
     FIXTURE_TABLES,
@@ -113,9 +113,11 @@ def main() -> None:
     for n in names:
         t0 = time.time()
         r1 = queries[n](spark, SRC).count()
+        cache.release_all()  # don't let 1x persists bill the 4x run
         t1x = time.time() - t0
         t0 = time.time()
         r4 = queries[n](spark, dst).count()
+        cache.release_all()
         t4x = time.time() - t0
         print(
             f"{n:34s} {t1x:7.2f}s {t4x:7.2f}s  x{t4x / max(t1x, 0.01):.1f}"
