@@ -57,4 +57,11 @@ _NEEDS_CORRECTNESS_ROW = [
     "stream_source_custom",
 ]
 
+# Round-4 addition: Spark 4 transformWithStateInPandas is registered
+# only where a protobuf runtime exists (protobuf_compat shim), so its
+# promotion is conditional the same way — promote() treats unknown
+# names as a hard error on purpose.
+if "stream_tws_processor" in registry._REGISTRY:
+    _NEEDS_CORRECTNESS_ROW.append("stream_tws_processor")
+
 registry.promote(_NEEDS_CORRECTNESS_ROW)

@@ -605,17 +605,30 @@ _ROCKSDB = (
 )
 
 
-#: transformWithStateInPandas needs google.protobuf for its state
-#: serialization; this container ships a broken protobuf, so the
-#: processor below is NOT registered (a registered query must pass
-#: the driver sweep in this environment). The implementation is
-#: complete and exercised by a skip-gated test
-#: (tests/test_tws_processor.py) — register it once the environment
-#: grows a working protobuf, with the oracle:
-#:   SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-#:          CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT)
-#:            AS total_cents
-#:   FROM events GROUP BY user_id
+def _register_if_tws_available(fn):
+    """transformWithStateInPandas needs a google.protobuf runtime for
+    its state-server protocol, which this container does not install.
+    etl_jobs_spark.protobuf_compat locates a pure-Python runtime
+    already on disk and shims it into driver AND workers; register
+    the query only when that probe succeeds, so the driver sweep
+    never sees a query that cannot run. The skip-gated test
+    (tests/test_tws_processor.py) uses the same probe."""
+    from etl_jobs_spark.protobuf_compat import ensure_protobuf
+
+    if ensure_protobuf():
+        return register(
+            "stream_tws_processor",
+            oracle="""
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT)
+                     AS total_cents
+            FROM events GROUP BY user_id
+            """,
+        )(fn)
+    return fn
+
+
+@_register_if_tws_available
 def stream_tws_processor(spark, sf_dir):
     """Spark 4's transformWithStateInPandas: an arbitrary stateful
     processor object with typed ValueState — the successor API to
@@ -626,7 +639,19 @@ def stream_tws_processor(spark, sf_dir):
     at scale: state spills instead of living in executor heap).
     Maintains per-user running (count, cents) totals; values
     quantized to integer cents so the streaming sum is bit-identical
-    to the oracle regardless of accumulation order."""
+    to the oracle regardless of accumulation order.
+
+    Requires a google.protobuf runtime; ``enable_tws`` shims one
+    into this session's driver and workers (protobuf_compat.py) —
+    works on an already-running session because worker env is
+    captured per created python function, not at context start."""
+    from etl_jobs_spark.protobuf_compat import enable_tws
+
+    if not enable_tws(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf; no runtime "
+            "found (see etl_jobs_spark/protobuf_compat.py)"
+        )
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 

@@ -1,13 +1,17 @@
 """transformWithStateInPandas (Spark 4 arbitrary stateful
 processing). The API's Python side serializes state via protobuf,
-which this container lacks — the test skips cleanly there and runs
-wherever protobuf works (the operator is otherwise complete)."""
+which this container does not install; protobuf_compat shims in a
+pure-Python runtime found on disk. The test skips only where that
+probe also fails (no runtime anywhere)."""
 
 from __future__ import annotations
 
 import pytest
 
-pytest.importorskip("google.protobuf.descriptor")
+from etl_jobs_spark.protobuf_compat import ensure_protobuf
+
+if not ensure_protobuf():
+    pytest.skip("no google.protobuf runtime available", allow_module_level=True)
 
 from pyspark.sql import functions as F
 
