@@ -150,17 +150,229 @@ def chunk_audio(media_df: DataFrame, chunk: int = AUDIO_CHUNK) -> DataFrame:
 
 
 def decode_image_real(media_df: DataFrame) -> DataFrame:
-    """REAL image decode — STUB. The container ships no image codecs
-    (no PIL/opencv); on a real cluster install pillow on executors
-    and replace the body of ``batches`` with ``Image.open(BytesIO(b))``.
-    The mapInPandas signature/schema contract is identical to
-    :func:`extract_features`."""
+    """REAL decode for compressed codecs (JPEG/WebP/video) — STUB.
+    The container ships no image codecs (no PIL/opencv); on a real
+    cluster install pillow on executors and replace the body of
+    ``batches`` with ``Image.open(BytesIO(b))``. PNG, 24-bit BMP and
+    PCM WAV do NOT need this path: operators/codecs.py decodes those
+    with the standard library and :func:`extract_real_features` /
+    :func:`wav_features` below run them end-to-end (encode → binary
+    column → Arrow-batched decode), oracle-verified."""
     try:
         import PIL  # noqa: F401
     except ImportError as exc:  # pragma: no cover - container has no PIL
         raise NotImplementedError(
-            "image decode requires pillow on executors; the Spark "
-            "plumbing (schema, Arrow batching, partitioning) is "
-            "exercised via extract_features/sample_frames instead"
+            "JPEG/video decode requires pillow/ffmpeg on executors; "
+            "PNG/BMP/WAV are fully decoded via operators/codecs.py "
+            "(extract_real_features, wav_features)"
         ) from exc
     raise NotImplementedError("real decode path not wired in this container")
+
+
+# ---------------------------------------------------------------------------
+# Real-container decode path (PNG/BMP/WAV via operators/codecs.py).
+#
+# Fixture media is a deterministic pixel/sample grid derived from
+# doc_id, so a pure-SQL oracle can recompute every feature without
+# decoding — while the Spark side round-trips through REAL containers
+# (PNG with all five scanline filters, bottom-up padded BMP, PCM WAV).
+# The constants below are shared with the oracle SQL builders in
+# queries/multimodal.py; change them together.
+# ---------------------------------------------------------------------------
+
+#: image dims: w = doc_id % IMG_W_MOD + IMG_MIN, h = doc_id % IMG_H_MOD + IMG_MIN
+IMG_W_MOD, IMG_H_MOD, IMG_MIN = 13, 11, 4
+#: pixel value = (doc_id*7 + x*3 + y*5 + c*11) % PIX_MOD, 3 channels
+PIX_MOD = 251
+#: audio: n = doc_id % WAV_N_MOD + WAV_N_MIN samples at WAV_RATE Hz,
+#: sample i = (doc_id*31 + i*17) % 4096 - 2048
+WAV_N_MOD, WAV_N_MIN, WAV_RATE = 57, 8, 8000
+
+REAL_FEATURE_SCHEMA = (
+    "doc_id long, container string, width int, height int, "
+    "channels int, pixel_sum long, mean_milli long"
+)
+RESIZED_SCHEMA = "doc_id long, resized_sum long, resized_mean_milli long"
+WAV_FEATURE_SCHEMA = (
+    "doc_id long, n_samples long, sample_rate int, duration_us long, "
+    "sum_abs long, energy long"
+)
+
+
+def _grid_image(doc_id: int):
+    """The deterministic fixture image for one doc."""
+    import numpy as np
+
+    w = doc_id % IMG_W_MOD + IMG_MIN
+    h = doc_id % IMG_H_MOD + IMG_MIN
+    xs = np.arange(w, dtype=np.int64)
+    ys = np.arange(h, dtype=np.int64)
+    cs = np.arange(3, dtype=np.int64)
+    val = (
+        doc_id * 7
+        + 3 * xs[None, :, None]
+        + 5 * ys[:, None, None]
+        + 11 * cs[None, None, :]
+    ) % PIX_MOD
+    return val.astype("uint8")
+
+
+def _grid_audio(doc_id: int):
+    """The deterministic fixture waveform for one doc."""
+    import numpy as np
+
+    n = doc_id % WAV_N_MOD + WAV_N_MIN
+    i = np.arange(n, dtype=np.int64)
+    return ((doc_id * 31 + 17 * i) % 4096 - 2048).astype("<i2")
+
+
+def generate_media(docs: DataFrame) -> DataFrame:
+    """Encode the fixture grid into REAL containers per doc: PNG for
+    odd doc_ids (cycling all five scanline filters), 24-bit BMP for
+    even, plus a PCM WAV of the fixture waveform — an Arrow-batched
+    generation stage (each executor encodes its own partition; no
+    driver-side loop)."""
+    from etl_jobs_spark.operators import codecs as C
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                img = _grid_image(d)
+                media = (
+                    C.encode_png(img) if d % 2 == 1 else C.encode_bmp(img)
+                )
+                rows.append(
+                    (
+                        d,
+                        "png" if d % 2 == 1 else "bmp",
+                        media,
+                        C.encode_wav(_grid_audio(d), WAV_RATE),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "container", "media", "audio"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches,
+        schema="doc_id long, container string, media binary, audio binary",
+    )
+
+
+def extract_real_features(media_df: DataFrame) -> DataFrame:
+    """Sniff + decode real PNG/BMP containers (operators/codecs.py)
+    and extract integer image features. Everything after the Arrow
+    transfer is per-partition numpy — no shuffle until the feature
+    rows (7 small columns) aggregate downstream."""
+    from etl_jobs_spark.operators import codecs as C
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, container, blob in zip(
+                pdf["doc_id"], pdf["container"], pdf["media"]
+            ):
+                img = C.decode_image(bytes(blob))
+                h, w, ch = img.shape
+                s = int(img.sum(dtype="int64"))
+                rows.append(
+                    (
+                        int(doc_id),
+                        container,
+                        w,
+                        h,
+                        ch,
+                        s,
+                        s * 1000 // (w * h * ch * 255),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "container",
+                    "width",
+                    "height",
+                    "channels",
+                    "pixel_sum",
+                    "mean_milli",
+                ],
+            )
+
+    return media_df.select("doc_id", "container", "media").mapInPandas(
+        batches, schema=REAL_FEATURE_SCHEMA
+    )
+
+
+def extract_resized_features(
+    media_df: DataFrame, out_w: int = 4, out_h: int = 4
+) -> DataFrame:
+    """Decode → nearest-neighbor resize (integer floor index map) →
+    integer features; the thumbnail/preprocess shape of an image
+    training pipeline, fully oracle-checkable."""
+    from etl_jobs_spark.operators import codecs as C
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                small = C.resize_nearest(
+                    C.decode_image(bytes(blob)), out_w, out_h
+                )
+                s = int(small.sum(dtype="int64"))
+                rows.append(
+                    (
+                        int(doc_id),
+                        s,
+                        s * 1000 // (out_w * out_h * small.shape[2] * 255),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "resized_sum", "resized_mean_milli"]
+            )
+
+    return media_df.select("doc_id", "media").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
+def wav_features(media_df: DataFrame) -> DataFrame:
+    """Decode real PCM WAV containers and extract integer waveform
+    features (duration, sum |x|, energy)."""
+    import numpy as np
+
+    from etl_jobs_spark.operators import codecs as C
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["audio"]):
+                samples, rate = C.decode_wav(bytes(blob))
+                x = samples.astype("int64")
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(x),
+                        rate,
+                        len(x) * 1_000_000 // rate,
+                        int(np.abs(x).sum()),
+                        int((x * x).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "sample_rate",
+                    "duration_us",
+                    "sum_abs",
+                    "energy",
+                ],
+            )
+
+    return media_df.select("doc_id", "audio").mapInPandas(
+        batches, schema=WAV_FEATURE_SCHEMA
+    )

@@ -55,6 +55,10 @@ _NEEDS_CORRECTNESS_ROW = [
     "scan_xml_roundtrip",
     "source_custom_pushdown",
     "stream_source_custom",
+    # round-4 additions: real stdlib-codec multimodal decode
+    "multimodal_decode_png_bmp",
+    "multimodal_resize_nearest",
+    "multimodal_decode_wav",
 ]
 
 # Round-4 addition: Spark 4 transformWithStateInPandas is registered

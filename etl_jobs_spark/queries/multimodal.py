@@ -76,3 +76,123 @@ def multimodal_audio_chunks(spark, sf_dir):
     energy — the VAD/feature-pipeline chunking shape, Arrow-batched."""
     docs = read_table(spark, sf_dir, "documents")
     return MM.chunk_audio(MM.attach_fake_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# REAL container decode (round 4): fixtures are encoded into genuine
+# PNG (all five scanline filters) / 24-bit BMP / PCM WAV containers by
+# operators/multimodal.generate_media, staged once per sf_dir as a
+# parquet of binary columns, then DECODED by the pure-stdlib codecs in
+# operators/codecs.py inside Arrow-batched mapInPandas. The oracle
+# recomputes every feature from the closed-form pixel/sample grid
+# (integer-only), so an encoder OR decoder bug breaks the hash match.
+# ---------------------------------------------------------------------------
+
+_MEDIA_STAGED: dict[str, str] = {}
+
+
+def _stage_media(spark, sf_dir: str) -> str:
+    """Encode + stage the real-container media table once per sf_dir
+    (memoized): doc_id, container, media(binary), audio(binary)."""
+    if sf_dir in _MEDIA_STAGED:
+        return _MEDIA_STAGED[sf_dir]
+    from etl_jobs_spark.scratch import scratch_dir
+
+    d = str(scratch_dir("etl_media"))
+    docs = read_table(spark, sf_dir, "documents")
+    MM.generate_media(docs).write.parquet(d)
+    _MEDIA_STAGED[sf_dir] = d
+    return d
+
+
+#: SQL fragments for the fixture grid (shared constants with
+#: operators/multimodal.py — change together).
+_W = f"(doc_id % {MM.IMG_W_MOD} + {MM.IMG_MIN})"
+_H = f"(doc_id % {MM.IMG_H_MOD} + {MM.IMG_MIN})"
+_PIX = f"((doc_id*7 + x.x*3 + y.y*5 + c.c*11) % {MM.PIX_MOD})"
+_WAV_N = f"(doc_id % {MM.WAV_N_MOD} + {MM.WAV_N_MIN})"
+_SAMPLE = "((doc_id*31 + i.i*17) % 4096 - 2048)"
+
+
+@register(
+    "multimodal_decode_png_bmp",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id, {_W} AS w, {_H} AS h,
+               SUM({_PIX}) AS pixel_sum
+        FROM documents
+        JOIN range(0, {MM.IMG_W_MOD - 1 + MM.IMG_MIN}) x(x) ON x.x < {_W}
+        JOIN range(0, {MM.IMG_H_MOD - 1 + MM.IMG_MIN}) y(y) ON y.y < {_H}
+        CROSS JOIN range(0, 3) c(c)
+        GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 1 THEN 'png' ELSE 'bmp' END AS container,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           3 AS channels,
+           CAST(pixel_sum AS BIGINT) AS pixel_sum,
+           CAST(pixel_sum * 1000 // (w * h * 3 * 255) AS BIGINT) AS mean_milli
+    FROM px
+    """,
+)
+def multimodal_decode_png_bmp(spark, sf_dir):
+    """End-to-end REAL image decode: fixture pixel grids encoded into
+    genuine PNG (cycling all 5 scanline filters) and 24-bit BMP
+    containers, shipped as a binary column, sniffed + decoded by the
+    pure-stdlib codecs (operators/codecs.py) in an Arrow-batched
+    mapInPandas stage, and reduced to integer features the SQL oracle
+    recomputes from the closed-form grid."""
+    media = spark.read.parquet(_stage_media(spark, sf_dir))
+    return MM.extract_real_features(media)
+
+
+@register(
+    "multimodal_resize_nearest",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(SUM(v) AS BIGINT) AS resized_sum,
+           CAST(SUM(v) * 1000 // (4 * 4 * 3 * 255) AS BIGINT)
+               AS resized_mean_milli
+    FROM (
+        SELECT d.doc_id,
+               ((d.doc_id*7 + ((xx.x * {_W.replace("doc_id", "d.doc_id")}) // 4)*3
+                 + ((yy.y * {_H.replace("doc_id", "d.doc_id")}) // 4)*5
+                 + c.c*11) % {MM.PIX_MOD}) AS v
+        FROM documents d
+        CROSS JOIN range(0, 4) xx(x)
+        CROSS JOIN range(0, 4) yy(y)
+        CROSS JOIN range(0, 3) c(c)
+    )
+    GROUP BY doc_id
+    """,
+)
+def multimodal_resize_nearest(spark, sf_dir):
+    """Decode real PNG/BMP containers, nearest-neighbor resize to 4x4
+    via integer floor index maps, and reduce to integer features —
+    the thumbnail/preprocess stage of an image training pipeline,
+    value-checked against the closed-form grid."""
+    media = spark.read.parquet(_stage_media(spark, sf_dir))
+    return MM.extract_resized_features(media, 4, 4)
+
+
+@register(
+    "multimodal_decode_wav",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_WAV_N} AS BIGINT) AS n_samples,
+           {MM.WAV_RATE} AS sample_rate,
+           CAST({_WAV_N} * 1000000 // {MM.WAV_RATE} AS BIGINT) AS duration_us,
+           CAST(SUM(ABS({_SAMPLE})) AS BIGINT) AS sum_abs,
+           CAST(SUM({_SAMPLE} * {_SAMPLE}) AS BIGINT) AS energy
+    FROM documents
+    JOIN range(0, {MM.WAV_N_MOD - 1 + MM.WAV_N_MIN}) i(i) ON i.i < {_WAV_N}
+    GROUP BY doc_id
+    """,
+)
+def multimodal_decode_wav(spark, sf_dir):
+    """End-to-end REAL audio decode: fixture waveforms encoded as PCM
+    WAV containers (stdlib ``wave``), decoded back in an Arrow-batched
+    stage, and reduced to integer waveform features (duration,
+    sum |x|, energy)."""
+    media = spark.read.parquet(_stage_media(spark, sf_dir))
+    return MM.wav_features(media)
