@@ -124,3 +124,46 @@ def passage_chunk_udtf():
                     )
 
     return PassageChunk
+
+
+#: Word-shingle width for the Arrow-optimized n-gram UDTF.
+SHINGLE_WORDS = 3
+
+
+def word_shingle_udtf():
+    """Arrow-optimized Python UDTF (Spark 4 ``useArrow=True``): one
+    normalized document row → one row per overlapping SHINGLE_WORDS
+    word shingle. Same generator contract as :func:`passage_chunk_udtf`
+    but with Arrow-batched input/output transfer — the UDTF analogue
+    of pandas_udf vs plain udf, and the shape shingle extraction for
+    MinHash/decontamination takes at scale (overlapping windows, not
+    disjoint chunks)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="gram_idx: bigint, gram: string", useArrow=True)
+    class WordShingle:
+        def eval(self, text: str):  # noqa: D401
+            if text is not None:
+                toks = text.split(" ")
+                for i in range(max(len(toks) - SHINGLE_WORDS + 1, 0)):
+                    yield i + 1, " ".join(toks[i : i + SHINGLE_WORDS])
+
+    return WordShingle
+
+
+def metric_fanout_udtf():
+    """Arrow-optimized UDTF for the WRITE path: fan one cleaned event
+    row out into long-format metric rows (the 2022-era metrics file
+    written per batch, src/etl_2022.py:161-165, as row fan-out instead
+    of a dict dump). Integer milli values — batch-split-invariant and
+    exactly restatable in SQL."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="metric: string, mval: bigint", useArrow=True)
+    class MetricFanout:
+        def eval(self, event_type: str, value: float):  # noqa: D401
+            yield "rows", 1
+            yield "value_milli", int(value * 1000)
+            yield "is_click", 1 if event_type == "CLICK" else 0
+
+    return MetricFanout

@@ -59,6 +59,10 @@ _NEEDS_CORRECTNESS_ROW = [
     "multimodal_decode_png_bmp",
     "multimodal_resize_nearest",
     "multimodal_decode_wav",
+    # round-4 additions: Spark 4 arrow-optimized UDTFs (batch LATERAL
+    # fan-out + the streaming write path)
+    "udtf_arrow_shingles",
+    "stream_udtf_fanout",
 ]
 
 # Round-4 addition: Spark 4 transformWithStateInPandas is registered

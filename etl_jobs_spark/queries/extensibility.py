@@ -133,3 +133,36 @@ def udtf_passage_chunks(spark, sf_dir):
         "SELECT doc_id, s.chunk_idx, s.passage "
         "FROM _udtf_docs, LATERAL passage_chunk(n) s"
     )
+
+
+@register(
+    "udtf_arrow_shingles",
+    oracle=f"""
+    SELECT doc_id, CAST(u.i AS BIGINT) AS gram_idx,
+           array_to_string(list_slice(toks, u.i, u.i + {U.SHINGLE_WORDS - 1}),
+                           ' ') AS gram
+    FROM (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)),
+                                           '\\s+', ' ', 'g'), ' ') AS toks
+        FROM documents
+    ), unnest(range(1, greatest(len(toks) - {U.SHINGLE_WORDS - 2}, 1))) u(i)
+    """,
+)
+def udtf_arrow_shingles(spark, sf_dir):
+    """Spark 4 ARROW-OPTIMIZED Python UDTF (``useArrow=True``): one
+    document → one row per overlapping word shingle, via LATERAL join.
+    Same table-function hook as udtf_passage_chunks but Arrow-batched
+    end-to-end — the fan-out shape MinHash/decontamination shingle
+    extraction uses. Hash-matches an unnest(range)+list_slice oracle."""
+    from etl_jobs_spark.operators.hashing import norm_text as _nt
+
+    docs = read_table(spark, sf_dir, "documents")
+    spark.udtf.register("word_shingle", U.word_shingle_udtf())
+    docs.select(
+        "doc_id", F.expr(_nt("text", "spark")).alias("n")
+    ).createOrReplaceTempView("_udtf_shingle_docs")
+    return spark.sql(
+        "SELECT doc_id, s.gram_idx, s.gram "
+        "FROM _udtf_shingle_docs, LATERAL word_shingle(n) s"
+    )

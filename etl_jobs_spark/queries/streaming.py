@@ -276,6 +276,60 @@ def sink_queue(spark, sf_dir):
 
 
 @register(
+    "stream_udtf_fanout",
+    oracle=f"""
+    SELECT 'rows' AS metric, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS total
+    FROM events WHERE {TRANSFORM_ORACLE_WHERE}
+    UNION ALL
+    SELECT 'value_milli', CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(trunc(value * 1000) AS BIGINT)) AS BIGINT)
+    FROM events WHERE {TRANSFORM_ORACLE_WHERE}
+    UNION ALL
+    SELECT 'is_click', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN upper(event_type) = 'CLICK'
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events WHERE {TRANSFORM_ORACLE_WHERE}
+    """,
+)
+def stream_udtf_fanout(spark, sf_dir):
+    """Arrow-optimized Python UDTF on the streaming WRITE path: each
+    foreachBatch invocation fans its cleaned batch out into
+    long-format metric rows via a LATERAL ``useArrow=True`` UDTF
+    (the 2022-era per-batch metrics dump, src/etl_2022.py:161-165, as
+    row fan-out) and appends them to the metrics sink; the final
+    read-back aggregates per metric. Per-row fan-out + terminal agg is
+    batch-split-invariant, so the result hash-matches a pure-SQL
+    restatement regardless of how the file stream chops batches."""
+    from etl_jobs_spark.operators import udfs as U
+
+    raw = _stage(spark, sf_dir, "csv", 4)
+    wk = _workdir()
+    src = S.file_stream_source(
+        spark, str(raw / "raw"), EVENTS_CSV_SCHEMA, "csv", 2
+    )
+    cleaned = src.filter(
+        F.col("value").between(0, 150) & (F.trim("event_type") != "")
+    ).select(F.upper("event_type").alias("event_type"), "value")
+
+    metrics_out = str(wk / "metrics")
+    spark.udtf.register("metric_fanout", U.metric_fanout_udtf())
+
+    def sinks(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.createOrReplaceTempView("_udtf_batch")
+        batch_df.sparkSession.sql(
+            "SELECT s.metric, s.mval "
+            "FROM _udtf_batch, LATERAL metric_fanout(event_type, value) s"
+        ).write.mode("append").parquet(metrics_out)
+
+    S.foreach_batch_pipeline(cleaned, str(wk / "ck"), sinks, state_partitions=4)
+    out = spark.read.schema("metric string, mval bigint").parquet(metrics_out)
+    return out.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("mval").alias("total")
+    )
+
+
+@register(
     "stream_stateful_pandas",
     oracle="SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
 )
