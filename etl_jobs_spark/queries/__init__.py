@@ -63,6 +63,9 @@ _NEEDS_CORRECTNESS_ROW = [
     # fan-out + the streaming write path)
     "udtf_arrow_shingles",
     "stream_udtf_fanout",
+    # round-4 additions: linear quality classifier + boilerplate removal
+    "text_quality_classifier",
+    "text_boilerplate_removal",
 ]
 
 # Round-4 addition: Spark 4 transformWithStateInPandas is registered

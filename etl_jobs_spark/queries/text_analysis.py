@@ -298,3 +298,165 @@ def text_fertility_by_lang(spark, sf_dir):
         F.expr("round(CAST(sum(nb) AS DOUBLE) / sum(nc), 4)").alias("tokens_per_char"),
         F.expr("round(CAST(sum(nc) AS DOUBLE) / sum(nw), 4)").alias("chars_per_word"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: C4-style boilerplate passage removal and a
+# fastText-shaped linear quality classifier.
+# ---------------------------------------------------------------------------
+
+#: Passage width (words) for boilerplate detection; the planted
+#: boilerplate phrase is exactly one passage wide.
+BOILER_WORDS = 8
+BOILER_PHRASE = "all rights reserved contact us terms of service"
+
+
+def _tok_weight(tok: str, engine: str) -> str:
+    """Deterministic per-token classifier weight in [-1000, 1000]:
+    first 8 md5 hex chars -> uint32 -> mod 2001 - 1000. Stands in for
+    a broadcast learned weight table; identical in both dialects."""
+    if engine == "spark":
+        return (
+            f"(CAST(conv(substring(md5({tok}), 1, 8), 16, 10) AS BIGINT)"
+            f" % 2001 - 1000)"
+        )
+    return f"((('0x' || substr(md5({tok}), 1, 8))::BIGINT) % 2001 - 1000)"
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(toks,
+                t -> {_tok_weight("t", "duckdb")})) AS BIGINT) AS score_sum,
+           CASE WHEN list_sum(list_transform(toks,
+                t -> {_tok_weight("t", "duckdb")})) >= 0
+                THEN 'keep' ELSE 'drop' END AS label
+    FROM {_TOK_SUB}
+    """,
+)
+def text_quality_classifier(spark, sf_dir):
+    """fastText-shaped linear quality classifier applied at scale:
+    per-token weights (a stand-in for a broadcast learned weight
+    table, derived deterministically from the token hash) summed per
+    document with ``aggregate()`` over the token array — a MAP-ONLY
+    stage, zero shuffle, whole-stage codegen; the classic
+    model-based quality filter (CCNet/fastText) without leaving the
+    JVM. Integer weights and no division, so the SQL restatement
+    (explode-free on Spark, list_transform on DuckDB) hash-matches
+    exactly."""
+    import pyspark.sql.functions as F
+
+    w = _tok_weight("t", "spark")
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(f"split({norm_text('text', 'spark')}, ' ')").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.expr("CAST(size(toks) AS BIGINT)").alias("n_tokens"),
+            F.expr(
+                f"aggregate(toks, CAST(0 AS BIGINT), (acc, t) -> acc + {w})"
+            ).alias("score_sum"),
+        )
+        .withColumn(
+            "label",
+            F.expr("CASE WHEN score_sum >= 0 THEN 'keep' ELSE 'drop' END"),
+        )
+    )
+
+
+def _boiler_oracle() -> str:
+    planted = (
+        f"CASE WHEN doc_id % 3 = 0 THEN '{BOILER_PHRASE} ' || n ELSE n END"
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, string_split({planted}, ' ') AS toks
+        FROM (SELECT doc_id, {_N} AS n FROM documents)
+    ),
+    passages AS (
+        SELECT doc_id, u.i AS passage_idx,
+               md5(array_to_string(
+                   list_slice(toks, (u.i - 1) * {BOILER_WORDS} + 1,
+                              u.i * {BOILER_WORDS}), ' ')) AS ph
+        FROM corpus,
+             unnest(range(1, CAST(ceil(len(toks) / {BOILER_WORDS}.0)
+                                  AS BIGINT) + 1)) u(i)
+    ),
+    freq AS (
+        SELECT ph, count(DISTINCT doc_id) AS n_docs FROM passages GROUP BY ph
+    ),
+    total AS (SELECT count(*) AS n FROM documents),
+    boiler AS (
+        SELECT ph FROM freq, total WHERE n_docs * 10 > total.n
+    )
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(sum(CASE WHEN b.ph IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN b.ph IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dropped
+    FROM passages p LEFT JOIN boiler b ON p.ph = b.ph
+    GROUP BY p.doc_id
+    """
+
+
+@register("text_boilerplate_removal", oracle=_boiler_oracle())
+def text_boilerplate_removal(spark, sf_dir):
+    """C4-style boilerplate passage removal: chunk each document into
+    fixed-width passages, hash them, and drop any passage appearing
+    in more than 10% of documents (the planted legal-footer phrase on
+    every third doc demonstrates the removal; organic passages stay).
+    Plan shape at 100 TB: passage explode is linear, the frequency
+    agg shuffles md5 hashes (never passage text), the boilerplate set is
+    tiny and BROADCAST into the final anti-join-style count — the
+    corpus is read once."""
+    import pyspark.sql.functions as F
+
+    planted = (
+        f"CASE WHEN doc_id % 3 = 0 "
+        f"THEN concat('{BOILER_PHRASE} ', n) ELSE n END"
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    passages = (
+        docs.select(
+            "doc_id", F.expr(norm_text("text", "spark")).alias("n")
+        )
+        .select("doc_id", F.expr(f"split({planted}, ' ')").alias("toks"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"explode(transform("
+                f"  sequence(1, CAST(ceil(size(toks) / {BOILER_WORDS}.0) AS INT)),"
+                f"  i -> md5(array_join("
+                f"    slice(toks, (i - 1) * {BOILER_WORDS} + 1, {BOILER_WORDS}),"
+                f"    ' '))))"
+            ).alias("ph"),
+        )
+    )
+    passages = cache.track(passages)
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    boiler = (
+        passages.groupBy("ph")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .crossJoin(total)
+        .filter(F.col("n_docs") * 10 > F.col("n_total"))
+        .select("ph", F.lit(1).alias("is_boiler"))
+    )
+    return (
+        passages.join(F.broadcast(boiler), "ph", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(
+                F.when(F.col("is_boiler").isNull(), 1).otherwise(0)
+            ).alias("n_kept"),
+            F.sum(
+                F.when(F.col("is_boiler").isNull(), 0).otherwise(1)
+            ).alias("n_dropped"),
+        )
+    )
