@@ -66,6 +66,8 @@ _NEEDS_CORRECTNESS_ROW = [
     # round-4 additions: linear quality classifier + boilerplate removal
     "text_quality_classifier",
     "text_boilerplate_removal",
+    # round-4 addition: exact-substring (Lee et al.) repeated spans
+    "dedup_repeated_ngram_spans",
 ]
 
 # Round-4 addition: Spark 4 transformWithStateInPandas is registered

@@ -589,3 +589,128 @@ def dedup_cluster_size_hist(spark, sf_dir):
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("cluster_size").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: exact-substring dedup spans (Lee et al., "Deduplicating
+# Training Data Makes Language Models Better" — gram-granular variant).
+# ---------------------------------------------------------------------------
+
+#: Sliding-window width (tokens) for repeated-span detection.
+SPAN_W = 16
+#: Planted cross-doc span: every 5th doc gets this 40-token suffix, so
+#: planted docs share a run of exactly 40-16+1 = 25 repeated grams.
+SPAN_TOKENS = " ".join(f"span{i}" for i in range(40))
+
+
+def _span_oracle() -> str:
+    n = norm_text("text", "duckdb")
+    planted = (
+        f"CASE WHEN doc_id % 5 = 0 THEN n || ' {SPAN_TOKENS}' ELSE n END"
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, string_split({planted}, ' ') AS toks
+        FROM (SELECT doc_id, {n} AS n FROM documents)
+    ),
+    grams AS (
+        SELECT doc_id, u.i,
+               md5(array_to_string(
+                   list_slice(toks, u.i, u.i + {SPAN_W - 1}), ' ')) AS gh
+        FROM corpus,
+             unnest(range(1, greatest(len(toks) - {SPAN_W - 2}, 1))) u(i)
+    ),
+    shared AS (
+        SELECT gh FROM grams GROUP BY gh
+        HAVING count(DISTINCT doc_id) >= 2
+    ),
+    rep AS (
+        SELECT g.doc_id, g.i,
+               g.i - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.i)
+                   AS grp
+        FROM grams g JOIN shared s ON g.gh = s.gh
+    ),
+    runs AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS run_len
+        FROM rep GROUP BY doc_id, grp
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        FROM grams GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_grams,
+           CAST(coalesce(sum(r.run_len), 0) AS BIGINT) AS n_repeated,
+           CAST(coalesce(max(r.run_len), 0) AS BIGINT) AS max_run
+    FROM per_doc p LEFT JOIN runs r ON p.doc_id = r.doc_id
+    GROUP BY p.doc_id, p.n_grams
+    """
+
+
+@register("dedup_repeated_ngram_spans", oracle=_span_oracle())
+def dedup_repeated_ngram_spans(spark, sf_dir):
+    """Exact-substring dedup at gram granularity (the Lee-et-al
+    repeated-span detector): slide a SPAN_W-token window over every
+    document, hash each gram, find grams shared across >=2 documents,
+    and report per-doc repeated-gram counts plus the LONGEST
+    consecutive repeated run (gaps-and-islands over gram positions) —
+    the span a substring-dedup pass would cut. A planted 40-token
+    suffix on every 5th doc produces a known 25-gram shared run.
+
+    Scale shape: the gram explode is linear in corpus tokens; the
+    shared-gram agg shuffles md5 hashes only; the island window
+    partitions by doc_id (no global sort). A full suffix-array pass
+    finds arbitrary-length repeats, but the gram-granular variant is
+    the shape that distributes: same shuffle keys as MinHash/decontam,
+    one more window."""
+    from pyspark.sql import Window
+
+    n = norm_text("text", "spark")
+    planted = (
+        f"CASE WHEN doc_id % 5 = 0 THEN concat(n, ' {SPAN_TOKENS}') "
+        f"ELSE n END"
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", F.expr(n).alias("n"))
+        .select("doc_id", F.expr(f"split({planted}, ' ')").alias("toks"))
+        # sequence(1, 0) is DESCENDING in Spark, so docs too short for
+        # one window are dropped before the explode (the oracle's
+        # range() yields no rows for them too).
+        .filter(F.expr(f"size(toks) >= {SPAN_W}"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"explode(transform("
+                f"  sequence(1, size(toks) - {SPAN_W - 1}),"
+                f"  i -> struct(i AS i, md5(array_join("
+                f"    slice(toks, i, {SPAN_W}), ' ')) AS gh)))"
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.i").alias("i"), F.col("g.gh").alias("gh"))
+    )
+    from etl_jobs_spark import cache
+
+    grams = cache.track(grams)
+    shared = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    rep = grams.join(shared, "gh").withColumn(
+        "grp",
+        F.col("i")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("i")),
+    )
+    runs = rep.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        per_doc.join(runs, "doc_id", "left")
+        .groupBy("doc_id", "n_grams")
+        .agg(
+            F.coalesce(F.sum("run_len"), F.lit(0)).alias("n_repeated"),
+            F.coalesce(F.max("run_len"), F.lit(0)).alias("max_run"),
+        )
+    )
