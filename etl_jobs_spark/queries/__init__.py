@@ -68,6 +68,8 @@ _NEEDS_CORRECTNESS_ROW = [
     "text_boilerplate_removal",
     # round-4 addition: exact-substring (Lee et al.) repeated spans
     "dedup_repeated_ngram_spans",
+    # round-4 addition: theta-style KMV intersection sketch
+    "agg_kmv_intersect_types",
 ]
 
 # Round-4 addition: Spark 4 transformWithStateInPandas is registered

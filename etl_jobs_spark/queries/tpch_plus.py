@@ -359,3 +359,85 @@ def approx_distinct_kmv(spark, sf_dir):
             " AS BIGINT)"
         ).alias("est_distinct"),
     )
+
+
+def _kmv_sketch_sql(etype: str) -> str:
+    return f"""
+      SELECT hv FROM (
+        SELECT DISTINCT {hash60("CAST(user_id AS VARCHAR)", "duck")} AS hv
+        FROM events WHERE event_type = '{etype}')
+      ORDER BY hv LIMIT {_KMV_K}"""
+
+
+@register(
+    "agg_kmv_intersect_types",
+    oracle=f"""
+    WITH ha AS ({_kmv_sketch_sql("click")}),
+         hb AS ({_kmv_sketch_sql("purchase")}),
+         th AS (
+           SELECT least(ta.th, tb.th) AS theta,
+                  ta.k AS k_click, tb.k AS k_purchase
+           FROM (SELECT max(hv) AS th, CAST(count(*) AS BIGINT) AS k FROM ha) ta,
+                (SELECT max(hv) AS th, CAST(count(*) AS BIGINT) AS k FROM hb) tb),
+         c AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_common
+           FROM ha JOIN hb USING (hv) CROSS JOIN th
+           WHERE ha.hv < th.theta)
+    SELECT th.k_click, th.k_purchase, c.n_common,
+           CAST(round(c.n_common * pow(2.0, 60) / th.theta, 0) AS BIGINT)
+             AS est_intersect
+    FROM th, c
+    """,
+)
+def agg_kmv_intersect_types(spark, sf_dir):
+    """Theta-sketch-style DISTINCT-COUNT INTERSECTION — the set
+    operation HLL cannot do (HLL unions; intersections need
+    inclusion-exclusion with exploding error). Build a KMV sketch per
+    event type (k smallest distinct 60-bit hashes), take
+    theta = min of the two k-th minima, and estimate
+    |click-users ∩ purchase-users| = |common hashes < theta| * 2^60 /
+    theta. Like approx_distinct_kmv, the sketch is fully
+    deterministic, so the oracle CHECKS THE SKETCH ITSELF.
+    At 100 TB each sketch is k 8-byte values reduced per partition
+    (TakeOrdered, no global sort); the intersection joins two
+    256-value sets — driver-scale work after a linear scan."""
+    ev = read_table(spark, sf_dir, "events")
+
+    def sketch(etype: str):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select(
+                F.expr(hash60("CAST(user_id AS STRING)", "spark")).alias("hv")
+            )
+            .distinct()
+            .orderBy("hv")
+            .limit(_KMV_K)
+        )
+
+    ha, hb = sketch("click"), sketch("purchase")
+    th = (
+        ha.agg(F.max("hv").alias("tha"), F.count(F.lit(1)).alias("k_click"))
+        .crossJoin(
+            hb.agg(
+                F.max("hv").alias("thb"),
+                F.count(F.lit(1)).alias("k_purchase"),
+            )
+        )
+        .select(
+            F.least("tha", "thb").alias("theta"), "k_click", "k_purchase"
+        )
+    )
+    c = (
+        ha.join(hb, "hv")
+        .crossJoin(th.select("theta"))
+        .filter(F.col("hv") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return th.crossJoin(c).select(
+        "k_click",
+        "k_purchase",
+        "n_common",
+        F.expr(
+            "CAST(round(n_common * pow(2.0, 60) / theta, 0) AS BIGINT)"
+        ).alias("est_intersect"),
+    )
