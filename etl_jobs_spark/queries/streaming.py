@@ -294,13 +294,14 @@ def sink_queue(spark, sf_dir):
 )
 def stream_udtf_fanout(spark, sf_dir):
     """Arrow-optimized Python UDTF on the streaming WRITE path: each
-    foreachBatch invocation fans its cleaned batch out into
-    long-format metric rows via a LATERAL ``useArrow=True`` UDTF
-    (the 2022-era per-batch metrics dump, src/etl_2022.py:161-165, as
-    row fan-out) and appends them to the metrics sink; the final
-    read-back aggregates per metric. Per-row fan-out + terminal agg is
-    batch-split-invariant, so the result hash-matches a pure-SQL
-    restatement regardless of how the file stream chops batches."""
+    foreachBatch invocation reduces its cleaned batch to per-type
+    aggregates JVM-side, fans those few rows into long-format metric
+    rows via a LATERAL ``useArrow=True`` UDTF (the 2022-era per-batch
+    metrics dump, src/etl_2022.py:161-165, as row fan-out) and appends
+    them to the metrics sink; the final read-back aggregates per
+    metric. Additive metrics + terminal agg are batch-split-invariant,
+    so the result hash-matches a pure-SQL restatement regardless of
+    how the file stream chops batches."""
     from etl_jobs_spark.operators import udfs as U
 
     raw = _stage(spark, sf_dir, "csv", 4)
@@ -316,16 +317,26 @@ def stream_udtf_fanout(spark, sf_dir):
     spark.udtf.register("metric_fanout", U.metric_fanout_udtf())
 
     def sinks(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.createOrReplaceTempView("_udtf_batch")
+        # Per-event work (count, truncating milli sum) stays JVM-side;
+        # the Python UDTF fans out only the |event types| aggregate
+        # rows — UDTF eval is per-row even with useArrow, so feeding
+        # it raw events would put Python on the hot path.
+        agg = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(value * 1000 AS BIGINT)")).alias("v_milli"),
+        )
+        agg.createOrReplaceTempView("_udtf_batch")
         batch_df.sparkSession.sql(
-            "SELECT s.metric, s.mval "
-            "FROM _udtf_batch, LATERAL metric_fanout(event_type, value) s"
+            "SELECT s.metric, s.n, s.mval "
+            "FROM _udtf_batch, LATERAL metric_fanout(event_type, n, v_milli) s"
         ).write.mode("append").parquet(metrics_out)
 
     S.foreach_batch_pipeline(cleaned, str(wk / "ck"), sinks, state_partitions=4)
-    out = spark.read.schema("metric string, mval bigint").parquet(metrics_out)
+    out = spark.read.schema("metric string, n bigint, mval bigint").parquet(
+        metrics_out
+    )
     return out.groupBy("metric").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("mval").alias("total")
+        F.sum("n").alias("n"), F.sum("mval").alias("total")
     )
 
 
