@@ -90,3 +90,47 @@ def test_grid_fixture_matches_closed_form():
     a = MM._grid_audio(d)
     assert len(a) == d % MM.WAV_N_MOD + MM.WAV_N_MIN
     assert a[5] == (d * 31 + 5 * 17) % 4096 - 2048
+
+
+# Property-based round-trips: any uint8 image shape / int16 waveform
+# must survive encode->decode bit-exactly (hypothesis explores the
+# dimension space, including 1-pixel edges and pad-boundary widths).
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        ch=st.sampled_from([1, 3, 4]),
+        seed=st.integers(0, 2**31),
+    )
+    def test_png_roundtrip_property(w, h, ch, seed):
+        img = np.random.default_rng(seed).integers(
+            0, 256, (h, w, ch), dtype=np.uint8
+        )
+        assert (C.decode_png(C.encode_png(img)) == img).all()
+
+    @settings(max_examples=25, deadline=None)
+    @given(w=st.integers(1, 40), h=st.integers(1, 40), seed=st.integers(0, 2**31))
+    def test_bmp_roundtrip_property(w, h, seed):
+        img = np.random.default_rng(seed).integers(
+            0, 256, (h, w, 3), dtype=np.uint8
+        )
+        assert (C.decode_bmp(C.encode_bmp(img)) == img).all()
+
+    @settings(max_examples=25, deadline=None)
+    @given(n=st.integers(1, 5000), rate=st.sampled_from([8000, 16000, 44100]),
+           seed=st.integers(0, 2**31))
+    def test_wav_roundtrip_property(n, rate, seed):
+        s = (
+            np.random.default_rng(seed)
+            .integers(-32768, 32768, n)
+            .astype(np.int16)
+        )
+        dec, r = C.decode_wav(C.encode_wav(s, rate))
+        assert r == rate and (dec == s).all()
+
+except ImportError:  # pragma: no cover - hypothesis is in the container
+    pass
