@@ -208,3 +208,50 @@ def cube_events(events: DataFrame) -> DataFrame:
             "avg_value",
         )
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    right_payload: list[str],
+    left_id: str,
+    prefix: str = "nearest_",
+) -> DataFrame:
+    """Nearest as-of: attach the right row minimizing |right.ts -
+    left.ts| within ``key`` (ties prefer the earlier/backward row;
+    left rows with no right row at all keep NULL payload — LEFT
+    semantics). Composed from the backward and forward passes — two
+    one-shuffle union+window scans — then a pick by microsecond
+    distance; ``left_id`` must uniquely identify left rows so the two
+    passes re-join without fan-out. Same cost class as two sort-merge
+    joins; no range explosion, neither side needs to be small."""
+    slim = left.select(left_id, key, ts)
+    prev = asof_join(
+        slim, right, key, ts, tiebreak, right_payload, prefix="_p_"
+    ).select(left_id, *[f"_p_{c}" for c in right_payload])
+    nxt = asof_join_forward(
+        slim, right, key, ts, tiebreak, right_payload, prefix="_n_"
+    ).select(left_id, *[f"_n_{c}" for c in right_payload])
+    j = left.join(prev, left_id, "left").join(nxt, left_id, "left")
+    p_ts, n_ts = F.col(f"_p_{ts}"), F.col(f"_n_{ts}")
+
+    # unix_micros wants TIMESTAMP, the fixtures carry TIMESTAMP_NTZ;
+    # the session TZ is pinned UTC so the cast is value-preserving.
+    def _us(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    use_prev = p_ts.isNotNull() & (
+        n_ts.isNull()
+        | (_us(F.col(ts)) - _us(p_ts) <= _us(n_ts) - _us(F.col(ts)))
+    )
+    out = [F.col(c) for c in left.columns]
+    for c in right_payload:
+        out.append(
+            F.when(use_prev, F.col(f"_p_{c}"))
+            .otherwise(F.col(f"_n_{c}"))
+            .alias(f"{prefix}{c}")
+        )
+    return j.select(*out)

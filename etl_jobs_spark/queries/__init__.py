@@ -70,6 +70,8 @@ _NEEDS_CORRECTNESS_ROW = [
     "dedup_repeated_ngram_spans",
     # round-4 addition: theta-style KMV intersection sketch
     "agg_kmv_intersect_types",
+    # round-4 addition: nearest as-of join
+    "join_asof_nearest",
 ]
 
 # Round-4 addition: Spark 4 transformWithStateInPandas is registered

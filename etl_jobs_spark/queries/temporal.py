@@ -221,3 +221,62 @@ def join_range_autobucket(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, max(event_id) AS event_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    purchases AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase'),
+    prev AS (
+      SELECT p.event_id AS pid, c.event_id AS cid, c.ts AS cts
+      FROM purchases p
+      ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts),
+    nxt AS (
+      SELECT p.event_id AS pid, c.event_id AS cid, c.ts AS cts
+      FROM purchases p
+      ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts <= c.ts)
+    SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP_NS) AS ts, p.value,
+           CASE WHEN pv.cts IS NOT NULL AND (nx.cts IS NULL
+                      OR epoch_us(p.ts) - epoch_us(pv.cts)
+                         <= epoch_us(nx.cts) - epoch_us(p.ts))
+                THEN pv.cid ELSE nx.cid END AS nearest_event_id,
+           CAST(CASE WHEN pv.cts IS NOT NULL AND (nx.cts IS NULL
+                      OR epoch_us(p.ts) - epoch_us(pv.cts)
+                         <= epoch_us(nx.cts) - epoch_us(p.ts))
+                THEN pv.cts ELSE nx.cts END AS TIMESTAMP_NS) AS nearest_ts
+    FROM purchases p
+    JOIN prev pv ON pv.pid = p.event_id
+    JOIN nxt nx ON nx.pid = p.event_id
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest as-of join: each purchase gets the user's CLOSEST
+    click in time, before or after (ties prefer the earlier click) —
+    the attribution variant when sessions can start on either side of
+    the conversion. Composed from the backward + forward union+window
+    passes re-joined on the purchase id; the oracle composes DuckDB's
+    native ASOF LEFT JOIN both ways and picks by microsecond
+    distance — an independent implementation of the same semantics."""
+    ev = read_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return TP.asof_join_nearest(
+        purchases,
+        clicks,
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+        right_payload=["event_id", "ts"],
+        left_id="event_id",
+    )
