@@ -81,3 +81,31 @@ def test_star_shuffle_hash_hint_respected(spark):
     assert "ShuffledHashJoin" in plan, plan[:2000]
     assert "BroadcastHashJoin" in plan  # nation/region still broadcast
     assert "SortMergeJoin" not in plan
+
+
+def test_quality_classifier_is_map_only(spark):
+    """The linear-model scorer must stay a single map stage: any
+    Exchange here means someone re-introduced an explode+groupBy."""
+    from etl_jobs_spark.queries.text_analysis import text_quality_classifier
+
+    plan = _plan(text_quality_classifier(spark, SF_DIR))
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Scan parquet" in plan
+
+
+def test_boilerplate_set_is_broadcast(spark):
+    """The (tiny) boilerplate-hash set joins the passage table via
+    broadcast, never a shuffle join."""
+    from etl_jobs_spark.queries.text_analysis import text_boilerplate_removal
+
+    plan = _plan(text_boilerplate_removal(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_kmv_sketches_use_take_ordered(spark):
+    """Each KMV sketch reduces per partition (TakeOrdered), no global
+    sort of the hash column."""
+    from etl_jobs_spark.queries.tpch_plus import agg_kmv_intersect_types
+
+    plan = _plan(agg_kmv_intersect_types(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
