@@ -136,10 +136,22 @@ def main() -> None:
     print(f"# calib: {calib:.3f}s", file=sys.stderr)
     # pre-stage streaming fixture inputs (memoized) so stream_* timings
     # measure the streaming operators, not the one-time test staging
+    from etl_jobs_spark.queries import analytics_ext as AQ
     from etl_jobs_spark.queries import streaming as SQ
 
     for fmt, n in [("parquet", 1), ("parquet", 2), ("csv", 4)]:
         SQ._stage(spark, sf_dir, fmt, n)
+    # the custom-source queries share one staged JSONL ledger; stage it
+    # here so stream_source_custom times the drain, not the fixture write
+    if sf_dir not in AQ._JSONL_MEMO:
+        from etl_jobs_spark.scratch import scratch_dir
+        from etl_jobs_spark.sources.readers import read_table as _rt
+
+        d = scratch_dir("etl_jsonl")
+        _rt(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        ).coalesce(2).write.json(str(d))
+        AQ._JSONL_MEMO[sf_dir] = d
 
     timings: dict[str, float] = {}
     for name in names:

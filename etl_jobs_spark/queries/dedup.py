@@ -329,15 +329,29 @@ def _components_oracle() -> str:
     """
 
 
+def _lsh_components(spark, sf_dir):
+    """Memoized component assignment at the 0.5 similarity gate —
+    the reusable artifact every cluster-consuming query reads (same
+    build-once/probe-many shape as the IVF index): computed from the
+    memoized pair table once per (session, corpus) and persisted
+    (doc_id, component) — a tiny table relative to the corpus."""
+    from etl_jobs_spark.queries._shared import session_memo
+
+    def build():
+        pairs = _minhash_pairs(spark, sf_dir).filter(
+            F.col("est_sim") >= 0.5
+        )
+        return DD.connected_components(pairs).persist()
+
+    return session_memo(spark, "lsh_components", sf_dir, build)
+
+
 @register("dedup_cluster_components", oracle=_components_oracle())
 def dedup_cluster_components(spark, sf_dir):
     """Near-dup clustering: connected components over MinHash-LSH
     pair edges (est_sim >= 0.5) — iterative min-label propagation on
     Spark, verified against a recursive-CTE reachability oracle."""
-    from pyspark.sql import functions as F
-
-    pairs = _minhash_pairs(spark, sf_dir).filter(F.col("est_sim") >= 0.5)
-    return DD.connected_components(pairs)
+    return _lsh_components(spark, sf_dir)
 
 
 def _containment_oracle() -> str:
@@ -580,8 +594,7 @@ def dedup_cluster_size_hist(spark, sf_dir):
     duplicate families; a heavy tail means template spam). Two tiny
     aggregations on top of the memoized component assignment; the
     corpus-sized work is shared with dedup_cluster_components."""
-    pairs = _minhash_pairs(spark, sf_dir).filter(F.col("est_sim") >= 0.5)
-    comp = DD.connected_components(pairs)
+    comp = _lsh_components(spark, sf_dir)
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
