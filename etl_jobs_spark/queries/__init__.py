@@ -72,6 +72,8 @@ _NEEDS_CORRECTNESS_ROW = [
     "agg_kmv_intersect_types",
     # round-4 addition: nearest as-of join
     "join_asof_nearest",
+    # round-4 addition: per-source epoch allocation recipe
+    "mix_epoch_plan",
 ]
 
 # Round-4 addition: Spark 4 transformWithStateInPandas is registered

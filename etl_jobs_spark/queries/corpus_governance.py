@@ -429,3 +429,92 @@ def pipeline_llm_corpus_end_to_end(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("nc").alias("total_chars"),
     )
+
+
+@register(
+    "mix_epoch_plan",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(sum(len(regexp_extract_all(n, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT)
+               AS n_tokens
+      FROM (SELECT source, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+            FROM documents)
+      GROUP BY source),
+    t AS (
+      SELECT source, n_tokens,
+             floor(pow(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (),
+                       {MIX_ALPHA_BP} / 10000.0) * {_POW_SCALE} + 0.5)
+               AS pa_q,
+             CAST(floor(sum(n_tokens) OVER ()
+                        * {TOKEN_BUDGET_BP} / 10000.0) AS BIGINT) AS budget
+      FROM per_src)
+    SELECT source, n_tokens,
+           CAST(floor(budget * pa_q / sum(pa_q) OVER ()) AS BIGINT)
+             AS target_tokens,
+           CAST(floor(floor(budget * pa_q / sum(pa_q) OVER ())
+                      * 1000.0 / n_tokens + 0.5) AS BIGINT) AS epochs_milli
+    FROM t
+    """,
+)
+def mix_epoch_plan(spark, sf_dir):
+    """The data-recipe artifact a training run actually consumes:
+    per-source token targets and repeat-epochs under a global token
+    budget with temperature-flattened shares (alpha=0.7). Composes
+    the temperature mixture with the budget: target_i = budget *
+    p_temp_i, epochs_i = target_i / tokens_i — sources smaller than
+    their flattened share repeat (epochs > 1.0), oversized sources
+    subsample (epochs < 1.0). The pow() output is quantized to a
+    fixed-point grid before normalizing (the cross-engine float
+    discipline mix_temperature_weights established); everything after
+    is IEEE-exact integer/division arithmetic. One corpus-sized
+    groupBy; the planning math runs on a |sources|-row table."""
+    from pyspark.sql import Window
+
+    from etl_jobs_spark.operators.hashing import norm_text
+    from etl_jobs_spark.operators.text import BPE_RE
+
+    docs = read_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select(
+            "source", F.expr(norm_text("text", "spark")).alias("nrm")
+        )
+        .select(
+            "source",
+            F.expr(
+                f"CAST(size(regexp_extract_all(nrm, '{BPE_RE}', 0)) AS BIGINT)"
+            ).alias("tok"),
+        )
+        .groupBy("source")
+        .agg(F.sum("tok").alias("n_tokens"))
+    )
+    w = Window.partitionBy()
+    alpha = MIX_ALPHA_BP / 10000.0
+    t = per_src.withColumn(
+        "pa_q",
+        F.floor(
+            F.pow(
+                F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w),
+                alpha,
+            )
+            * _POW_SCALE
+            + F.lit(0.5)
+        ),
+    ).withColumn(
+        "budget",
+        F.expr(
+            f"CAST(floor(sum(n_tokens) OVER ()"
+            f" * {TOKEN_BUDGET_BP} / 10000.0) AS BIGINT)"
+        ),
+    )
+    target = F.floor(
+        F.col("budget") * F.col("pa_q") / F.sum("pa_q").over(w)
+    ).cast("long")
+    return t.select(
+        "source",
+        "n_tokens",
+        target.alias("target_tokens"),
+        F.floor(target * 1000.0 / F.col("n_tokens") + F.lit(0.5))
+        .cast("long")
+        .alias("epochs_milli"),
+    )
