@@ -143,15 +143,7 @@ def main() -> None:
         SQ._stage(spark, sf_dir, fmt, n)
     # the custom-source queries share one staged JSONL ledger; stage it
     # here so stream_source_custom times the drain, not the fixture write
-    if sf_dir not in AQ._JSONL_MEMO:
-        from etl_jobs_spark.scratch import scratch_dir
-        from etl_jobs_spark.sources.readers import read_table as _rt
-
-        d = scratch_dir("etl_jsonl")
-        _rt(spark, sf_dir, "events").select(
-            "event_id", "user_id", "event_type", "value"
-        ).coalesce(2).write.json(str(d))
-        AQ._JSONL_MEMO[sf_dir] = d
+    AQ.stage_jsonl(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in names:

@@ -227,7 +227,16 @@ def asof_join_nearest(
     one-shuffle union+window scans — then a pick by microsecond
     distance; ``left_id`` must uniquely identify left rows so the two
     passes re-join without fan-out. Same cost class as two sort-merge
-    joins; no range explosion, neither side needs to be small."""
+    joins; no range explosion, neither side needs to be small.
+
+    ``ts`` must be listed in ``right_payload`` — the distance pick
+    reads the carried right-side timestamp from the payload struct."""
+    if ts not in right_payload:
+        raise ValueError(
+            f"asof_join_nearest: ts column {ts!r} must be in "
+            f"right_payload {right_payload} (the nearest pick compares "
+            "the carried right timestamps)"
+        )
     slim = left.select(left_id, key, ts)
     prev = asof_join(
         slim, right, key, ts, tiebreak, right_payload, prefix="_p_"

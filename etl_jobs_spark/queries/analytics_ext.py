@@ -143,6 +143,20 @@ def stream_dedup_exact(spark, sf_dir):
 _JSONL_MEMO: dict[str, Path] = {}
 
 
+def stage_jsonl(spark, sf_dir: str) -> Path:
+    """Stage the shared JSONL event ledger once per sf_dir (memoized):
+    the fixture every JSONL/custom-source query (and bench.py's
+    pre-staging) reads — one definition so the ledger shape can't
+    drift between consumers."""
+    if sf_dir not in _JSONL_MEMO:
+        d = scratch_dir("etl_jsonl")
+        read_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        ).coalesce(2).write.json(str(d))
+        _JSONL_MEMO[sf_dir] = d
+    return _JSONL_MEMO[sf_dir]
+
+
 @register(
     "scan_json_lines",
     oracle="""
@@ -154,15 +168,10 @@ def scan_json_lines(spark, sf_dir):
     surface is its metrics sink + SQS bodies, src/etl_2022.py:161-165,
     src/etl_2025.py:243; this is the source side). Schema inference
     over JSON costs a full extra scan at 100 TB — always declare."""
-    if sf_dir not in _JSONL_MEMO:
-        d = scratch_dir("etl_jsonl")
-        read_table(spark, sf_dir, "events").select(
-            "event_id", "user_id", "event_type", "value"
-        ).coalesce(2).write.json(str(d))
-        _JSONL_MEMO[sf_dir] = d
+    stage_jsonl(spark, sf_dir)
     return spark.read.schema(
         "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
-    ).json(str(_JSONL_MEMO[sf_dir])).select(
+    ).json(str(stage_jsonl(spark, sf_dir))).select(
         "event_id", "user_id", "event_type", "value"
     )
 
@@ -188,16 +197,11 @@ def source_custom_pushdown(spark, sf_dir):
     ledger."""
     from etl_jobs_spark.sources import ledger_source
 
-    if sf_dir not in _JSONL_MEMO:
-        d = scratch_dir("etl_jsonl")
-        read_table(spark, sf_dir, "events").select(
-            "event_id", "user_id", "event_type", "value"
-        ).coalesce(2).write.json(str(d))
-        _JSONL_MEMO[sf_dir] = d
+    stage_jsonl(spark, sf_dir)
     ledger_source.register(spark)
     return (
         spark.read.format("event_ledger")
-        .option("path", str(_JSONL_MEMO[sf_dir]))
+        .option("path", str(stage_jsonl(spark, sf_dir)))
         .load()
         .filter(F.col("event_type") == "purchase")
         .groupBy("event_type")
@@ -229,18 +233,13 @@ def stream_source_custom(spark, sf_dir):
     row read twice across batches)."""
     from etl_jobs_spark.sources import ledger_source
 
-    if sf_dir not in _JSONL_MEMO:
-        d = scratch_dir("etl_jsonl")
-        read_table(spark, sf_dir, "events").select(
-            "event_id", "user_id", "event_type", "value"
-        ).coalesce(2).write.json(str(d))
-        _JSONL_MEMO[sf_dir] = d
+    stage_jsonl(spark, sf_dir)
     ledger_source.register(spark)
     wk = scratch_dir("ledger_stream_wk")
     out = str(wk / "out")
     q = (
         spark.readStream.format("event_ledger")
-        .option("path", str(_JSONL_MEMO[sf_dir]))
+        .option("path", str(stage_jsonl(spark, sf_dir)))
         .load()
         .writeStream.format("parquet")
         .option("path", out)

@@ -402,7 +402,12 @@ def scan_with_lineage(spark, sf_dir):
     return (
         ev.withColumn(
             "source_file",
-            F.regexp_extract(F.input_file_name(), r"([^/]+\.parquet)", 1),
+            # anchored to a path-segment boundary: an unanchored
+            # ([^/]+\.parquet) would match a PREFIX of an ancestor
+            # directory named e.g. corpus.parquet_v2
+            F.regexp_extract(
+                F.input_file_name(), r"([^/]+\.parquet)(/|$)", 1
+            ),
         )
         .groupBy("source_file")
         .agg(

@@ -580,17 +580,29 @@ def stream_merge_upsert(spark, sf_dir):
     src = S.file_stream_source(spark, str(raw / "raw"), EVENTS_SCHEMA, "parquet", 1)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
         from pyspark.sql import Window
 
         ss = batch_df.sparkSession
         # crash recovery: if a prior swap died between its two
         # renames, the complete old state sits under state_old_v*;
-        # restore it before merging so the replayed batch folds into
-        # the accumulated table instead of silently restarting it.
-        if not state.exists():
-            for leftover in sorted(wk.glob("state_old_v*")):
-                leftover.rename(state)
-                break
+        # restore the NEWEST one (numeric batch suffix — lexicographic
+        # order would pick v10 before v2) before merging, so the
+        # replayed batch folds into the accumulated table instead of
+        # silently restarting it. Older leftovers are stale snapshots
+        # from swaps that completed later — drop them either way.
+        leftovers = sorted(
+            wk.glob("state_old_v*"), key=lambda p: int(p.name.rsplit("v", 1)[1])
+        )
+        if leftovers:
+            newest = leftovers.pop()
+            if state.exists():
+                shutil.rmtree(str(newest))
+            else:
+                newest.rename(state)
+            for stale in leftovers:
+                shutil.rmtree(str(stale))
         w = Window.partitionBy("user_id").orderBy(
             F.col("ts").desc(), F.col("event_id").desc()
         )
@@ -614,10 +626,14 @@ def stream_merge_upsert(spark, sf_dir):
         # rename-aside swap: the old state survives (as state_old)
         # until the new one is in place, so a crash between steps
         # never loses the accumulated table — the next batch sees
-        # either the old or the new complete state.
-        import shutil
-
+        # either the old or the new complete state. A replayed batch
+        # may find its own state_old_v{batch_id} from the crashed
+        # attempt; os.rename onto a non-empty dir raises, so clear it
+        # first (the recovery block above already restored/abandoned
+        # it as appropriate).
         old = wk / f"state_old_v{batch_id}"
+        if old.exists():
+            shutil.rmtree(str(old))
         if state.exists():
             state.rename(old)
         out.rename(state)

@@ -401,10 +401,15 @@ def agg_kmv_intersect_types(spark, sf_dir):
     At 100 TB each sketch is k 8-byte values reduced per partition
     (TakeOrdered, no global sort); the intersection joins two
     256-value sets — driver-scale work after a linear scan."""
+    from etl_jobs_spark import cache
+
     ev = read_table(spark, sf_dir, "events")
 
     def sketch(etype: str):
-        return (
+        # each sketch feeds 2-3 plan branches (theta, common-count,
+        # final projection); persist the <=256-row result so the
+        # corpus scan + distinct + TakeOrdered runs once per side
+        return cache.track(
             ev.filter(F.col("event_type") == etype)
             .select(
                 F.expr(hash60("CAST(user_id AS STRING)", "spark")).alias("hv")
