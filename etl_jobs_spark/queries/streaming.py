@@ -580,29 +580,16 @@ def stream_merge_upsert(spark, sf_dir):
     src = S.file_stream_source(spark, str(raw / "raw"), EVENTS_SCHEMA, "parquet", 1)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        import shutil
-
         from pyspark.sql import Window
 
+        from etl_jobs_spark.operators import state_swap
+
         ss = batch_df.sparkSession
-        # crash recovery: if a prior swap died between its two
-        # renames, the complete old state sits under state_old_v*;
-        # restore the NEWEST one (numeric batch suffix — lexicographic
-        # order would pick v10 before v2) before merging, so the
-        # replayed batch folds into the accumulated table instead of
-        # silently restarting it. Older leftovers are stale snapshots
-        # from swaps that completed later — drop them either way.
-        leftovers = sorted(
-            wk.glob("state_old_v*"), key=lambda p: int(p.name.rsplit("v", 1)[1])
-        )
-        if leftovers:
-            newest = leftovers.pop()
-            if state.exists():
-                shutil.rmtree(str(newest))
-            else:
-                newest.rename(state)
-            for stale in leftovers:
-                shutil.rmtree(str(stale))
+        # crash recovery: restore the accumulated table from the
+        # newest rename-aside leftover if a prior swap died between
+        # its two renames (operators/state_swap.py documents the
+        # protocol and its crash windows).
+        state_swap.recover(wk, state)
         w = Window.partitionBy("user_id").orderBy(
             F.col("ts").desc(), F.col("event_id").desc()
         )
@@ -624,21 +611,10 @@ def stream_merge_upsert(spark, sf_dir):
         out = wk / f"state_v{batch_id}"
         merged.write.mode("overwrite").parquet(str(out))
         # rename-aside swap: the old state survives (as state_old)
-        # until the new one is in place, so a crash between steps
-        # never loses the accumulated table — the next batch sees
-        # either the old or the new complete state. A replayed batch
-        # may find its own state_old_v{batch_id} from the crashed
-        # attempt; os.rename onto a non-empty dir raises, so clear it
-        # first (the recovery block above already restored/abandoned
-        # it as appropriate).
-        old = wk / f"state_old_v{batch_id}"
-        if old.exists():
-            shutil.rmtree(str(old))
-        if state.exists():
-            state.rename(old)
-        out.rename(state)
-        if old.exists():
-            shutil.rmtree(str(old))
+        # until the new one is in place, so a crash at any point
+        # leaves a complete state copy on disk under one of the two
+        # names — never a half-written table.
+        state_swap.swap(wk, state, out, batch_id)
 
     S.foreach_batch_pipeline(src, str(wk / "ck"), merge, state_partitions=4)
     return spark.read.parquet(str(state)).select(
