@@ -74,6 +74,8 @@ _NEEDS_CORRECTNESS_ROW = [
     "join_asof_nearest",
     # round-4 addition: per-source epoch allocation recipe
     "mix_epoch_plan",
+    # round-4 addition: multimodal curation flagship (real codecs)
+    "pipeline_media_curation",
 ]
 
 # Round-4 addition: Spark 4 transformWithStateInPandas is registered

@@ -196,3 +196,79 @@ def multimodal_decode_wav(spark, sf_dir):
     sum |x|, energy)."""
     media = spark.read.parquet(_stage_media(spark, sf_dir))
     return MM.wav_features(media)
+
+
+@register(
+    "pipeline_media_curation",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id, {_W} AS w, {_H} AS h,
+               SUM({_PIX}) AS pixel_sum
+        FROM documents
+        JOIN range(0, {MM.IMG_W_MOD - 1 + MM.IMG_MIN}) x(x) ON x.x < {_W}
+        JOIN range(0, {MM.IMG_H_MOD - 1 + MM.IMG_MIN}) y(y) ON y.y < {_H}
+        CROSS JOIN range(0, 3) c(c)
+        GROUP BY doc_id
+    ),
+    au AS (
+        SELECT doc_id, {_WAV_N} AS n_samples,
+               SUM({_SAMPLE} * {_SAMPLE}) AS energy
+        FROM documents
+        JOIN range(0, {MM.WAV_N_MOD - 1 + MM.WAV_N_MIN}) i(i)
+          ON i.i < {_WAV_N}
+        GROUP BY doc_id
+    ),
+    gated AS (
+        SELECT px.doc_id,
+               CASE WHEN px.doc_id % 2 = 1 THEN 'png' ELSE 'bmp' END
+                 AS container,
+               px.pixel_sum, au.energy,
+               CASE WHEN px.w * px.h >= 100
+                         AND au.energy // au.n_samples
+                             BETWEEN 1000000 AND 1800000
+                    THEN 1 ELSE 0 END AS keep
+        FROM px JOIN au ON px.doc_id = au.doc_id
+    )
+    SELECT container, keep,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(pixel_sum) AS BIGINT) AS total_pixel_sum,
+           CAST(sum(energy) AS BIGINT) AS total_energy
+    FROM gated GROUP BY container, keep
+    """,
+)
+def pipeline_media_curation(spark, sf_dir):
+    """Multimodal curation pipeline end-to-end over REAL containers:
+    decode every document's PNG/BMP image AND its PCM WAV audio
+    (pure-stdlib codecs in two Arrow-batched stages), join the
+    modalities on doc_id, apply a joint quality gate (minimum pixel
+    area + per-sample audio energy band — the keep/drop decision a
+    media training pipeline makes from both modalities), and report
+    the per-container curation census. Every number derives from
+    decoded container bytes; the oracle recomputes all of it from the
+    closed-form fixture grids, so a codec, join, or gate bug anywhere
+    in the chain breaks the hash.
+
+    Scale shape: both decodes are per-partition map stages over the
+    same staged media table (no shuffle until the small feature
+    rows); the join keys are doc_id-partitioned feature tables, and
+    the census is a |containers|x2-row aggregate."""
+    media = spark.read.parquet(_stage_media(spark, sf_dir))
+    img = MM.extract_real_features(media).select(
+        "doc_id", "container", "width", "height", "pixel_sum"
+    )
+    wav = MM.wav_features(media).select("doc_id", "n_samples", "energy")
+    from pyspark.sql import functions as F
+
+    gated = img.join(wav, "doc_id").withColumn(
+        "keep",
+        F.when(
+            (F.col("width") * F.col("height") >= 100)
+            & F.expr("energy DIV n_samples").between(1_000_000, 1_800_000),
+            1,
+        ).otherwise(0),
+    )
+    return gated.groupBy("container", "keep").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("pixel_sum").alias("total_pixel_sum"),
+        F.sum("energy").alias("total_energy"),
+    )
