@@ -94,6 +94,16 @@ HEADLINE = [
     "zorder_layout_stats",
     "graph_pagerank_transitions",
     "dq_k_anonymity",
+    # round-4 surface: real-codec multimodal, arrow UDTF, sketch
+    # intersection, nearest as-of, the epoch recipe
+    "multimodal_decode_png_bmp",
+    "multimodal_decode_wav",
+    "multimodal_resize_nearest",
+    "pipeline_media_curation",
+    "udtf_arrow_shingles",
+    "agg_kmv_intersect_types",
+    "join_asof_nearest",
+    "mix_epoch_plan",
 ]
 
 

@@ -76,6 +76,8 @@ _NEEDS_CORRECTNESS_ROW = [
     "mix_epoch_plan",
     # round-4 addition: multimodal curation flagship (real codecs)
     "pipeline_media_curation",
+    # round-4 addition: streaming media ingest with real decode
+    "stream_media_decode",
 ]
 
 # Round-4 addition: Spark 4 transformWithStateInPandas is registered

@@ -272,3 +272,75 @@ def pipeline_media_curation(spark, sf_dir):
         F.sum("pixel_sum").alias("total_pixel_sum"),
         F.sum("energy").alias("total_energy"),
     )
+
+
+@register(
+    "stream_media_decode",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 1 THEN 'png' ELSE 'bmp' END
+                 AS container,
+               SUM({_PIX}) AS pixel_sum
+        FROM documents
+        JOIN range(0, {MM.IMG_W_MOD - 1 + MM.IMG_MIN}) x(x) ON x.x < {_W}
+        JOIN range(0, {MM.IMG_H_MOD - 1 + MM.IMG_MIN}) y(y) ON y.y < {_H}
+        CROSS JOIN range(0, 3) c(c)
+        GROUP BY doc_id
+    )
+    SELECT container,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(sum(pixel_sum) AS BIGINT) AS total_pixel_sum
+    FROM px GROUP BY container
+    """,
+)
+def stream_media_decode(spark, sf_dir):
+    """STREAMING multimodal ingest over real containers: the staged
+    media table (PNG/BMP binary columns) arrives as a file stream
+    (maxFilesPerTrigger=1 — the raw/ prefix of a media crawl), each
+    micro-batch DECODES its blobs with the stdlib codecs inside an
+    Arrow-batched mapInPandas on the streaming DataFrame, and feature
+    rows append to the curated sink; the terminal census aggregates
+    the sink. Per-row decode + terminal agg is batch-split-invariant,
+    and the count-distinct pins exactly-once (no blob decoded into
+    the sink twice). The decode-on-ingest shape a production media
+    pipeline runs so training jobs read features, not containers."""
+    from pyspark.sql import functions as F
+
+    from etl_jobs_spark.queries.streaming import _workdir
+
+    media_dir = _stage_media(spark, sf_dir)
+    # re-lay the staged table as 2 files so the drain has >1 batch
+    key = f"stream:{sf_dir}"
+    if key not in _MEDIA_STAGED:
+        from etl_jobs_spark.scratch import scratch_dir
+
+        d = str(scratch_dir("etl_media_stream"))
+        spark.read.parquet(media_dir).repartition(2).write.parquet(d)
+        _MEDIA_STAGED[key] = d
+    raw = _MEDIA_STAGED[key]
+    wk = _workdir()
+    out = str(wk / "features")
+    src = (
+        spark.readStream.schema(
+            "doc_id long, container string, media binary, audio binary"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(raw)
+    )
+    feats = MM.extract_real_features(src)
+    q = (
+        feats.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(wk / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sunk = spark.read.schema(MM.REAL_FEATURE_SCHEMA).parquet(out)
+    return sunk.groupBy("container").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_distinct"),
+        F.sum("pixel_sum").alias("total_pixel_sum"),
+    )
