@@ -78,6 +78,8 @@ _NEEDS_CORRECTNESS_ROW = [
     "pipeline_media_curation",
     # round-4 addition: streaming media ingest with real decode
     "stream_media_decode",
+    # round-4 addition: custom Python DataSource write path
+    "sink_custom_ledger",
 ]
 
 # Round-4 addition: Spark 4 transformWithStateInPandas is registered

@@ -329,3 +329,43 @@ def agg_bitmap_distinct(spark, sf_dir):
         .select(F.lit("ALL").alias("event_type"), "n_users")
     )
     return per_type.unionByName(rollup)
+
+
+@register(
+    "sink_custom_ledger",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_custom_ledger(spark, sf_dir):
+    """Custom Python DataSource WRITE path (Spark 4 ``writer`` hook),
+    completing the custom-source matrix (batch read with pushdown +
+    streaming read + now the sink): events written through the
+    event_ledger writer — per-task temp part files, a two-phase
+    task-commit/job-commit that renames parts into place and writes a
+    manifest, abort cleanup — then read BACK through the same
+    source's batch reader and aggregated. The count-distinct pins
+    no-duplication through the round-trip; a partial/aborted write
+    would change the census."""
+    from etl_jobs_spark.sources import ledger_source
+
+    ledger_source.register(spark)
+    out = scratch_dir("etl_ledger_sink")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.repartition(4).write.format("event_ledger").option(
+        "path", str(out)
+    ).mode("append").save()
+    back = (
+        spark.read.format("event_ledger").option("path", str(out)).load()
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_id").alias("n_distinct"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

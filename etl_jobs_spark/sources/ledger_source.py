@@ -28,8 +28,10 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 LEDGER_SCHEMA = (
@@ -99,6 +101,9 @@ class LedgerDataSource(DataSource):
     def reader(self, schema) -> LedgerReader:
         return LedgerReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "LedgerWriter":
+        return LedgerWriter(self.options)
+
     def simpleStreamReader(self, schema):
         return LedgerStreamReader(self.options)
 
@@ -162,3 +167,60 @@ class LedgerStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end):  # ledger files are immutable; nothing to ack
         pass
+
+
+class _LedgerCommit(WriterCommitMessage):
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class LedgerWriter(DataSourceWriter):
+    """WRITE side of the custom source (Spark 4 ``writer`` hook):
+    each task streams its partition to a temporary JSONL part file
+    and returns a commit message; the driver's ``commit`` renames the
+    parts into place and writes a ``_LEDGER_COMMIT.manifest`` —
+    the two-phase task-commit/job-commit protocol every transactional
+    sink implements (the reference's analogue is the 2018 loader's
+    commit/rollback, src/etl_2018.py:65-92). ``abort`` removes the
+    temporaries, so a failed job leaves no partial ledger visible."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        # .json suffix: the reader side lists *.json ledger files
+        name = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.json"
+        tmp = os.path.join(self.path, f".{name}.tmp")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _LedgerCommit(name, n)
+
+    def commit(self, messages):
+        total = 0
+        files = []
+        for m in messages:
+            os.rename(
+                os.path.join(self.path, f".{m.filename}.tmp"),
+                os.path.join(self.path, m.filename),
+            )
+            files.append(m.filename)
+            total += m.n_rows
+        manifest = {"files": sorted(files), "n_rows": total}
+        with open(os.path.join(self.path, "_LEDGER_COMMIT.manifest"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        for m in messages:
+            tmp = os.path.join(self.path, f".{m.filename}.tmp")
+            if os.path.exists(tmp):
+                os.remove(tmp)
