@@ -80,6 +80,8 @@ _NEEDS_CORRECTNESS_ROW = [
     "stream_media_decode",
     # round-4 addition: custom Python DataSource write path
     "sink_custom_ledger",
+    # round-4 addition: one-pass declarative expectation suite
+    "dq_expectations_suite",
 ]
 
 # Round-4 addition: Spark 4 transformWithStateInPandas is registered

@@ -172,3 +172,82 @@ def dq_stale_feeds(spark, sf_dir):
         F.expr(f"CAST({lag_min} AS BIGINT)").alias("minutes_behind"),
         F.expr(f"CAST({lag_min} > 1440 AS BIGINT)").alias("is_stale"),
     )
+
+
+#: Declarative expectation suite: (rule name, violation predicate in
+#: BOTH dialects — the fragments are engine-portable SQL).
+_EXPECTATIONS = [
+    ("not_null_value", "value_n IS NULL"),
+    ("not_null_event_type", "event_type_n IS NULL"),
+    (
+        "value_in_range",
+        "value_n IS NOT NULL AND NOT (value_n BETWEEN 0 AND 150)",
+    ),
+    (
+        "type_in_domain",
+        "event_type_n IS NOT NULL AND event_type_n NOT IN "
+        "('click','view','purchase','signup','error')",
+    ),
+]
+
+
+def _expectations_oracle() -> str:
+    from etl_jobs_spark.queries._shared import DIRTY_SQL
+
+    selects = [
+        f"""SELECT '{name}' AS rule,
+               CAST(count(*) AS BIGINT) AS n_checked,
+               CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violations
+        FROM d"""
+        for name, pred in _EXPECTATIONS
+    ] + [
+        """SELECT 'unique_event_id' AS rule,
+               CAST(count(*) AS BIGINT) AS n_checked,
+               CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+                 AS n_violations
+        FROM d"""
+    ]
+    body = "\n        UNION ALL\n        ".join(selects)
+    return f"""
+    WITH d AS ({DIRTY_SQL})
+    SELECT rule, n_checked, n_violations,
+           CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed
+    FROM ({body})
+    """
+
+
+@register("dq_expectations_suite", oracle=_expectations_oracle())
+def dq_expectations_suite(spark, sf_dir):
+    """Declarative expectation suite evaluated in ONE table pass (the
+    dbt-test / Great-Expectations rollup): every rule's violation
+    count is a conditional sum in a single aggregate over the dirty
+    projection — adding a rule adds a column to the map-side partial
+    agg, not another scan — then unpivoted to the per-rule report.
+    The uniqueness expectation rides the same pass as a
+    count-distinct. Generalizes the reference's row-at-a-time
+    validator (src/etl_2018.py:19-31) to a suite-level contract
+    report."""
+    from etl_jobs_spark.queries._shared import dirty_events
+
+    d = dirty_events(spark, sf_dir)
+    aggs = [
+        F.sum(F.when(F.expr(pred), 1).otherwise(0)).alias(name)
+        for name, pred in _EXPECTATIONS
+    ] + [
+        F.count(F.lit(1)).alias("_n"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias(
+            "unique_event_id"
+        ),
+    ]
+    one = d.agg(*aggs)
+    rules = [name for name, _ in _EXPECTATIONS] + ["unique_event_id"]
+    stack = ", ".join(f"'{r}', {r}" for r in rules)
+    return one.selectExpr(
+        f"stack({len(rules)}, {stack}) AS (rule, n_violations)", "_n"
+    ).select(
+        "rule",
+        F.col("_n").alias("n_checked"),
+        "n_violations",
+        F.when(F.col("n_violations") == 0, 1).otherwise(0).alias("passed"),
+    )
