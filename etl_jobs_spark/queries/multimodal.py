@@ -100,7 +100,10 @@ def _stage_media(spark, sf_dir: str) -> str:
 
     d = str(scratch_dir("etl_media"))
     docs = read_table(spark, sf_dir, "documents")
-    MM.generate_media(docs).write.parquet(d)
+    # 2 files: the batch decode queries don't care, and the streaming
+    # ingest query gets a >1-batch drain from the SAME staged copy
+    # (one RAM-backed table instead of two)
+    MM.generate_media(docs).repartition(2).write.parquet(d)
     _MEDIA_STAGED[sf_dir] = d
     return d
 
@@ -310,16 +313,7 @@ def stream_media_decode(spark, sf_dir):
 
     from etl_jobs_spark.queries.streaming import _workdir
 
-    media_dir = _stage_media(spark, sf_dir)
-    # re-lay the staged table as 2 files so the drain has >1 batch
-    key = f"stream:{sf_dir}"
-    if key not in _MEDIA_STAGED:
-        from etl_jobs_spark.scratch import scratch_dir
-
-        d = str(scratch_dir("etl_media_stream"))
-        spark.read.parquet(media_dir).repartition(2).write.parquet(d)
-        _MEDIA_STAGED[key] = d
-    raw = _MEDIA_STAGED[key]
+    raw = _stage_media(spark, sf_dir)  # staged as 2 files -> 2 batches
     wk = _workdir()
     out = str(wk / "features")
     src = (

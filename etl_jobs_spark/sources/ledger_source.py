@@ -102,7 +102,7 @@ class LedgerDataSource(DataSource):
         return LedgerReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> "LedgerWriter":
-        return LedgerWriter(self.options)
+        return LedgerWriter(self.options, overwrite=overwrite)
 
     def simpleStreamReader(self, schema):
         return LedgerStreamReader(self.options)
@@ -185,8 +185,16 @@ class LedgerWriter(DataSourceWriter):
     commit/rollback, src/etl_2018.py:65-92). ``abort`` removes the
     temporaries, so a failed job leaves no partial ledger visible."""
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, overwrite: bool = False):
         self.path = options["path"]
+        self.overwrite = overwrite
+        if overwrite:
+            # clear the committed ledger up front (driver-side, before
+            # any task runs) so mode("overwrite") replaces, not unions
+            if os.path.isdir(self.path):
+                for n in os.listdir(self.path):
+                    if n.endswith(".json") or n == "_LEDGER_COMMIT.manifest":
+                        os.remove(os.path.join(self.path, n))
 
     def write(self, iterator):
         import uuid
@@ -206,8 +214,16 @@ class LedgerWriter(DataSourceWriter):
         return _LedgerCommit(name, n)
 
     def commit(self, messages):
+        manifest_path = os.path.join(self.path, "_LEDGER_COMMIT.manifest")
         total = 0
         files = []
+        # an append job EXTENDS the committed file list; overwrite
+        # started from a cleared directory, so it records only itself
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                prior = json.load(f)
+            files = list(prior.get("files", []))
+            total = int(prior.get("n_rows", 0))
         for m in messages:
             os.rename(
                 os.path.join(self.path, f".{m.filename}.tmp"),
@@ -216,11 +232,15 @@ class LedgerWriter(DataSourceWriter):
             files.append(m.filename)
             total += m.n_rows
         manifest = {"files": sorted(files), "n_rows": total}
-        with open(os.path.join(self.path, "_LEDGER_COMMIT.manifest"), "w") as f:
+        with open(manifest_path, "w") as f:
             json.dump(manifest, f)
 
     def abort(self, messages):
+        # a failed task's commit message arrives as None (pyspark
+        # DataSourceWriter contract) — only surviving tasks left temps
         for m in messages:
+            if m is None:
+                continue
             tmp = os.path.join(self.path, f".{m.filename}.tmp")
             if os.path.exists(tmp):
                 os.remove(tmp)
