@@ -104,6 +104,8 @@ HEADLINE = [
     "agg_kmv_intersect_types",
     "join_asof_nearest",
     "mix_epoch_plan",
+    "sink_custom_ledger",
+    "dq_expectations_suite",
 ]
 
 
