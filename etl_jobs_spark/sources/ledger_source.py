@@ -27,8 +27,8 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
@@ -175,15 +175,19 @@ class _LedgerCommit(WriterCommitMessage):
         self.n_rows = n_rows
 
 
-class LedgerWriter(DataSourceWriter):
-    """WRITE side of the custom source (Spark 4 ``writer`` hook):
-    each task streams its partition to a temporary JSONL part file
-    and returns a commit message; the driver's ``commit`` renames the
-    parts into place and writes a ``_LEDGER_COMMIT.manifest`` —
-    the two-phase task-commit/job-commit protocol every transactional
-    sink implements (the reference's analogue is the 2018 loader's
-    commit/rollback, src/etl_2018.py:65-92). ``abort`` removes the
-    temporaries, so a failed job leaves no partial ledger visible."""
+class LedgerWriter(DataSourceArrowWriter):
+    """WRITE side of the custom source (Spark 4 ``writer`` hook,
+    Arrow variant): each task receives Arrow RecordBatches (no
+    per-row Row objects cross the boundary), streams them to a
+    temporary JSONL part file, and returns a commit message; the
+    driver's ``commit`` renames the parts into place and writes a
+    ``_LEDGER_COMMIT.manifest`` — the two-phase task-commit/job-commit
+    protocol every transactional sink implements (the reference's
+    analogue is the 2018 loader's commit/rollback,
+    src/etl_2018.py:65-92). ``abort`` removes the temporaries, so a
+    failed job leaves no partial ledger visible. Values serialize via
+    json.dumps (shortest round-trip repr), so doubles survive the
+    write->read cycle bit-exactly."""
 
     def __init__(self, options: dict, overwrite: bool = False):
         self.path = options["path"]
@@ -208,9 +212,10 @@ class LedgerWriter(DataSourceWriter):
         tmp = os.path.join(self.path, f".{name}.tmp")
         n = 0
         with open(tmp, "w") as f:
-            for row in iterator:
-                f.write(json.dumps(row.asDict()) + "\n")
-                n += 1
+            for batch in iterator:
+                recs = batch.to_pylist()
+                f.write("".join(json.dumps(r) + "\n" for r in recs))
+                n += len(recs)
         return _LedgerCommit(name, n)
 
     def commit(self, messages):
