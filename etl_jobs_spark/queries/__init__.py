@@ -82,6 +82,8 @@ _NEEDS_CORRECTNESS_ROW = [
     "sink_custom_ledger",
     # round-4 addition: one-pass declarative expectation suite
     "dq_expectations_suite",
+    # round-4 addition: bucketed interval-overlap join
+    "join_interval_overlap",
 ]
 
 # Round-4 addition: Spark 4 transformWithStateInPandas is registered

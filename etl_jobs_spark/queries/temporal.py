@@ -280,3 +280,106 @@ def join_asof_nearest(spark, sf_dir):
         right_payload=["event_id", "ts"],
         left_id="event_id",
     )
+
+
+#: Maintenance/campaign windows for the interval-overlap join —
+#: deliberately mixed spans (1 hour .. 7 days) over the fixture's
+#: January range, half-open [start, end).
+OVERLAP_WINDOWS = [
+    ("w1", "2024-01-03 06:00:00", "2024-01-03 18:00:00"),
+    ("w2", "2024-01-07 00:00:00", "2024-01-09 00:00:00"),
+    ("w3", "2024-01-12 20:00:00", "2024-01-13 04:00:00"),
+    ("w4", "2024-01-15 00:00:00", "2024-01-22 00:00:00"),
+    ("w5", "2024-01-25 09:30:00", "2024-01-25 10:30:00"),
+    ("w6", "2024-01-28 00:00:00", "2024-01-31 00:00:00"),
+]
+
+#: Interval-join bucket width: 1 hour in microseconds.
+_OVL_BUCKET_US = 3_600_000_000
+
+
+def _overlap_windows_values() -> str:
+    return ", ".join(
+        f"('{n}', TIMESTAMP '{s}', TIMESTAMP '{e}')"
+        for n, s, e in OVERLAP_WINDOWS
+    )
+
+
+@register(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH w(wname, ws, we) AS (VALUES {_overlap_windows_values()}),
+    act AS (
+        SELECT user_id, CAST(ts AS DATE) AS adate,
+               min(ts) AS a_min, max(ts) AS a_max
+        FROM events GROUP BY 1, 2
+    )
+    SELECT wname,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM act JOIN w ON a_min < we AND a_max >= ws
+    GROUP BY wname
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval-OVERLAP join: per-user daily activity intervals
+    [first event, last event] against a table of maintenance/campaign
+    windows — which users were active during which window. A naive
+    inequality join is a cartesian nested loop; the scale plan
+    explodes BOTH interval sets to the hour buckets they cover,
+    equi-joins on the bucket (candidate pairs only where intervals
+    share an hour), de-duplicates pairs that met in several buckets,
+    and post-filters the exact overlap predicate — the DuckDB oracle
+    states the same join as the naive inequality, an independent
+    implementation. Bucket fan-out is span/1h per interval and lands
+    on the SMALL side's buckets for long windows; the fact side's
+    daily intervals explode to at most 24 buckets."""
+    ev = read_table(spark, sf_dir, "events")
+    us = "unix_micros(CAST({} AS TIMESTAMP))"
+    act = (
+        ev.groupBy(
+            "user_id", F.expr("CAST(ts AS DATE)").alias("adate")
+        )
+        .agg(F.min("ts").alias("a_min"), F.max("ts").alias("a_max"))
+        .select(
+            "user_id",
+            "adate",
+            "a_min",
+            "a_max",
+            F.explode(
+                F.expr(
+                    f"sequence({us.format('a_min')} DIV {_OVL_BUCKET_US},"
+                    f" {us.format('a_max')} DIV {_OVL_BUCKET_US})"
+                )
+            ).alias("bucket"),
+        )
+    )
+    w = spark.createDataFrame(
+        [(n, s, e) for n, s, e in OVERLAP_WINDOWS],
+        "wname STRING, ws_s STRING, we_s STRING",
+    ).select(
+        "wname",
+        F.expr("CAST(ws_s AS TIMESTAMP)").alias("ws"),
+        F.expr("CAST(we_s AS TIMESTAMP)").alias("we"),
+    )
+    wb = w.select(
+        "wname",
+        "ws",
+        "we",
+        F.explode(
+            F.expr(
+                f"sequence(unix_micros(ws) DIV {_OVL_BUCKET_US},"
+                f" (unix_micros(we) - 1) DIV {_OVL_BUCKET_US})"
+            )
+        ).alias("bucket"),
+    )
+    pairs = (
+        act.join(wb, "bucket")
+        .filter((F.col("a_min") < F.col("we")) & (F.col("a_max") >= F.col("ws")))
+        .select("user_id", "adate", "wname")
+        .distinct()
+    )
+    return pairs.groupBy("wname").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
