@@ -84,6 +84,8 @@ _NEEDS_CORRECTNESS_ROW = [
     "dq_expectations_suite",
     # round-4 addition: bucketed interval-overlap join
     "join_interval_overlap",
+    # round-4 addition: TPC-H Q14 promotion-effect shape
+    "q14_promo_effect",
 ]
 
 # Round-4 addition: Spark 4 transformWithStateInPandas is registered

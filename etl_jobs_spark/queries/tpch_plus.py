@@ -446,3 +446,46 @@ def agg_kmv_intersect_types(spark, sf_dir):
             "CAST(round(n_common * pow(2.0, 60) / theta, 0) AS BIGINT)"
         ).alias("est_intersect"),
     )
+
+
+@register(
+    "q14_promo_effect",
+    oracle="""
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP_NS) AS ship_month,
+           round(sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END), 2) AS promo_revenue,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect), extended to a monthly
+    breakdown: one year of lineitem joined to part, promo vs total
+    revenue per ship month. The date filter reaches the lineitem
+    parquet scan (row-group pruning on shipdate min/max stats); part
+    is the small side and BROADCASTS, so the fact table never
+    shuffles — scan, broadcast probe, partial agg, |months| rows.
+    Revenue sums round to cents on both engines (the q6 float
+    discipline)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0)), 2
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
