@@ -106,6 +106,8 @@ HEADLINE = [
     "mix_epoch_plan",
     "sink_custom_ledger",
     "dq_expectations_suite",
+    "join_interval_overlap",
+    "q14_promo_effect",
 ]
 
 
