@@ -86,6 +86,10 @@ _NEEDS_CORRECTNESS_ROW = [
     "join_interval_overlap",
     # round-4 addition: TPC-H Q14 promotion-effect shape
     "q14_promo_effect",
+    # round-4 addition: footer-stats consistency audit
+    "scan_footer_stats_audit",
+    # round-4 addition: TPC-H Q19 disjunctive-bracket shape
+    "q19_bracket_revenue",
 ]
 
 # Round-4 addition: Spark 4 transformWithStateInPandas is registered

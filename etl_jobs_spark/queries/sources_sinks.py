@@ -448,3 +448,62 @@ def scan_xml_roundtrip(spark, sf_dir):
         .load(str(_STAGE_MEMO[key]))
         .select("event_id", "user_id", "event_type", "value")
     )
+
+
+@register(
+    "scan_footer_stats_audit",
+    oracle="""
+    SELECT 'event_id' AS column_name,
+           CAST(count(event_id) AS BIGINT) AS n_values,
+           CAST(min(event_id) AS DOUBLE) AS min_value,
+           CAST(max(event_id) AS DOUBLE) AS max_value
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(count(user_id) AS BIGINT),
+           CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT 'value', CAST(count(value) AS BIGINT),
+           CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)
+    FROM events
+    """,
+)
+def scan_footer_stats_audit(spark, sf_dir):
+    """Parquet FOOTER statistics audit: per-column value counts and
+    min/max assembled from row-group metadata alone — zero data pages
+    read — and verified against a full-scan oracle. This is the
+    stats-vs-data consistency check a lakehouse runs before trusting
+    min/max pruning (a writer that mis-records stats silently breaks
+    every pruned query), and the same footers Spark's own row-group
+    skipping consults. Footer parsing happens per file via pyarrow;
+    at 100 TB the file list becomes a DataFrame and the footer reads
+    a ``mapPartitions`` over paths — same per-file work, distributed
+    (the driver loop here walks the handful of fixture files)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    root = f"{sf_dir}/events.parquet"
+    paths = sorted(_glob.glob(f"{root}/*.parquet")) or [root]
+    cols = ["event_id", "user_id", "value"]
+    acc = {c: [0, None, None] for c in cols}  # n, min, max
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for rg in range(md.num_row_groups):
+            for c in cols:
+                col = md.row_group(rg).column(idx[c])
+                st = col.statistics
+                a = acc[c]
+                a[0] += col.num_values
+                if st is not None and st.has_min_max:
+                    a[1] = st.min if a[1] is None else min(a[1], st.min)
+                    a[2] = st.max if a[2] is None else max(a[2], st.max)
+    rows = [
+        (c, int(a[0]), float(a[1]), float(a[2])) for c, a in acc.items()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column_name STRING, n_values BIGINT, "
+        "min_value DOUBLE, max_value DOUBLE",
+    )

@@ -489,3 +489,51 @@ def q14_promo_effect(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+_Q19_PRED = """
+    (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+        AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 35
+        AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register(
+    "q19_bracket_revenue",
+    oracle=f"""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE {_Q19_PRED}
+    """,
+)
+def q19_bracket_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under an OR of conjunctive brackets
+    spanning BOTH join sides (brand+size on part, quantity on
+    lineitem). The optimizer's job is to split the disjunction:
+    Catalyst derives the single-side implications — p_brand IN
+    (1,2,3) pushes into the part scan, quantity <= 30 into the
+    lineitem scan — so the scans skip before the broadcast probe and
+    the full OR evaluates only on surviving pairs. The predicate
+    string is shared verbatim with the oracle."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(F.expr(_Q19_PRED))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("p_brand").alias("n_brands"),
+        )
+    )
