@@ -90,6 +90,8 @@ _NEEDS_CORRECTNESS_ROW = [
     "scan_footer_stats_audit",
     # round-4 addition: TPC-H Q19 disjunctive-bracket shape
     "q19_bracket_revenue",
+    # round-4 addition: managed-catalog dynamic partition overwrite
+    "catalog_partition_overwrite",
 ]
 
 # Round-4 addition: Spark 4 transformWithStateInPandas is registered

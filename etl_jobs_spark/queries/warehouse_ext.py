@@ -364,3 +364,64 @@ def snapshot_diff_audit(spark, sf_dir):
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@register(
+    "catalog_partition_overwrite",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CASE WHEN event_type = 'click'
+                          THEN value * 2 ELSE value END), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def catalog_partition_overwrite(spark, sf_dir):
+    """Managed-catalog partitioned table + DYNAMIC PARTITION
+    OVERWRITE — the idempotent-backfill primitive: a partitioned
+    managed table is created from events once (CTAS), then the
+    'click' partition alone is rebuilt with corrected values
+    (doubled) via INSERT OVERWRITE under dynamic partitionOverwrite
+    mode — only the partitions present in the insert are replaced,
+    every other partition's files are untouched. Re-running the
+    overwrite is a no-op by construction, which is exactly why daily
+    pipeline backfills use this shape (a failed job reruns safely).
+    The read-back census hash-matches an oracle that restates the
+    correction over the raw table."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name = f"events_pt_{tag}"
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if not spark.catalog.tableExists(name):
+            from etl_jobs_spark.scratch import scratch_root
+
+            ev = read_table(spark, sf_dir, "events").select(
+                "event_id", "value", "event_type"
+            )
+            (
+                ev.write.partitionBy("event_type")
+                .mode("overwrite")
+                # explicit location: keep table files on scratch, not
+                # a spark-warehouse/ dir in whatever CWD the caller has
+                .option("path", str(scratch_root() / f"wh_{name}"))
+                .saveAsTable(name)
+            )
+        # the backfill: rebuild ONE partition with corrected values
+        read_table(spark, sf_dir, "events").filter(
+            F.col("event_type") == "click"
+        ).select(
+            "event_id", (F.col("value") * 2).alias("value"), "event_type"
+        ).write.insertInto(name, overwrite=True)
+        return (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
