@@ -734,3 +734,24 @@ def cosine_topk_ivfpq(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+def append_ivf_index(emb_new: DataFrame, serve_dir: str, centroids) -> None:
+    """INCREMENTAL index maintenance: assign a new vector batch to
+    the EXISTING coarse quantizer (no refit — centroids are frozen,
+    exactly how faiss/production ANN services absorb daily ingest)
+    and append the rows into the cell-partitioned serving layout.
+    Work is one map pass over the batch plus a write into the touched
+    cell partitions; the base corpus is never rewritten and probes
+    keep their partition pruning. Re-fitting only happens when drift
+    makes cells unbalanced — a monitoring decision, not an ingest
+    step."""
+    assigned = assign_cells(
+        centroids, _with_norm(emb_new), keep=["vec_id", "embedding", "nrm"]
+    )
+    (
+        assigned.repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(serve_dir)
+    )

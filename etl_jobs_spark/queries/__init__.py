@@ -92,6 +92,8 @@ _NEEDS_CORRECTNESS_ROW = [
     "q19_bracket_revenue",
     # round-4 addition: managed-catalog dynamic partition overwrite
     "catalog_partition_overwrite",
+    # round-4 addition: incremental IVF index maintenance (rows-only)
+    "embed_ivf_append_topk",
 ]
 
 # Round-4 addition: Spark 4 transformWithStateInPandas is registered

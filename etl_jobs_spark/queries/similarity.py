@@ -200,3 +200,46 @@ def embed_ivfpq_topk(spark, sf_dir):
     return SIM.cosine_topk_ivfpq(
         spark, pq_serve, vec_serve, centroids, books
     )
+
+
+def ivf_append_index(spark, sf_dir):
+    """Memoized incremental-ingest IVF index: built from 90% of the
+    corpus, with the remaining 10% (vec_id % 10 == 0) appended
+    afterwards against the frozen quantizer — the daily-ingest shape
+    of a production ANN service."""
+    from etl_jobs_spark.queries._shared import session_memo
+    from etl_jobs_spark.scratch import scratch_dir
+
+    def build():
+        emb = read_table(spark, sf_dir, "embeddings")
+        base = emb.filter(F.col("vec_id") % 10 != 0)
+        n = base.count()
+        centroids = SIM.fit_quantizer(
+            base, n, max(16, n // SIM.IVF_TARGET_PER_CELL)
+        )
+        serve = str(scratch_dir("ivf_append"))
+        SIM.build_ivf_index(base, serve, centroids=centroids)
+        SIM.append_ivf_index(
+            emb.filter(F.col("vec_id") % 10 == 0), serve, centroids
+        )
+        return serve, centroids
+
+    return session_memo(spark, "ivf_append_index", sf_dir, build)
+
+
+@register("embed_ivf_append_topk", oracle=None)
+def embed_ivf_append_topk(spark, sf_dir):
+    """IVF ANN top-k over an INCREMENTALLY-MAINTAINED index: 90% of
+    the corpus indexed up front, the rest appended later against the
+    frozen quantizer (operators/similarity.append_ivf_index) — no
+    refit, no base rewrite, partition pruning intact. Probes must
+    surface appended vectors (tests/test_ivf_append.py asserts each
+    appended query's own vector comes back at rank 1 and recall vs
+    brute force holds). Approximate → driver rows-only check."""
+    serve, centroids = ivf_append_index(spark, sf_dir)
+    queries = (
+        read_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(*SIM.QUERY_IDS))
+        .select("vec_id", "embedding")
+    )
+    return SIM.cosine_topk_ivf(spark, serve, centroids, queries)
