@@ -94,6 +94,8 @@ _NEEDS_CORRECTNESS_ROW = [
     "catalog_partition_overwrite",
     # round-4 addition: incremental IVF index maintenance (rows-only)
     "embed_ivf_append_topk",
+    # round-4 addition: streaming JDBC sink (2025-era relational loop)
+    "stream_sink_jdbc",
 ]
 
 # Round-4 addition: Spark 4 transformWithStateInPandas is registered

@@ -770,3 +770,54 @@ def stream_tws_processor(spark, sf_dir):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+@register(
+    "stream_sink_jdbc",
+    oracle=f"""
+    SELECT upper(event_type) AS event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           round(sum(value), 2) AS total_value
+    FROM events WHERE {TRANSFORM_ORACLE_WHERE}
+    GROUP BY 1
+    """,
+)
+def stream_sink_jdbc(spark, sf_dir):
+    """The 2025-era continuous loop's RELATIONAL sink end-to-end
+    (ref: async MySQL batch insert, src/etl_2025.py:144-156,215-231):
+    the cleaned file-arrival stream lands in a real JDBC table
+    (embedded Derby) via a foreachBatch batched append — each
+    micro-batch is one transactional executemany, exactly the
+    reference's commit unit — then the table is read BACK over JDBC
+    and aggregated. The count-distinct pins exactly-once across the
+    checkpointed drain (no row inserted twice even though the stream
+    arrives as multiple batches)."""
+    raw = _stage(spark, sf_dir, "csv", 4)
+    wk = _workdir()
+    db = wk / "derby_stream" / "db"
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = S.file_stream_source(
+        spark, str(raw / "raw"), EVENTS_CSV_SCHEMA, "csv", 2
+    )
+    cleaned = src.filter(
+        F.col("value").between(0, 150) & (F.trim("event_type") != "")
+    ).select(
+        "event_id", "user_id", F.upper("event_type").alias("event_type"), "value"
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("append")
+            .option("batchsize", 500)
+            .jdbc(url, "events_sink", properties=props)
+        )
+
+    S.foreach_batch_pipeline(cleaned, str(wk / "ck"), sink, state_partitions=4)
+    back = spark.read.jdbc(url, "events_sink", properties=props)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_id").alias("n_distinct"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
