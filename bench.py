@@ -176,6 +176,7 @@ def main() -> None:
     # deltas compare code not VMs.
     norm = {k: round(v * scale, 3) for k, v in timings.items()}
 
+    cur_tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "r05")
     docs = Path(__file__).resolve().parent / "docs"
     history = docs / "bench_history.jsonl"
     # cross-round comparison: common-subset normalized total vs the
@@ -187,7 +188,15 @@ def main() -> None:
             for line in history.read_text().splitlines()
             if line.strip()
         ]
-        prior = [r for r in records if r.get("sf") == sf_val]
+        # "previous round" = the latest record at this sf whose tag
+        # differs from the current run's tag — a re-run within the
+        # same round must not compare against its own earlier run,
+        # or the cross-round ratio silently drifts toward 1.0.
+        prior = [
+            r
+            for r in records
+            if r.get("sf") == sf_val and r.get("tag") != cur_tag
+        ]
         if prior:
             prev = prior[-1]
             common = sorted(set(prev["queries_norm"]) & set(norm))
@@ -204,7 +213,7 @@ def main() -> None:
                 )
 
     full = {
-        "tag": os.environ.get("SPARK_GRAFT_BENCH_TAG", "r04"),
+        "tag": cur_tag,
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",

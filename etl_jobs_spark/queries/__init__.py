@@ -32,77 +32,60 @@ from etl_jobs_spark.queries import (  # noqa: F401
     reference_parity,
 )
 
-# Queries with no green driver row in CORRECTNESS_r01–r03 — promoted
-# to the front of the registry so the round-4 sweep reaches all of
-# them (15 left; the 50-query window easily holds them plus any
-# round-4 additions, which should be appended to this list as they
-# are registered).
+# Round-5 sweep window (50 queries, registration order). Front of the
+# list = highest priority: (a) the one red row ever
+# (corpus_token_budget, r4 hash-mismatch — ordering key now quantized
+# to integer-exact BIGINT centichars), (b) round-5 additions /
+# oracle-upgraded queries, (c) VERDICT r4 item 7: rotate the stale
+# r1-era rows — the code beneath them has evolved for three rounds, so
+# the oldest-green queries get fresh driver evidence.
 _NEEDS_CORRECTNESS_ROW = [
-    # the 15-query round-4 backlog (VERDICT r3 "What's missing" #1),
-    # in queries/__init__ registration order
-    "agg_bitmap_distinct",
-    "agg_hll_mergeable",
+    # (a) the r4 red row — integer-exact rank key, re-green it
     "corpus_token_budget",
-    "dedup_cluster_size_hist",
-    "embed_ivfpq_topk",
-    "fn_collation_suite",
-    "fn_variant_json",
-    "graph_reachability_sql",
-    "join_star_shuffle_hash",
-    "mix_temperature_weights",
-    "pipeline_llm_corpus_end_to_end",
-    "scan_with_lineage",
-    "scan_xml_roundtrip",
-    "source_custom_pushdown",
-    "stream_source_custom",
-    # round-4 additions: real stdlib-codec multimodal decode
-    "multimodal_decode_png_bmp",
-    "multimodal_resize_nearest",
-    "multimodal_decode_wav",
-    # round-4 additions: Spark 4 arrow-optimized UDTFs (batch LATERAL
-    # fan-out + the streaming write path)
-    "udtf_arrow_shingles",
-    "stream_udtf_fanout",
-    # round-4 additions: linear quality classifier + boilerplate removal
-    "text_quality_classifier",
-    "text_boilerplate_removal",
-    # round-4 addition: exact-substring (Lee et al.) repeated spans
-    "dedup_repeated_ngram_spans",
-    # round-4 addition: theta-style KMV intersection sketch
-    "agg_kmv_intersect_types",
-    # round-4 addition: nearest as-of join
-    "join_asof_nearest",
-    # round-4 addition: per-source epoch allocation recipe
-    "mix_epoch_plan",
-    # round-4 addition: multimodal curation flagship (real codecs)
-    "pipeline_media_curation",
-    # round-4 addition: streaming media ingest with real decode
-    "stream_media_decode",
-    # round-4 addition: custom Python DataSource write path
-    "sink_custom_ledger",
-    # round-4 addition: one-pass declarative expectation suite
-    "dq_expectations_suite",
-    # round-4 addition: bucketed interval-overlap join
-    "join_interval_overlap",
-    # round-4 addition: TPC-H Q14 promotion-effect shape
-    "q14_promo_effect",
-    # round-4 addition: footer-stats consistency audit
-    "scan_footer_stats_audit",
-    # round-4 addition: TPC-H Q19 disjunctive-bracket shape
-    "q19_bracket_revenue",
-    # round-4 addition: managed-catalog dynamic partition overwrite
-    "catalog_partition_overwrite",
-    # round-4 addition: incremental IVF index maintenance (rows-only)
-    "embed_ivf_append_topk",
-    # round-4 addition: streaming JDBC sink (2025-era relational loop)
-    "stream_sink_jdbc",
+    # (b) round-5 additions & oracle upgrades are inserted here as
+    # they land (IVF tier moving from rows-only to hash-checked, etc.)
+    # (c) r1-era rechecks, oldest driver rows first (CORRECTNESS_r01
+    # order) — ≥20 per VERDICT r4 item 7
+    "agg_pivot_events",
+    "scan_partition_pruned",
+    "stream_dedup_exact",
+    "scan_json_lines",
+    "dedup_exact_text",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embed_cosine",
+    "dedup_cluster_components",
+    "obs_run_metrics",
+    "udf_scalar_pandas",
+    "udf_grouped_map",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "proj_upper",
+    "proj_cast_int",
+    "proj_add_ts",
+    "proj_batch_id",
+    "filter_required_fields",
+    "filter_nonempty_name",
+    "filter_age_range",
+    "filter_email_format",
+    "filter_rejected_rows",
+    "filter_valid_rows",
+    "dedup_full_row",
+    "fillna_const",
+    "fillna_mean",
+    "proj_quality_score",
+    "agg_null_counts",
+    "agg_dup_count",
+    "agg_quantiles_iqr",
+    "filter_outliers_iqr",
+    "agg_profile_stats",
+    "pipeline_2022_end_to_end",
+    "q1_pricing_summary",
+    "join_star_revenue",
+    "topk_orders",
+    "window_rank_events",
+    "window_running_sum",
 ]
-
-# Round-4 addition: Spark 4 transformWithStateInPandas is registered
-# only where a protobuf runtime exists (protobuf_compat shim), so its
-# promotion is conditional the same way — promote() treats unknown
-# names as a hard error on purpose.
-if "stream_tws_processor" in registry._REGISTRY:
-    _NEEDS_CORRECTNESS_ROW.append("stream_tws_processor")
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

@@ -247,13 +247,15 @@ TOKEN_BUDGET_BP = 6000
       SELECT source,
              CAST(sum(len(regexp_extract_all(n, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT)
                AS n_tokens,
-             round(avg(CAST(length(n) AS DOUBLE)), 2) AS avg_chars
+             CAST(sum(CAST(length(n) AS BIGINT)) * 100 AS BIGINT)
+               // CAST(count(*) AS BIGINT) AS avg_chars_c
       FROM (SELECT source, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n FROM documents)
       GROUP BY source),
     ranked AS (
-      SELECT source, n_tokens, avg_chars,
-             sum(n_tokens) OVER (ORDER BY avg_chars DESC, source
-                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+      SELECT source, n_tokens, avg_chars_c,
+             CAST(sum(n_tokens) OVER (ORDER BY avg_chars_c DESC, source
+                                 ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum_tokens,
              CAST(floor(sum(n_tokens) OVER ()
                         * {TOKEN_BUDGET_BP} / 10000.0) AS BIGINT) AS budget
       FROM per_src)
@@ -267,7 +269,10 @@ TOKEN_BUDGET_BP = 6000
 )
 def corpus_token_budget(spark, sf_dir):
     """Token-budget allocation planner: sources ranked by a quality
-    proxy (average document length), each granted tokens until the
+    proxy — integer-exact centichars-per-doc,
+    ``sum_chars * 100 DIV n_docs`` as BIGINT on BOTH engines so the
+    greedy rank can never flip on a cross-engine float-rounding
+    quirk (the r4 driver red row) — each granted tokens until the
     global budget (60% of corpus tokens) runs out — greedy
     prefix-sum allocation, the fill-the-training-run shape. One
     corpus aggregation + one |sources|-row running-sum window; the
@@ -287,14 +292,15 @@ def corpus_token_budget(spark, sf_dir):
             F.sum(
                 F.expr(f"CAST(size(regexp_extract_all(nrm, '{BPE_RE}', 0)) AS BIGINT)")
             ).alias("n_tokens"),
-            F.round(F.avg(F.expr("CAST(length(nrm) AS DOUBLE)")), 2).alias(
-                "avg_chars"
-            ),
+            F.expr(
+                "CAST(sum(CAST(length(nrm) AS BIGINT)) * 100L"
+                " DIV count(*) AS BIGINT)"
+            ).alias("avg_chars_c"),
         )
     )
     w_rank = (
         Window.partitionBy()
-        .orderBy(F.col("avg_chars").desc(), F.col("source"))
+        .orderBy(F.col("avg_chars_c").desc(), F.col("source"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_all = Window.partitionBy()

@@ -495,12 +495,29 @@ def scan_footer_stats_audit(spark, sf_dir):
                 col = md.row_group(rg).column(idx[c])
                 st = col.statistics
                 a = acc[c]
-                a[0] += col.num_values
+                # ColumnChunkMetaData.num_values counts nulls too
+                # (parquet spec); the audit's oracle is count(col) =
+                # non-null, so subtract the footer's null_count when
+                # the chunk carries statistics.
+                nulls = (
+                    st.null_count
+                    if st is not None and st.null_count is not None
+                    else 0
+                )
+                a[0] += col.num_values - nulls
                 if st is not None and st.has_min_max:
                     a[1] = st.min if a[1] is None else min(a[1], st.min)
                     a[2] = st.max if a[2] is None else max(a[2], st.max)
     rows = [
-        (c, int(a[0]), float(a[1]), float(a[2])) for c, a in acc.items()
+        # a column whose chunks all lack min/max statistics cannot be
+        # audited from footers — surface NULL bounds rather than crash
+        (
+            c,
+            int(a[0]),
+            float(a[1]) if a[1] is not None else None,
+            float(a[2]) if a[2] is not None else None,
+        )
+        for c, a in acc.items()
     ]
     return spark.createDataFrame(
         rows,

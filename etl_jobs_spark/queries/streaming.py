@@ -790,9 +790,12 @@ def stream_sink_jdbc(spark, sf_dir):
     (embedded Derby) via a foreachBatch batched append — each
     micro-batch is one transactional executemany, exactly the
     reference's commit unit — then the table is read BACK over JDBC
-    and aggregated. The count-distinct pins exactly-once across the
-    checkpointed drain (no row inserted twice even though the stream
-    arrives as multiple batches)."""
+    and aggregated. foreachBatch is at-least-once under micro-batch
+    retry, so each batch first DELETEs its own batch_id and then
+    appends rows tagged with it (the standard idempotent
+    delete-then-insert foreachBatch pattern): a replayed batch
+    replaces itself instead of duplicating rows. The count-distinct
+    readback would still flag any duplication that slipped through."""
     raw = _stage(spark, sf_dir, "csv", 4)
     wk = _workdir()
     db = wk / "derby_stream" / "db"
@@ -808,14 +811,36 @@ def stream_sink_jdbc(spark, sf_dir):
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # Replay guard: delete this batch's prior rows (if the table
+        # exists yet — Spark creates it on the first append) so a
+        # micro-batch retry overwrites rather than duplicates. Runs
+        # on the driver, same JVM as embedded Derby.
+        jvm = spark._jvm
+        jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            tables = conn.getMetaData().getTables(
+                None, None, "events_sink", None
+            )
+            if tables.next():
+                st = conn.createStatement()
+                st.executeUpdate(
+                    f'DELETE FROM "events_sink" WHERE "batch_id" = {int(batch_id)}'
+                )
+                st.close()
+        finally:
+            conn.close()
         (
-            batch_df.write.mode("append")
+            batch_df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("append")
             .option("batchsize", 500)
             .jdbc(url, "events_sink", properties=props)
         )
 
     S.foreach_batch_pipeline(cleaned, str(wk / "ck"), sink, state_partitions=4)
-    back = spark.read.jdbc(url, "events_sink", properties=props)
+    back = spark.read.jdbc(url, "events_sink", properties=props).drop(
+        "batch_id"
+    )
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("event_id").alias("n_distinct"),

@@ -185,20 +185,18 @@ class LedgerWriter(DataSourceArrowWriter):
     protocol every transactional sink implements (the reference's
     analogue is the 2018 loader's commit/rollback,
     src/etl_2018.py:65-92). ``abort`` removes the temporaries, so a
-    failed job leaves no partial ledger visible. Values serialize via
+    failed job leaves no partial ledger visible — for overwrite too:
+    the old ledger is destroyed only inside job-commit, AFTER the new
+    parts are renamed into place, so a job that fails before commit
+    leaves the previous ledger intact (failure-atomic at the manifest
+    level; a reader listing files mid-commit may briefly see old+new
+    parts — the manifest is the commit point). Values serialize via
     json.dumps (shortest round-trip repr), so doubles survive the
     write->read cycle bit-exactly."""
 
     def __init__(self, options: dict, overwrite: bool = False):
         self.path = options["path"]
         self.overwrite = overwrite
-        if overwrite:
-            # clear the committed ledger up front (driver-side, before
-            # any task runs) so mode("overwrite") replaces, not unions
-            if os.path.isdir(self.path):
-                for n in os.listdir(self.path):
-                    if n.endswith(".json") or n == "_LEDGER_COMMIT.manifest":
-                        os.remove(os.path.join(self.path, n))
 
     def write(self, iterator):
         import uuid
@@ -222,9 +220,11 @@ class LedgerWriter(DataSourceArrowWriter):
         manifest_path = os.path.join(self.path, "_LEDGER_COMMIT.manifest")
         total = 0
         files = []
-        # an append job EXTENDS the committed file list; overwrite
-        # started from a cleared directory, so it records only itself
-        if os.path.exists(manifest_path):
+        # an append job EXTENDS the committed file list; an overwrite
+        # job records only its own parts and clears the old ledger
+        # LAST — the destructive step is deferred to job-commit so an
+        # aborted overwrite cannot leave an empty ledger behind
+        if not self.overwrite and os.path.exists(manifest_path):
             with open(manifest_path) as f:
                 prior = json.load(f)
             files = list(prior.get("files", []))
@@ -239,6 +239,13 @@ class LedgerWriter(DataSourceArrowWriter):
         manifest = {"files": sorted(files), "n_rows": total}
         with open(manifest_path, "w") as f:
             json.dump(manifest, f)
+        if self.overwrite:
+            # new parts + manifest are durable; now drop every ledger
+            # file the new manifest doesn't claim
+            keep = set(files)
+            for n in os.listdir(self.path):
+                if n.endswith(".json") and n not in keep:
+                    os.remove(os.path.join(self.path, n))
 
     def abort(self, messages):
         # a failed task's commit message arrives as None (pyspark

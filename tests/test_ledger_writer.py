@@ -71,3 +71,30 @@ def test_no_partial_ledger_visible_mid_write(tmp_path):
     (tmp_path / ".part-y.json.tmp").write_text("{}\n")
     visible = [n for n in os.listdir(tmp_path) if n.endswith(".json")]
     assert visible == []
+
+
+def test_aborted_overwrite_preserves_old_ledger(spark, ledger_df):
+    """Failure-atomic overwrite (ADVICE r4): a job that dies before
+    job-commit must leave the previously committed ledger intact —
+    the destructive clear happens inside commit(), after the new
+    parts are renamed into place, never in __init__."""
+    out = str(scratch_dir("ledger_w_ow_abort"))
+    ledger_df.write.format("event_ledger").option("path", out).mode(
+        "append"
+    ).save()
+    before = _manifest(out)
+
+    # drive the writer protocol by hand up to (but not through) commit
+    w = ledger_source.LedgerWriter({"path": out}, overwrite=True)
+    # __init__ of an overwrite writer must not have touched the data
+    assert _manifest(out) == before
+    assert (
+        spark.read.format("event_ledger").option("path", out).load().count()
+        == 10
+    )
+    w.abort([None])  # job failed before any task committed
+    assert _manifest(out) == before
+    assert (
+        spark.read.format("event_ledger").option("path", out).load().count()
+        == 10
+    )
