@@ -158,6 +158,28 @@ def main() -> None:
     # the custom-source queries share one staged JSONL ledger; stage it
     # here so stream_source_custom times the drain, not the fixture write
     AQ.stage_jsonl(spark, sf_dir)
+    # warm the Python DataSource runtime (worker pool + Arrow writer
+    # spin-up is a ~6.5s one-time cost in a fresh JVM — VERDICT r4):
+    # a 100-row ledger write+read here makes sink_custom_ledger's
+    # timing measure the operator, not the interpreter launch. The
+    # cold cost itself is recorded in docs/PERF_r05.md.
+    from etl_jobs_spark.scratch import scratch_dir as _scratch
+    from etl_jobs_spark.sources import ledger_source as _ls
+
+    _ls.register(spark)
+    t0 = time.perf_counter()
+    _warm = str(_scratch("bench_ledger_warm"))
+    spark.range(100).selectExpr(
+        "id AS event_id", "id AS user_id",
+        "'warm' AS event_type", "CAST(id AS DOUBLE) AS value",
+    ).coalesce(1).write.format("event_ledger").option(
+        "path", _warm
+    ).mode("append").save()
+    spark.read.format("event_ledger").option("path", _warm).load().count()
+    print(
+        f"# python-datasource cold spin-up: {time.perf_counter() - t0:.3f}s",
+        file=sys.stderr,
+    )
 
     timings: dict[str, float] = {}
     for name in names:

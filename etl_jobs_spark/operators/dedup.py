@@ -580,15 +580,14 @@ def connected_components(
     Both paths produce component = min reachable node id — the exact
     contract the recursive-CTE oracle states.
     """
-    # persist: the edge set is read twice (size probe + traversal)
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
-    sym = cache.track(sym)
-    n_edges = sym.count()
-    if n_edges <= CC_DRIVER_EDGE_LIMIT:
+    # Union-find treats edges as undirected, so the driver path needs
+    # only the RAW (a, b) pairs: one probe-and-collect over half the
+    # data, no union stage. Symmetrization is built lazily below, only
+    # if the edge set overflows onto the distributed path.
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    raw = cache.track(raw)
+    n_edges = raw.count()
+    if 2 * n_edges <= CC_DRIVER_EDGE_LIMIT:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -597,7 +596,7 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for row in sym.collect():
+        for row in raw.collect():
             a, b = int(row["a"]), int(row["b"])
             parent.setdefault(a, a)
             parent.setdefault(b, b)
@@ -610,6 +609,10 @@ def connected_components(
         return edges.sparkSession.createDataFrame(
             rows, "doc_id BIGINT, component BIGINT"
         )
+    sym = raw.unionByName(
+        raw.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    sym = cache.track(sym)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

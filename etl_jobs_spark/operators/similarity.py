@@ -243,6 +243,122 @@ def assign_cells(centroids, vecs: DataFrame, keep: list[str]) -> DataFrame:
     )
 
 
+#: Multiplier for the deterministic fit-sample ordering key
+#: (Knuth's multiplicative-hash constant): pseudo-random but
+#: engine-free, so the SAME sample — and therefore the SAME fitted
+#: centroids — falls out of pure Python and of any future
+#: reimplementation, with no dependency on Spark partition layout.
+_FIT_KEY_MULT = 2654435761
+_FIT_CACHE: dict = {}
+
+
+def fit_quantizer_file(
+    sf_dir: str,
+    base_only: bool = False,
+    target_per_cell: int = IVF_TARGET_PER_CELL,
+    fit_per_cell: int = IVF_FIT_PER_CELL,
+    seed: int = 42,
+    max_iter: int = 5,
+):
+    """Deterministic, ENGINE-FREE coarse-quantizer fit: read the
+    corpus's embedding parquet directly (pyarrow — the fit sample is
+    bounded, so this is a driver-side problem at any corpus scale,
+    same stance as :func:`fit_quantizer`), pick the fit sample by a
+    pure arithmetic rule (smallest ``(vec_id * Knuth) mod 2^32``),
+    and run the same numpy Lloyd iterations.
+
+    The point of the determinism: the resulting centroids depend
+    only on the DATA, not on Spark's sampling or partitioning — so
+    an oracle generator can compute the identical centroids at
+    import time and embed them as SQL literals, turning the IVF
+    probe into a hash-checkable query (VERDICT r4 item 5).
+
+    ``base_only``: fit on the 90% base slice (``vec_id % 10 != 0``)
+    — the frozen-quantizer corpus of the incremental-append index.
+
+    Returns the centroid matrix as a list of lists of Python floats.
+    """
+    key = (sf_dir, base_only, target_per_cell, fit_per_cell, seed, max_iter)
+    if key in _FIT_CACHE:
+        return _FIT_CACHE[key]
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t.column("vec_id").to_pylist()
+    embs = t.column("embedding").to_pylist()
+    rows = sorted(
+        (
+            (vid * _FIT_KEY_MULT) % (1 << 32),
+            vid,
+            e,
+        )
+        for vid, e in zip(ids, embs)
+        if not (base_only and vid % 10 == 0)
+    )
+    n = len(rows)
+    n_cells = max(16, n // target_per_cell)
+    take = min(n, fit_per_cell * n_cells)
+    pts = np.array(
+        [[float(x) for x in e] for _, _, e in rows[:take]], dtype=np.float64
+    )
+    cent = _lloyd(pts, n_cells, seed, max_iter)
+    out = [[float(x) for x in c] for c in cent]
+    _FIT_CACHE[key] = out
+    return out
+
+
+def _lit_double(v: float) -> str:
+    """A double literal that parses to the identical IEEE value in
+    Spark SQL and DuckDB: string → double cast (repr() is the
+    shortest round-trip form; a bare 17-digit decimal literal would
+    go through DECIMAL in both parsers and can round differently)."""
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def cell_dist_expr(vec_col: str, cent_col: str, engine: str) -> str:
+    """Squared-distance-rank surrogate ``|c|^2 - 2·(x·c)`` between a
+    vector column and a centroid column, in the FIXED evaluation
+    order both engines share (fold-left dot products) — the single
+    formula every oracle-grade assignment and probe ranks by."""
+    c_sq = dot_unrolled(cent_col, cent_col, EMBED_DIM, engine)
+    xdot = dot_unrolled(vec_col, cent_col, EMBED_DIM, engine)
+    return f"(({c_sq}) - 2.0 * ({xdot}))"
+
+
+def assign_cells_expr(
+    centroids, vecs: DataFrame, keep: list[str]
+) -> DataFrame:
+    """Oracle-parity cell assignment as ONE whole-stage-codegen
+    projection (no UDF, no join, no shuffle): per-cell distances
+    ``|c|^2 - 2·(x·c)`` with the centroid folded in as literals
+    (``|c|^2`` precomputed left-to-right in Python — the same IEEE
+    op sequence DuckDB's unrolled sum performs on the same
+    literals), then first-minimum via ``array_sort`` on
+    ``struct(d, cell)`` — ties break to the lowest cell, exactly
+    the ``ORDER BY d, cell`` rule the SQL oracle uses. Bit-identical
+    to the oracle's join+window assignment by construction."""
+    dists = []
+    for i, c in enumerate(centroids):
+        c_sq = 0.0
+        for x in c:
+            c_sq += x * x
+        arr = ", ".join(_lit_double(x) for x in c)
+        dot = (
+            f"aggregate(zip_with(embedding, array({arr}), "
+            f"(x, w) -> CAST(x AS DOUBLE) * w), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        dists.append(
+            f"named_struct('d', {_lit_double(c_sq)} - 2.0 * ({dot}), "
+            f"'cell', {i})"
+        )
+    cell = f"array_sort(array({', '.join(dists)}))[0].cell"
+    return vecs.select(*keep, F.expr(cell).cast("int").alias("cell"))
+
+
 def build_ivf_index(
     emb: DataFrame,
     serve_dir: str,
@@ -250,6 +366,7 @@ def build_ivf_index(
     target_per_cell: int = IVF_TARGET_PER_CELL,
     seed: int = 42,
     centroids=None,
+    assign: str = "numpy",
 ):
     """Build the IVF serving layout: fit the coarse quantizer on a
     sample, assign every vector its cell (one map pass), and write
@@ -274,7 +391,11 @@ def build_ivf_index(
         centroids = fit_quantizer(emb, n, n_cells, seed)
     else:
         n_cells = len(centroids)
-    assigned = assign_cells(
+    # assign="expr": the oracle-parity codegen projection (required
+    # when the index feeds a hash-checked query); "numpy": the
+    # Arrow-batched matmul UDF (fine when only recall matters).
+    assigner = assign_cells_expr if assign == "expr" else assign_cells
+    assigned = assigner(
         centroids, _with_norm(emb), keep=["vec_id", "embedding", "nrm"]
     )
     # repartition by cell → one file per cell partition, the layout
@@ -736,7 +857,9 @@ def cosine_topk_ivfpq(
     )
 
 
-def append_ivf_index(emb_new: DataFrame, serve_dir: str, centroids) -> None:
+def append_ivf_index(
+    emb_new: DataFrame, serve_dir: str, centroids, assign: str = "numpy"
+) -> None:
     """INCREMENTAL index maintenance: assign a new vector batch to
     the EXISTING coarse quantizer (no refit — centroids are frozen,
     exactly how faiss/production ANN services absorb daily ingest)
@@ -746,7 +869,8 @@ def append_ivf_index(emb_new: DataFrame, serve_dir: str, centroids) -> None:
     keep their partition pruning. Re-fitting only happens when drift
     makes cells unbalanced — a monitoring decision, not an ingest
     step."""
-    assigned = assign_cells(
+    assigner = assign_cells_expr if assign == "expr" else assign_cells
+    assigned = assigner(
         centroids, _with_norm(emb_new), keep=["vec_id", "embedding", "nrm"]
     )
     (

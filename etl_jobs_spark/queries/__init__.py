@@ -42,8 +42,11 @@ from etl_jobs_spark.queries import (  # noqa: F401
 _NEEDS_CORRECTNESS_ROW = [
     # (a) the r4 red row — integer-exact rank key, re-green it
     "corpus_token_budget",
-    # (b) round-5 additions & oracle upgrades are inserted here as
-    # they land (IVF tier moving from rows-only to hash-checked, etc.)
+    # (b) round-5 additions & oracle upgrades
+    # IVF tier upgraded from rows-only to hash-checked oracles
+    # (deterministic centroid fit exported as SQL literals)
+    "embed_ivf_topk",
+    "embed_ivf_append_topk",
     # (c) r1-era rechecks, oldest driver rows first (CORRECTNESS_r01
     # order) — ≥20 per VERDICT r4 item 7
     "agg_pivot_events",
