@@ -47,6 +47,8 @@ _NEEDS_CORRECTNESS_ROW = [
     # (deterministic centroid fit exported as SQL literals)
     "embed_ivf_topk",
     "embed_ivf_append_topk",
+    # round-5 new operators
+    "join_bloom_prefilter",
     # (c) r1-era rechecks, oldest driver rows first (CORRECTNESS_r01
     # order) — ≥20 per VERDICT r4 item 7
     "agg_pivot_events",
