@@ -129,7 +129,9 @@ def _elem(col: str, i: int, engine: str) -> str:
     return f"{col}[{i}]" if engine == "spark" else f"{col}[{i + 1}]"
 
 
-def dot_unrolled(a_col: str, b_col: str, dim: int, engine: str) -> str:
+def dot_unrolled(
+    a_col: str, b_col: str, dim: int, engine: str, prefix: bool = False
+) -> str:
     """Σ a[i]·b[i] in fixed left-to-right double summation order.
 
     DuckDB side: fully unrolled terms. Spark side: a higher-order
@@ -139,10 +141,21 @@ def dot_unrolled(a_col: str, b_col: str, dim: int, engine: str) -> str:
     tree, so Janino never compiles multi-second giant methods and
     the surrounding stage stays codegen-able. Measured ~2× faster on
     the sf0.1 pair-join benches.
+
+    PITFALL the ``prefix`` flag exists for: the Spark fold runs over
+    the WHOLE array, so ``dim`` only bounds the DuckDB unrolling —
+    callers must pass ``dim == len(array)`` (every full-dim caller
+    does). To dot a true PREFIX of longer vectors (matryoshka
+    truncation), pass ``prefix=True``: the Spark side then slices
+    ``[1, dim]`` before folding, matching the dim-term DuckDB sum.
+    Full-dim callers keep the slice-free expression (no per-row
+    array copy in the pair-join hot paths).
     """
     if engine == "spark":
+        a = f"slice({a_col}, 1, {dim})" if prefix else a_col
+        b = f"slice({b_col}, 1, {dim})" if prefix else b_col
         return (
-            f"aggregate(zip_with({a_col}, {b_col}, "
+            f"aggregate(zip_with({a}, {b}, "
             f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
             f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
         )
@@ -171,9 +184,11 @@ def dot_const_unrolled(col: str, consts: list[float], engine: str) -> str:
     return f"({terms})"
 
 
-def norm_unrolled(col: str, dim: int, engine: str) -> str:
+def norm_unrolled(
+    col: str, dim: int, engine: str, prefix: bool = False
+) -> str:
     """sqrt(Σ col[i]^2), unrolled (see dot_unrolled)."""
-    return f"sqrt({dot_unrolled(col, col, dim, engine)})"
+    return f"sqrt({dot_unrolled(col, col, dim, engine, prefix=prefix)})"
 
 
 def xor_expr(a: str, b: str, engine: str) -> str:

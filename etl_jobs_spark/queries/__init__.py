@@ -49,6 +49,10 @@ _NEEDS_CORRECTNESS_ROW = [
     "embed_ivf_append_topk",
     # round-5 new operators
     "join_bloom_prefilter",
+    "ts_anomaly_mad",
+    "governance_column_masking",
+    "maintenance_compact_report",
+    "embed_matryoshka_topk",
     # (c) r1-era rechecks, oldest driver rows first (CORRECTNESS_r01
     # order) — ≥20 per VERDICT r4 item 7
     "agg_pivot_events",

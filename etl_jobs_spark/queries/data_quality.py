@@ -251,3 +251,52 @@ def dq_expectations_suite(spark, sf_dir):
         "n_violations",
         F.when(F.col("n_violations") == 0, 1).otherwise(0).alias("passed"),
     )
+
+
+@register(
+    "governance_column_masking",
+    oracle="""
+    SELECT c_custkey,
+           'cust_' || lpad(CAST(('0x' || substr(md5(c_name), 1, 15))::BIGINT
+                                % 100000000 AS VARCHAR), 8, '0') AS pseudonym,
+           '***' || substr(c_name, length(c_name) - 3, 4) AS name_masked,
+           CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_band,
+           c_mktsegment, c_nationkey
+    FROM customer
+    """,
+)
+def governance_column_masking(spark, sf_dir):
+    """Column-level masking policy applied as a projection — the
+    row-level-security / PII-governance view a warehouse serves to
+    untrusted consumers: direct identifiers pseudonymized with a
+    deterministic keyed token (joinable across tables, not
+    reversible), the display name generalized to its
+    trailing digits (partial reveal), and the account balance
+    coarsened to a $1000 band; columns with no policy entry are
+    suppressed entirely (never selected — column pruning means their
+    bytes are never read from parquet). All
+    masking ops are engine-portable built-ins (md5 token via
+    operators/hashing.hash60), so the policy is a pure map-only
+    projection: zero shuffles, fully codegen'd, and at 100 TB it
+    costs exactly one scan of the columns that survive the policy.
+    Complements dq_k_anonymity (which AUDITS quasi-identifier risk;
+    this ENFORCES the masking that mitigates it) and text_pii_scrub
+    (regex redaction inside document text)."""
+    from etl_jobs_spark.operators.hashing import hash60
+
+    cust = read_table(spark, sf_dir, "customer")
+    token = f"({hash60('c_name', 'spark')}) % 100000000"
+    return cust.select(
+        "c_custkey",
+        F.expr(
+            f"concat('cust_', lpad(cast({token} as string), 8, '0'))"
+        ).alias("pseudonym"),
+        F.expr(
+            "concat('***', substr(c_name, length(c_name) - 3, 4))"
+        ).alias("name_masked"),
+        F.expr("cast(floor(c_acctbal / 1000) * 1000 as bigint)").alias(
+            "acctbal_band"
+        ),
+        "c_mktsegment",
+        "c_nationkey",
+    )

@@ -345,3 +345,130 @@ def embed_ivf_append_topk(spark, sf_dir):
         .select("vec_id", "embedding")
     )
     return SIM.cosine_topk_ivf(spark, serve, centroids, queries)
+
+
+#: Matryoshka prefix width: the truncated representation a serving
+#: tier would index (EMBED_DIM=64 corpus → 4x cheaper vectors).
+MRL_DIM = 16
+
+_NRM16 = norm_unrolled("embedding", MRL_DIM, "duckdb")
+_DOT16 = dot_unrolled("q.q_emb", "c.embedding", MRL_DIM, "duckdb")
+
+
+@register(
+    "embed_matryoshka_topk",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding, {_NRM16} AS nrm16,
+             {_NRM} AS nrm64
+      FROM embeddings),
+    queries AS (
+      SELECT vec_id AS query_id, embedding AS q_emb,
+             nrm16 AS q_nrm16, nrm64 AS q_nrm64
+      FROM vecs WHERE vec_id IN ({_QIDS})),
+    full_k AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_DOT} / (q.q_nrm64 * c.nrm64) DESC,
+                          c.vec_id ASC) AS rnk
+        FROM queries q CROSS JOIN vecs c
+        WHERE c.vec_id <> q.query_id)
+      WHERE rnk <= {SIM.DEFAULT_K}),
+    trunc_k AS (
+      SELECT query_id, vec_id, cos16, rnk FROM (
+        SELECT q.query_id, c.vec_id,
+               {_DOT16} / (q.q_nrm16 * c.nrm16) AS cos16,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_DOT16} / (q.q_nrm16 * c.nrm16) DESC,
+                          c.vec_id ASC) AS rnk
+        FROM queries q CROSS JOIN vecs c
+        WHERE c.vec_id <> q.query_id)
+      WHERE rnk <= {SIM.DEFAULT_K})
+    SELECT t.query_id, t.vec_id, round(t.cos16, 6) AS cosine_trunc,
+           CAST(t.rnk AS BIGINT) AS rnk,
+           (f.vec_id IS NOT NULL) AS in_full_topk
+    FROM trunc_k t
+    LEFT JOIN full_k f
+      ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+    """,
+)
+def embed_matryoshka_topk(spark, sf_dir):
+    """Matryoshka-truncation retrieval evaluation: top-k under the
+    16-dim PREFIX of each embedding (the representation an MRL-style
+    serving tier would actually index — 4× smaller vectors, 4× the
+    scan rate) with a per-neighbor flag marking whether the full
+    64-dim top-k agrees. The flag column IS the quality report: its
+    true-fraction is the prefix tier's recall@k, computed in the same
+    pass that produces the truncated ranking. Both rankings use the
+    shared fixed-evaluation-order vector math (operators/hashing.py)
+    so the driver hash-checks ranking cuts AND the agreement flags
+    bit-exactly. Scale shape: identical to embed_cosine_topk (tiny
+    broadcast query side, one scan, TakeOrdered-style window cut) —
+    the truncated dot just reads 16 of 64 array slots, which is the
+    point."""
+    nrm16_s = norm_unrolled("embedding", MRL_DIM, "spark", prefix=True)
+    nrm64_s = norm_unrolled("embedding", SIM.EMBED_DIM, "spark")
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(nrm16_s).alias("nrm16"),
+        F.expr(nrm64_s).alias("nrm64"),
+    )
+    queries = F.broadcast(
+        vecs.filter(F.col("vec_id").isin(*SIM.QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm16").alias("q_nrm16"),
+            F.col("nrm64").alias("q_nrm64"),
+        )
+    )
+    dot16 = dot_unrolled("q_emb", "embedding", MRL_DIM, "spark", prefix=True)
+    dot64 = dot_unrolled("q_emb", "embedding", SIM.EMBED_DIM, "spark")
+    scored = (
+        queries.crossJoin(vecs)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(f"{dot16} / (q_nrm16 * nrm16)").alias("cos16"),
+            F.expr(f"{dot64} / (q_nrm64 * nrm64)").alias("cos64"),
+        )
+    )
+    w16 = Window.partitionBy("query_id").orderBy(
+        F.col("cos16").desc(), F.col("vec_id").asc()
+    )
+    w64 = Window.partitionBy("query_id").orderBy(
+        F.col("cos64").desc(), F.col("vec_id").asc()
+    )
+    full_k = (
+        scored.withColumn("rnk", F.row_number().over(w64))
+        .filter(F.col("rnk") <= SIM.DEFAULT_K)
+        .select(
+            F.col("query_id").alias("f_query_id"),
+            F.col("vec_id").alias("f_vec_id"),
+        )
+    )
+    trunc_k = scored.withColumn("rnk", F.row_number().over(w16)).filter(
+        F.col("rnk") <= SIM.DEFAULT_K
+    )
+    return (
+        trunc_k.join(
+            F.broadcast(full_k),
+            (trunc_k.query_id == full_k.f_query_id)
+            & (trunc_k.vec_id == full_k.f_vec_id),
+            "left",
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cos16", 6).alias("cosine_trunc"),
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("f_vec_id").isNotNull().alias("in_full_topk"),
+        )
+    )

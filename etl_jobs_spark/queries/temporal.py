@@ -383,3 +383,67 @@ def join_interval_overlap(spark, sf_dir):
         F.count(F.lit(1)).alias("n_intervals"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "ts_anomaly_mad",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP_NS) AS window_start,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    med AS (
+      SELECT event_type, quantile_cont(n, 0.5) AS med
+      FROM hourly GROUP BY event_type),
+    dev AS (
+      SELECT h.event_type, h.window_start, h.n, m.med,
+             abs(h.n - m.med) AS dev
+      FROM hourly h JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type, d.window_start, d.n, d.med, ma.mad, d.dev,
+           (d.dev > 1.5 * ma.mad AND ma.mad > 0) AS is_anomaly
+    FROM dev d JOIN mad ma USING (event_type)
+    """,
+)
+def ts_anomaly_mad(spark, sf_dir):
+    """Robust time-series anomaly detection: per-type hourly event
+    counts scored by median absolute deviation — the
+    outlier-resistant alternative to z-scores (one hot hour can't
+    drag its own threshold the way it drags a mean/stddev). Every
+    hour is emitted with its deviation and an ``is_anomaly`` flag so
+    the result doubles as the monitoring series. Float discipline:
+    counts are integers and both medians are linear interpolations of
+    integer (then half-integer) inputs, so every value is an exactly-
+    representable binary fraction — the cross-engine comparison is
+    bit-exact with NO rounding step. Scale shape: two keyed
+    aggregations over (type, hour) partials (map-side combined) and
+    two broadcast-sized joins back onto the hourly series — the
+    per-type stats table is |event_types| rows no matter how many
+    fact rows; nothing driver-side."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("window_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = hourly.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("med")
+    )
+    dev = hourly.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "window_start",
+        "n",
+        "med",
+        "mad",
+        "dev",
+        ((F.col("dev") > 1.5 * F.col("mad")) & (F.col("mad") > 0)).alias(
+            "is_anomaly"
+        ),
+    )

@@ -425,3 +425,75 @@ def catalog_partition_overwrite(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+#: Small-file compaction fixture: staged fragment count and target.
+_COMPACT_BEFORE = 48
+_COMPACT_AFTER = 8
+
+
+@register(
+    "maintenance_compact_report",
+    oracle=f"""
+    SELECT {_COMPACT_BEFORE} AS files_before,
+           {_COMPACT_AFTER} AS files_after,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                    || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)
+               AS content_hash
+    FROM events
+    """,
+)
+def maintenance_compact_report(spark, sf_dir):
+    """Small-file compaction as a maintenance job with a verified
+    report: events staged as {_COMPACT_BEFORE} fragment files (a
+    streaming sink's typical debris), compacted to {_COMPACT_AFTER}
+    via sources/writers.compact_parquet (read → repartition →
+    crash-safe rename-aside swap), then the compacted table is
+    re-scanned to PROVE the rewrite — file counts are measured from
+    ``input_file_name()``, rows counted, and an order-insensitive
+    ``bit_xor`` content fingerprint computed over the portable 60-bit
+    row hash. The oracle states the expected counts as literals and
+    recomputes the fingerprint from the ORIGINAL table, so a
+    compaction that dropped, duplicated or corrupted any row — or
+    produced the wrong file count — turns the driver row red. At
+    100 TB this is the nightly job that keeps scan throughput from
+    dying of file-open overhead (target ~128 MB-1 GB per file);
+    bit_xor makes the integrity check one map-side aggregation with
+    an 8-byte carry, no sort, no second copy of the data."""
+    from etl_jobs_spark.operators.hashing import hash60
+    from etl_jobs_spark.scratch import scratch_dir
+    from etl_jobs_spark.sources.writers import compact_parquet
+
+    d = scratch_dir("compact_job")
+    path = str(d / "events_frag")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.repartition(_COMPACT_BEFORE).write.parquet(path)
+    n_before = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    compact_parquet(spark, path, _COMPACT_AFTER)
+    h = hash60(
+        "concat(cast(event_id as string), ':', cast(user_id as string))",
+        "spark",
+    )
+    return (
+        spark.read.parquet(path)
+        .withColumn("_file", F.input_file_name())
+        .agg(
+            F.countDistinct("_file").alias("files_after"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(f"bit_xor({h})").alias("content_hash"),
+        )
+        .select(
+            F.lit(n_before).cast("int").alias("files_before"),
+            F.col("files_after").cast("int"),
+            "n_rows",
+            "content_hash",
+        )
+    )
