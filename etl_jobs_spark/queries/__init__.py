@@ -53,6 +53,7 @@ _NEEDS_CORRECTNESS_ROW = [
     "governance_column_masking",
     "maintenance_compact_report",
     "embed_matryoshka_topk",
+    "sink_custom_ledger_stream",
     # (c) r1-era rechecks, oldest driver rows first (CORRECTNESS_r01
     # order) — ≥20 per VERDICT r4 item 7
     "agg_pivot_events",

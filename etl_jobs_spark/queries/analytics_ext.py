@@ -369,3 +369,56 @@ def sink_custom_ledger(spark, sf_dir):
         F.countDistinct("event_id").alias("n_distinct"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "sink_custom_ledger_stream",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           round(sum(value), 2) AS total_value
+    FROM events WHERE event_type <> 'error'
+    """,
+)
+def sink_custom_ledger_stream(spark, sf_dir):
+    """The custom Python DataSource matrix COMPLETED: streaming
+    ledger source → streaming ledger SINK (Spark 4
+    ``streamWriter`` hook, Arrow variant,
+    sources/ledger_source.py::LedgerStreamWriter) in one continuous
+    job — batch read, batch write, stream read and stream write of
+    the same source are now all first-class. The sink commits each
+    micro-batch under a batch-id file prefix and deletes a replayed
+    batch's earlier attempt before renaming, so recovery replays are
+    idempotent (exactly-once at the file level); the oracle's
+    count-distinct pins that. The stream applies a real transform
+    (drop the error feed) between source and sink, then the batch
+    face of the same custom source reads the result back for the
+    aggregation."""
+    from etl_jobs_spark.sources import ledger_source
+
+    stage_jsonl(spark, sf_dir)
+    ledger_source.register(spark)
+    wk = scratch_dir("ledger_stream_sink_wk")
+    out = str(wk / "ledger_out")
+    q = (
+        spark.readStream.format("event_ledger")
+        .option("path", str(stage_jsonl(spark, sf_dir)))
+        .load()
+        .filter(F.col("event_type") != "error")
+        .writeStream.format("event_ledger")
+        .option("path", out)
+        .option("checkpointLocation", str(wk / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.format("event_ledger")
+        .option("path", out)
+        .load()
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_id").alias("n_distinct"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

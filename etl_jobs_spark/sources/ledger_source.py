@@ -29,6 +29,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
@@ -106,6 +107,9 @@ class LedgerDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return LedgerStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return LedgerStreamWriter(self.options)
 
 
 def register(spark) -> None:
@@ -254,5 +258,75 @@ class LedgerWriter(DataSourceArrowWriter):
             if m is None:
                 continue
             tmp = os.path.join(self.path, f".{m.filename}.tmp")
+            if os.path.exists(tmp):
+                os.remove(tmp)
+
+
+class LedgerStreamWriter(DataSourceStreamArrowWriter):
+    """STREAMING write side of the custom source (Spark 4
+    ``streamWriter`` hook, Arrow variant) — with the batch-replay
+    idempotence foreachBatch sinks have to hand-roll: tasks stream
+    their micro-batch's RecordBatches to temp part files (no batch id
+    exists task-side), and the driver's ``commit(messages, batchId)``
+    names the parts ``stream-b{batchId}-*`` after FIRST deleting any
+    files a previous attempt of the SAME batch left behind — so a
+    replayed micro-batch replaces itself instead of appending
+    duplicates, and the sink is exactly-once at the file level (the
+    same delete-by-batch-id discipline as stream_sink_jdbc's
+    relational sink). The per-batch manifest records files + row
+    counts; ``abort`` removes only this attempt's temps, leaving
+    every committed batch intact."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        token = uuid.uuid4().hex[:12]
+        tmp = os.path.join(self.path, f".stream-{token}.tmp")
+        n = 0
+        with open(tmp, "w") as f:
+            for batch in iterator:
+                recs = batch.to_pylist()
+                f.write("".join(json.dumps(r) + "\n" for r in recs))
+                n += len(recs)
+        return _LedgerCommit(token, n)
+
+    def commit(self, messages, batchId):
+        prefix = f"stream-b{batchId:06d}-"
+        # replayed batch: drop the prior attempt's files first
+        for name in os.listdir(self.path):
+            if name.startswith(prefix) and name.endswith(".json"):
+                os.remove(os.path.join(self.path, name))
+        files = []
+        total = 0
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            final = f"{prefix}{i:05d}.json"
+            os.rename(
+                os.path.join(self.path, f".stream-{m.filename}.tmp"),
+                os.path.join(self.path, final),
+            )
+            files.append(final)
+            total += m.n_rows
+        manifest_path = os.path.join(
+            self.path, "_LEDGER_STREAM.manifest"
+        )
+        batches = {}
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                batches = json.load(f).get("batches", {})
+        batches[str(batchId)] = {"files": sorted(files), "n_rows": total}
+        with open(manifest_path, "w") as f:
+            json.dump({"batches": batches}, f)
+
+    def abort(self, messages, batchId):
+        for m in messages:
+            if m is None:
+                continue
+            tmp = os.path.join(self.path, f".stream-{m.filename}.tmp")
             if os.path.exists(tmp):
                 os.remove(tmp)

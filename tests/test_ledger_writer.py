@@ -98,3 +98,32 @@ def test_aborted_overwrite_preserves_old_ledger(spark, ledger_df):
         spark.read.format("event_ledger").option("path", out).load().count()
         == 10
     )
+
+
+def test_stream_writer_replayed_batch_replaces_itself(tmp_path):
+    """A replayed micro-batch commit (same batchId) must replace the
+    prior attempt's files, not append duplicates."""
+    import json
+
+    from etl_jobs_spark.sources.ledger_source import (
+        LedgerStreamWriter,
+        _LedgerCommit,
+    )
+
+    out = tmp_path / "ledger"
+    out.mkdir()
+    w = LedgerStreamWriter({"path": str(out)})
+
+    def attempt(token, rows):
+        tmp = out / f".stream-{token}.tmp"
+        tmp.write_text("".join(json.dumps(r) + "\n" for r in rows))
+        return _LedgerCommit(token, len(rows))
+
+    m1 = attempt("aaa", [{"event_id": 1}, {"event_id": 2}])
+    w.commit([m1], batchId=7)
+    m2 = attempt("bbb", [{"event_id": 1}, {"event_id": 2}])
+    w.commit([m2], batchId=7)  # replay of batch 7
+    files = sorted(p.name for p in out.glob("stream-b*.json"))
+    assert files == ["stream-b000007-00000.json"], files
+    manifest = json.loads((out / "_LEDGER_STREAM.manifest").read_text())
+    assert manifest["batches"]["7"]["n_rows"] == 2
