@@ -1,9 +1,10 @@
-"""Pure-stdlib media codecs: PNG, BMP, and PCM WAV.
+"""Pure-stdlib media codecs: PNG, BMP, GIF, and PCM WAV.
 
 The container ships no image/audio libraries (no PIL, no ffmpeg), but
-three real container formats are decodable with nothing beyond the
+four real container formats are decodable with nothing beyond the
 standard library: PNG (zlib inflate + the five scanline filters), BMP
-(24-bit uncompressed, struct), and WAV (PCM, the ``wave`` module).
+(24-bit uncompressed, struct), GIF (palette + LZW, implemented here),
+and WAV (PCM, the ``wave`` module).
 These codecs upgrade the multimodal operators from "plumbing tested,
 decode stubbed" to a genuinely end-to-end decode path: fixtures are
 ENCODED to real PNG/BMP/WAV containers, shipped as binary columns, and
@@ -11,8 +12,9 @@ DECODED back inside Arrow-batched ``mapInPandas`` stages — a bug on
 either side breaks the value-level oracle match.
 
 Scope is deliberate: 8-bit PNG color types 0/2/6 (gray/RGB/RGBA),
-no interlacing; 24-bit uncompressed BMP; 16-bit mono PCM WAV. JPEG,
-compressed BMP, MP3 and video stay behind NotImplementedError — those
+no interlacing; 24-bit uncompressed BMP; single-frame global-palette
+GIF (no interlace); 16-bit mono PCM WAV. JPEG, compressed BMP, MP3
+and video stay behind NotImplementedError — those
 require codecs the container does not have (operators/multimodal.py
 keeps the honest stub for them).
 
@@ -237,9 +239,11 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_png(b)
     if b[:2] == b"BM":
         return decode_bmp(b)
+    if b[:6] in (b"GIF89a", b"GIF87a"):
+        return decode_gif(b)
     raise NotImplementedError(
         f"unsupported container (magic {b[:4]!r}); stdlib codecs cover "
-        "PNG/BMP/WAV — install pillow/ffmpeg on executors for the rest"
+        "PNG/BMP/GIF/WAV — install pillow/ffmpeg on executors for the rest"
     )
 
 
@@ -251,3 +255,176 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     ys = (np.arange(out_h) * h) // out_h
     xs = (np.arange(out_w) * w) // out_w
     return img[ys][:, xs]
+
+
+GIF_SIG = b"GIF89a"
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """GIF89a encoder: single frame, global color table, LZW
+    (variable-code-width, per the spec), no interlace. Palette is
+    built from the frame's unique colors in first-appearance scan
+    order (≤256 — fixture grids are few-color by construction)."""
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise NotImplementedError("GIF encoder is RGB only")
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    palette: list[tuple[int, int, int]] = []
+    index_of: dict[tuple[int, int, int], int] = {}
+    idx = np.empty(len(flat), dtype=np.int32)
+    for i, px in enumerate(map(tuple, flat.tolist())):
+        j = index_of.get(px)
+        if j is None:
+            j = index_of[px] = len(palette)
+            palette.append(px)
+        idx[i] = j
+    if len(palette) > 256:
+        raise NotImplementedError("GIF encoder needs a <=256-color frame")
+    # color table size: 2^(n+1) entries, minimum 2
+    n = max(1, (len(palette) - 1).bit_length())
+    table = palette + [(0, 0, 0)] * ((1 << n) - len(palette))
+    out = bytearray()
+    out += GIF_SIG
+    out += struct.pack("<HHBBB", w, h, 0xF0 | (n - 1), 0, 0)
+    out += b"".join(bytes(c) for c in table)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    min_code = max(2, n)
+    out.append(min_code)
+    out += _lzw_compress(idx.tolist(), min_code)
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def _lzw_compress(indices: list[int], min_code: int) -> bytes:
+    """GIF-flavor LZW: emits CLEAR first, grows code width at table
+    fill, resets at 4096, packs codes little-endian LSB-first into
+    255-byte sub-blocks."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    bits = bytearray()
+    acc = 0
+    nacc = 0
+    width = min_code + 1
+
+    def emit(code: int):
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    seq: tuple[int, ...] = ()
+    for k in indices:
+        cand = seq + (k,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq])
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code >= 4096:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code + 1
+        seq = (k,)
+    if seq:
+        emit(table[seq])
+    emit(end)
+    if nacc:
+        bits.append(acc & 0xFF)
+    blocks = bytearray()
+    for i in range(0, len(bits), 255):
+        chunk = bits[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    return bytes(blocks)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF decoder: first frame, global color table, LZW inflate
+    with variable code width; interlace and local color tables are
+    out of scope (NotImplementedError, same honesty rule as the
+    other codecs)."""
+    b = bytes(data)
+    if b[:6] not in (GIF_SIG, b"GIF87a"):
+        raise NotImplementedError("not a GIF container")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    pos = 13
+    if not flags & 0x80:
+        raise NotImplementedError("GIF decoder needs a global color table")
+    n = (flags & 0x07) + 1
+    table = np.frombuffer(
+        b[pos : pos + 3 * (1 << n)], dtype=np.uint8
+    ).reshape(-1, 3)
+    pos += 3 * (1 << n)
+    # skip extension blocks to the first image descriptor
+    while b[pos] == 0x21:
+        pos += 2
+        while b[pos]:
+            pos += 1 + b[pos]
+        pos += 1
+    if b[pos] != 0x2C:
+        raise NotImplementedError("no image descriptor found")
+    _l, _t, iw, ih, iflags = struct.unpack("<HHHHB", b[pos + 1 : pos + 10])
+    pos += 10
+    if iflags & 0xC0:
+        raise NotImplementedError(
+            "interlaced / local-color-table GIFs unsupported"
+        )
+    min_code = b[pos]
+    pos += 1
+    stream = bytearray()
+    while b[pos]:
+        ln = b[pos]
+        stream += b[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    indices = _lzw_decompress(bytes(stream), min_code, iw * ih)
+    return table[np.array(indices, dtype=np.int32)].reshape(ih, iw, 3)
+
+
+def _lzw_decompress(data: bytes, min_code: int, n_pixels: int) -> list[int]:
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    acc = 0
+    nacc = 0
+    pos = 0
+    width = min_code + 1
+    table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    while len(out) < n_pixels:
+        while nacc < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[pos] << nacc
+            pos += 1
+            nacc += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        else:
+            entry = prev + (prev[0],)
+            table.append(entry)
+        out.extend(entry)
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return out[:n_pixels]

@@ -54,6 +54,8 @@ _NEEDS_CORRECTNESS_ROW = [
     "maintenance_compact_report",
     "embed_matryoshka_topk",
     "sink_custom_ledger_stream",
+    "multimodal_decode_gif",
+    "q2_min_cost_supplier",
     # (c) r1-era rechecks, oldest driver rows first (CORRECTNESS_r01
     # order) — ≥20 per VERDICT r4 item 7
     "agg_pivot_events",

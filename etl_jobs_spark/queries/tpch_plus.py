@@ -537,3 +537,78 @@ def q19_bracket_revenue(spark, sf_dir):
             F.countDistinct("p_brand").alias("n_brands"),
         )
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             min(l.l_extendedprice) AS min_price
+      FROM lineitem l GROUP BY 1, 2),
+    best AS (
+      SELECT c.l_partkey, c.l_suppkey, c.min_price,
+             row_number() OVER (PARTITION BY c.l_partkey
+                                ORDER BY c.min_price ASC,
+                                         c.l_suppkey ASC) AS rn
+      FROM cost c)
+    SELECT p.p_partkey, p.p_name, p.p_brand,
+           s.s_name AS supplier_name, n.n_name AS nation_name,
+           round(b.min_price, 2) AS best_price
+    FROM best b
+    JOIN part p ON b.l_partkey = p.p_partkey
+    JOIN supplier s ON b.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE b.rn = 1 AND p.p_size >= 40
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: the ARGMIN JOIN — for each large part, the
+    supplier quoting the lowest observed price (the classic
+    correlated-subquery query, realized scale-correctly). Plan:
+    one (partkey, suppkey) hash aggregation over the fact table
+    (map-side combined — the only fact shuffle), a per-part window
+    argmin with a unique tiebreak (suppkey) so the pick is
+    deterministic, then broadcast joins onto part/supplier/nation.
+    The correlated subquery a 100 TB engine must NOT run per-row is
+    exactly what the oracle states declaratively; Catalyst's window
+    + broadcast pipeline computes it in two shuffles total (agg +
+    window partitioning, both on partkey-derived keys)."""
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    # the selective part filter lands BEFORE the fact aggregation: a
+    # broadcast semi join prunes ~3/4 of lineitem out of the shuffle
+    # (the optimizer can't infer this cross-table implication itself)
+    li = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    w = W.partitionBy("l_partkey").orderBy(
+        F.col("min_price").asc(), F.col("l_suppkey").asc()
+    )
+    best = (
+        cost.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("nation_name"),
+            F.round("min_price", 2).alias("best_price"),
+        )
+    )

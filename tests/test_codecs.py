@@ -134,3 +134,40 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is in the container
     pass
+
+
+def test_gif_roundtrip_grid_images():
+    """GIF89a LZW roundtrip over the fixture grids (palette build,
+    variable code width, sub-block framing)."""
+    import numpy as np
+
+    from etl_jobs_spark.operators.codecs import decode_gif, encode_gif
+    from etl_jobs_spark.operators.multimodal import _grid_image
+
+    for doc_id in (0, 1, 7, 42, 143, 500):
+        img = _grid_image(doc_id)
+        rt = decode_gif(encode_gif(img))
+        assert rt.shape == img.shape
+        assert (rt == img).all()
+
+
+def test_gif_lzw_table_reset():
+    """A frame large/noisy enough to overflow the 4096-entry LZW
+    table forces a mid-stream CLEAR + rebuild on both sides."""
+    import numpy as np
+
+    from etl_jobs_spark.operators.codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, size=(200, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 200, size=(150, 150))]
+    assert (decode_gif(encode_gif(img)) == img).all()
+
+
+def test_decode_image_sniffs_gif():
+    import numpy as np
+
+    from etl_jobs_spark.operators.codecs import decode_image, encode_gif
+
+    img = np.zeros((4, 5, 3), dtype=np.uint8)
+    assert decode_image(encode_gif(img)).shape == (4, 5, 3)
