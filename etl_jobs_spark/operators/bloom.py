@@ -79,19 +79,23 @@ def bloom_build(
 def bloom_probe_expr(words: list[int], key_sql: str, k: int = 3) -> Column:
     """Membership-test Column for ``key_sql`` against ``words``.
 
-    All ``k`` bit tests must pass. The word array is inlined as an
-    ``array(...)`` literal with foldable children, so Catalyst's
-    ConstantFolding collapses it to a single ``Literal`` — the probe
-    evaluates ``element_at`` against that one buffer per row (no
-    per-row array construction) inside whole-stage codegen.
+    All ``k`` bit tests must pass. The word array is inlined ONCE as
+    an ``array(...)`` literal with foldable children — Catalyst's
+    ConstantFolding collapses it to a single ``Literal`` — and the
+    bit tests fold over it with higher-order ``transform`` +
+    ``aggregate``, so the probe evaluates ``element_at`` against that
+    one buffer per row (no per-row array construction, and the
+    filter-sized literal appears once no matter how large ``m_bits``
+    or ``k`` is).
     """
     m_bits = len(words) * 64
     arr_sql = "array(" + ",".join(f"{w}L" for w in words) + ")"
-    tests = []
-    for i in range(k):
-        p = _position_sql(key_sql, i, m_bits)
-        tests.append(
-            f"(shiftright(element_at({arr_sql}, cast(({p}) div 64 as int) + 1),"
-            f" cast(pmod({p}, 64) as int)) & 1) = 1"
-        )
-    return F.expr(" AND ".join(tests))
+    positions = ", ".join(
+        _position_sql(key_sql, i, m_bits) for i in range(k)
+    )
+    return F.expr(
+        f"aggregate(transform(array({positions}), "
+        f"p -> (shiftright(element_at({arr_sql}, "
+        f"cast(p div 64 as int) + 1), cast(pmod(p, 64) as int)) & 1) = 1), "
+        f"true, (acc, x) -> acc and x)"
+    )

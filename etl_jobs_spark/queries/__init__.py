@@ -56,6 +56,9 @@ _NEEDS_CORRECTNESS_ROW = [
     "sink_custom_ledger_stream",
     "multimodal_decode_gif",
     "q2_min_cost_supplier",
+    "join_dpp_pruned",
+    "agg_count_min_sketch",
+    "dedup_incremental_bloom",
     # (c) r1-era rechecks, oldest driver rows first (CORRECTNESS_r01
     # order) — ≥20 per VERDICT r4 item 7
     "agg_pivot_events",

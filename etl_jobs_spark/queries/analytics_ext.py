@@ -70,6 +70,19 @@ def agg_approx_sketches(spark, sf_dir):
 _PART_MEMO: dict[str, Path] = {}
 
 
+def _staged_partitioned(spark, sf_dir: str) -> Path:
+    """events partitioned by event_type, staged once per sf_dir —
+    shared by the static (scan_partition_pruned) and dynamic
+    (join_dpp_pruned) pruning queries."""
+    if sf_dir not in _PART_MEMO:
+        d = scratch_dir("etl_part")
+        read_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value", "event_type"
+        ).write.partitionBy("event_type").parquet(str(d))
+        _PART_MEMO[sf_dir] = d
+    return _PART_MEMO[sf_dir]
+
+
 @register(
     "scan_partition_pruned",
     oracle="""
@@ -83,14 +96,8 @@ def scan_partition_pruned(spark, sf_dir):
     ONE directory and reads 1/5 of the data, no row-level filtering
     at all. At 100 TB, partition layout is the first-order
     performance decision; this query is the end-to-end proof."""
-    if sf_dir not in _PART_MEMO:
-        d = scratch_dir("etl_part")
-        read_table(spark, sf_dir, "events").select(
-            "event_id", "user_id", "value", "event_type"
-        ).write.partitionBy("event_type").parquet(str(d))
-        _PART_MEMO[sf_dir] = d
     return (
-        spark.read.parquet(str(_PART_MEMO[sf_dir]))
+        spark.read.parquet(str(_staged_partitioned(spark, sf_dir)))
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "value")
     )
@@ -421,4 +428,179 @@ def sink_custom_ledger_stream(spark, sf_dir):
             F.countDistinct("event_id").alias("n_distinct"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
+    )
+
+
+@register(
+    "join_dpp_pruned",
+    oracle="""
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e
+    WHERE e.event_type IN ('purchase', 'signup')
+    GROUP BY e.event_type
+    """,
+)
+def join_dpp_pruned(spark, sf_dir):
+    """DYNAMIC partition pruning: the fact side carries NO static
+    filter — the partitions to read are only known after the dim
+    side's ``keep = 1`` filter runs, and Catalyst turns the join key
+    into a DynamicPruningExpression on the partitioned scan, so the
+    fact table still lists/reads only the 2 matching directories of
+    5 (tests/test_plan_quality.py asserts the pruning subquery is in
+    the plan). Static pruning (scan_partition_pruned) handles
+    literal predicates; THIS is the mechanism that keeps star joins
+    partition-pruned at 100 TB when the filter lives on the
+    dimension — without it the fact scan reads everything and the
+    join throws 3/5 of it away."""
+    from etl_jobs_spark.queries._shared import session_memo
+
+    part_path = str(_staged_partitioned(spark, sf_dir))
+
+    def build_dim():
+        d = scratch_dir("etl_dpp_dim")
+        spark.createDataFrame(
+            [
+                ("purchase", 1),
+                ("signup", 1),
+                ("click", 0),
+                ("view", 0),
+                ("error", 0),
+            ],
+            "event_type STRING, keep INT",
+        ).coalesce(1).write.parquet(str(d))
+        return d
+
+    dim_path = str(session_memo(spark, "dpp_dim", sf_dir, build_dim))
+    fact = spark.read.parquet(part_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("keep") == 1)
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+#: Count-min sketch geometry: depth (independent hash rows) x width.
+_CMS_DEPTH, _CMS_WIDTH = 3, 1024
+#: Probe keys for the frequency estimates (fixture user ids).
+_CMS_PROBES = tuple(range(1, 21))
+
+
+def _cms_pos(key_sql: str, d: int, engine: str) -> str:
+    from etl_jobs_spark.operators.hashing import hash60
+
+    h = hash60(f"concat(cast({key_sql} as string), ':{d}')", engine)
+    return f"pmod({h}, {_CMS_WIDTH})" if engine == "spark" else (
+        f"(({h}) % {_CMS_WIDTH})"
+    )
+
+
+def _cms_oracle() -> str:
+    probe_list = ", ".join(str(p) for p in _CMS_PROBES)
+    cell_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT {d} AS d, {_cms_pos('user_id', d, 'duckdb')} AS pos, "
+        f"user_id FROM events"
+        for d in range(_CMS_DEPTH)
+    )
+    probe_pos = "\n      UNION ALL\n      ".join(
+        f"SELECT user_id, {d} AS d, {_cms_pos('user_id', d, 'duckdb')} AS pos "
+        f"FROM probes"
+        for d in range(_CMS_DEPTH)
+    )
+    return f"""
+    WITH cells AS (
+      SELECT d, pos, CAST(count(*) AS BIGINT) AS cnt FROM (
+      {cell_selects}
+      ) GROUP BY d, pos),
+    probes AS (SELECT CAST(unnest([{probe_list}]) AS BIGINT) AS user_id),
+    pp AS (
+      {probe_pos}
+    ),
+    est AS (
+      SELECT pp.user_id, min(c.cnt) AS cms_est
+      FROM pp JOIN cells c ON pp.d = c.d AND pp.pos = c.pos
+      GROUP BY pp.user_id),
+    truth AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS true_n
+      FROM events WHERE user_id IN ({probe_list})
+      GROUP BY user_id)
+    SELECT e.user_id, t.true_n, e.cms_est,
+           (e.cms_est >= t.true_n) AS never_undercounts
+    FROM est e JOIN truth t ON e.user_id = t.user_id
+    """
+
+
+@register("agg_count_min_sketch", oracle=_cms_oracle())
+def agg_count_min_sketch(spark, sf_dir):
+    """Count-min sketch — the frequency-estimation counterpart of the
+    HLL/KMV distinct sketches, and unlike library HLL it is FULLY
+    deterministic given its hash functions, so this one is
+    hash-checked against a SQL oracle that rebuilds the identical
+    sketch (the portable md5 hash positions make both engines agree
+    cell-for-cell). Build: one pass exploding each key to depth=3
+    (row, position) cells and hash-aggregating — the sketch is
+    depth x width = 3072 counters regardless of key cardinality,
+    mergeable across partitions/days by cell-wise addition (partial
+    aggregation IS the merge). Probe: min over the 3 cell counts per
+    key — one-sided error (never undercounts, asserted per row in
+    the output). The 100 TB heavy-hitter / frequency-cap primitive:
+    state is KBs where an exact count-by-key would shuffle the
+    corpus."""
+    probes_df = spark.createDataFrame(
+        [(p,) for p in _CMS_PROBES], "user_id BIGINT"
+    )
+    ev = read_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            F.expr(_cms_pos("user_id", d, "spark")).alias(
+                                "pos"
+                            ),
+                        )
+                        for d in range(_CMS_DEPTH)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .select("cell.d", "cell.pos")
+        .groupBy("d", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probe_pos = probes_df.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.expr(_cms_pos("user_id", d, "spark")).alias("pos"),
+                    )
+                    for d in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    ).select("user_id", "cell.d", "cell.pos")
+    est = (
+        cells.join(F.broadcast(probe_pos), ["d", "pos"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    truth = (
+        ev.filter(F.col("user_id").isin(*_CMS_PROBES))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    return est.join(truth, "user_id").select(
+        "user_id",
+        "true_n",
+        "cms_est",
+        (F.col("cms_est") >= F.col("true_n")).alias("never_undercounts"),
     )

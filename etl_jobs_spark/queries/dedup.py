@@ -727,3 +727,52 @@ def dedup_repeated_ngram_spans(spark, sf_dir):
             F.coalesce(F.max("run_len"), F.lit(0)).alias("max_run"),
         )
     )
+
+
+@register("dedup_incremental_bloom", oracle=_incremental_oracle())
+def dedup_incremental_bloom(spark, sf_dir):
+    """The incremental dedup check ACCELERATED by a corpus Bloom
+    filter — same scenario and same oracle as
+    dedup_incremental_new_docs, different physical plan: the
+    existing corpus's fingerprint set is condensed into a 64 KB
+    Bloom bit array (operators/bloom.py, m=2^19/k=3 — ~1.5% fp at
+    50k keys), the new batch probes it as a scan-side codegen
+    predicate, and ONLY bloom-positives (true re-deliveries + the
+    ~1.5% false positives) go through the exact anti join; bloom
+    negatives are definitely-new and ship straight through, no join
+    at all. At 100 TB the base fingerprint table is corpus-sized —
+    this plan replaces the every-batch shuffle against it with a
+    broadcast-sized filter plus an exact check on the tiny maybe-dup
+    slice, which is how a daily-crawl pipeline keeps ingest cost
+    proportional to BATCH size. Bloom one-sidedness (no false
+    negatives, pinned in tests/test_bloom.py) is what makes the
+    split lossless: every true duplicate is bloom-positive, so the
+    exact join sees all of them and the union is exactly the plain
+    anti join's answer."""
+    from etl_jobs_spark.operators.bloom import bloom_build, bloom_probe_expr
+
+    n = norm_text("text", "spark")
+    base = read_table(spark, sf_dir, "documents").select(
+        F.md5(F.expr(n)).alias("fp")
+    )
+    words = bloom_build(base, "fp", m_bits=1 << 19)
+    newbatch = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < DD.PLANT_MAX_ID)
+        .select(
+            (F.col("doc_id") + DD.PLANT_OFFSET).alias("doc_id"),
+            F.md5(
+                F.expr(
+                    f"CASE WHEN doc_id < {_INCR_VERBATIM_MAX} THEN {n}"
+                    f" ELSE substring({n}, 1,"
+                    f" greatest(length({n}) - {DD.PLANT_TRUNC}, 1)) END"
+                )
+            ).alias("fp"),
+        )
+    )
+    probe = bloom_probe_expr(words, "fp")
+    definitely_new = newbatch.filter(~probe)
+    maybe_dup = newbatch.filter(probe).join(base, "fp", "left_anti")
+    return definitely_new.unionByName(maybe_dup.select("doc_id", "fp")).select(
+        "doc_id", F.col("fp").alias("fingerprint")
+    )

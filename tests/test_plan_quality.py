@@ -109,3 +109,28 @@ def test_kmv_sketches_use_take_ordered(spark):
 
     plan = _plan(agg_kmv_intersect_types(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_dpp_join_has_dynamic_pruning(spark):
+    """join_dpp_pruned's fact scan must carry a DynamicPruning
+    partition filter fed by the dim side's keep=1 subquery — losing
+    it silently reverts to a full fact scan."""
+    from etl_jobs_spark.queries.analytics_ext import join_dpp_pruned
+
+    plan = _plan(join_dpp_pruned(spark, SF_DIR))
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_q2_semi_join_precedes_fact_agg(spark):
+    """q2_min_cost_supplier: the selective part filter reaches the
+    fact side as a broadcast LEFT SEMI join BEFORE the (partkey,
+    suppkey) aggregation, and all dims broadcast."""
+    from etl_jobs_spark.queries.tpch_plus import q2_min_cost_supplier
+
+    plan = _plan(q2_min_cost_supplier(spark, SF_DIR))
+    semi = plan.lower().index("leftsemi")
+    agg = plan.lower().index("hashaggregate")
+    # executedPlan prints top-down: the aggregate appears above
+    # (before) the semi join that feeds it
+    assert semi > agg, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
