@@ -108,6 +108,19 @@ HEADLINE = [
     "dq_expectations_suite",
     "join_interval_overlap",
     "q14_promo_effect",
+    # round-5 surface: runtime filters, DPP, argmin join, CMS,
+    # masking, compaction, GIF decode, custom streaming sink
+    # (dedup_incremental_bloom / embed_matryoshka_topk ride the
+    # prefix scan below)
+    "join_bloom_prefilter",
+    "join_dpp_pruned",
+    "q2_min_cost_supplier",
+    "agg_count_min_sketch",
+    "ts_anomaly_mad",
+    "governance_column_masking",
+    "maintenance_compact_report",
+    "multimodal_decode_gif",
+    "sink_custom_ledger_stream",
 ]
 
 

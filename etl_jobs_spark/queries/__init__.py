@@ -97,10 +97,6 @@ _NEEDS_CORRECTNESS_ROW = [
     "agg_profile_stats",
     "pipeline_2022_end_to_end",
     "q1_pricing_summary",
-    "join_star_revenue",
-    "topk_orders",
-    "window_rank_events",
-    "window_running_sum",
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)
