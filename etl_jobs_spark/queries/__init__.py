@@ -59,6 +59,9 @@ _NEEDS_CORRECTNESS_ROW = [
     "join_dpp_pruned",
     "agg_count_min_sketch",
     "dedup_incremental_bloom",
+    "fn_lambda_suite",
+    "udf_arrow_scalar",
+    "ts_ewma_hourly",
     # (c) r1-era rechecks, oldest driver rows first (CORRECTNESS_r01
     # order) — ≥20 per VERDICT r4 item 7
     "agg_pivot_events",
@@ -94,9 +97,6 @@ _NEEDS_CORRECTNESS_ROW = [
     "agg_dup_count",
     "agg_quantiles_iqr",
     "filter_outliers_iqr",
-    "agg_profile_stats",
-    "pipeline_2022_end_to_end",
-    "q1_pricing_summary",
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

@@ -166,3 +166,26 @@ def udtf_arrow_shingles(spark, sf_dir):
         "SELECT doc_id, s.gram_idx, s.gram "
         "FROM _udtf_shingle_docs, LATERAL word_shingle(n) s"
     )
+
+
+@register(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) -
+                len(list_filter(string_split(trim(text), ' '),
+                                t -> t = '')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def udf_arrow_scalar(spark, sf_dir):
+    """Spark 4 Arrow-optimized scalar Python UDF (``useArrow=True``)
+    — completes the row-level UDF ladder alongside the pandas UDF
+    (udf_scalar_pandas) and the Arrow UDTF (udtf_arrow_shingles):
+    plain per-value Python, Arrow-columnar transport. The oracle
+    restates Python's whitespace ``str.split()`` (which drops empty
+    fields) in list-lambda SQL."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", U.token_count_arrow_udf()("text").alias("n_ws_tokens")
+    )

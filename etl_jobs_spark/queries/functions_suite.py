@@ -335,3 +335,61 @@ def fn_collation_suite(spark, sf_dir):
             "n_case_variants",
         )
     )
+
+
+def _lambda_oracle() -> str:
+    from etl_jobs_spark.operators.hashing import norm_text, word_tokens
+
+    n = norm_text("text", "duckdb")
+    toks = word_tokens("n", "duckdb")
+    return f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_toks,
+           CAST(len(list_filter(toks, t -> length(t) > 5)) AS BIGINT)
+               AS n_long,
+           (len(list_filter(toks, t -> t = 'the')) > 0) AS has_the,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+               AS total_chars,
+           CAST(list_sum(list_transform(toks,
+                t -> CASE WHEN length(t) >= 4 THEN length(t) ELSE 0 END))
+               AS BIGINT) AS long_chars
+    FROM (SELECT doc_id, {toks} AS toks
+          FROM (SELECT doc_id, {n} AS n FROM documents))
+    """
+
+
+@register("fn_lambda_suite", oracle=_lambda_oracle())
+def fn_lambda_suite(spark, sf_dir):
+    """Higher-order (lambda) function family over the token array in
+    ONE fused projection: transform / filter / exists / aggregate
+    fold — Spark's array lambdas ≡ DuckDB's list lambdas. These are
+    the 100 TB substitute for exploding nested data: every lambda
+    evaluates inside whole-stage codegen on the row's own array, so
+    a 5-metric token profile costs one map pass with NO explode
+    shuffle and no row multiplication (compare text_token_stats,
+    which explodes when the downstream needs per-token rows)."""
+    from etl_jobs_spark.operators.hashing import norm_text, word_tokens
+
+    n = norm_text("text", "spark")
+    toks = word_tokens(n, "spark")
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({toks})").cast("long").alias("n_toks"),
+        F.expr(f"size(filter({toks}, t -> length(t) > 5))")
+        .cast("long")
+        .alias("n_long"),
+        F.expr(f"exists({toks}, t -> t = 'the')").alias("has_the"),
+        F.expr(
+            f"aggregate(transform({toks}, t -> length(t)), 0, (a, x) -> a + x)"
+        )
+        .cast("long")
+        .alias("total_chars"),
+        F.expr(
+            f"aggregate(transform({toks}, "
+            f"t -> CASE WHEN length(t) >= 4 THEN length(t) ELSE 0 END), "
+            f"0, (a, x) -> a + x)"
+        )
+        .cast("long")
+        .alias("long_chars"),
+    )

@@ -447,3 +447,59 @@ def ts_anomaly_mad(spark, sf_dir):
             "is_anomaly"
         ),
     )
+
+
+#: EWMA window: trailing 16 hourly buckets, decay 1/2 per step,
+#: fixed-point weights 2^(15-j) — integer-exact in both engines.
+_EWMA_LAGS = 16
+
+
+def _ewma_terms(engine: str) -> str:
+    terms = [
+        f"coalesce(lag(n, {j}) OVER w, 0) * {1 << (_EWMA_LAGS - 1 - j)}"
+        for j in range(_EWMA_LAGS)
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "ts_ewma_hourly",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP_NS) AS window_start,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, window_start, n,
+           CAST({_ewma_terms('duckdb')} AS BIGINT) AS ewma_scaled
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY window_start)
+    """,
+)
+def ts_ewma_hourly(spark, sf_dir):
+    """Exponentially-weighted trailing smoother over the hourly
+    event series — the standard recurrence ewma_t = x_t/2 +
+    ewma_{t-1}/2, which is sequential and therefore unexpressible as
+    a plain aggregate, UNROLLED into its closed form: a trailing-16
+    window of lag() terms with fixed-point weights 2^(15-j) (beyond
+    16 steps the 1/2-decay contribution is below one count). All
+    arithmetic is integer (the _POW_SCALE float discipline taken to
+    its limit: no floats at all), so the driver compare is bit-exact.
+    Scale shape: ONE window pass per type partition — the unrolled
+    lags share a single sort/frame, no self-joins, no recursion; at
+    100 TB this is a keyed window over (type, hour) partials exactly
+    like ts_anomaly_mad's input stage."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("window_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        "OVER (PARTITION BY event_type ORDER BY window_start)"
+    )
+    expr = _ewma_terms("spark").replace("OVER w", w)
+    return hourly.select(
+        "event_type",
+        "window_start",
+        "n",
+        F.expr(f"CAST({expr} AS BIGINT)").alias("ewma_scaled"),
+    )
