@@ -62,6 +62,9 @@ _NEEDS_CORRECTNESS_ROW = [
     "fn_lambda_suite",
     "udf_arrow_scalar",
     "ts_ewma_hourly",
+    "scan_csv_gzip",
+    "setop_union_schema_drift",
+    "join_asof_tolerance",
     # (c) r1-era rechecks, oldest driver rows first (CORRECTNESS_r01
     # order) — ≥20 per VERDICT r4 item 7
     "agg_pivot_events",
@@ -94,9 +97,6 @@ _NEEDS_CORRECTNESS_ROW = [
     "fillna_mean",
     "proj_quality_score",
     "agg_null_counts",
-    "agg_dup_count",
-    "agg_quantiles_iqr",
-    "filter_outliers_iqr",
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

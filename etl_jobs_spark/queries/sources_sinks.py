@@ -524,3 +524,80 @@ def scan_footer_stats_audit(spark, sf_dir):
         "column_name STRING, n_values BIGINT, "
         "min_value DOUBLE, max_value DOUBLE",
     )
+
+
+@register(
+    "scan_csv_gzip",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def scan_csv_gzip(spark, sf_dir):
+    """Compressed text source: the events feed written as gzip CSV
+    and read back with a declared schema + codec sniffing by
+    extension — the landing-zone format half the world's upstreams
+    actually deliver. The scale lesson this query exists to state:
+    gzip is NOT splittable, so one .gz file = one task no matter its
+    size — a 100 GB gzip CSV serializes the whole scan. The staging
+    here writes N gzip parts (each a separate task, the correct
+    mitigation when the upstream format is non-negotiable); at 100 TB
+    prefer a splittable codec (bzip2, or parquet/zstd after one
+    re-encode pass). The filter still applies scan-side, but unlike
+    parquet there is no footer/row-group pushdown — every byte
+    decompresses; the oracle states plain SQL over the original."""
+    import hashlib
+
+    from etl_jobs_spark.queries._shared import session_memo
+    from etl_jobs_spark.scratch import scratch_dir
+
+    def stage():
+        d = scratch_dir("etl_gzcsv")
+        read_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        ).repartition(4).write.option("header", "true").option(
+            "compression", "gzip"
+        ).csv(str(d / "raw"))
+        return d
+
+    d = session_memo(spark, "gzip_csv", sf_dir, stage)
+    return (
+        spark.read.schema(
+            "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+        )
+        .option("header", "true")
+        .csv(str(d / "raw"))
+        .filter(F.col("event_type") == "purchase")
+    )
+
+
+@register(
+    "setop_union_schema_drift",
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           CAST(NULL AS VARCHAR) AS source_region
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, user_id, event_type, value,
+           'eu-west' AS source_region
+    FROM events WHERE event_id % 2 = 1
+    """,
+)
+def setop_union_schema_drift(spark, sf_dir):
+    """Schema-drift union: a v2 feed added a column the v1 feed
+    doesn't have, and the union must align by NAME and null-fill the
+    missing side — ``unionByName(allowMissingColumns=True)``, the
+    operator that makes rolling schema migrations a non-event.
+    Position-based UNION (the reference's pd.concat,
+    src/etl_2020.py:157) silently mis-aligns or hard-fails here;
+    name-based union with missing-column fill is the 100 TB-safe
+    contract because producers upgrade one pipeline at a time.
+    Map-only: no shuffle, the null fill is a projection."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    v1 = ev.filter(F.col("event_id") % 2 == 0)
+    v2 = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "source_region", F.lit("eu-west")
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)

@@ -503,3 +503,88 @@ def ts_ewma_hourly(spark, sf_dir):
         "n",
         F.expr(f"CAST({expr} AS BIGINT)").alias("ewma_scaled"),
     )
+
+
+#: As-of tolerance: matches older than this are nulled out (the
+#: feature-store staleness cap).
+_ASOF_TOL_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, ts, max(event_id) AS event_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    purchases AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP_NS) AS ts, p.value,
+           CASE WHEN c.ts IS NOT NULL
+                 AND epoch_us(CAST(p.ts AS TIMESTAMP))
+                     - epoch_us(CAST(c.ts AS TIMESTAMP)) <= {_ASOF_TOL_US}
+                THEN c.event_id END AS asof_event_id,
+           CASE WHEN c.ts IS NOT NULL
+                 AND epoch_us(CAST(p.ts AS TIMESTAMP))
+                     - epoch_us(CAST(c.ts AS TIMESTAMP)) <= {_ASOF_TOL_US}
+                THEN CAST(c.ts AS TIMESTAMP_NS) END AS asof_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a STALENESS TOLERANCE — the feature-store
+    contract (pandas merge_asof's ``tolerance``): each purchase gets
+    the user's latest prior click ONLY if it is at most 30 minutes
+    old; staler matches are nulled, and purchases with no prior
+    click at all survive with nulls (LEFT semantics). A feature
+    older than the cap is a training-serving skew bug — this
+    operator is where that rule lives. Composition: the shared
+    union+window as-of kernel (one keyed window pass, no range
+    join), tolerance applied as an integer-microsecond projection,
+    unmatched left rows restored by an anti-join union (both extra
+    steps map-only or broadcast-sized; the window shuffle is still
+    the only fact shuffle)."""
+    ev = read_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    inner = TP.asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+        right_payload=["event_id", "ts"],
+    )
+    within = F.expr(
+        f"unix_micros(cast(ts as timestamp))"
+        f" - unix_micros(cast(asof_ts as timestamp)) <= {_ASOF_TOL_US}"
+    )
+    matched = inner.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(within, F.col("asof_event_id")).alias("asof_event_id"),
+        F.when(within, F.col("asof_ts")).alias("asof_ts"),
+    )
+    unmatched = purchases.join(
+        inner.select("event_id"), "event_id", "left_anti"
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lit(None).cast(inner.schema["asof_event_id"].dataType).alias(
+            "asof_event_id"
+        ),
+        F.lit(None).cast(inner.schema["asof_ts"].dataType).alias("asof_ts"),
+    )
+    return matched.unionByName(unmatched)
