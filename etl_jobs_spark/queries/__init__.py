@@ -65,6 +65,8 @@ _NEEDS_CORRECTNESS_ROW = [
     "scan_csv_gzip",
     "setop_union_schema_drift",
     "join_asof_tolerance",
+    "text_token_entropy",
+    "text_zipf_slope",
     # (c) r1-era rechecks, oldest driver rows first (CORRECTNESS_r01
     # order) — ≥20 per VERDICT r4 item 7
     "agg_pivot_events",
@@ -95,8 +97,6 @@ _NEEDS_CORRECTNESS_ROW = [
     "dedup_full_row",
     "fillna_const",
     "fillna_mean",
-    "proj_quality_score",
-    "agg_null_counts",
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

@@ -8,6 +8,8 @@ inside the builders.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from etl_jobs_spark import cache
 from etl_jobs_spark.operators import text as TX
 from etl_jobs_spark.operators.hashing import (
@@ -459,4 +461,185 @@ def text_boilerplate_removal(spark, sf_dir):
                 F.when(F.col("is_boiler").isNull(), 0).otherwise(1)
             ).alias("n_dropped"),
         )
+    )
+
+
+#: Integer micro-log2 lookup table: L2M[i] = round(log2(i) * 1e6),
+#: i in 1..1024 — precomputed in Python once and embedded as the
+#: SAME literal array in both engines, so entropy arithmetic is
+#: pure integers (no cross-engine libm drift possible).
+_L2M = [round(__import__("math").log2(i) * 1_000_000) for i in range(1, 1025)]
+
+
+def _entropy_oracle() -> str:
+    from etl_jobs_spark.operators.hashing import norm_text, word_tokens
+
+    n = norm_text("text", "duckdb")
+    toks = word_tokens("n", "duckdb")
+    lut = "[" + ",".join(str(v) for v in _L2M) + "]"
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({toks}) AS tok
+      FROM (SELECT doc_id, {n} AS n FROM documents)),
+    cnt AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      FROM tk GROUP BY doc_id, tok),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_toks,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(c * ({lut}[CAST((SELECT sum(c2.c) FROM cnt c2
+                                       WHERE c2.doc_id = cnt.doc_id)
+                                  AS INT)]
+                           - {lut}[CAST(c AS INT)])) AS BIGINT) AS terms
+      FROM cnt GROUP BY doc_id)
+    SELECT doc_id, n_toks, n_distinct,
+           CAST(terms // n_toks AS BIGINT) AS entropy_micro
+    FROM agg
+    """
+
+
+@register("text_token_entropy", oracle=_entropy_oracle())
+def text_token_entropy(spark, sf_dir):
+    """Shannon entropy of each document's token distribution — the
+    lexical-diversity quality signal (low entropy = repetitive/
+    templated text, the Gopher-rule family's information-theoretic
+    cousin) — computed BIT-EXACTLY across engines by replacing libm
+    log2 with a shared 1024-entry integer micro-log lookup embedded
+    as a literal in both dialects: H_micro = Σ c·(L2M[n] − L2M[c])
+    DIV n, all BIGINT. Scale shape: one explode + one (doc, token)
+    hash aggregation + one per-doc aggregation — the same two-shuffle
+    profile as text_tfidf; the LUT constant-folds, so the per-row
+    work is two array indexes inside codegen."""
+    from etl_jobs_spark.operators.hashing import norm_text, word_tokens
+
+    n = norm_text("text", "spark")
+    toks = word_tokens(n, "spark")
+    lut = "array(" + ",".join(str(v) for v in _L2M) + ")"
+    docs = read_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("doc_id", F.explode(F.expr(toks)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_toks"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.collect_list("c").alias("cs"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "n_distinct",
+            F.expr(
+                f"CAST(aggregate(cs, 0L, (acc, c) -> acc + c * "
+                f"(element_at({lut}, CAST(n_toks AS INT)) - "
+                f"element_at({lut}, CAST(c AS INT)))) DIV n_toks AS BIGINT)"
+            ).alias("entropy_micro"),
+        )
+    )
+
+
+def _log2_milli(v: str, engine: str) -> str:
+    """Deterministic milli-log2 of a positive BIGINT of ANY size:
+    shift ``v`` down into the 1024-entry LUT's range (k = bit_length
+    − 10, via ``bin()`` which both engines share) and add k whole
+    bits back — log2 truncated to a 10-bit mantissa, exact integer
+    arithmetic end to end. Milli (not micro) units keep the Zipf
+    regression's n·Σxy term inside BIGINT."""
+    lut = (
+        "array(" + ",".join(str(x) for x in _L2M) + ")"
+        if engine == "spark"
+        else "[" + ",".join(str(x) for x in _L2M) + "]"
+    )
+    k = f"greatest(0, length(bin({v})) - 10)"
+    if engine == "spark":
+        shifted = f"shiftright({v}, CAST({k} AS INT))"
+        lu = f"element_at({lut}, CAST({shifted} AS INT))"
+    else:
+        shifted = f"({v} >> ({k}))"
+        lu = f"{lut}[CAST({shifted} AS INT)]"
+    d = "DIV" if engine == "spark" else "//"
+    return f"(({lu} + CAST({k} AS BIGINT) * 1000000) {d} 1000)"
+
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH tk AS (
+      SELECT lang, unnest({word_tokens(norm_text("text", "duckdb"), "duckdb")})
+             AS tok
+      FROM documents),
+    freq AS (
+      SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+      FROM tk GROUP BY lang, tok),
+    ranked AS (
+      SELECT lang, tok, c,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY c DESC, tok ASC) AS rnk
+      FROM freq),
+    pts AS (
+      SELECT lang,
+             {_log2_milli("rnk", "duckdb")} AS x,
+             {_log2_milli("c", "duckdb")} AS y
+      FROM ranked WHERE rnk <= 1000),
+    sums AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY lang)
+    SELECT lang, n,
+           CAST((n * sxy - sx * sy) * 1000
+                // (n * sxx - sx * sx) AS BIGINT) AS zipf_slope_milli
+    FROM sums
+    """,
+)
+def text_zipf_slope(spark, sf_dir):
+    """Zipf-law fit per language: least-squares slope of log-freq vs
+    log-rank over the top-1000 vocabulary — the corpus-health
+    diagnostic (natural language sits near −1; templated/synthetic
+    text drifts off). Every term is integer: ranks and counts go
+    through the shared truncated-mantissa milli-log2 (so corpus-
+    scale counts need no giant LUT), and the closed-form slope is
+    exact BIGINT arithmetic — the float-discipline pattern applied
+    to a whole regression. Scale shape: one (lang, token) hash agg,
+    a per-lang rank window over the |vocab|-sized table (not the
+    corpus), then a 5-sum aggregate; output is |langs| rows."""
+    from pyspark.sql import Window as W
+
+    n = norm_text("text", "spark")
+    toks = word_tokens(n, "spark")
+    docs = read_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("lang", F.explode(F.expr(toks)).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("c").desc(), F.col("tok").asc())
+    pts = (
+        freq.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 1000)
+        .select(
+            "lang",
+            F.expr(_log2_milli("rnk", "spark")).alias("x"),
+            F.expr(_log2_milli("c", "spark")).alias("y"),
+        )
+    )
+    sums = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return sums.select(
+        "lang",
+        "n",
+        F.expr(
+            "CAST((n * sxy - sx * sy) * 1000 DIV (n * sxx - sx * sx) "
+            "AS BIGINT)"
+        ).alias("zipf_slope_milli"),
     )
