@@ -879,3 +879,296 @@ def append_ivf_index(
         .partitionBy("cell")
         .parquet(serve_dir)
     )
+
+
+def fit_pq_codebooks_file(
+    sf_dir: str,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    seed: int = 42,
+    max_iter: int = 5,
+):
+    """Deterministic, ENGINE-FREE PQ codebook fit — the PQ twin of
+    :func:`fit_quantizer_file`, and for the same reason: codebooks
+    that depend only on the DATA (pyarrow read, arithmetic sample
+    rule, numpy Lloyd per subspace on unit-normalized vectors) can
+    be embedded as SQL literals by an oracle generator, upgrading
+    the PQ probe from rows-only to hash-checked. Returns an
+    (m, ksub, dim/m) nested list of Python floats."""
+    key = ("pq", sf_dir, m, ksub, seed, max_iter)
+    if key in _FIT_CACHE:
+        return _FIT_CACHE[key]
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    rows = sorted(
+        ((vid * _FIT_KEY_MULT) % (1 << 32), vid, e)
+        for vid, e in zip(
+            t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()
+        )
+    )
+    pts = np.array(
+        [[float(x) for x in e] for _, _, e in rows[:PQ_FIT_SAMPLE]],
+        dtype=np.float64,
+    )
+    pts = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    d = pts.shape[1] // m
+    books = [
+        _lloyd(np.ascontiguousarray(pts[:, i * d : (i + 1) * d]), ksub,
+               seed + i, max_iter)
+        for i in range(m)
+    ]
+    out = [[[float(x) for x in c] for c in b] for b in books]
+    _FIT_CACHE[key] = out
+    return out
+
+
+def _pq_flat(books):
+    """(cent, csq): codebooks flattened to one float list (row-major
+    (i, j, t)) plus per-(i, j) squared norms summed LEFT-TO-RIGHT in
+    plain Python — the shared literal values both engines consume."""
+    cent, csq = [], []
+    for b in books:
+        for c in b:
+            s = 0.0
+            for x in c:
+                s += x * x
+            csq.append(s)
+            cent.extend(float(x) for x in c)
+    return cent, csq
+
+
+def pq_codes_expr_df(emb: DataFrame, books) -> DataFrame:
+    """Oracle-parity PQ encoding as ONE codegen projection (the PQ
+    twin of :func:`assign_cells_expr`): per subspace i, distance
+    rank surrogate ``csq_ij − 2·Σ_t (x_t/‖x‖)·c_ijt`` over all ksub
+    centroids (codebooks constant-folded from two flat literal
+    arrays), first-minimum via ``array_sort(struct(d, j))`` — ties
+    to the lowest code, exactly the oracle's
+    ``ORDER BY d, j`` rule. Every float op (cast, divide, multiply,
+    fold-left add) is the same correctly-rounded IEEE sequence the
+    unrolled DuckDB SQL performs, so codes are bit-identical by
+    construction."""
+    m, ksub, d = len(books), len(books[0]), len(books[0][0])
+    cent, csq = _pq_flat(books)
+    cent_arr = "array(" + ",".join(_lit_double(x) for x in cent) + ")"
+    csq_arr = "array(" + ",".join(_lit_double(x) for x in csq) + ")"
+    nrm = (
+        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) "
+        "* CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    dot = (
+        f"aggregate(sequence(0, {d - 1}), CAST(0 AS DOUBLE), (acc, t) -> "
+        f"acc + (CAST(element_at(embedding, i * {d} + t + 1) AS DOUBLE) "
+        f"/ _nrm) * element_at({cent_arr}, (i * {ksub} + j) * {d} + t + 1))"
+    )
+    codes = (
+        f"transform(sequence(0, {m - 1}), i -> "
+        f"array_sort(transform(sequence(0, {ksub - 1}), j -> "
+        f"named_struct('d', element_at({csq_arr}, i * {ksub} + j + 1) "
+        f"- 2.0 * ({dot}), 'j', j)))[0].j)"
+    )
+    return emb.withColumn("_nrm", F.expr(nrm)).select(
+        "vec_id", F.expr(codes).cast("array<int>").alias("codes")
+    )
+
+
+def cosine_topk_pq_expr(
+    emb: DataFrame,
+    books,
+    codes: DataFrame,
+    k: int = DEFAULT_K,
+    shortlist_factor: int = PQ_SHORTLIST_FACTOR,
+) -> DataFrame:
+    """PQ-ADC top-k with the ADC rank key computed as a pure column
+    expression against the SAME flat codebook literals the encoder
+    folds — no driver-side LUT at all. The per-query constant
+    ``Σ‖q_i‖²`` is dropped (it shifts every candidate's ADC equally,
+    so the shortlist CUT is unchanged), which is what lets the rank
+    key share the assignment surrogate's exact float form — and
+    therefore lets a SQL oracle reproduce the cut bit-for-bit. Exact
+    cosine rerank of the k·factor shortlist as before."""
+    m, ksub, d = len(books), len(books[0]), len(books[0][0])
+    cent, csq = _pq_flat(books)
+    cent_arr = "array(" + ",".join(_lit_double(x) for x in cent) + ")"
+    csq_arr = "array(" + ",".join(_lit_double(x) for x in csq) + ")"
+    vecs = _with_norm(emb)
+    queries = F.broadcast(
+        vecs.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    qdot = (
+        f"aggregate(sequence(0, {d - 1}), CAST(0 AS DOUBLE), (acc2, t) -> "
+        f"acc2 + (CAST(element_at(q_emb, i * {d} + t + 1) AS DOUBLE) "
+        f"/ q_nrm) * element_at({cent_arr}, "
+        f"(i * {ksub} + element_at(codes, i + 1)) * {d} + t + 1))"
+    )
+    adc = (
+        f"aggregate(sequence(0, {m - 1}), CAST(0 AS DOUBLE), (acc, i) -> "
+        f"acc + (element_at({csq_arr}, "
+        f"i * {ksub} + element_at(codes, i + 1) + 1) - 2.0 * ({qdot})))"
+    )
+    shortlisted = (
+        queries.crossJoin(codes)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.expr(adc).alias("adc"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    short = (
+        shortlisted.withColumn("srnk", F.row_number().over(w_adc))
+        .filter(F.col("srnk") <= k * shortlist_factor)
+        .select("query_id", "vec_id")
+    )
+    dot = dot_unrolled("q_emb", "embedding", EMBED_DIM, "spark")
+    scored = (
+        F.broadcast(short)
+        .join(vecs, "vec_id")
+        .join(queries, "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(f"{dot} / (q_nrm * nrm)").alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def cosine_topk_ivfpq_expr(
+    spark,
+    pq_serve_dir: str,
+    emb: DataFrame,
+    centroids,
+    books,
+    k: int = DEFAULT_K,
+    n_probe: int = 4,
+    shortlist_factor: int = PQ_SHORTLIST_FACTOR,
+) -> DataFrame:
+    """Oracle-parity IVF-PQ probe: coarse cells prune the code scan
+    (PartitionFilters on the expression-assigned layout), the ADC
+    rank key is the same constant-folded fixed-order expression as
+    :func:`cosine_topk_pq_expr`, and exact cosine reranks the
+    shortlist — every float op shared with the SQL oracle, so the
+    ladder's top tier is hash-checkable end to end."""
+    m, ksub, d = len(books), len(books[0]), len(books[0][0])
+    cent_f, csq_f = _pq_flat(books)
+    cent_arr = "array(" + ",".join(_lit_double(x) for x in cent_f) + ")"
+    csq_arr = "array(" + ",".join(_lit_double(x) for x in csq_f) + ")"
+    q0 = _with_norm(emb.filter(F.col("vec_id").isin(*QUERY_IDS))).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cdot = (
+        "aggregate(zip_with(q_emb, centroid, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    c_sq = (
+        "aggregate(transform(centroid, x -> x * x), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    probe = (
+        q0.crossJoin(F.broadcast(centroid_table(spark, centroids)))
+        .withColumn("cdist", F.expr(f"2.0 * ({cdot}) - ({c_sq})"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cdist").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") <= n_probe)
+        .select("query_id", "q_emb", "q_nrm", "cell")
+    )
+    probe_rows = probe.collect()
+    cells = sorted({r["cell"] for r in probe_rows})
+    probe = spark.createDataFrame(
+        [(r["query_id"], list(r["q_emb"]), r["q_nrm"], r["cell"])
+         for r in probe_rows],
+        "query_id BIGINT, q_emb ARRAY<FLOAT>, q_nrm DOUBLE, cell INT",
+    )
+    corpus = spark.read.parquet(pq_serve_dir).filter(F.col("cell").isin(cells))
+    qdot = (
+        f"aggregate(sequence(0, {d - 1}), CAST(0 AS DOUBLE), (acc2, t) -> "
+        f"acc2 + (CAST(element_at(q_emb, i * {d} + t + 1) AS DOUBLE) "
+        f"/ q_nrm) * element_at({cent_arr}, "
+        f"(i * {ksub} + element_at(codes, i + 1)) * {d} + t + 1))"
+    )
+    adc = (
+        f"aggregate(sequence(0, {m - 1}), CAST(0 AS DOUBLE), (acc, i) -> "
+        f"acc + (element_at({csq_arr}, "
+        f"i * {ksub} + element_at(codes, i + 1) + 1) - 2.0 * ({qdot})))"
+    )
+    shortlisted = (
+        F.broadcast(probe)
+        .join(corpus, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.expr(adc).alias("adc"),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    short = (
+        shortlisted.withColumn("srnk", F.row_number().over(w_adc))
+        .filter(F.col("srnk") <= k * shortlist_factor)
+        .select("query_id", "vec_id", "cell")
+    )
+    vecs = _with_norm(emb)
+    queries = F.broadcast(
+        vecs.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    dot = dot_unrolled("q_emb", "embedding", EMBED_DIM, "spark")
+    scored = (
+        F.broadcast(short)
+        .join(vecs, "vec_id")
+        .join(queries, "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "cell",
+            F.expr(f"{dot} / (q_nrm * nrm)").alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            "cell",
+            F.round("cos_raw", 6).alias("cosine"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -47,6 +47,8 @@ _NEEDS_CORRECTNESS_ROW = [
     # (deterministic centroid fit exported as SQL literals)
     "embed_ivf_topk",
     "embed_ivf_append_topk",
+    "embed_pq_topk",
+    "embed_ivfpq_topk",
     # round-5 new operators
     "join_bloom_prefilter",
     "ts_anomaly_mad",
@@ -95,8 +97,6 @@ _NEEDS_CORRECTNESS_ROW = [
     "filter_rejected_rows",
     "filter_valid_rows",
     "dedup_full_row",
-    "fillna_const",
-    "fillna_mean",
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

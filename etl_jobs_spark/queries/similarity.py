@@ -132,17 +132,23 @@ def pq_index(spark, sf_dir):
     return session_memo(spark, "pq_index", sf_dir, build)
 
 
-@register("embed_pq_topk", oracle=None)
-def embed_pq_topk(spark, sf_dir):
-    """Product-quantization ANN top-k (ADC scan over 6-byte code
-    words via a JVM aggregate() over a broadcast literal LUT, then
-    exact rerank of the shortlist — the faiss IVFADC shape;
-    approximate, so driver rows-only: recall vs brute force is
-    pinned in tests/test_pq.py)."""
-    books, codes = pq_index(spark, sf_dir)
-    return SIM.cosine_topk_pq(
-        spark, read_table(spark, sf_dir, "embeddings"), books, codes
-    )
+def pq_index_expr(spark, sf_dir):
+    """Memoized ORACLE-PARITY PQ index per (session, corpus):
+    deterministic engine-free codebook fit
+    (SIM.fit_pq_codebooks_file) + the expression encoder, so codes
+    are bit-identical to the SQL oracle's join+window argmin. The
+    numpy pandas_udf encoder (pq_index above) remains the
+    cluster-scale alternative and still backs the IVF-PQ tier."""
+    from etl_jobs_spark.queries._shared import session_memo
+
+    def build():
+        books = SIM.fit_pq_codebooks_file(sf_dir)
+        codes = SIM.pq_codes_expr_df(
+            read_table(spark, sf_dir, "embeddings"), books
+        ).persist()
+        return books, codes
+
+    return session_memo(spark, "pq_index_expr", sf_dir, build)
 
 
 #: sf dirs whose corpora the IVF oracle can recognize (the driver
@@ -284,20 +290,31 @@ def ivfpq_index(spark, sf_dir):
     return session_memo(spark, "ivfpq_index", sf_dir, build)
 
 
-@register("embed_ivfpq_topk", oracle=None)
-def embed_ivfpq_topk(spark, sf_dir):
-    """IVF-PQ ANN top-k — the ladder's top tier: coarse cells prune
-    the scan (PartitionFilters), PQ-ADC scores the survivors from
-    ~6-byte code words (broadcast LUT + JVM aggregate, no Python in
-    the scan), exact cosine reranks the shortlist. A probe reads
-    n_probe partitions of code words plus a shortlist of full
-    vectors — at 100 TB that's MBs touched per query, not TBs.
-    Approximate → driver rows-only; recall vs brute force pinned in
-    tests/test_ivfpq.py."""
-    pq_serve, vec_serve, centroids, books = ivfpq_index(spark, sf_dir)
-    return SIM.cosine_topk_ivfpq(
-        spark, pq_serve, vec_serve, centroids, books
-    )
+def ivfpq_index_expr(spark, sf_dir):
+    """Memoized ORACLE-PARITY IVF-PQ serving layout: coarse cells
+    from the deterministic file-fit quantizer assigned by the
+    expression path, PQ codes from the expression encoder, written
+    partitioned by cell — every stored byte reproducible by the SQL
+    oracle."""
+    from etl_jobs_spark.queries._shared import session_memo
+    from etl_jobs_spark.scratch import scratch_dir
+
+    def build():
+        emb = read_table(spark, sf_dir, "embeddings")
+        centroids = SIM.fit_quantizer_file(sf_dir)
+        books, codes = pq_index_expr(spark, sf_dir)
+        serve = str(scratch_dir("ivfpq_serve_expr"))
+        (
+            SIM.assign_cells_expr(centroids, emb, keep=["vec_id"])
+            .join(codes, "vec_id")
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(serve)
+        )
+        return serve, centroids, books
+
+    return session_memo(spark, "ivfpq_index_expr", sf_dir, build)
 
 
 def ivf_append_index(spark, sf_dir):
@@ -471,4 +488,264 @@ def embed_matryoshka_topk(spark, sf_dir):
             F.col("rnk").cast("long").alias("rnk"),
             F.col("f_vec_id").isNotNull().alias("in_full_topk"),
         )
+    )
+
+
+def _pq_oracle() -> str:
+    """Hash-checkable SQL oracle for the PQ-ADC probe — the PQ twin
+    of ``_ivf_oracle``: deterministically-fitted codebooks embedded
+    as a literal VALUES table (per known corpus, count+checksum
+    dispatch), encoding reproduced as a join+window argmin over
+    (vector × codebook) rows, the ADC rank key assembled with the
+    one-row-per-term conditional-sum pivot so its 8 additions happen
+    in the same fixed order as Spark's fold, then the identical
+    shortlist cut and exact-cosine rerank. Every float op matches
+    the expression encoder (operators/similarity.py
+    ``pq_codes_expr_df`` / ``cosine_topk_pq_expr``) bit-for-bit."""
+    import os
+
+    m, ksub = SIM.PQ_M, SIM.PQ_KSUB
+    d = SIM.EMBED_DIM // m
+    rows = []
+    cases = []
+    for ci, sf in enumerate(_ORACLE_SF_DIRS):
+        if not os.path.isdir(sf):
+            continue
+        books = SIM.fit_pq_codebooks_file(sf)
+        n, chk = _corpus_signature(sf)
+        cases.append(f"WHEN n = {n} AND chk = {chk} THEN {ci}")
+        for i, book in enumerate(books):
+            for j, c in enumerate(book):
+                s = 0.0
+                for x in c:
+                    s += x * x
+                arr = ", ".join(SIM._lit_double(x) for x in c)
+                rows.append(
+                    f"({ci}, {i}, {j}, {SIM._lit_double(s)}, [{arr}])"
+                )
+    # fixed-order dot of the normalized subvector against b.sub
+    sub_dot = " + ".join(
+        f"(CAST(v.embedding[(b.i * {d}) + {t + 1}] AS DOUBLE) / v.nrm)"
+        f" * b.sub[{t + 1}]"
+        for t in range(d)
+    )
+    q_dot = " + ".join(
+        f"(CAST(q.q_emb[(b.i * {d}) + {t + 1}] AS DOUBLE) / q.q_nrm)"
+        f" * b.sub[{t + 1}]"
+        for t in range(d)
+    )
+    adc_pivot = " + ".join(
+        f"sum(CASE WHEN i = {i} THEN term END)" for i in range(m)
+    )
+    dot_qa = dot_unrolled("q.q_emb", "a.embedding", SIM.EMBED_DIM, "duckdb")
+    return f"""
+    WITH books AS (
+      SELECT i, j, csq, sub
+      FROM (VALUES {", ".join(rows)}) AS t(corpus, i, j, csq, sub)
+      WHERE corpus = (
+        SELECT CASE {" ".join(cases)} ELSE -1 END FROM (
+          SELECT count(*) AS n,
+                 CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE)
+                                     * 1000000) AS BIGINT)) AS BIGINT) AS chk
+          FROM embeddings))),
+    vecs AS (SELECT vec_id, embedding, {_NRM} AS nrm FROM embeddings),
+    codes AS (
+      SELECT vec_id, i, j AS code FROM (
+        SELECT v.vec_id, b.i, b.j,
+               row_number() OVER (PARTITION BY v.vec_id, b.i
+                                  ORDER BY b.csq - 2.0 * ({sub_dot}) ASC,
+                                           b.j ASC) AS rk
+        FROM vecs v CROSS JOIN books b)
+      WHERE rk = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+          FROM vecs WHERE vec_id IN ({_QIDS})),
+    terms AS (
+      SELECT q.query_id, c.vec_id, c.i,
+             b.csq - 2.0 * ({q_dot}) AS term
+      FROM q CROSS JOIN codes c
+      JOIN books b ON b.i = c.i AND b.j = c.code
+      WHERE c.vec_id <> q.query_id),
+    adc AS (
+      SELECT query_id, vec_id, ({adc_pivot}) AS adc
+      FROM terms GROUP BY query_id, vec_id),
+    short AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc ASC, vec_id ASC) AS srnk
+        FROM adc)
+      WHERE srnk <= {SIM.DEFAULT_K * SIM.PQ_SHORTLIST_FACTOR}),
+    scored AS (
+      SELECT s.query_id, s.vec_id,
+             ({dot_qa}) / (q.q_nrm * a.nrm) AS cos_raw
+      FROM short s
+      JOIN vecs a ON s.vec_id = a.vec_id
+      JOIN q ON s.query_id = q.query_id)
+    SELECT query_id, vec_id, round(cos_raw, 6) AS cosine,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_raw DESC, vec_id ASC)
+                      AS rnk
+          FROM scored)
+    WHERE rnk <= {SIM.DEFAULT_K}
+    """
+
+
+@register("embed_pq_topk", oracle=_pq_oracle())
+def embed_pq_topk(spark, sf_dir):
+    """Product-quantization ANN top-k: ~6-byte code words ADC-scored
+    by a JVM aggregate() against constant-folded codebook literals,
+    then exact rerank of the k×20 shortlist — the faiss IVFADC
+    shape. HASH-CHECKED since round 5 (was rows-only): codebooks are
+    fit deterministically engine-free, the encoder is a codegen
+    projection bit-identical to the oracle's join+window argmin, and
+    the ADC rank key drops the per-query ‖q‖² constant so its fixed
+    8-term sum is SQL-reproducible (``_pq_oracle``). Recall vs brute
+    force stays pinned in tests/test_pq.py."""
+    books, codes = pq_index_expr(spark, sf_dir)
+    return SIM.cosine_topk_pq_expr(
+        read_table(spark, sf_dir, "embeddings"), books, codes
+    )
+
+
+def _ivfpq_oracle() -> str:
+    """Hash-checkable SQL oracle for the IVF-PQ probe — the ladder's
+    top tier composed from the two proven fragments: the coarse
+    centroid dispatch + probe/assignment CTEs of ``_ivf_oracle`` and
+    the codebook dispatch + encode/ADC CTEs of ``_pq_oracle``, with
+    ADC candidates restricted to each query's probed cells."""
+    import os
+
+    m, ksub = SIM.PQ_M, SIM.PQ_KSUB
+    d = SIM.EMBED_DIM // m
+    cent_rows, book_rows, cases = [], [], []
+    for ci, sf in enumerate(_ORACLE_SF_DIRS):
+        if not os.path.isdir(sf):
+            continue
+        n, chk = _corpus_signature(sf)
+        cases.append(f"WHEN n = {n} AND chk = {chk} THEN {ci}")
+        for cell, c in enumerate(SIM.fit_quantizer_file(sf)):
+            arr = ", ".join(SIM._lit_double(x) for x in c)
+            cent_rows.append(f"({ci}, {cell}, [{arr}])")
+        for i, book in enumerate(SIM.fit_pq_codebooks_file(sf)):
+            for j, c in enumerate(book):
+                s = 0.0
+                for x in c:
+                    s += x * x
+                arr = ", ".join(SIM._lit_double(x) for x in c)
+                book_rows.append(
+                    f"({ci}, {i}, {j}, {SIM._lit_double(s)}, [{arr}])"
+                )
+    d_q = SIM.cell_dist_expr("q.q_emb", "c.centroid", "duckdb")
+    d_e = SIM.cell_dist_expr("v.embedding", "c.centroid", "duckdb")
+    sub_dot = " + ".join(
+        f"(CAST(v.embedding[(b.i * {d}) + {t + 1}] AS DOUBLE) / v.nrm)"
+        f" * b.sub[{t + 1}]"
+        for t in range(d)
+    )
+    q_dot = " + ".join(
+        f"(CAST(qc.q_emb[(b.i * {d}) + {t + 1}] AS DOUBLE) / qc.q_nrm)"
+        f" * b.sub[{t + 1}]"
+        for t in range(d)
+    )
+    adc_pivot = " + ".join(
+        f"sum(CASE WHEN i = {i} THEN term END)" for i in range(m)
+    )
+    dot_qa = dot_unrolled("q.q_emb", "a.embedding", SIM.EMBED_DIM, "duckdb")
+    return f"""
+    WITH corpus_id AS (
+      SELECT CASE {" ".join(cases)} ELSE -1 END AS ci FROM (
+        SELECT count(*) AS n,
+               CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE)
+                                   * 1000000) AS BIGINT)) AS BIGINT) AS chk
+        FROM embeddings)),
+    cent AS (
+      SELECT cell, centroid
+      FROM (VALUES {", ".join(cent_rows)}) AS t(corpus, cell, centroid)
+      WHERE corpus = (SELECT ci FROM corpus_id)),
+    books AS (
+      SELECT i, j, csq, sub
+      FROM (VALUES {", ".join(book_rows)}) AS t(corpus, i, j, csq, sub)
+      WHERE corpus = (SELECT ci FROM corpus_id)),
+    vecs AS (SELECT vec_id, embedding, {_NRM} AS nrm FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+          FROM vecs WHERE vec_id IN ({_QIDS})),
+    qc AS (
+      SELECT query_id, q_emb, q_nrm, cell FROM (
+        SELECT q.query_id, q.q_emb, q.q_nrm, c.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {d_q} ASC, c.cell ASC) AS rk
+        FROM q CROSS JOIN cent c)
+      WHERE rk <= {_IVF_N_PROBE}),
+    acell AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d_e} ASC, c.cell ASC) AS rk
+        FROM vecs v CROSS JOIN cent c)
+      WHERE rk = 1),
+    codes AS (
+      SELECT vec_id, i, j AS code FROM (
+        SELECT v.vec_id, b.i, b.j,
+               row_number() OVER (PARTITION BY v.vec_id, b.i
+                                  ORDER BY b.csq - 2.0 * ({sub_dot}) ASC,
+                                           b.j ASC) AS rk
+        FROM vecs v CROSS JOIN books b)
+      WHERE rk = 1),
+    terms AS (
+      SELECT qc.query_id, cd.vec_id, ac.cell, cd.i,
+             b.csq - 2.0 * ({q_dot}) AS term
+      FROM qc
+      JOIN acell ac ON ac.cell = qc.cell
+      JOIN codes cd ON cd.vec_id = ac.vec_id
+      JOIN books b ON b.i = cd.i AND b.j = cd.code
+      WHERE ac.vec_id <> qc.query_id),
+    adc AS (
+      SELECT query_id, vec_id, cell, ({adc_pivot}) AS adc
+      FROM terms GROUP BY query_id, vec_id, cell),
+    short AS (
+      SELECT query_id, vec_id, cell FROM (
+        SELECT query_id, vec_id, cell,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc ASC, vec_id ASC) AS srnk
+        FROM adc)
+      WHERE srnk <= {SIM.DEFAULT_K * SIM.PQ_SHORTLIST_FACTOR}),
+    scored AS (
+      SELECT s.query_id, s.vec_id, s.cell,
+             ({dot_qa}) / (q.q_nrm * a.nrm) AS cos_raw
+      FROM short s
+      JOIN vecs a ON s.vec_id = a.vec_id
+      JOIN q ON s.query_id = q.query_id)
+    SELECT query_id, vec_id, CAST(cell AS INT) AS cell,
+           round(cos_raw, 6) AS cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_raw DESC, vec_id ASC)
+                      AS rnk
+          FROM scored)
+    WHERE rnk <= {SIM.DEFAULT_K}
+    """
+
+
+@register("embed_ivfpq_topk", oracle=_ivfpq_oracle())
+def embed_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN top-k — the ladder's top tier: coarse cells prune
+    the scan (PartitionFilters on the cell-partitioned code layout),
+    PQ-ADC scores the survivors from ~6-byte code words
+    (constant-folded codebook literals + JVM aggregate, no Python in
+    the scan), exact cosine reranks the shortlist. A probe reads
+    n_probe partitions of code words plus a shortlist of full
+    vectors — at 100 TB that's MBs touched per query, not TBs.
+    HASH-CHECKED since round 5 (was rows-only): both index
+    structures are deterministically fit engine-free and every float
+    op in assignment, encoding, probe ranking and the ADC shortlist
+    cut is shared with the SQL oracle (``_ivfpq_oracle``); recall vs
+    brute force stays pinned in tests/test_ivfpq.py."""
+    serve, centroids, books = ivfpq_index_expr(spark, sf_dir)
+    return SIM.cosine_topk_ivfpq_expr(
+        spark,
+        serve,
+        read_table(spark, sf_dir, "embeddings"),
+        centroids,
+        books,
+        n_probe=_IVF_N_PROBE,
     )
