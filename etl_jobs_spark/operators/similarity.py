@@ -282,32 +282,59 @@ def fit_quantizer_file(
     if key in _FIT_CACHE:
         return _FIT_CACHE[key]
     import numpy as np
-    import pyarrow.parquet as pq
 
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    ids = t.column("vec_id").to_pylist()
-    embs = t.column("embedding").to_pylist()
-    rows = sorted(
-        (
-            (vid * _FIT_KEY_MULT) % (1 << 32),
-            vid,
-            e,
-        )
-        for vid, e in zip(ids, embs)
-        if not (base_only and vid % 10 == 0)
-    )
-    n = len(rows)
+    keys, n = _fit_sample_keys(sf_dir, base_only)
     n_cells = max(16, n // target_per_cell)
     take = min(n, fit_per_cell * n_cells)
     pts = np.array(
-        [[float(x) for x in e] for _, _, e in rows[:take]], dtype=np.float64
+        _fit_sample_vectors(sf_dir, keys[:take]), dtype=np.float64
     )
     cent = _lloyd(pts, n_cells, seed, max_iter)
     out = [[float(x) for x in c] for c in cent]
     _FIT_CACHE[key] = out
     return out
+
+
+def _fit_sample_keys(sf_dir: str, base_only: bool):
+    """Sorted (arithmetic key, vec_id) pairs + eligible row count —
+    computed from the ID COLUMN ALONE, so sample selection never
+    materializes corpus vectors in the driver (the unboundedness the
+    4x stress caught: ``to_pylist`` of every embedding scaled with
+    the corpus, not the sample)."""
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    ).column("vec_id").to_pylist()
+    keys = sorted(
+        ((vid * _FIT_KEY_MULT) % (1 << 32), vid)
+        for vid in ids
+        if not (base_only and vid % 10 == 0)
+    )
+    return keys, len(keys)
+
+
+def _fit_sample_vectors(sf_dir: str, keys):
+    """The sample rows' vectors via a FILTERED pyarrow read (row
+    groups without sample ids never decode their embedding pages),
+    returned in the key order the pre-fix implementation produced —
+    the fit output is bit-identical by construction."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    want = [vid for _, vid in keys]
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=pc.field("vec_id").isin(want),
+    )
+    by_id = {
+        vid: e
+        for vid, e in zip(
+            t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()
+        )
+    }
+    return [[float(x) for x in by_id[vid]] for vid in want]
 
 
 def _lit_double(v: float) -> str:
@@ -899,20 +926,10 @@ def fit_pq_codebooks_file(
     if key in _FIT_CACHE:
         return _FIT_CACHE[key]
     import numpy as np
-    import pyarrow.parquet as pq
 
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    rows = sorted(
-        ((vid * _FIT_KEY_MULT) % (1 << 32), vid, e)
-        for vid, e in zip(
-            t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()
-        )
-    )
+    keys, _n = _fit_sample_keys(sf_dir, base_only=False)
     pts = np.array(
-        [[float(x) for x in e] for _, _, e in rows[:PQ_FIT_SAMPLE]],
-        dtype=np.float64,
+        _fit_sample_vectors(sf_dir, keys[:PQ_FIT_SAMPLE]), dtype=np.float64
     )
     pts = pts / np.linalg.norm(pts, axis=1, keepdims=True)
     d = pts.shape[1] // m
@@ -942,37 +959,70 @@ def _pq_flat(books):
 
 
 def pq_codes_expr_df(emb: DataFrame, books) -> DataFrame:
-    """Oracle-parity PQ encoding as ONE codegen projection (the PQ
-    twin of :func:`assign_cells_expr`): per subspace i, distance
-    rank surrogate ``csq_ij − 2·Σ_t (x_t/‖x‖)·c_ijt`` over all ksub
-    centroids (codebooks constant-folded from two flat literal
-    arrays), first-minimum via ``array_sort(struct(d, j))`` — ties
-    to the lowest code, exactly the oracle's
-    ``ORDER BY d, j`` rule. Every float op (cast, divide, multiply,
-    fold-left add) is the same correctly-rounded IEEE sequence the
+    """Oracle-parity PQ encoding, join-shaped exactly like the SQL
+    oracle itself: the vector normalizes once (divide-then-multiply
+    op order shared with the oracle), explodes to one row per
+    subspace carrying its 8-double slice, joins the BROADCAST
+    512-row codebook table, scores ``csq − 2·Σ_t xn_t·c_t`` with a
+    small fold the expression compiler handles (a single giant
+    4096-op projection measured 1.3-7 ms/row — Janino refuses the
+    method and interpreted eval crawls), and takes the per-(vector,
+    subspace) argmin with ``min_by`` over ``struct(d, j)`` — ties to
+    the lowest code, the oracle's ``ORDER BY d, j`` rule. Partial
+    aggregation means the shuffle carries |vectors|·m tiny rows, and
+    every float op is the same correctly-rounded IEEE sequence the
     unrolled DuckDB SQL performs, so codes are bit-identical by
     construction."""
     m, ksub, d = len(books), len(books[0]), len(books[0][0])
-    cent, csq = _pq_flat(books)
-    cent_arr = "array(" + ",".join(_lit_double(x) for x in cent) + ")"
-    csq_arr = "array(" + ",".join(_lit_double(x) for x in csq) + ")"
+    spark = emb.sparkSession
+    book_rows = []
+    for i in range(m):
+        for j, c in enumerate(books[i]):
+            csq = 0.0
+            for x in c:
+                csq += x * x
+            book_rows.append((i, j, csq, [float(x) for x in c]))
+    books_df = spark.createDataFrame(
+        book_rows, "i INT, j INT, csq DOUBLE, sub ARRAY<DOUBLE>"
+    )
     nrm = (
         "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) "
         "* CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
     )
+    xn = "transform(embedding, x -> CAST(x AS DOUBLE) / _nrm)"
+    sub_i = f"slice(_xn, i * {d} + 1, {d})"
     dot = (
-        f"aggregate(sequence(0, {d - 1}), CAST(0 AS DOUBLE), (acc, t) -> "
-        f"acc + (CAST(element_at(embedding, i * {d} + t + 1) AS DOUBLE) "
-        f"/ _nrm) * element_at({cent_arr}, (i * {ksub} + j) * {d} + t + 1))"
+        "aggregate(zip_with(_sub, sub, (a, b) -> a * b), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    codes = (
-        f"transform(sequence(0, {m - 1}), i -> "
-        f"array_sort(transform(sequence(0, {ksub - 1}), j -> "
-        f"named_struct('d', element_at({csq_arr}, i * {ksub} + j + 1) "
-        f"- 2.0 * ({dot}), 'j', j)))[0].j)"
+    per_sub = (
+        emb.withColumn("_nrm", F.expr(nrm))
+        .withColumn("_xn", F.expr(xn))
+        .select(
+            "vec_id",
+            F.explode(F.expr(f"sequence(0, {m - 1})")).alias("i"),
+            F.col("_xn"),
+        )
+        .withColumn("_sub", F.expr(sub_i))
+        .drop("_xn")
+        .join(F.broadcast(books_df), "i")
+        .select(
+            "vec_id",
+            "i",
+            F.col("j"),
+            F.expr(f"csq - 2.0 * ({dot})").alias("dist"),
+        )
     )
-    return emb.withColumn("_nrm", F.expr(nrm)).select(
-        "vec_id", F.expr(codes).cast("array<int>").alias("codes")
+    code_per_sub = per_sub.groupBy("vec_id", "i").agg(
+        F.expr("min_by(j, struct(dist, j))").alias("code")
+    )
+    return code_per_sub.groupBy("vec_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, code))), "
+            "s -> s.code)"
+        )
+        .cast("array<int>")
+        .alias("codes")
     )
 
 
