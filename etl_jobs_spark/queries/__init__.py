@@ -69,6 +69,7 @@ _NEEDS_CORRECTNESS_ROW = [
     "join_asof_tolerance",
     "text_token_entropy",
     "text_zipf_slope",
+    "pipeline_daily_incremental",
     # (c) r1-era rechecks, oldest driver rows first (CORRECTNESS_r01
     # order) — ≥20 per VERDICT r4 item 7
     "agg_pivot_events",
@@ -96,7 +97,6 @@ _NEEDS_CORRECTNESS_ROW = [
     "filter_email_format",
     "filter_rejected_rows",
     "filter_valid_rows",
-    "dedup_full_row",
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

@@ -601,3 +601,89 @@ def setop_union_schema_drift(spark, sf_dir):
         "source_region", F.lit("eu-west")
     )
     return v1.unionByName(v2, allowMissingColumns=True)
+
+
+@register(
+    "pipeline_daily_incremental",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type FROM events WHERE event_id % 10 <> 0),
+    new_valid AS (
+      SELECT event_id, event_type FROM events
+      WHERE event_id % 10 = 0
+        AND event_type IN ('click','view','purchase','signup','error')
+        AND value BETWEEN 0 AND 150),
+    final AS (SELECT * FROM base UNION ALL SELECT * FROM new_valid)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           bit_xor(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                   ::BIGINT) AS content_hash
+    FROM final GROUP BY event_type
+    """,
+)
+def pipeline_daily_incremental(spark, sf_dir):
+    """The daily incremental-ingest job COMPOSED end to end from the
+    operator kit — the loop a reference user actually schedules
+    (src/etl_2016.py..2025.py are all variations of it): an existing
+    warehouse table holds yesterday's data; today's batch arrives
+    with AT-LEAST-ONCE delivery (every 3rd already-loaded row is
+    re-delivered alongside the genuinely-new rows); the pipeline
+    validates (domain + range gate), dedups the batch against the
+    warehouse by key — Bloom prefilter, exact anti join for the
+    positives, the dedup_incremental_bloom plan — and APPENDS only
+    the survivors to the partitioned table. The report re-scans the
+    FINAL table: per-type row counts, distinct counts, and a bit_xor
+    content fingerprint the oracle recomputes from scratch — one
+    surviving duplicate or one lost row flips the hash. Scale shape:
+    every stage is the proven operator (partitioned append, bloom
+    probe at the scan, broadcast-sized exact check); the whole job
+    touches yesterday's table only through its key Bloom + the
+    appended partitions, never a rewrite."""
+    from etl_jobs_spark.operators.bloom import bloom_build, bloom_probe_expr
+    from etl_jobs_spark.operators.hashing import hash60
+    from etl_jobs_spark.scratch import scratch_dir
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    base = ev.filter(F.col("event_id") % 10 != 0)
+    newly = ev.filter(F.col("event_id") % 10 == 0)
+    replays = base.filter(F.col("event_id") % 3 == 0)
+    batch = newly.unionByName(replays)
+
+    d = scratch_dir("daily_ingest")
+    table = str(d / "warehouse")
+    base.write.partitionBy("event_type").parquet(table)
+
+    valid = batch.filter(
+        F.col("event_type").isin("click", "view", "purchase", "signup", "error")
+        & F.col("value").between(0, 150)
+    )
+    keys = spark.read.parquet(table).select(
+        F.col("event_id").cast("string").alias("k")
+    )
+    words = bloom_build(keys, "k", m_bits=1 << 19)
+    probe = bloom_probe_expr(words, "cast(event_id as string)")
+    definitely_new = valid.filter(~probe)
+    maybe_dup = (
+        valid.filter(probe)
+        .join(
+            spark.read.parquet(table).select("event_id"),
+            "event_id",
+            "left_anti",
+        )
+    )
+    survivors = definitely_new.unionByName(maybe_dup)
+    survivors.write.mode("append").partitionBy("event_type").parquet(table)
+
+    h = hash60("cast(event_id as string)", "spark")
+    return (
+        spark.read.parquet(table)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("event_id").alias("n_distinct"),
+            F.expr(f"bit_xor({h})").alias("content_hash"),
+        )
+    )

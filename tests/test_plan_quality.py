@@ -134,3 +134,46 @@ def test_q2_semi_join_precedes_fact_agg(spark):
     # (before) the semi join that feeds it
     assert semi > agg, plan[:2000]
     assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The OTHER half of the skew story: join_salted_skew handles
+    skew by construction; this pins that AQE's runtime skew-join
+    split fires when a hot key concentrates a shuffle partition
+    (thresholds scaled down to fixture size — at production scale
+    the defaults play the same role). Loses this and a 100 TB hot
+    key serializes one reducer."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(400000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7))
+            .otherwise(F.col("id") % 997)
+            .alias("k"),
+            F.concat(F.lit("payload-payload-payload-"), F.col("id")).alias(
+                "payload"
+            ),
+        )
+        right = spark.range(997).select(
+            F.col("id").alias("k"), F.lit("dim").alias("name")
+        )
+        j = left.join(right.hint("merge"), "k")
+        assert len(j.collect()) == 400000
+        plan = _plan(j)  # final adaptive plan after execution
+        assert "isFinalPlan=true" in plan, plan[:500]
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
