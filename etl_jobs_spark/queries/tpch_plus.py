@@ -612,3 +612,79 @@ def q2_min_cost_supplier(spark, sf_dir):
             F.round("min_price", 2).alias("best_price"),
         )
     )
+
+
+@register(
+    "agg_kmv_difference_types",
+    oracle=f"""
+    WITH ha AS ({_kmv_sketch_sql("click")}),
+         hb AS ({_kmv_sketch_sql("purchase")}),
+         th AS (
+           SELECT least(ta.th, tb.th) AS theta,
+                  ta.k AS k_click, tb.k AS k_purchase
+           FROM (SELECT max(hv) AS th, CAST(count(*) AS BIGINT) AS k FROM ha) ta,
+                (SELECT max(hv) AS th, CAST(count(*) AS BIGINT) AS k FROM hb) tb),
+         d AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_only_click
+           FROM ha CROSS JOIN th
+           WHERE ha.hv < th.theta
+             AND ha.hv NOT IN (SELECT hv FROM hb))
+    SELECT th.k_click, th.k_purchase, d.n_only_click,
+           CAST(round(d.n_only_click * pow(2.0, 60) / th.theta, 0) AS BIGINT)
+             AS est_difference
+    FROM th, d
+    """,
+)
+def agg_kmv_difference_types(spark, sf_dir):
+    """Theta-sketch-style DISTINCT-COUNT DIFFERENCE — completing the
+    KMV set algebra (union ≈ approx_distinct_kmv over the merged
+    stream, intersection = agg_kmv_intersect_types, difference =
+    THIS): |click-users \\ purchase-users| estimated as the count of
+    click-sketch hashes below theta that are absent from the
+    purchase sketch, scaled by 2^60/theta. The A-and-not-B audience
+    question (reach exclusion, churn-without-return) that neither
+    HLL nor plain counts can answer mergeably. Sketch is
+    deterministic → the oracle CHECKS THE SKETCH ITSELF; same
+    TakeOrdered 256-value build, anti-join of two 256-row sets."""
+    from etl_jobs_spark import cache
+
+    ev = read_table(spark, sf_dir, "events")
+
+    def sketch(etype: str):
+        return cache.track(
+            ev.filter(F.col("event_type") == etype)
+            .select(
+                F.expr(hash60("CAST(user_id AS STRING)", "spark")).alias("hv")
+            )
+            .distinct()
+            .orderBy("hv")
+            .limit(_KMV_K)
+        )
+
+    ha, hb = sketch("click"), sketch("purchase")
+    th = (
+        ha.agg(F.max("hv").alias("tha"), F.count(F.lit(1)).alias("k_click"))
+        .crossJoin(
+            hb.agg(
+                F.max("hv").alias("thb"),
+                F.count(F.lit(1)).alias("k_purchase"),
+            )
+        )
+        .select(
+            F.least("tha", "thb").alias("theta"), "k_click", "k_purchase"
+        )
+    )
+    d = (
+        ha.join(hb, "hv", "left_anti")
+        .crossJoin(th.select("theta"))
+        .filter(F.col("hv") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_only_click"))
+    )
+    return th.crossJoin(d).select(
+        "k_click",
+        "k_purchase",
+        "n_only_click",
+        F.expr(
+            "CAST(round(n_only_click * pow(2.0, 60) / theta, 0) AS BIGINT)"
+        ).alias("est_difference"),
+    )
