@@ -71,6 +71,7 @@ _NEEDS_CORRECTNESS_ROW = [
     "text_zipf_slope",
     "pipeline_daily_incremental",
     "agg_kmv_difference_types",
+    "agg_activity_streaks",
     # (c) r1-era rechecks, oldest driver rows first (CORRECTNESS_r01
     # order) — ≥20 per VERDICT r4 item 7
     "agg_pivot_events",
@@ -96,7 +97,6 @@ _NEEDS_CORRECTNESS_ROW = [
     "filter_nonempty_name",
     "filter_age_range",
     "filter_email_format",
-    "filter_rejected_rows",
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

@@ -153,3 +153,60 @@ def join_dim_snapshot_asof(spark, sf_dir):
         right_payload=["event_type"],
         prefix="",
     ).withColumnRenamed("event_type", "state_at_purchase")
+
+
+@register(
+    "agg_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+      FROM events),
+    grouped AS (
+      SELECT user_id, day_num,
+             day_num - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day_num) AS grp
+      FROM days),
+    streaks AS (
+      SELECT user_id, grp, CAST(count(*) AS BIGINT) AS streak_len
+      FROM grouped GROUP BY user_id, grp)
+    SELECT user_id,
+           CAST(sum(streak_len) AS BIGINT) AS n_active_days,
+           CAST(max(streak_len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+)
+def agg_activity_streaks(spark, sf_dir):
+    """Gaps-and-islands: each user's consecutive-day activity
+    streaks (longest streak, streak count, active days) — the
+    engagement metric behind every retention dashboard, and the
+    canonical SQL island detection: distinct activity days, then
+    ``day_number − row_number`` is CONSTANT within a consecutive run
+    (both step by one), so a groupBy on that difference recovers the
+    islands with no self-join and no iteration. All-integer
+    arithmetic (epoch-day numbers), bit-exact. Scale shape: one
+    distinct + one keyed window + two keyed aggs, every stage
+    partitioned by user — a single shuffle family, no fan-out."""
+    ev = read_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')").alias(
+            "day_num"
+        ),
+    ).distinct()
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy("day_num")
+    )
+    streaks = (
+        days.withColumn("grp", F.col("day_num") - rn)
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("streak_len"))
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("streak_len").alias("n_active_days"),
+        F.max("streak_len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
