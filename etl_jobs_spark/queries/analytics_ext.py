@@ -604,3 +604,89 @@ def agg_count_min_sketch(spark, sf_dir):
         "cms_est",
         (F.col("cms_est") >= F.col("true_n")).alias("never_undercounts"),
     )
+
+
+@register(
+    "agg_gini_revenue",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_mktsegment AS segment, c.c_custkey,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT segment, cents,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY cents, c_custkey) AS i
+      FROM spend),
+    stats AS (
+      SELECT segment,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(cents) AS BIGINT) AS total_cents,
+             CAST(sum(i * cents) AS BIGINT) AS rank_weighted
+      FROM ranked GROUP BY 1)
+    SELECT segment, n_customers, total_cents,
+           round((2.0 * rank_weighted - (n_customers + 1) * total_cents)
+                 / (1.0 * n_customers * total_cents), 6) AS gini
+    FROM stats
+    """,
+)
+def agg_gini_revenue(spark, sf_dir):
+    """Gini coefficient of customer spend per market segment — the
+    inequality/concentration diagnostic (how top-heavy is each
+    segment's revenue?). Exact-arithmetic form of the rank formula
+    G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) over ascending-sorted
+    spend: totals are summed as integer CENTS (no float-summation
+    order hazard), ranks come from one keyed window, and the only
+    float op is the final division of two exact integers — IEEE
+    correctly-rounded, so round(…, 6) is bit-stable across engines.
+    Ties in spend are rank-order-invariant (equal x contribute the
+    same Σ i·x under any permutation), so the custkey tiebreak is
+    cosmetic. Scale shape: one join + two keyed aggregations + one
+    window, all partitioned by segment — no driver math, no sort
+    beyond the per-segment window."""
+    from pyspark.sql import Window as W
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), F.col("c_custkey")
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    ranked = spend.withColumn(
+        "i",
+        F.row_number().over(
+            W.partitionBy("segment").orderBy("cents", "c_custkey")
+        ),
+    )
+    stats = ranked.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(F.col("i") * F.col("cents")).cast("bigint").alias(
+            "rank_weighted"
+        ),
+    )
+    return stats.select(
+        "segment",
+        "n_customers",
+        "total_cents",
+        F.round(
+            (
+                2.0 * F.col("rank_weighted")
+                - (F.col("n_customers") + 1) * F.col("total_cents")
+            )
+            / (1.0 * F.col("n_customers") * F.col("total_cents")),
+            6,
+        ).alias("gini"),
+    )

@@ -393,3 +393,37 @@ def fn_lambda_suite(spark, sf_dir):
         .cast("long")
         .alias("long_chars"),
     )
+
+
+@register(
+    "fn_bitwise_suite",
+    oracle="""
+    SELECT event_type,
+           bit_and(user_id & 1023)            AS and_mask,
+           bit_or(user_id & 1023)             AS or_mask,
+           bit_xor(event_id)                  AS xor_ids,
+           CAST(sum(bit_count(event_id)) AS BIGINT) AS popcount_sum,
+           max((event_id % 1048576) << 8)     AS max_shl,
+           min(event_id >> 4)                 AS min_shr
+    FROM events GROUP BY event_type
+    """,
+)
+def fn_bitwise_suite(spark, sf_dir):
+    """Bitwise-function family: scalar ops (&, |, shifts, popcount)
+    fused into the scan projection plus the three bitwise AGGREGATES
+    (bit_and / bit_or / bit_xor) per group — the primitives behind
+    bitmap indexes, permission masks, and the engine's own bitmap
+    distinct-count and XOR content-fingerprint operators
+    (agg_bitmap_distinct, maintenance_compact_report). All integer
+    arithmetic — bit-identical across engines by construction — and
+    map-side combinable: each aggregate carries an 8-byte state, so
+    the shuffle is one row per (type, partition) at any scale."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("bit_and(user_id & 1023)").alias("and_mask"),
+        F.expr("bit_or(user_id & 1023)").alias("or_mask"),
+        F.expr("bit_xor(event_id)").alias("xor_ids"),
+        F.expr("sum(bit_count(event_id))").alias("popcount_sum"),
+        F.expr("max(shiftleft(event_id % 1048576, 8))").alias("max_shl"),
+        F.expr("min(shiftright(event_id, 4))").alias("min_shr"),
+    )

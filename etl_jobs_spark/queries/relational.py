@@ -549,3 +549,113 @@ def join_bloom_prefilter(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH dirty AS (
+      SELECT event_id,
+             CASE WHEN event_id % 11 = 0 THEN NULL
+                  ELSE event_type END AS event_type_n,
+             value
+      FROM events),
+    sys_a AS (
+      SELECT event_type_n AS k, CAST(count(*) AS BIGINT) AS n_a,
+             round(sum(value), 2) AS val_a
+      FROM dirty WHERE event_id % 2 = 0 GROUP BY 1),
+    sys_b AS (
+      SELECT event_type_n AS k, CAST(count(*) AS BIGINT) AS n_b,
+             round(sum(value), 2) AS val_b
+      FROM dirty WHERE event_id % 2 = 1 GROUP BY 1)
+    SELECT a.k AS event_type, a.n_a, b.n_b, a.val_a, b.val_b
+    FROM sys_a a JOIN sys_b b
+      ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe(spark, sf_dir):
+    """NULL-safe equality join (``<=>`` / IS NOT DISTINCT FROM): two
+    system halves of the event feed are reconciled per event_type
+    where the type can be NULL (the unattributed bucket — injected by
+    the shared deterministic dirty projection). A plain equi-join
+    silently DROPS the NULL group on both sides — the classic
+    reconciliation bug; the null-safe operator keeps it as a real
+    join key. Scale shape: identical to an equi-join (hash-partition
+    both sides on the key; NULL hashes like any value under
+    null-safe semantics), so the fix costs nothing at 100 TB —
+    unlike the ``COALESCE(k, sentinel)`` workaround, which breaks
+    if the sentinel ever appears in data."""
+    from etl_jobs_spark.queries._shared import dirty_events
+
+    d = dirty_events(spark, sf_dir)
+    a = (
+        d.filter(F.col("event_id") % 2 == 0)
+        .groupBy(F.col("event_type_n").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_a"),
+            F.round(F.sum("value"), 2).alias("val_a"),
+        )
+    )
+    b = (
+        d.filter(F.col("event_id") % 2 == 1)
+        .groupBy(F.col("event_type_n").alias("k2"))
+        .agg(
+            F.count(F.lit(1)).alias("n_b"),
+            F.round(F.sum("value"), 2).alias("val_b"),
+        )
+    )
+    return a.join(b, a.k.eqNullSafe(b.k2)).select(
+        F.col("k").alias("event_type"), "n_a", "n_b", "val_a", "val_b"
+    )
+
+
+@register(
+    "setop_multiset_all",
+    oracle="""
+    WITH big AS (
+      SELECT o_orderpriority AS pri FROM orders
+      WHERE o_totalprice > 100000),
+    fin AS (
+      SELECT o_orderpriority AS pri FROM orders
+      WHERE o_orderstatus = 'F'),
+    exc AS (SELECT pri FROM big EXCEPT ALL SELECT pri FROM fin),
+    ints AS (SELECT pri FROM big INTERSECT ALL SELECT pri FROM fin)
+    SELECT 'except_all' AS op, pri,
+           CAST(count(*) AS BIGINT) AS n
+    FROM exc GROUP BY 2
+    UNION ALL
+    SELECT 'intersect_all', pri, CAST(count(*) AS BIGINT)
+    FROM ints GROUP BY 2
+    """,
+)
+def setop_multiset_all(spark, sf_dir):
+    """Multiset set operations (EXCEPT ALL / INTERSECT ALL): bag
+    semantics preserve DUPLICATE COUNTS — ``except_all`` keeps
+    max(m−n, 0) copies per value, ``intersect_all`` min(m, n) —
+    which is what reconciliation arithmetic needs (the DISTINCT
+    variants destroy the cardinality information). Spark implements
+    both as a single hash aggregation per side plus a counted
+    replicate (generate), never a sort; the aggregated output here
+    makes the bag cardinalities directly visible to the driver's
+    hash compare. At 100 TB: same cost profile as a groupBy on the
+    value — one shuffle per side."""
+    orders = read_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_orderpriority").alias("pri")
+    )
+    fin = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("pri")
+    )
+    exc = (
+        big.exceptAll(fin)
+        .groupBy("pri")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "pri", "n")
+    )
+    ints = (
+        big.intersectAll(fin)
+        .groupBy("pri")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "pri", "n")
+    )
+    return exc.unionAll(ints)
