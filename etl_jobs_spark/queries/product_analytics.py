@@ -210,3 +210,154 @@ def agg_activity_streaks(spark, sf_dir):
         F.max("streak_len").alias("longest_streak"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+@register(
+    "basket_brand_affinity",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+            FROM lineitem),
+    cnt AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n FROM ob GROUP BY 1),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS co_count
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2)
+    SELECT p.brand_a, p.brand_b, p.co_count,
+           ca.n AS n_a, cb.n AS n_b,
+           CAST(p.co_count * t.n_orders * 1000000
+                // (ca.n * cb.n) AS BIGINT) AS lift_micro
+    FROM pairs p
+    JOIN cnt ca ON p.brand_a = ca.p_brand
+    JOIN cnt cb ON p.brand_b = cb.p_brand
+    CROSS JOIN tot t
+    WHERE p.co_count >= 3
+    """,
+)
+def basket_brand_affinity(spark, sf_dir):
+    """Market-basket affinity (the recommender/assortment primitive):
+    brand pairs that co-occur in the same order, with support counts
+    and LIFT = P(a,b) / (P(a)·P(b)) = co·N / (nₐ·n_b) — computed as
+    integer micro-lift (``co*N*1e6 DIV nₐ*n_b``), exact on both
+    engines. The scale-critical shape: pair generation is BLOCKED BY
+    ORDER KEY (distinct brands per order, then a self-equi-join on
+    the order key — never an all-pairs cross join), so candidate
+    volume is Σ kᵢ² over per-order basket sizes, not n². Brand
+    marginals and the order total are two tiny aggregates that
+    broadcast back onto the pair table. At 100 TB: one broadcast dim
+    join, one distinct, one self-equi-join on the partition key —
+    all shuffle-aligned on l_orderkey."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    ob = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == part.p_partkey,
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = li.select(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    cnt = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("co_count"))
+        .filter(F.col("co_count") >= 3)
+    )
+    ca = cnt.select(
+        F.col("p_brand").alias("brand_a"), F.col("n").alias("n_a")
+    )
+    cb = cnt.select(
+        F.col("p_brand").alias("brand_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "co_count",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(co_count * n_orders * 1000000 DIV (n_a * n_b) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+    )
+
+
+@register(
+    "path_top_sequences",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 3 GROUP BY user_id)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path LIMIT 20
+    """,
+)
+def path_top_sequences(spark, sf_dir):
+    """User-path analysis: each user's FIRST THREE events as an
+    ordered journey string ('view>click>purchase'), counted across
+    the user base, top-20 most common entry paths (tiebreak on path
+    text — the top-k boundary is deterministic). The Sankey/flow
+    starting point of product analytics. Scale shape: one keyed
+    window (partitioned by user) prunes to ≤3 rows per user BEFORE
+    the fold; the path fold is an order-pinned collect within the
+    same user partition (sort_array over (rn, type) structs — never
+    dependent on shuffle arrival order); the final count is a
+    groupBy on a low-cardinality path key with a TakeOrdered top-k,
+    no global sort."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    paths = (
+        ev.withColumn("rn", rn)
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )
