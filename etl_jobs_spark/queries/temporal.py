@@ -588,3 +588,327 @@ def join_asof_tolerance(spark, sf_dir):
         F.lit(None).cast(inner.schema["asof_ts"].dataType).alias("asof_ts"),
     )
     return matched.unionByName(unmatched)
+
+
+@register(
+    "ts_interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + 1800000000 AS e
+      FROM events),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > coalesce(
+                    max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING),
+                    -9223372036854775808)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv),
+    islands AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (PARTITION BY user_id
+                                   ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS island_id
+      FROM flagged),
+    merged AS (
+      SELECT user_id, island_id,
+             min(s) AS island_start, max(e) AS island_end
+      FROM islands GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(island_end - island_start) // 1000000 AS BIGINT)
+             AS coverage_sec
+    FROM merged GROUP BY user_id
+    """,
+)
+def ts_interval_coverage(spark, sf_dir):
+    """Union-of-intervals coverage per user: every event opens a
+    30-minute activity window; overlapping windows merge, and the
+    metric is total covered wall-clock (plus island count) — the
+    'how long was the user actually active' number that naive
+    sum-of-durations overstates wherever sessions overlap. The
+    classic sweep-line realized as pure windows: a running
+    max-of-interval-ends over PRECEDING rows marks island starts
+    (integer microsecond arithmetic — bit-exact), a running sum
+    numbers the islands, and two keyed aggregations finish. Scale
+    shape: everything is partitioned by user_id — one shuffle, no
+    self-joins, no driver iteration; at 100 TB this is a single
+    window family over the user partitioning the events table
+    already wants."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    # ts surfaces as TIMESTAMP_NTZ; session TZ is pinned UTC, so the
+    # cast to (LTZ) TIMESTAMP is value-preserving and unix_micros is
+    # exact integer microseconds.
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("s"),
+        (us + F.lit(1800000000)).alias("e"),
+    )
+    prior = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s")
+            > F.coalesce(
+                F.max("e").over(prior), F.lit(-9223372036854775808)
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    run = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn(
+        "island_id", F.sum("new_island").over(run)
+    )
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.expr("CAST(sum(island_end - island_start) DIV 1000000 AS BIGINT)")
+        .alias("coverage_sec"),
+    )
+
+
+@register(
+    "ts_autocorr_lag1",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    pairs AS (
+      SELECT event_type, cnt AS x,
+             lag(cnt) OVER (PARTITION BY event_type ORDER BY hr) AS y
+      FROM hourly),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM pairs WHERE y IS NOT NULL GROUP BY 1)
+    SELECT event_type, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+             AS autocorr_lag1
+    FROM stats
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def ts_autocorr_lag1(spark, sf_dir):
+    """Lag-1 autocorrelation of each type's hourly event-count
+    series — the burstiness/seasonality diagnostic (near 0 =
+    memoryless arrivals, near 1 = trending load). Float discipline:
+    all six moment sums are exact BIGINTs (counts and their
+    products), and the Pearson formula touches floating point only
+    in the final sqrt/divide over exact integers — IEEE
+    correctly-rounded operations on identical inputs, so round(…, 6)
+    is bit-stable across engines. Scale shape: one hourly
+    aggregation (map-side combinable), one keyed window for the lag
+    pairing, one tiny per-type aggregate — series length is
+    hours-of-history, never row count."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = hourly.select(
+        "event_type",
+        F.col("cnt").alias("x"),
+        F.lag("cnt")
+        .over(W.partitionBy("event_type").orderBy("hr"))
+        .alias("y"),
+    ).filter(F.col("y").isNotNull())
+    stats = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return stats.filter((vx > 0) & (vy > 0)).select(
+        "event_type",
+        "n",
+        F.round(
+            (n * sxy - sx * sy).cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+            6,
+        ).alias("autocorr_lag1"),
+    )
+
+
+@register(
+    "ts_ols_daily_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS day_num,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  // 100 AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    centered AS (
+      SELECT CAST(day_num - min(day_num) OVER () AS BIGINT) AS x, y
+      FROM daily),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM centered)
+    SELECT n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS intercept,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS r2
+    FROM s
+    """,
+)
+def ts_ols_daily_trend(spark, sf_dir):
+    """Closed-form OLS trend of daily revenue (slope $/day,
+    intercept, R²) — the forecasting baseline fitted in ONE
+    aggregation pass via the normal equations, no iteration and no
+    driver math. Exact-arithmetic discipline: daily revenue is
+    integer DOLLARS (cents summed exactly, then integer-divided),
+    day index is recentered to keep every moment product inside
+    BIGINT, and the five sums are exact integers; the only float ops
+    are final divisions (and two products of exactly-representable
+    integers, < 2⁵³) — identical IEEE results on both engines, so
+    round() is bit-stable. Scale shape: a dated-key aggregation then
+    a single-row reduce — the same plan at any data size; this is
+    what replaces collect()-and-numpy for trend fitting at 100 TB."""
+    orders = read_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    daily = orders.groupBy(
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+        ).alias("day_num")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 100 AS BIGINT)"
+        ).alias("y")
+    )
+    centered = daily.select(
+        (F.col("day_num") - F.min("day_num").over(W.partitionBy()))
+        .cast("bigint")
+        .alias("x"),
+        "y",
+    )
+    s = centered.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    cov = (n * sxy - sx * sy).cast("double")
+    vx = (n * sxx - sx * sx).cast("double")
+    # n·syy and sy² overflow BIGINT (≈1.7e19 at sf0.01); compute this
+    # variance in DOUBLE from exact integer operands — both engines
+    # perform the identical correctly-rounded multiply/subtract.
+    vy = n.cast("double") * syy.cast("double") - sy.cast("double") * sy.cast(
+        "double"
+    )
+    return s.select(
+        "n",
+        F.round(cov / vx, 6).alias("slope"),
+        F.round(
+            (
+                sy.cast("double") * sxx.cast("double")
+                - sx.cast("double") * sxy.cast("double")
+            )
+            / vx,
+            4,
+        ).alias("intercept"),
+        F.round(cov * cov / (vx * vy), 6).alias("r2"),
+    )
+
+
+@register(
+    "ts_rolling_median_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, CAST(hr AS TIMESTAMP_NS) AS hr, cnt,
+           quantile_cont(CAST(cnt AS DOUBLE), 0.5)
+             OVER (PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             AS rolling_median
+    FROM hourly
+    """,
+)
+def ts_rolling_median_hourly(spark, sf_dir):
+    """Trailing 5-bucket rolling MEDIAN of each type's hourly event
+    counts — the robust smoother (a single spiky hour doesn't move
+    it, unlike the EWMA/mean family; complements ts_anomaly_mad).
+    Spark has no median-over-window, so the operator composes it
+    exactly: collect the ≤5-element frame, sort it, and take the
+    middle element (odd) or the mean of the two middle elements
+    (even) — bit-identical to the oracle's linear-interpolation
+    quantile at q=0.5 because the inputs are integers and the only
+    float op is one add-and-halve. The frame is bounded (5 rows), so
+    the collected array is O(1) per row — this stays a pure window
+    over the per-type series, never a self-join, and series length
+    is hours-of-history regardless of event volume."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    frame = (
+        W.partitionBy("event_type").orderBy("hr").rowsBetween(-4, 0)
+    )
+    arr = F.array_sort(F.collect_list("cnt").over(frame))
+    nsz = F.size(arr)
+    med = F.when(
+        nsz % 2 == 1,
+        F.element_at(arr, ((nsz + 1) / 2).cast("int")).cast("double"),
+    ).otherwise(
+        (
+            F.element_at(arr, (nsz / 2).cast("int"))
+            + F.element_at(arr, (nsz / 2).cast("int") + 1)
+        )
+        / 2.0
+    )
+    return hourly.select(
+        "event_type", "hr", "cnt", med.alias("rolling_median")
+    )
