@@ -300,3 +300,111 @@ def governance_column_masking(spark, sf_dir):
         "c_mktsegment",
         "c_nationkey",
     )
+
+
+@register(
+    "dq_l_diversity",
+    oracle="""
+    WITH grouped AS (
+      SELECT c_nationkey AS nation,
+             CAST(floor(c_acctbal / 2000) AS INT) AS bal_band,
+             CAST(count(*) AS BIGINT) AS group_size,
+             CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct
+      FROM customer GROUP BY 1, 2)
+    SELECT nation, bal_band, group_size, l_distinct
+    FROM grouped WHERE l_distinct < 3
+    """,
+)
+def dq_l_diversity(spark, sf_dir):
+    """l-diversity audit — the privacy check k-anonymity misses: a
+    quasi-identifier group can be large (k-anonymous) yet still leak
+    the SENSITIVE attribute if every member shares it. Each
+    (nation × balance-band) QI group is scored by the number of
+    distinct sensitive values (market segment); groups with l < 3
+    are homogeneity-attack risks that a release would need to
+    generalize or suppress. Companion to dq_k_anonymity (same QI
+    discipline, different failure mode). Scale shape: one groupBy
+    with a distinct-count — Spark plans it as a two-phase expand +
+    hash aggregate, map-side combinable, no joins."""
+    cust = read_table(spark, sf_dir, "customer")
+    grouped = cust.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / 2000).cast("int").alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.countDistinct("c_mktsegment").alias("l_distinct"),
+    )
+    return grouped.filter(F.col("l_distinct") < 3)
+
+
+@register(
+    "governance_erasure_cascade",
+    oracle="""
+    WITH erased AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 101 = 7),
+    eo AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM erased))
+    SELECT 'customer' AS table_name,
+           CAST((SELECT count(*) FROM customer) AS BIGINT) AS rows_before,
+           CAST((SELECT count(*) FROM erased) AS BIGINT) AS rows_purged
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM eo) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_orderkey IN (SELECT o_orderkey FROM eo)) AS BIGINT)
+    UNION ALL
+    SELECT 'events',
+           CAST((SELECT count(*) FROM events) AS BIGINT),
+           CAST((SELECT count(*) FROM events
+                 WHERE user_id IN (SELECT c_custkey FROM erased)) AS BIGINT)
+    """,
+)
+def governance_erasure_cascade(spark, sf_dir):
+    """Right-to-erasure (GDPR Art. 17) impact cascade: a
+    deterministic erasure cohort (custkey ≡ 7 mod 101 — standing in
+    for the month's deletion requests) is propagated through every
+    table that references the person — directly (orders, events by
+    user key) and transitively (lineitem through the erased orders)
+    — and the job reports per-table purge counts, the audit artifact
+    a deletion run must produce BEFORE the destructive write. Scale
+    shape: the cohort is a ~1% key set, so every membership check is
+    a BROADCAST left-semi join against the fact tables (no fact
+    shuffle anywhere); the lineitem cascade first semi-joins orders
+    to the cohort, then broadcasts the surviving order keys. The
+    actual delete is these same semi-joins flipped to anti — one
+    pass per table, partition-overwrite on write."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    ev = read_table(spark, sf_dir, "events")
+    erased = cust.filter(F.col("c_custkey") % 101 == 7).select("c_custkey")
+    eo = orders.join(
+        F.broadcast(erased),
+        orders.o_custkey == erased.c_custkey,
+        "left_semi",
+    ).select("o_orderkey")
+
+    def report(name, df, purged_df):
+        return df.agg(F.count(F.lit(1)).alias("rows_before")).crossJoin(
+            purged_df.agg(F.count(F.lit(1)).alias("rows_purged"))
+        ).select(
+            F.lit(name).alias("table_name"), "rows_before", "rows_purged"
+        )
+
+    li_purged = li.join(
+        F.broadcast(eo), li.l_orderkey == eo.o_orderkey, "left_semi"
+    )
+    ev_purged = ev.join(
+        F.broadcast(erased), ev.user_id == erased.c_custkey, "left_semi"
+    )
+    return (
+        report("customer", cust, erased)
+        .unionAll(report("orders", orders, eo))
+        .unionAll(report("lineitem", li, li_purged))
+        .unionAll(report("events", ev, ev_purged))
+    )

@@ -189,3 +189,99 @@ def graph_reachability_sql(spark, sf_dir):
     identically in both engines."""
     read_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_REACH_SQL.format(depth=_REACH_DEPTH))
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+    deg AS (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u FROM edges UNION ALL SELECT v FROM edges) t(u)
+      GROUP BY 1),
+    summary AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+      FROM deg),
+    ecount AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
+    SELECT s.n_nodes, e.n_edges, t.n_triangles, s.n_wedges,
+           round(3.0 * t.n_triangles / s.n_wedges, 6)
+             AS global_clustering
+    FROM summary s, ecount e, tri t
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle census of the part co-purchase graph (nodes = parts,
+    edges = 'appeared in the same order'): triangle count, wedge
+    count, and the global clustering coefficient 3·Δ/wedges — the
+    community-structure diagnostic behind recommender neighborhoods.
+    The scale-critical choices: (1) edge generation is BLOCKED BY
+    ORDER KEY (distinct parts per order self-equi-joined on the
+    order), never an all-pairs product; (2) edges are ORIENTED
+    (u < v), so each triangle is enumerated exactly once as
+    u < v < w by two equi-joins over the edge table — the standard
+    distributed triangle algorithm (degree-orientation is the same
+    plan with a different comparator when degree skew demands it);
+    (3) wedges come from an integer degree aggregation, no join. The
+    only float op is the final coefficient division — exact-integer
+    operands, round 6, bit-stable."""
+    li = read_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    edges = cache.track(edges)  # feeds three joins + degree + count
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    summary = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("CAST(sum(d * (d - 1) DIV 2) AS BIGINT)").alias("n_wedges"),
+    )
+    ecount = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        summary.crossJoin(ecount)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("global_clustering"),
+        )
+    )
