@@ -524,3 +524,48 @@ def mix_epoch_plan(spark, sf_dir):
         .cast("long")
         .alias("epochs_milli"),
     )
+
+
+@register(
+    "curriculum_phase_plan",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, n_chars, doc_id,
+             ntile(3) OVER (ORDER BY n_chars, doc_id) AS phase
+      FROM documents)
+    SELECT phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_chars) // 4 AS BIGINT) AS est_tokens,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM ranked GROUP BY phase
+    """,
+)
+def curriculum_phase_plan(spark, sf_dir):
+    """Curriculum-learning phase plan: the corpus split into three
+    equal-population difficulty tiers (ntile over an integer
+    difficulty proxy — document length, tiebroken by doc id, so the
+    tile boundaries are bit-deterministic), with per-phase doc/char/
+    token budgets — the schedule artifact an easy-to-hard training
+    run consumes alongside mix_epoch_plan's source recipe. Scale
+    note: a GLOBAL ntile is a single-partition sort at the limit; at
+    100 TB the same plan is produced by ranking against quantile
+    boundaries from approx_percentile (two map passes, no global
+    sort) — exact tiles are used here because the oracle must
+    hash-match, and the census output is identical either way."""
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, sf_dir, "documents")
+    ranked = docs.withColumn(
+        "phase", F.ntile(3).over(W.orderBy("n_chars", "doc_id"))
+    )
+    return ranked.groupBy("phase").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.expr("CAST(sum(n_chars) DIV 4 AS BIGINT)").alias("est_tokens"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )

@@ -200,3 +200,58 @@ def agg_user_gap_stats(spark, sf_dir):
     consecutive events) — one keyed window pass + keyed agg; the
     timeline features behind sessionization and burst detection."""
     return TR.user_gap_stats(read_table(spark, sf_dir, "events"))
+
+
+@register(
+    "sample_weighted_bernoulli",
+    oracle="""
+    WITH scored AS (
+      SELECT source, n_chars,
+             ('0x' || substr(md5('wbs:' || CAST(doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 4000 AS draw,
+             least(n_chars, 2000) AS w
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN draw < w THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           CAST(sum(CASE WHEN draw < w THEN n_chars ELSE 0 END) AS BIGINT)
+             AS sampled_chars
+    FROM scored GROUP BY source
+    """,
+)
+def sample_weighted_bernoulli(spark, sf_dir):
+    """WEIGHTED Bernoulli sampling, derandomized: each document is
+    kept with probability proportional to its weight (here
+    min(chars, 2000)/4000 — longer docs are likelier survivors, the
+    quality-weighted downsampling shape), but the coin flip is the
+    portable 60-bit md5 hash of the doc key, NOT rand() — so the
+    sample is identical across reruns, engines, retry attempts, and
+    partitionings (rand() gives none of those). Per-source census of
+    the survivors. Scale shape: map-only scoring fused into the
+    scan + one small aggregation; at 100 TB the same predicate IS
+    the sampling pushdown for every downstream consumer — no
+    materialized sample table needed."""
+    from etl_jobs_spark.operators.hashing import hash60
+
+    docs = read_table(spark, sf_dir, "documents")
+    draw = (
+        F.expr(hash60("concat('wbs:', cast(doc_id as string))", "spark"))
+        % 4000
+    )
+    scored = docs.select(
+        "source",
+        "n_chars",
+        draw.alias("draw"),
+        F.least(F.col("n_chars"), F.lit(2000)).alias("w"),
+    )
+    keep = F.col("draw") < F.col("w")
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias(
+            "n_sampled"
+        ),
+        F.sum(F.when(keep, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("sampled_chars"),
+    )

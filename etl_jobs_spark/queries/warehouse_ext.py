@@ -497,3 +497,133 @@ def maintenance_compact_report(spark, sf_dir):
             "content_hash",
         )
     )
+
+
+@register(
+    "mv_incremental_refresh",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def mv_incremental_refresh(spark, sf_dir):
+    """Incremental materialized-view maintenance: a per-(type, day)
+    aggregate MV was built from the historical 90% of events and
+    MATERIALIZED to parquet; the remaining 10% arrives as today's
+    delta batch, is aggregated alone, and is MERGED into the stored
+    MV by summing partial states — no rescan of history. The oracle
+    recomputes the aggregate from the full table, so the driver row
+    proves merge(MV, delta) ≡ recompute — the algebraic property
+    (count and sum are commutative monoids) that makes incremental
+    refresh sound. Float discipline: the summed measure is integer
+    CENTS, so partial-sum merge order cannot drift the value. At
+    100 TB this is THE continuous-aggregate pattern: refresh cost
+    scales with the delta, the merge is one keyed shuffle of
+    MV-rows (tiny) + delta aggregate, and the same plan maintains
+    the MV under streaming foreachBatch."""
+    from etl_jobs_spark.scratch import scratch_dir
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+
+    def agg(df):
+        return df.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).cast("bigint").alias("value_cents"),
+        )
+
+    hist = ev.filter(F.col("event_id") % 10 != 0)
+    delta = ev.filter(F.col("event_id") % 10 == 0)
+    mv_path = str(scratch_dir("mv_refresh") / "mv")
+    agg(hist).write.parquet(mv_path)
+    mv = spark.read.parquet(mv_path)
+    merged = mv.unionByName(agg(delta))
+    return merged.groupBy("event_type", "day").agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("value_cents").cast("bigint").alias("value_cents"),
+    )
+
+
+#: Orphan-file fixtures planted by maintenance_vacuum_report: three
+#: 1024-byte temp files a crashed writer would leave behind.
+_VACUUM_ORPHANS = 3
+_VACUUM_ORPHAN_BYTES = 1024
+
+
+@register(
+    "maintenance_vacuum_report",
+    oracle=f"""
+    SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_active_files,
+           CAST({_VACUUM_ORPHANS} AS BIGINT) AS n_orphan_files,
+           CAST({_VACUUM_ORPHANS * _VACUUM_ORPHAN_BYTES} AS BIGINT)
+             AS orphan_bytes,
+           CAST(count(*) AS BIGINT) AS n_rows_active
+    FROM events
+    """,
+)
+def maintenance_vacuum_report(spark, sf_dir):
+    """VACUUM as a maintenance job with a verified report: events
+    are laid out as a partitioned table (one file per event_type
+    partition), a manifest of live files is captured at write time,
+    then a crashed writer is simulated by planting temp files the
+    manifest doesn't reference. The vacuum pass lists the physical
+    directory, diffs it against the manifest, and reports live-file
+    count, orphan count, reclaimable bytes, and the row count of the
+    surviving table — the audit artifact produced BEFORE deletion
+    (the delete itself is the listed orphan set, a metadata op). The
+    oracle pins the expected file/byte numbers and recounts rows
+    from the source, so a vacuum that misclassified a LIVE file as
+    orphan (or missed a plant) turns the driver row red. At 100 TB
+    orphan listing shards by partition prefix and the manifest is a
+    table, not a Python set — same diff, distributed."""
+    import os
+
+    from etl_jobs_spark.scratch import scratch_dir
+
+    d = scratch_dir("vacuum_job")
+    path = str(d / "events_table")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.repartition(1).write.partitionBy("event_type").parquet(path)
+
+    def data_files():
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                # skip _SUCCESS/_metadata markers, but DO list
+                # dot-prefixed debris — that's what vacuum reclaims.
+                if f.startswith("_"):
+                    continue
+                p = os.path.join(root, f)
+                out[p] = os.path.getsize(p)
+        return out
+
+    manifest = set(data_files())
+    # Live DATA files (the .crc checksum companions ride along with
+    # their data file — counted as neither live nor orphan).
+    n_active = sum(
+        1 for p in manifest if not os.path.basename(p).startswith(".")
+    )
+    for i in range(_VACUUM_ORPHANS):
+        # dot-prefixed like a real in-progress Hadoop task file: the
+        # table scan ignores it, the vacuum listing must not.
+        orphan = os.path.join(
+            path, "event_type=click", f".part-crashed-writer-{i}.tmp"
+        )
+        with open(orphan, "wb") as fh:
+            fh.write(b"\xde\xad\xbe\xef" * (_VACUUM_ORPHAN_BYTES // 4))
+    listed = data_files()
+    orphans = {p: sz for p, sz in listed.items() if p not in manifest}
+    live = spark.read.parquet(path)
+    return live.agg(F.count(F.lit(1)).alias("n_rows_active")).select(
+        F.lit(n_active).cast("bigint").alias("n_active_files"),
+        F.lit(len(orphans)).cast("bigint").alias("n_orphan_files"),
+        F.lit(sum(orphans.values())).cast("bigint").alias("orphan_bytes"),
+        "n_rows_active",
+    )
