@@ -376,3 +376,55 @@ def wav_features(media_df: DataFrame) -> DataFrame:
     return media_df.select("doc_id", "audio").mapInPandas(
         batches, schema=WAV_FEATURE_SCHEMA
     )
+
+
+DOWNSAMPLE_SCHEMA = (
+    "doc_id long, n_in long, n_out long, rate_out int, "
+    "sum_abs_ds long, energy_ds long"
+)
+
+
+def wav_downsample_features(media_df: DataFrame, stride: int) -> DataFrame:
+    """Decode PCM WAV containers and DECIMATE by ``stride`` (keep
+    every stride-th sample — integer downsampling, the cheap resample
+    when the target rate divides the source rate), then reduce the
+    downsampled waveform to integer features. Arrow-batched
+    mapInPandas like the other codec stages: decode cost is
+    per-partition map work, nothing shuffles but the tiny feature
+    rows."""
+    import numpy as np
+
+    from etl_jobs_spark.operators import codecs as C
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["audio"]):
+                samples, rate = C.decode_wav(bytes(blob))
+                x = samples.astype("int64")
+                ds = x[::stride]
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(x),
+                        len(ds),
+                        rate // stride,
+                        int(np.abs(ds).sum()),
+                        int((ds * ds).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_in",
+                    "n_out",
+                    "rate_out",
+                    "sum_abs_ds",
+                    "energy_ds",
+                ],
+            )
+
+    return media_df.select("doc_id", "audio").mapInPandas(
+        batches, schema=DOWNSAMPLE_SCHEMA
+    )

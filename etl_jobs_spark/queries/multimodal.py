@@ -405,3 +405,36 @@ def multimodal_decode_gif(spark, sf_dir):
     than PNG's filters or BMP's raw rows."""
     media = spark.read.parquet(_stage_media_gif(spark, sf_dir))
     return MM.extract_real_features(media)
+
+
+@register(
+    "multimodal_audio_downsample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_WAV_N} AS BIGINT) AS n_in,
+           CAST(({_WAV_N} + 1) // 2 AS BIGINT) AS n_out,
+           {MM.WAV_RATE} // 2 AS rate_out,
+           CAST(SUM(CASE WHEN i.i % 2 = 0
+                         THEN ABS({_SAMPLE}) ELSE 0 END) AS BIGINT)
+             AS sum_abs_ds,
+           CAST(SUM(CASE WHEN i.i % 2 = 0
+                         THEN {_SAMPLE} * {_SAMPLE} ELSE 0 END) AS BIGINT)
+             AS energy_ds
+    FROM documents
+    JOIN range(0, {MM.WAV_N_MOD - 1 + MM.WAV_N_MIN}) i(i) ON i.i < {_WAV_N}
+    GROUP BY doc_id
+    """,
+)
+def multimodal_audio_downsample(spark, sf_dir):
+    """Audio DECIMATION over real containers: decode each document's
+    PCM WAV, keep every second sample (2× integer downsampling — the
+    16 kHz-model-input step of a speech pipeline when the source
+    rate is an even multiple), and reduce the downsampled waveform
+    to integer features. The oracle recomputes the stride-2 subset
+    in closed form from the fixture waveform (only even sample
+    indices contribute), so an off-by-one in the decimation phase —
+    the classic resample bug — flips the hash. Same scale shape as
+    every codec stage: Arrow-batched per-partition decode, feature
+    rows are the only shuffle payload."""
+    media = spark.read.parquet(_stage_media(spark, sf_dir))
+    return MM.wav_downsample_features(media, 2)

@@ -749,3 +749,56 @@ def embed_ivfpq_topk(spark, sf_dir):
         books,
         n_probe=_IVF_N_PROBE,
     )
+
+
+def _ann_recall_oracle() -> str:
+    """Recall@k of the IVF tier against the exact baseline, stated
+    entirely from the two already-registered oracles (nested as
+    CTEs) — the eval is only as trustworthy as its inputs, and here
+    both inputs are the driver-verified SQL restatements."""
+    from etl_jobs_spark.registry import _REGISTRY
+
+    ivf = _REGISTRY["embed_ivf_topk"].oracle
+    exact = _REGISTRY["embed_cosine_topk"].oracle
+    return f"""
+    WITH ivf AS ({ivf}),
+    exact AS ({exact})
+    SELECT e.query_id,
+           CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+           round(CAST(count(i.vec_id) AS DOUBLE) / {SIM.DEFAULT_K}, 4)
+             AS recall_at_k
+    FROM exact e LEFT JOIN ivf i
+      ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+    GROUP BY e.query_id
+    """
+
+
+@register("ann_recall_eval", oracle=_ann_recall_oracle())
+def ann_recall_eval(spark, sf_dir):
+    """ANN index QUALITY EVALUATION as a first-class job: per-query
+    recall@k of the IVF probe against the exact brute-force top-k —
+    the metric that gates an index build before it serves traffic
+    (the eval harness every retrieval pipeline schedules next to its
+    index refresh). Composes the two registered operators and joins
+    their result sets on (query, neighbor); recall is the matched
+    fraction of the exact set. Scale shape: the expensive inputs are
+    the operators themselves (each already scale-shaped and
+    hash-verified); the eval adds one equi-join over q·k rows —
+    negligible at any corpus size, so recall can be recomputed on
+    every index rebuild. The driver row pins the eval END-TO-END:
+    both inputs AND the recall arithmetic are restated in SQL."""
+    ivf = embed_ivf_topk(spark, sf_dir).select("query_id", "vec_id")
+    exact = embed_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    e, i = exact.alias("e"), ivf.alias("i")
+    joined = e.join(
+        i,
+        (F.col("e.query_id") == F.col("i.query_id"))
+        & (F.col("e.vec_id") == F.col("i.vec_id")),
+        "left",
+    )
+    return joined.groupBy(F.col("e.query_id").alias("query_id")).agg(
+        F.count(F.col("i.vec_id")).alias("n_hits"),
+        F.round(
+            F.count(F.col("i.vec_id")).cast("double") / SIM.DEFAULT_K, 4
+        ).alias("recall_at_k"),
+    )

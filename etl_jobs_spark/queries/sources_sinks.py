@@ -687,3 +687,72 @@ def pipeline_daily_incremental(spark, sf_dir):
             F.expr(f"bit_xor({h})").alias("content_hash"),
         )
     )
+
+
+@register(
+    "scan_text_logparse",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id
+    FROM events GROUP BY event_type
+    """,
+)
+def scan_text_logparse(spark, sf_dir):
+    """Raw-log ingestion: events are rendered as classic bracketed
+    log lines (``[type] id=.. user=.. cents=..``) into a TEXT file,
+    then re-ingested with ``spark.read.text`` + ``regexp_extract``
+    field parsing — the unstructured-landing-zone half of every lake
+    pipeline (app logs, syslog, access logs), where the 'schema' is
+    a regex, not a footer. The parse stays fully JVM-side (three
+    regexp_extracts fused into the scan projection — no Python), and
+    the monetary field travels as integer CENTS in the log line so
+    round-tripping through text costs no float precision. The oracle
+    recomputes the per-type census from the original table: a
+    formatting or parsing bug on ANY field (dropped line, wrong
+    capture group, truncated id) turns the row red. At 100 TB: text
+    scan + regex projection is embarrassingly parallel; the single
+    small shuffle is the census aggregation."""
+    from etl_jobs_spark.queries._shared import session_memo
+
+    def stage():
+        d = scratch_dir("logparse")
+        path = str(d / "app_logs")
+        ev = read_table(spark, sf_dir, "events")
+        lines = ev.select(
+            F.format_string(
+                "[%s] id=%d user=%d cents=%d",
+                "event_type",
+                "event_id",
+                "user_id",
+                F.expr("CAST(round(value * 100) AS BIGINT)"),
+            ).alias("value")
+        )
+        lines.write.text(path)
+        return path
+
+    path = session_memo(spark, "logparse", sf_dir, stage)
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.regexp_extract("value", r"^\[(\w+)\]", 1).alias("event_type"),
+        F.regexp_extract("value", r"id=(\d+)", 1)
+        .cast("bigint")
+        .alias("event_id"),
+        F.regexp_extract("value", r"user=(\d+)", 1)
+        .cast("bigint")
+        .alias("user_id"),
+        F.regexp_extract("value", r"cents=(-?\d+)", 1)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("cents").cast("bigint").alias("value_cents"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
