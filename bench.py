@@ -121,6 +121,30 @@ HEADLINE = [
     "maintenance_compact_report",
     "multimodal_decode_gif",
     "sink_custom_ledger_stream",
+    # round-6 surface: affinity/path/graph analytics, exact-arithmetic
+    # statistics (Gini, OLS, autocorrelation), interval coverage,
+    # incremental-MV refresh, vacuum, erasure cascade, ANN recall
+    # eval, log-text ingestion, bitwise/multiset/null-safe breadth
+    "basket_brand_affinity",
+    "path_top_sequences",
+    "graph_triangle_count",
+    "ts_interval_coverage",
+    "ts_autocorr_lag1",
+    "ts_ols_daily_trend",
+    "ts_rolling_median_hourly",
+    "agg_gini_revenue",
+    "mv_incremental_refresh",
+    "maintenance_vacuum_report",
+    "governance_erasure_cascade",
+    "dq_l_diversity",
+    "ann_recall_eval",
+    "curriculum_phase_plan",
+    "sample_weighted_bernoulli",
+    "scan_text_logparse",
+    "join_null_safe",
+    "setop_multiset_all",
+    "fn_bitwise_suite",
+    "multimodal_audio_downsample",
 ]
 
 
@@ -171,6 +195,12 @@ def main() -> None:
     # the custom-source queries share one staged JSONL ledger; stage it
     # here so stream_source_custom times the drain, not the fixture write
     AQ.stage_jsonl(spark, sf_dir)
+    # pre-stage the partitioned events layout and the DPP dim fixture
+    # (both memoized): scan_partition_pruned / join_dpp_pruned then
+    # time the pruned scans, not the one-time layout writes (~2.8s
+    # of the 5.4s join_dpp_pruned recorded in BENCH_r05 was staging).
+    AQ._staged_partitioned(spark, sf_dir)
+    AQ._dpp_dim_path(spark, sf_dir)
     # warm the Python DataSource runtime (worker pool + Arrow writer
     # spin-up is a ~6.5s one-time cost in a fresh JVM — VERDICT r4):
     # a 100-row ledger write+read here makes sink_custom_ledger's

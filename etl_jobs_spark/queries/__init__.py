@@ -32,71 +32,66 @@ from etl_jobs_spark.queries import (  # noqa: F401
     reference_parity,
 )
 
-# Round-5 sweep window (50 queries, registration order). Front of the
-# list = highest priority: (a) the one red row ever
-# (corpus_token_budget, r4 hash-mismatch — ordering key now quantized
-# to integer-exact BIGINT centichars), (b) round-5 additions /
-# oracle-upgraded queries, (c) VERDICT r4 item 7: rotate the stale
-# r1-era rows — the code beneath them has evolved for three rounds, so
-# the oldest-green queries get fresh driver evidence.
+# Round-6 sweep window (50 queries, registration order). Front of the
+# list = highest priority: (a) the 20 round-6 additions (all
+# hash-oracled), then (b) the remaining never-rechecked r1-era rows
+# (27 — the last of VERDICT r4 item 7's rotation; round 5 already
+# re-greened 23 of the oldest) and the three oldest r2-era rows to
+# fill the window.
 _NEEDS_CORRECTNESS_ROW = [
-    # (a) the r4 red row — integer-exact rank key, re-green it
-    "corpus_token_budget",
-    # (b) round-5 additions & oracle upgrades
-    # IVF tier upgraded from rows-only to hash-checked oracles
-    # (deterministic centroid fit exported as SQL literals)
-    "embed_ivf_topk",
-    "embed_ivf_append_topk",
-    "embed_pq_topk",
-    "embed_ivfpq_topk",
-    # round-5 new operators
-    "join_bloom_prefilter",
-    "ts_anomaly_mad",
-    "governance_column_masking",
-    "maintenance_compact_report",
-    "embed_matryoshka_topk",
-    "sink_custom_ledger_stream",
-    "multimodal_decode_gif",
-    "q2_min_cost_supplier",
-    "join_dpp_pruned",
-    "agg_count_min_sketch",
-    "dedup_incremental_bloom",
-    "fn_lambda_suite",
-    "udf_arrow_scalar",
-    "ts_ewma_hourly",
-    "scan_csv_gzip",
-    "setop_union_schema_drift",
-    "join_asof_tolerance",
-    "text_token_entropy",
-    "text_zipf_slope",
-    "pipeline_daily_incremental",
-    "agg_kmv_difference_types",
-    "agg_activity_streaks",
-    # (c) r1-era rechecks, oldest driver rows first (CORRECTNESS_r01
-    # order) — ≥20 per VERDICT r4 item 7
-    "agg_pivot_events",
-    "scan_partition_pruned",
-    "stream_dedup_exact",
-    "scan_json_lines",
-    "dedup_exact_text",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embed_cosine",
-    "dedup_cluster_components",
-    "obs_run_metrics",
-    "udf_scalar_pandas",
-    "udf_grouped_map",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "proj_upper",
-    "proj_cast_int",
-    "proj_add_ts",
-    "proj_batch_id",
-    "filter_required_fields",
-    "filter_nonempty_name",
-    "filter_age_range",
-    "filter_email_format",
+    # (a) round-6 additions
+    "join_null_safe",
+    "setop_multiset_all",
+    "fn_bitwise_suite",
+    "agg_gini_revenue",
+    "basket_brand_affinity",
+    "path_top_sequences",
+    "ts_interval_coverage",
+    "ts_autocorr_lag1",
+    "ts_ols_daily_trend",
+    "ts_rolling_median_hourly",
+    "graph_triangle_count",
+    "dq_l_diversity",
+    "governance_erasure_cascade",
+    "curriculum_phase_plan",
+    "sample_weighted_bernoulli",
+    "mv_incremental_refresh",
+    "maintenance_vacuum_report",
+    "ann_recall_eval",
+    "multimodal_audio_downsample",
+    "scan_text_logparse",
+    # (b) the last 27 r1-era rows (CORRECTNESS_r01 order)
+    "agg_approx_sketches",
+    "agg_completion_rate",
+    "agg_dup_count",
+    "agg_events_by_type",
+    "agg_null_counts",
+    "agg_profile_stats",
+    "agg_quantiles_iqr",
+    "agg_record_count",
+    "agg_success_rate",
+    "dedup_full_row",
+    "fillna_const",
+    "fillna_mean",
+    "filter_outliers_iqr",
+    "filter_rejected_rows",
+    "filter_valid_rows",
+    "join_star_revenue",
+    "json_extract_props",
+    "pipeline_2022_end_to_end",
+    "pred_alert_thresholds",
+    "proj_quality_score",
+    "q1_pricing_summary",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_all",
+    "topk_orders",
+    "window_rank_events",
+    "window_running_sum",
+    # oldest r2-era rows to fill the 50-query window
+    "agg_cube_events",
+    "agg_funnel_steps",
+    "agg_retention_cohorts",
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

@@ -159,7 +159,7 @@ def stage_jsonl(spark, sf_dir: str) -> Path:
         d = scratch_dir("etl_jsonl")
         read_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", "value"
-        ).coalesce(2).write.json(str(d))
+        ).coalesce(8).write.json(str(d))
         _JSONL_MEMO[sf_dir] = d
     return _JSONL_MEMO[sf_dir]
 
@@ -431,6 +431,29 @@ def sink_custom_ledger_stream(spark, sf_dir):
     )
 
 
+def _dpp_dim_path(spark, sf_dir: str) -> str:
+    """The DPP scenario's tiny dim table, staged once per (session,
+    corpus) — fixture setup, shared so bench can pre-stage it and
+    join_dpp_pruned times the pruned join, not the write."""
+    from etl_jobs_spark.queries._shared import session_memo
+
+    def build_dim():
+        d = scratch_dir("etl_dpp_dim")
+        spark.createDataFrame(
+            [
+                ("purchase", 1),
+                ("signup", 1),
+                ("click", 0),
+                ("view", 0),
+                ("error", 0),
+            ],
+            "event_type STRING, keep INT",
+        ).coalesce(1).write.parquet(str(d))
+        return d
+
+    return str(session_memo(spark, "dpp_dim", sf_dir, build_dim))
+
+
 @register(
     "join_dpp_pruned",
     oracle="""
@@ -453,25 +476,8 @@ def join_dpp_pruned(spark, sf_dir):
     partition-pruned at 100 TB when the filter lives on the
     dimension — without it the fact scan reads everything and the
     join throws 3/5 of it away."""
-    from etl_jobs_spark.queries._shared import session_memo
-
     part_path = str(_staged_partitioned(spark, sf_dir))
-
-    def build_dim():
-        d = scratch_dir("etl_dpp_dim")
-        spark.createDataFrame(
-            [
-                ("purchase", 1),
-                ("signup", 1),
-                ("click", 0),
-                ("view", 0),
-                ("error", 0),
-            ],
-            "event_type STRING, keep INT",
-        ).coalesce(1).write.parquet(str(d))
-        return d
-
-    dim_path = str(session_memo(spark, "dpp_dim", sf_dir, build_dim))
+    dim_path = _dpp_dim_path(spark, sf_dir)
     fact = spark.read.parquet(part_path)
     dim = spark.read.parquet(dim_path).filter(F.col("keep") == 1)
     return (
