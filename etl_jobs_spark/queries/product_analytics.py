@@ -252,9 +252,11 @@ def basket_brand_affinity(spark, sf_dir):
     broadcast back onto the pair table. At 100 TB: one broadcast dim
     join, one distinct, one self-equi-join on the partition key —
     all shuffle-aligned on l_orderkey."""
+    from etl_jobs_spark import cache
+
     li = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part")
-    ob = (
+    ob = cache.track(  # feeds both pair sides + the brand marginals
         li.join(
             F.broadcast(part.select("p_partkey", "p_brand")),
             li.l_partkey == part.p_partkey,

@@ -55,6 +55,17 @@ AUDIT = {
     "fn_lambda_suite": "all five lambda metrics in ONE map-only projection (no explode)",
     "ts_ewma_hourly": "16 unrolled lags share a single window sort/frame",
     "join_asof_tolerance": "tolerance is a projection over the one-shuffle as-of kernel",
+    # round 6
+    "basket_brand_affinity": "pairs blocked on the order key; marginals broadcast back onto the pair table",
+    "graph_triangle_count": "oriented edge table persisted once, reused by both triangle joins + degree agg",
+    "ts_interval_coverage": "sweep-line as one user-partitioned window family; no self-join, no iteration",
+    "agg_gini_revenue": "segment dim broadcasts; rank window + both aggs share the segment partitioning",
+    "governance_erasure_cascade": "the ~1% erasure cohort broadcasts into every per-table semi join",
+    "mv_incremental_refresh": "refresh aggregates ONLY the delta and merges partial states with the stored MV",
+    "path_top_sequences": "rn<=3 prunes per user before the path fold; top-20 is TakeOrderedAndProject",
+    "scan_text_logparse": "regex field extraction fused into the text scan projection (map-only to the census)",
+    "ts_rolling_median_hourly": "bounded 5-row frame: one window sort per type, O(1) state per row",
+    "join_null_safe": "null-safe key hashes like any value: plan identical to the plain equi-join",
 }
 
 INTERESTING = re.compile(
