@@ -145,6 +145,10 @@ HEADLINE = [
     "setop_multiset_all",
     "fn_bitwise_suite",
     "multimodal_audio_downsample",
+    "q4_priority_exists",
+    "q12_priority_by_flag",
+    "q18_large_orders",
+    # stream_interval_join_full rides the stream_ prefix scan
 ]
 
 

@@ -60,7 +60,12 @@ _NEEDS_CORRECTNESS_ROW = [
     "ann_recall_eval",
     "multimodal_audio_downsample",
     "scan_text_logparse",
-    # (b) the last 27 r1-era rows (CORRECTNESS_r01 order)
+    "q4_priority_exists",
+    "q12_priority_by_flag",
+    "q18_large_orders",
+    "stream_interval_join_full",
+    # (b) the last 27 r1-era rows (CORRECTNESS_r01 order; the window
+    # is 50 — whatever the sweep doesn't reach rolls to round 7)
     "agg_approx_sketches",
     "agg_completion_rate",
     "agg_dup_count",

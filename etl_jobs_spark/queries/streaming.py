@@ -846,3 +846,68 @@ def stream_sink_jdbc(spark, sf_dir):
         F.countDistinct("event_id").alias("n_distinct"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "stream_interval_join_full",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           coalesce(p.user_id, c.user_id) AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def stream_interval_join_full(spark, sf_dir):
+    """Stream-stream FULL OUTER interval join — the last cell of the
+    streaming join matrix (inner: stream_interval_join, left outer:
+    stream_interval_join_outer): every purchase with its
+    preceding-hour click when one exists, AND every click that
+    attributed to no purchase — the reconciliation view that shows
+    unconverted engagement alongside conversions. Both sides are
+    watermarked branches of ONE file source (the flush-heartbeat
+    protocol of the left-outer variant, whose docstring explains the
+    two-marker staging); unmatched rows on EITHER side emit only
+    once the watermark passes their join window, so state stays
+    bounded on both sides. Marker rows are filtered with
+    null-tolerant predicates (an unmatched real row carries NULL on
+    the other side — a naive ``id >= 0`` filter would drop it)."""
+    key = (sf_dir, "ivjo", 3)
+    if key not in _STAGED:
+        # same staged feed as stream_interval_join_outer
+        stream_interval_join_outer(spark, sf_dir)
+    raw = _STAGED[key]
+    wk = _workdir()
+    base = S.file_stream_source(
+        spark, str(raw / "feed"), EVENTS_SCHEMA, "parquet", 1
+    ).withWatermark("ts", "1 hour")
+    p = base.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = base.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "full_outer",
+        )
+        .filter(
+            (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
+            & (F.col("click_id").isNull() | (F.col("click_id") >= 0))
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            F.coalesce(F.col("user_id"), F.col("c_user")).alias("user_id"),
+        )
+    )
+    return S.run_to_memory(joined, str(wk / "ck"), "append", state_partitions=4)

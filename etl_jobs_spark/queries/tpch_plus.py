@@ -688,3 +688,146 @@ def agg_kmv_difference_types(spark, sf_dir):
             "CAST(round(n_only_click * pow(2.0, 60) / theta, 0) AS BIGINT)"
         ).alias("est_difference"),
     )
+
+
+@register(
+    "q4_priority_exists",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape: orders counted per priority where at least
+    one line item shipped late (>30 days after order date) — the
+    canonical correlated-EXISTS query. Scale realization: EXISTS
+    with a correlated date comparison is a LEFT SEMI join on the
+    order key with the inequality as the join residual — one
+    shuffle on l_orderkey/o_orderkey, and the semi join ships only
+    the lineitem key+date, never its payload; duplicate qualifying
+    lines cost nothing (semi joins short-circuit). The anti-pattern
+    this replaces (per-row subquery execution) doesn't exist in
+    Spark — Catalyst plans the same semi join from either the SQL
+    EXISTS text or this DataFrame form."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = orders.alias("o")
+    l = li.alias("l")
+    late = o.join(
+        l,
+        (F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        & (
+            F.col("l.l_shipdate")
+            > F.expr("o.o_orderdate + INTERVAL 30 DAY")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q12_priority_by_flag",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_returnflag
+    """,
+)
+def q12_priority_by_flag(spark, sf_dir):
+    """TPC-H Q12 shape: line items classed by return flag, split
+    into high/low order-priority counts — the conditional-aggregate-
+    after-join pattern (ONE pass computes both classes; the naive
+    form runs two filtered joins). Scale shape: the only shuffle is
+    the orderkey equi-join (orders projects just key+priority, a
+    2-column shuffle payload); both CASE sums fold into one
+    map-side-combinable aggregate on the tiny flag key."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 180)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS TIMESTAMP_NS) AS o_orderdate,
+           o.o_totalprice,
+           round(b.total_qty, 2) AS total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    line-item quantity exceeds a threshold, joined back to customer,
+    top-100 by price — the HAVING-subquery + join + top-k composite.
+    Scale realization: the quantity rollup aggregates lineitem FIRST
+    (map-side combinable, one shuffle on the order key) and the
+    HAVING filter cuts it to a tiny key set BEFORE any join — so the
+    expensive table is touched once and both joins run over the
+    filtered survivors (customer broadcasts). Top-100 compiles to
+    TakeOrderedAndProject with a deterministic (price, orderkey)
+    tiebreak — no global sort. l_quantity is an integral double, so
+    the rounded sum is exact on both engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_name")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
