@@ -148,6 +148,10 @@ HEADLINE = [
     "q4_priority_exists",
     "q12_priority_by_flag",
     "q18_large_orders",
+    "attr_linear_touch",
+    "agg_pareto_share",
+    "fn_map_suite",
+    "scan_json_nested_explode",
     # stream_interval_join_full rides the stream_ prefix scan
 ]
 

@@ -64,6 +64,10 @@ _NEEDS_CORRECTNESS_ROW = [
     "q12_priority_by_flag",
     "q18_large_orders",
     "stream_interval_join_full",
+    "attr_linear_touch",
+    "agg_pareto_share",
+    "fn_map_suite",
+    "scan_json_nested_explode",
     # (b) the last 27 r1-era rows (CORRECTNESS_r01 order; the window
     # is 50 — whatever the sweep doesn't reach rolls to round 7)
     "agg_approx_sketches",
@@ -88,15 +92,8 @@ _NEEDS_CORRECTNESS_ROW = [
     "proj_quality_score",
     "q1_pricing_summary",
     "setop_except",
-    "setop_intersect",
-    "setop_union_all",
-    "topk_orders",
-    "window_rank_events",
-    "window_running_sum",
-    # oldest r2-era rows to fill the 50-query window
-    "agg_cube_events",
-    "agg_funnel_steps",
-    "agg_retention_cohorts",
+    # (setop_intersect/union_all, topk_orders, window_rank/running
+    # and the r2-era rows roll to round 7 — the sweep window is 50)
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

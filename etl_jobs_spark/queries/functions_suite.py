@@ -427,3 +427,55 @@ def fn_bitwise_suite(spark, sf_dir):
         F.expr("max(shiftleft(event_id % 1048576, 8))").alias("max_shl"),
         F.expr("min(shiftright(event_id, 4))").alias("min_shr"),
     )
+
+
+@register(
+    "fn_map_suite",
+    oracle="""
+    SELECT c_custkey,
+           2 AS m_size,
+           c_mktsegment AS seg_from_map,
+           CAST(c_nationkey AS BIGINT) AS nation_from_map,
+           TRUE AS has_seg,
+           FALSE AS has_missing,
+           3 AS size_after_concat,
+           'nation,segment' AS sorted_keys
+    FROM customer
+    """,
+)
+def fn_map_suite(spark, sf_dir):
+    """MAP-type function family: build a map column with
+    ``create_map``, read it back with ``element_at`` /
+    ``map_contains_key``, extend it with ``map_concat``, and
+    enumerate it with ``map_keys`` + ``array_sort`` — the
+    semi-structured per-row key-value shape (feature bags, tag sets)
+    exercised end to end. The oracle states every extracted value
+    DIRECTLY from the source columns, so a wrong lookup, a dropped
+    entry, or a concat that clobbers a key breaks the hash — the map
+    machinery must be a faithful round trip. Map ops are per-row
+    expression work (map-only, fused into the scan); keys enumerate
+    in insertion order, so the suite pins order-independent
+    properties (sorted keys, size) — the discipline map-typed
+    pipelines need at any scale."""
+    cust = read_table(spark, sf_dir, "customer")
+    m = F.create_map(
+        F.lit("segment"),
+        F.col("c_mktsegment"),
+        F.lit("nation"),
+        F.col("c_nationkey").cast("string"),
+    )
+    mc = F.map_concat(
+        m, F.create_map(F.lit("bal_band"), F.lit("x"))
+    )
+    return cust.select(
+        "c_custkey",
+        F.size(m).alias("m_size"),
+        F.element_at(m, "segment").alias("seg_from_map"),
+        F.element_at(m, "nation").cast("bigint").alias("nation_from_map"),
+        F.map_contains_key(m, "segment").alias("has_seg"),
+        F.map_contains_key(m, "missing").alias("has_missing"),
+        F.size(mc).alias("size_after_concat"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias(
+            "sorted_keys"
+        ),
+    )

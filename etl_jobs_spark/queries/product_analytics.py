@@ -363,3 +363,146 @@ def path_top_sequences(spark, sf_dir):
         .orderBy(F.desc("n_users"), "path")
         .limit(20)
     )
+
+
+@register(
+    "attr_linear_touch",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'),
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click'),
+    touches AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             p.user_id, p.value,
+             count(*) OVER (PARTITION BY p.event_id) AS n_touches
+      FROM purchases p JOIN clicks c
+        ON p.user_id = c.user_id
+       AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts)
+    SELECT click_id,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(sum(CAST(round(value * 100) AS BIGINT) // n_touches)
+                AS BIGINT) AS credit_cents
+    FROM touches GROUP BY click_id
+    """,
+)
+def attr_linear_touch(spark, sf_dir):
+    """Multi-touch LINEAR attribution: every click in the hour
+    before a purchase shares the conversion credit equally
+    (credit = value / n_touches) — the marketing-analytics allocator
+    one step past last-touch (join_asof_events covers that). Exact
+    arithmetic: purchase value converts to integer cents and the
+    split is integer division per touch (floor — the remainder stays
+    unattributed, stated identically in SQL), so credit sums are
+    bit-stable. Scale shape: the touch join is the user-keyed
+    interval join (one shuffle family), the per-purchase touch count
+    is a window over the SAME partitioning, and the final rollup
+    shuffles only (click, cents) pairs."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    touches = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).withColumn(
+        "n_touches", F.count(F.lit(1)).over(W.partitionBy("purchase_id"))
+    )
+    return touches.groupBy("click_id").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.sum(
+            F.expr(
+                "CAST(round(value * 100) AS BIGINT) DIV n_touches"
+            )
+        )
+        .cast("bigint")
+        .alias("credit_cents"),
+    )
+
+
+@register(
+    "agg_pareto_share",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_mktsegment AS segment, c.c_custkey,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT segment, cents,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY cents DESC, c_custkey) AS rk,
+             count(*) OVER (PARTITION BY segment) AS n
+      FROM spend)
+    SELECT segment,
+           CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN rk * 5 <= n THEN cents ELSE 0 END)
+                AS BIGINT) AS top20_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           round(CAST(sum(CASE WHEN rk * 5 <= n THEN cents ELSE 0 END)
+                      AS DOUBLE) / CAST(sum(cents) AS DOUBLE), 6)
+             AS pareto_share
+    FROM ranked GROUP BY segment
+    """,
+)
+def agg_pareto_share(spark, sf_dir):
+    """Pareto concentration (the 80/20 diagnostic): per segment, the
+    revenue share captured by the top 20% of customers — Gini's
+    (agg_gini_revenue) operational cousin, the number an account
+    team actually quotes. Exact arithmetic throughout: integer-cents
+    spend, integer rank cutoff (rk·5 ≤ n — no float percentile), one
+    final division of exact integers rounded at 6. Ties at the
+    cutoff are pinned by the custkey tiebreak — stated identically
+    in both engines, so the boundary customer is the same one. Scale
+    shape: one join + keyed agg builds the spend table; one window
+    family (rank + count share a partition sort) and one aggregate
+    finish it — all partitioned by segment."""
+    from pyspark.sql import Window as W
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), F.col("c_custkey")
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = W.partitionBy("segment")
+    ranked = spend.withColumn(
+        "rk",
+        F.row_number().over(w.orderBy(F.desc("cents"), "c_custkey")),
+    ).withColumn("n", F.count(F.lit(1)).over(w))
+    top = F.when(F.col("rk") * 5 <= F.col("n"), F.col("cents")).otherwise(
+        F.lit(0)
+    )
+    return ranked.groupBy("segment").agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.sum(top).cast("bigint").alias("top20_cents"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.round(
+            F.sum(top).cast("double") / F.sum("cents").cast("double"), 6
+        ).alias("pareto_share"),
+    )

@@ -756,3 +756,66 @@ def scan_text_logparse(spark, sf_dir):
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+@register(
+    "scan_json_nested_explode",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(max(event_id) AS BIGINT) AS max_event_id
+    FROM events GROUP BY user_id
+    """,
+)
+def scan_json_nested_explode(spark, sf_dir):
+    """NESTED JSON round trip: the event feed is exported as one
+    JSON document per user carrying an ARRAY OF STRUCTS
+    (``{user_id, events: [{event_id, cents}, …]}`` — the shape every
+    API/export feed actually has), re-ingested with a DECLARED
+    nested schema, and un-nested with ``explode`` back to relational
+    rows for the census. The oracle recomputes the census from the
+    original flat table, so a dropped array element, a mis-bound
+    struct field, or a lossy export breaks the hash. Monetary values
+    travel as integer cents (floats never round-trip through JSON
+    text). Scale notes: the nested scan prunes to the one array
+    column; explode is a generate (no shuffle); inference over
+    nested JSON would cost a full extra scan — always declare the
+    schema."""
+    from etl_jobs_spark.queries._shared import session_memo
+
+    def stage():
+        d = scratch_dir("nested_json")
+        path = str(d / "per_user")
+        ev = read_table(spark, sf_dir, "events")
+        nested = (
+            ev.select(
+                "user_id",
+                F.struct(
+                    F.col("event_id"),
+                    F.expr("CAST(round(value * 100) AS BIGINT)").alias(
+                        "cents"
+                    ),
+                ).alias("e"),
+            )
+            .groupBy("user_id")
+            .agg(F.array_sort(F.collect_list("e")).alias("events"))
+        )
+        nested.write.json(path)
+        return path
+
+    path = session_memo(spark, "nested_json", sf_dir, stage)
+    schema = (
+        "user_id BIGINT, "
+        "events ARRAY<STRUCT<event_id: BIGINT, cents: BIGINT>>"
+    )
+    nested = spark.read.schema(schema).json(path)
+    flat = nested.select(
+        "user_id", F.explode("events").alias("e")
+    ).select("user_id", "e.event_id", "e.cents")
+    return flat.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.max("event_id").alias("max_event_id"),
+    )
