@@ -66,6 +66,10 @@ AUDIT = {
     "scan_text_logparse": "regex field extraction fused into the text scan projection (map-only to the census)",
     "ts_rolling_median_hourly": "bounded 5-row frame: one window sort per type, O(1) state per row",
     "join_null_safe": "null-safe key hashes like any value: plan identical to the plain equi-join",
+    "q4_priority_exists": "correlated EXISTS compiles to LEFT SEMI with the date residual (one shuffle)",
+    "q18_large_orders": "HAVING cuts before any join; customer broadcasts; top-100 is TakeOrderedAndProject",
+    "attr_linear_touch": "touch join + per-purchase count share one user/purchase partitioning family",
+    "agg_pareto_share": "rank + count windows share one segment partition sort; cutoff is integer",
 }
 
 INTERESTING = re.compile(
