@@ -236,21 +236,41 @@ def graph_triangle_count(spark, sf_dir):
     only float op is the final coefficient division — exact-integer
     operands, round 6, bit-stable."""
     li = read_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
+    # Edge build: ONE shuffle (groupBy order key) — collect_set
+    # dedups parts within the order, array combinations generate the
+    # oriented pairs JVM-side (k² per basket, k ≈ items/order), and
+    # one distinct dedups across orders. (The join-shaped build —
+    # distinct + self-equi-join + distinct — costs three shuffle
+    # families and measured 5.8s vs ~2s at sf0.1.)
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
     )
-    edges = cache.track(edges)  # feeds three joins + degree + count
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("parts"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("parts"),
+                            i + 2,
+                            F.size(F.col("parts")),
+                        ),
+                        lambda y: F.struct(
+                            x.alias("u"), y.alias("v")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+    edges = cache.track(pairs.distinct())  # feeds 3 joins + degree
+    # Triangle close: two shuffle equi-joins over the persisted edge
+    # table (measured faster than broadcasting the 1.2M-row edge map
+    # twice on one machine; on a cluster the choice is AQE's — the
+    # 19 MB edge list sits under the broadcast threshold, and for
+    # edge lists beyond it the same joins run shuffle-partitioned on
+    # u/v with degree orientation bounding the wedge fan-out).
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.v") == F.col("e2.u"))
