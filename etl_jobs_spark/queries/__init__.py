@@ -68,6 +68,8 @@ _NEEDS_CORRECTNESS_ROW = [
     "agg_pareto_share",
     "fn_map_suite",
     "scan_json_nested_explode",
+    "text_bpe_tokenize",
+    "text_hashing_trick_features",
     # (b) the last 27 r1-era rows (CORRECTNESS_r01 order; the window
     # is 50 — whatever the sweep doesn't reach rolls to round 7)
     "agg_approx_sketches",
@@ -90,10 +92,9 @@ _NEEDS_CORRECTNESS_ROW = [
     "pipeline_2022_end_to_end",
     "pred_alert_thresholds",
     "proj_quality_score",
-    "q1_pricing_summary",
-    "setop_except",
-    # (setop_intersect/union_all, topk_orders, window_rank/running
-    # and the r2-era rows roll to round 7 — the sweep window is 50)
+    # (q1_pricing_summary, the setop trio, topk_orders,
+    # window_rank/running and the r2-era rows roll to round 7 —
+    # the sweep window is 50)
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

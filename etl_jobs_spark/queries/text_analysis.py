@@ -643,3 +643,156 @@ def text_zipf_slope(spark, sf_dir):
             "AS BIGINT)"
         ).alias("zipf_slope_milli"),
     )
+
+
+#: Fixed BPE merge table (rank order = application order): the
+#: engine applies merges greedily by RANK, the standard BPE-apply
+#: semantics. A real deployment broadcasts a learned table; a fixed
+#: literal table keeps the operator oracle-checkable.
+_BPE_MERGES = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"),
+    ("o", "r"), ("in", "g"), ("t", "o"), ("o", "u"), ("the", "r"),
+)
+
+
+def _bpe_expr(engine: str) -> str:
+    """Space-separated BPE symbol string for the normalized text:
+    lowercase letters only, words fenced by the '§' marker (no merge
+    crosses it), every char spaced out, then each merge applied
+    globally in rank order. Pure chained regexp_replace — fused,
+    JVM-side, no UDF; identical construction in both dialects."""
+    if engine == "spark":
+        base = (
+            "regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z ]', ''), '\\\\s+', ' ')"
+        )
+        spaced = (
+            f"trim(regexp_replace(replace({base}, ' ', ' § '),"
+            " '([a-z§])', '$1 '))"
+        )
+    else:
+        base = (
+            "regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z ]', '', 'g'), '\\s+', ' ', 'g')"
+        )
+        spaced = (
+            f"trim(regexp_replace(replace({base}, ' ', ' § '),"
+            " '([a-z§])', '\\1 ', 'g'))"
+        )
+    expr = spaced
+    for a, b in _BPE_MERGES:
+        expr = f"replace({expr}, '{a} {b}', '{a}{b}')"
+    return expr
+
+
+@register(
+    "text_bpe_tokenize",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             string_split({_bpe_expr("duckdb")}, ' ') AS symbols
+      FROM documents)
+    SELECT doc_id, lang,
+           CAST(len(list_filter(symbols, s -> s <> '§')) AS BIGINT)
+             AS n_tokens,
+           CAST(len(list_filter(symbols, s -> len(s) > 1 AND s <> '§'))
+                AS BIGINT) AS n_merged,
+           CAST(len(list_distinct(list_filter(symbols, s -> s <> '§')))
+                AS BIGINT) AS n_vocab
+    FROM toks
+    """,
+)
+def text_bpe_tokenize(spark, sf_dir):
+    """REAL BPE tokenization (apply phase): characters are fused by
+    a fixed rank-ordered merge table — greedy by rank, the exact
+    application rule of byte-pair-encoding tokenizers — and each
+    document reports its post-merge token count, how many tokens are
+    merged (multi-char) symbols, and its distinct-symbol vocabulary.
+    The whole merge chain compiles to nested replace() calls over a
+    spaced-out character string: one fused JVM projection per row,
+    NO Python UDF, word boundaries fenced so merges never cross
+    words. The oracle replays the identical chain, so a wrong merge
+    order — the classic BPE-apply bug, rank order is semantics —
+    flips the hash. At 100 TB this is the map-only pre-tokenization
+    census that sizes a training run; a learned merge table arrives
+    as a broadcast literal the same way."""
+    docs = read_table(spark, sf_dir, "documents")
+    sym = F.expr(f"split({_bpe_expr('spark')}, ' ')")
+    toks = docs.select("doc_id", "lang", sym.alias("symbols"))
+    not_fence = F.expr("filter(symbols, s -> s <> '§')")
+    return toks.select(
+        "doc_id",
+        "lang",
+        F.size(not_fence).cast("bigint").alias("n_tokens"),
+        F.size(
+            F.expr("filter(symbols, s -> length(s) > 1 AND s <> '§')")
+        )
+        .cast("bigint")
+        .alias("n_merged"),
+        F.size(F.array_distinct(not_fence)).cast("bigint").alias(
+            "n_vocab"
+        ),
+    )
+
+
+#: Feature-hashing dimensionality (the hashing-trick vector width).
+_FH_DIM = 16
+
+
+def _fh_oracle() -> str:
+    from etl_jobs_spark.operators.hashing import hash60
+
+    bucket = hash60("'fh:' || t", "duckdb")
+    sign = hash60("'fhs:' || t", "duckdb")
+    cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN ({bucket}) % {_FH_DIM} = {i} THEN"
+        f" CASE WHEN ({sign}) % 2 = 0 THEN 1 ELSE -1 END"
+        f" ELSE 0 END) AS BIGINT) AS f{i}"
+        for i in range(_FH_DIM)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({norm_text("text", "duckdb")}, ' ')) AS t
+      FROM documents)
+    SELECT doc_id,
+           {cols}
+    FROM toks GROUP BY doc_id
+    """
+
+
+@register("text_hashing_trick_features", oracle=_fh_oracle())
+def text_hashing_trick_features(spark, sf_dir):
+    """FEATURE HASHING (the hashing trick): each document's
+    bag-of-words projected into a fixed {_FH_DIM}-dim signed integer
+    vector — bucket = hash(token) mod dim, sign = a second
+    independent hash — the model-free text embedding that needs no
+    vocabulary, no fitting, and no parameter shipping (Weinberger et
+    al.; the featurizer behind Vowpal Wabbit and spark.ml's
+    HashingTF, here with the signed variant that keeps collisions
+    unbiased). Exactly reproducible anywhere because the hash is the
+    engine-portable md5-hash60. Scale shape: explode + ONE hash
+    aggregation keyed by doc (map-side combinable conditional sums);
+    the output is the dense feature table a downstream classifier or
+    ANN tier consumes — pipelines here feed text_quality_classifier
+    -style linear scorers without any Python in the loop."""
+    from etl_jobs_spark.operators.hashing import hash60, norm_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"split({norm_text('text', 'spark')}, ' ')")
+        ).alias("t"),
+    )
+    bucket = F.expr(hash60("concat('fh:', t)", "spark")) % _FH_DIM
+    sign = F.when(
+        F.expr(hash60("concat('fhs:', t)", "spark")) % 2 == 0, 1
+    ).otherwise(-1)
+    aggs = [
+        F.sum(F.when(bucket == i, sign).otherwise(0))
+        .cast("bigint")
+        .alias(f"f{i}")
+        for i in range(_FH_DIM)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
