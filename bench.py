@@ -152,6 +152,8 @@ HEADLINE = [
     "agg_pareto_share",
     "fn_map_suite",
     "scan_json_nested_explode",
+    "scan_txn_log_snapshot",
+    "agg_time_to_convert",
     # stream_interval_join_full rides the stream_ prefix scan
 ]
 

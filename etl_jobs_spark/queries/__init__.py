@@ -70,6 +70,8 @@ _NEEDS_CORRECTNESS_ROW = [
     "scan_json_nested_explode",
     "text_bpe_tokenize",
     "text_hashing_trick_features",
+    "scan_txn_log_snapshot",
+    "agg_time_to_convert",
     # (b) the last 27 r1-era rows (CORRECTNESS_r01 order; the window
     # is 50 — whatever the sweep doesn't reach rolls to round 7)
     "agg_approx_sketches",
@@ -90,8 +92,6 @@ _NEEDS_CORRECTNESS_ROW = [
     "join_star_revenue",
     "json_extract_props",
     "pipeline_2022_end_to_end",
-    "pred_alert_thresholds",
-    "proj_quality_score",
     # (q1_pricing_summary, the setop trio, topk_orders,
     # window_rank/running and the r2-era rows roll to round 7 —
     # the sweep window is 50)

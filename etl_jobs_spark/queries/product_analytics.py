@@ -506,3 +506,83 @@ def agg_pareto_share(spark, sf_dir):
             F.sum(top).cast("double") / F.sum("cents").cast("double"), 6
         ).alias("pareto_share"),
     )
+
+
+@register(
+    "agg_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT e.user_id, c.c_mktsegment AS segment,
+             min(CASE WHEN e.event_type = 'view'
+                      THEN epoch_us(e.ts) END) AS first_view_us,
+             min(CASE WHEN e.event_type = 'purchase'
+                      THEN epoch_us(e.ts) END) AS first_purchase_us
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1, 2),
+    converted AS (
+      SELECT segment,
+             (first_purchase_us - first_view_us) // 1000000 AS delta_s
+      FROM firsts
+      WHERE first_view_us IS NOT NULL
+        AND first_purchase_us IS NOT NULL
+        AND first_purchase_us > first_view_us)
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(CAST(delta_s AS DOUBLE), 0.5), 4)
+             AS p50_sec,
+           round(quantile_cont(CAST(delta_s AS DOUBLE), 0.9), 4)
+             AS p90_sec,
+           CAST(max(delta_s) AS BIGINT) AS max_sec
+    FROM converted GROUP BY segment
+    """,
+)
+def agg_time_to_convert(spark, sf_dir):
+    """Time-to-convert distribution: per customer segment, the
+    latency from a user's FIRST view to their FIRST later purchase —
+    the conversion-velocity metric next to the funnel's counts
+    (agg_funnel_steps says how many; this says how fast). Exact
+    integer seconds (microsecond epochs, integer division), exact
+    sort-based percentiles (Spark ``percentile()`` ≡ DuckDB
+    ``quantile_cont`` — both linear-interpolation over the sorted
+    set, and the inputs are integers so the only float op is the
+    midpoint arithmetic). Scale shape: one conditional aggregation
+    per user (no per-step self-joins — the funnel discipline), a
+    broadcast dim join for the segment, then a tiny per-segment
+    percentile over |converted users| rows."""
+    ev = read_table(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    firsts = (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("user_id", F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", us)
+            ).alias("first_view_us"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", us)
+            ).alias("first_purchase_us"),
+        )
+    )
+    converted = firsts.filter(
+        F.col("first_view_us").isNotNull()
+        & F.col("first_purchase_us").isNotNull()
+        & (F.col("first_purchase_us") > F.col("first_view_us"))
+    ).select(
+        "segment",
+        F.expr(
+            "(first_purchase_us - first_view_us) DIV 1000000"
+        ).alias("delta_s"),
+    )
+    return converted.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(
+            F.expr("percentile(CAST(delta_s AS DOUBLE), 0.5)"), 4
+        ).alias("p50_sec"),
+        F.round(
+            F.expr("percentile(CAST(delta_s AS DOUBLE), 0.9)"), 4
+        ).alias("p90_sec"),
+        F.max("delta_s").cast("bigint").alias("max_sec"),
+    )

@@ -627,3 +627,105 @@ def maintenance_vacuum_report(spark, sf_dir):
         F.lit(sum(orphans.values())).cast("bigint").alias("orphan_bytes"),
         "n_rows_active",
     )
+
+
+@register(
+    "scan_txn_log_snapshot",
+    oracle="""
+    SELECT 1 AS version, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events WHERE event_id % 3 IN (0, 1)
+    GROUP BY event_type
+    UNION ALL
+    SELECT 2, event_type,
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+    FROM events WHERE event_id % 3 IN (1, 2)
+    GROUP BY event_type
+    """,
+)
+def scan_txn_log_snapshot(spark, sf_dir):
+    """Transaction-log table format with TIME TRAVEL — the lakehouse
+    primitive (Delta/Iceberg's core mechanic) built from parts: data
+    files are immutable parquet, a JSON commit log records
+    add/remove file actions per version, and a snapshot at version V
+    is resolved by folding the log prefix ≤ V (adds minus removes) —
+    readers touch ONLY the live files of their version, never a
+    directory listing. Commit 1 adds files A+B; commit 2 removes A
+    and adds C (a compaction/GC rewrite); the query reads BOTH
+    snapshots (time travel) and reports each version's census. The
+    oracle states both snapshots' contents from the original table,
+    so a log-fold bug — reading a removed file, missing an add —
+    flips the hash. Scale notes: the log is KBs regardless of table
+    size (it names files, not rows); snapshot resolution is a
+    metadata fold; data reads stay pruned parquet scans of the live
+    set."""
+    import json as _json
+    import os
+
+    from etl_jobs_spark.queries._shared import session_memo
+    from etl_jobs_spark.scratch import scratch_dir
+
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+
+    def stage():
+        d = scratch_dir("txn_log")
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        for name, m in (("A", 0), ("B", 1), ("C", 2)):
+            ev.filter(F.col("event_id") % 3 == m).coalesce(1).write.parquet(
+                str(d / f"data_{name}")
+            )
+        os.makedirs(d / "_log")
+        commits = {
+            1: [("add", "data_A"), ("add", "data_B")],
+            2: [("remove", "data_A"), ("add", "data_C")],
+        }
+        for v, actions in commits.items():
+            with open(d / "_log" / f"{v:08d}.json", "w") as fh:
+                for action, f in actions:
+                    fh.write(
+                        _json.dumps(
+                            {"version": v, "action": action, "file": f}
+                        )
+                        + "\n"
+                    )
+        return d
+
+    d = session_memo(spark, "txn_log", sf_dir, stage)
+    log = [
+        r.asDict()
+        for r in spark.read.schema(
+            "version INT, action STRING, file STRING"
+        )
+        .json(str(d / "_log"))
+        .collect()
+    ]
+
+    def live_files(version: int) -> list[str]:
+        live: set[str] = set()
+        for e in sorted(log, key=lambda e: e["version"]):
+            if e["version"] > version:
+                break
+            if e["action"] == "add":
+                live.add(e["file"])
+            else:
+                live.discard(e["file"])
+        return [str(d / f) for f in sorted(live)]
+
+    def census(version: int):
+        snap = spark.read.parquet(*live_files(version))
+        return snap.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).cast("bigint").alias("value_cents"),
+        ).select(
+            F.lit(version).alias("version"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+
+    return census(1).unionAll(census(2))
