@@ -154,6 +154,9 @@ HEADLINE = [
     "scan_json_nested_explode",
     "scan_txn_log_snapshot",
     "agg_time_to_convert",
+    "stat_chi_square_independence",
+    "stat_ab_test_zscore",
+    "dq_drift_psi",
     # stream_interval_join_full rides the stream_ prefix scan
 ]
 

@@ -72,6 +72,9 @@ _NEEDS_CORRECTNESS_ROW = [
     "text_hashing_trick_features",
     "scan_txn_log_snapshot",
     "agg_time_to_convert",
+    "stat_chi_square_independence",
+    "stat_ab_test_zscore",
+    "dq_drift_psi",
     # (b) the last 27 r1-era rows (CORRECTNESS_r01 order; the window
     # is 50 — whatever the sweep doesn't reach rolls to round 7)
     "agg_approx_sketches",
@@ -89,9 +92,6 @@ _NEEDS_CORRECTNESS_ROW = [
     "filter_outliers_iqr",
     "filter_rejected_rows",
     "filter_valid_rows",
-    "join_star_revenue",
-    "json_extract_props",
-    "pipeline_2022_end_to_end",
     # (q1_pricing_summary, the setop trio, topk_orders,
     # window_rank/running and the r2-era rows roll to round 7 —
     # the sweep window is 50)

@@ -408,3 +408,288 @@ def governance_erasure_cascade(spark, sf_dir):
         .unionAll(report("lineitem", li, li_purged))
         .unionAll(report("events", ev, ev_purged))
     )
+
+
+@register(
+    "stat_chi_square_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT seg, pri, n,
+             CAST(sum(n) OVER (PARTITION BY seg) AS BIGINT) AS row_n,
+             CAST(sum(n) OVER (PARTITION BY pri) AS BIGINT) AS col_n,
+             CAST(sum(n) OVER () AS BIGINT) AS grand_n
+      FROM obs),
+    cells AS (
+      SELECT (CAST(n AS DOUBLE)
+              - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                / CAST(grand_n AS DOUBLE))
+             * (CAST(n AS DOUBLE)
+                - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                  / CAST(grand_n AS DOUBLE))
+             / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                / CAST(grand_n AS DOUBLE)) AS term,
+             grand_n
+      FROM tot)
+    SELECT round(sum(term), 6) AS chi_square,
+           CAST((count(*) / 5 - 1) * (5 - 1) AS BIGINT) AS dof,
+           CAST(max(grand_n) AS BIGINT) AS n
+    FROM cells
+    """,
+)
+def stat_chi_square_independence(spark, sf_dir):
+    """Chi-square test of independence between customer segment and
+    order priority — the categorical-association test a warehouse
+    runs before trusting a segmentation (is priority mix actually
+    different across segments, or noise?). Contingency counts, row/
+    column marginals (three window sums over the TINY cell table —
+    never a second scan of the facts), expected = row·col/N, and
+    Σ(obs−exp)²/exp. Every input to the float arithmetic is an exact
+    BIGINT and every float op is IEEE correctly-rounded on identical
+    operands, so round(…, 6) is bit-stable cross-engine. The
+    statistic and degrees of freedom are reported; the p-value
+    lookup is a client-side constant table (the CDF is not data
+    work). Scale shape: ONE fact-table aggregation to r×c cells;
+    everything after is constant-size."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    from pyspark.sql import Window as W
+
+    obs = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = (
+        obs.withColumn(
+            "row_n", F.sum("n").over(W.partitionBy("seg")).cast("bigint")
+        )
+        .withColumn(
+            "col_n", F.sum("n").over(W.partitionBy("pri")).cast("bigint")
+        )
+        .withColumn(
+            "grand_n", F.sum("n").over(W.partitionBy()).cast("bigint")
+        )
+    )
+    exp = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("grand_n").cast("double")
+    )
+    term = (F.col("n") - exp) * (F.col("n") - exp) / exp
+    return tot.select(term.alias("term"), "grand_n").agg(
+        F.round(F.sum("term"), 6).alias("chi_square"),
+        ((F.count(F.lit(1)) / 5 - 1) * (5 - 1))
+        .cast("bigint")
+        .alias("dof"),
+        F.max("grand_n").cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "stat_ab_test_zscore",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id,
+             ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS arm,
+             max(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY 1),
+    arms AS (
+      SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+                  AS BIGINT) AS conv_a,
+             CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+                  AS BIGINT) AS conv_b
+      FROM assigned)
+    SELECT n_a, n_b, conv_a, conv_b,
+           round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                         / CAST(n_a + n_b AS DOUBLE))
+                        * (1 - CAST(conv_a + conv_b AS DOUBLE)
+                               / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 / CAST(n_a AS DOUBLE)
+                           + 1.0 / CAST(n_b AS DOUBLE))), 6) AS z_score
+    FROM arms
+    """,
+)
+def stat_ab_test_zscore(spark, sf_dir):
+    """Two-proportion A/B z-test over a HASH-ASSIGNED experiment:
+    users split into arms by the portable md5 hash (deterministic,
+    balanced, rerun-stable — the assignment discipline real
+    experiment platforms use, never rand()), outcome = a BIG-TICKET
+    conversion (any purchase over 150 — a ~45% base rate, so both arms
+    carry variance at every fixture scale), pooled-variance z-score for the rate
+    difference.
+    All counts are exact integers; the z arithmetic is divisions and
+    one sqrt over exact operands — IEEE-identical both engines,
+    round 6. One user-keyed aggregation + one single-row reduce; at
+    100 TB the per-user outcome rollup is the only shuffle."""
+    from etl_jobs_spark.operators.hashing import hash60
+
+    ev = read_table(spark, sf_dir, "events")
+    arm = (
+        F.expr(hash60("concat('ab:', cast(user_id as string))", "spark"))
+        % 2
+    )
+    assigned = ev.groupBy("user_id").agg(
+        F.first(arm).alias("arm"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("converted"),
+    )
+    arms = assigned.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ca, cb = F.col("conv_a").cast("double"), F.col("conv_b").cast("double")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (ca / na - cb / nb) / F.sqrt(
+        pool * (1 - pool) * (1.0 / na + 1.0 / nb)
+    )
+    return arms.select(
+        "n_a", "n_b", "conv_a", "conv_b", F.round(z, 6).alias("z_score")
+    )
+
+
+#: Micro-log2 lookup 1..1024 — same construction as
+#: text_analysis._L2M (duplicated to keep module import order
+#: untouched); both engines index the identical literal array, so
+#: every "log" in the PSI below is bit-exact integer math.
+_L2M_DQ = [
+    round(__import__("math").log2(i) * 1_000_000) for i in range(1, 1025)
+]
+
+
+def _psi_oracle() -> str:
+    lut = "[" + ",".join(str(v) for v in _L2M_DQ) + "]"
+    return f"""
+    WITH base AS (
+      SELECT CAST(least(floor(value / 50), 9) AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS a
+      FROM events WHERE event_type = 'view' GROUP BY 1),
+    cur AS (
+      SELECT CAST(least(floor(value / 50), 9) AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS b
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    grid AS (SELECT unnest(range(0, 10)) AS bucket),
+    joined AS (
+      SELECT g.bucket,
+             coalesce(base.a, 0) AS a, coalesce(cur.b, 0) AS b,
+             (SELECT sum(a) FROM base) AS ta,
+             (SELECT sum(b) FROM cur) AS tb
+      FROM grid g
+      LEFT JOIN base ON g.bucket = base.bucket
+      LEFT JOIN cur ON g.bucket = cur.bucket),
+    permille AS (
+      SELECT bucket, a, b,
+             greatest(CAST(a * 1000 // ta AS BIGINT), 1) AS p_m,
+             greatest(CAST(b * 1000 // tb AS BIGINT), 1) AS q_m
+      FROM joined)
+    SELECT bucket, a AS n_base, b AS n_current, p_m, q_m,
+           CAST((p_m - q_m) * ({lut}[CAST(p_m AS INT)]
+                               - {lut}[CAST(q_m AS INT)])
+                * 693147 // 1000000000 AS BIGINT) AS psi_contrib_micro
+    FROM permille
+    """
+
+
+@register("dq_drift_psi", oracle=_psi_oracle())
+def dq_drift_psi(spark, sf_dir):
+    """Population Stability Index drift monitor: the value
+    distribution of the CURRENT feed (purchases) vs the BASELINE
+    (views), 10 fixed-width buckets, per-bucket PSI contribution
+    (p−q)·ln(p/q) — the standard model-monitoring drift score
+    (PSI > 0.1 = investigate, > 0.25 = act). Bit-exact by
+    construction: proportions quantize to integer PER-MILLE (clamped
+    ≥ 1‰, the conventional zero-bucket epsilon), logs come from the
+    shared micro-log2 literal LUT, and ln2 is a rational constant —
+    every engine computes identical BIGINTs, no libm anywhere
+    (ln() is NOT cross-engine reproducible; the LUT is the same
+    discipline text_token_entropy established). Scale shape: two
+    filtered one-pass bucket counts (map-side combinable), a
+    10-row grid join, integer arithmetic — the monitor costs two
+    aggregations regardless of volume."""
+    ev = read_table(spark, sf_dir, "events")
+    lut = "array(" + ",".join(str(v) for v in _L2M_DQ) + ")"
+    bucket = F.expr("CAST(least(floor(value / 50), 9) AS INT)")
+
+    def side(t, alias):
+        return (
+            ev.filter(F.col("event_type") == t)
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    base, cur = side("view", "a"), side("purchase", "b")
+    grid = spark.range(0, 10).select(F.col("id").cast("int").alias("bucket"))
+    joined = (
+        grid.join(F.broadcast(base), "bucket", "left")
+        .join(F.broadcast(cur), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("a", F.lit(0)).cast("bigint").alias("a"),
+            F.coalesce("b", F.lit(0)).cast("bigint").alias("b"),
+        )
+        .crossJoin(
+            F.broadcast(
+                base.agg(F.sum("a").cast("bigint").alias("ta")).crossJoin(
+                    cur.agg(F.sum("b").cast("bigint").alias("tb"))
+                )
+            )
+        )
+    )
+    permille = joined.select(
+        "bucket",
+        "a",
+        "b",
+        F.greatest(F.expr("CAST(a * 1000 DIV ta AS BIGINT)"), F.lit(1)).alias(
+            "p_m"
+        ),
+        F.greatest(F.expr("CAST(b * 1000 DIV tb AS BIGINT)"), F.lit(1)).alias(
+            "q_m"
+        ),
+    )
+    return permille.select(
+        "bucket",
+        F.col("a").alias("n_base"),
+        F.col("b").alias("n_current"),
+        "p_m",
+        "q_m",
+        F.expr(
+            f"CAST((p_m - q_m) * (element_at({lut}, CAST(p_m AS INT))"
+            f" - element_at({lut}, CAST(q_m AS INT)))"
+            " * 693147 DIV 1000000000 AS BIGINT)"
+        ).alias("psi_contrib_micro"),
+    )
