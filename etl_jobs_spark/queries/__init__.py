@@ -75,6 +75,7 @@ _NEEDS_CORRECTNESS_ROW = [
     "stat_chi_square_independence",
     "stat_ab_test_zscore",
     "dq_drift_psi",
+    "dedup_lsh_recall_eval",
     # (b) the last 27 r1-era rows (CORRECTNESS_r01 order; the window
     # is 50 — whatever the sweep doesn't reach rolls to round 7)
     "agg_approx_sketches",
@@ -91,7 +92,6 @@ _NEEDS_CORRECTNESS_ROW = [
     "fillna_mean",
     "filter_outliers_iqr",
     "filter_rejected_rows",
-    "filter_valid_rows",
     # (q1_pricing_summary, the setop trio, topk_orders,
     # window_rank/running and the r2-era rows roll to round 7 —
     # the sweep window is 50)

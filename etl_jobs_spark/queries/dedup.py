@@ -776,3 +776,68 @@ def dedup_incremental_bloom(spark, sf_dir):
     return definitely_new.unionByName(maybe_dup.select("doc_id", "fp")).select(
         "doc_id", F.col("fp").alias("fingerprint")
     )
+
+
+def _lsh_eval_oracle() -> str:
+    """Precision/recall of the LSH candidate stage vs exact-Jaccard
+    ground truth, stated from the two already-registered oracles —
+    trustworthy because both inputs are themselves driver-verified."""
+    from etl_jobs_spark.registry import _REGISTRY
+
+    cand = _REGISTRY["dedup_minhash_lsh"].oracle
+    truth = _REGISTRY["dedup_ngram_jaccard"].oracle
+    return f"""
+    WITH cand AS ({cand}),
+    truth AS ({truth}),
+    hits AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_hits
+      FROM truth t JOIN cand c
+        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+    sizes AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+             (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates)
+    SELECT s.n_truth, s.n_candidates, h.n_hits,
+           round(CAST(h.n_hits AS DOUBLE) / s.n_truth, 4) AS recall,
+           round(CAST(h.n_hits AS DOUBLE) / s.n_candidates, 4)
+             AS precision
+    FROM sizes s, hits h
+    """
+
+
+@register("dedup_lsh_recall_eval", oracle=_lsh_eval_oracle())
+def dedup_lsh_recall_eval(spark, sf_dir):
+    """Dedup-quality EVALUATION as a first-class job: the MinHash-LSH
+    candidate stage scored against exact word-3-gram Jaccard ≥ 0.5
+    ground truth — recall says how many true near-dup pairs banding
+    surfaces (the number that bounds how much duplication survives a
+    production run), precision says how much the exact-verify stage
+    has to re-check (banding is recall-oriented by design; the
+    verify stage exists BECAUSE precision is allowed to be low).
+    Companion to ann_recall_eval: both make the engine's
+    approximate tiers self-auditing, with the eval arithmetic AND
+    both inputs restated in the oracle. Scale shape: the inputs are
+    the existing operators (blocked, hash-shuffled); the eval adds
+    one pair-keyed equi-join plus two counts."""
+    cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    t, c = truth.alias("t"), cand.alias("c")
+    hits = t.join(
+        c,
+        (F.col("t.doc_a") == F.col("c.doc_a"))
+        & (F.col("t.doc_b") == F.col("c.doc_b")),
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    sizes = truth.agg(F.count(F.lit(1)).alias("n_truth")).crossJoin(
+        cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    )
+    return sizes.crossJoin(hits).select(
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_truth"), 4
+        ).alias("recall"),
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_candidates"), 4
+        ).alias("precision"),
+    )
