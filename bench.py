@@ -157,6 +157,10 @@ HEADLINE = [
     "stat_chi_square_independence",
     "stat_ab_test_zscore",
     "dq_drift_psi",
+    "multimodal_image_histogram",
+    "ts_seasonal_profile",
+    "fn_regex_suite",
+    "scd2_merge_apply",
     # stream_interval_join_full rides the stream_ prefix scan
 ]
 

@@ -428,3 +428,38 @@ def wav_downsample_features(media_df: DataFrame, stride: int) -> DataFrame:
     return media_df.select("doc_id", "audio").mapInPandas(
         batches, schema=DOWNSAMPLE_SCHEMA
     )
+
+
+HIST_SCHEMA = "doc_id long, bucket int, n_px long"
+
+
+def image_histogram(media_df: DataFrame, n_buckets: int = 4) -> DataFrame:
+    """Decode real PNG/BMP containers and reduce each image to an
+    intensity histogram (equal-width buckets over the 0..255 byte
+    range, all channels pooled) — the exposure/contrast profile a
+    media curation gate filters on. Same shape as every codec
+    stage: Arrow-batched per-partition decode; only (doc, bucket,
+    count) rows shuffle."""
+    import numpy as np
+
+    from etl_jobs_spark.operators import codecs as C
+
+    width = 256 // n_buckets
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                img = C.decode_image(bytes(blob))
+                counts = np.bincount(
+                    img.reshape(-1) // width, minlength=n_buckets
+                )
+                rows.extend(
+                    (int(doc_id), int(b), int(c))
+                    for b, c in enumerate(counts[:n_buckets])
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "bucket", "n_px"])
+
+    return media_df.select("doc_id", "media").mapInPandas(
+        batches, schema=HIST_SCHEMA
+    )

@@ -76,6 +76,10 @@ _NEEDS_CORRECTNESS_ROW = [
     "stat_ab_test_zscore",
     "dq_drift_psi",
     "dedup_lsh_recall_eval",
+    "multimodal_image_histogram",
+    "ts_seasonal_profile",
+    "fn_regex_suite",
+    "scd2_merge_apply",
     # (b) the last 27 r1-era rows (CORRECTNESS_r01 order; the window
     # is 50 — whatever the sweep doesn't reach rolls to round 7)
     "agg_approx_sketches",
@@ -88,10 +92,6 @@ _NEEDS_CORRECTNESS_ROW = [
     "agg_record_count",
     "agg_success_rate",
     "dedup_full_row",
-    "fillna_const",
-    "fillna_mean",
-    "filter_outliers_iqr",
-    "filter_rejected_rows",
     # (q1_pricing_summary, the setop trio, topk_orders,
     # window_rank/running and the r2-era rows roll to round 7 —
     # the sweep window is 50)

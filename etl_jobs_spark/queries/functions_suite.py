@@ -479,3 +479,50 @@ def fn_map_suite(spark, sf_dir):
             "sorted_keys"
         ),
     )
+
+
+@register(
+    "fn_regex_suite",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+                AS BIGINT) AS n_vowel_runs,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                AS BIGINT) AS n_alpha_words,
+           regexp_extract(lower(text), '([a-z]{4,})', 1) AS first_long_word,
+           regexp_matches(text, '^[A-Z]') AS starts_upper,
+           CAST(length(regexp_replace(lower(text), '[aeiou]', '', 'g'))
+                AS BIGINT) AS consonant_len
+    FROM documents
+    """,
+)
+def fn_regex_suite(spark, sf_dir):
+    """Regex-function family in ONE fused projection: global match
+    counting (regexp_count), full-match extraction
+    (regexp_extract_all), group extraction of the first long word,
+    anchored boolean match (rlike), and global replacement — the
+    text-wrangling verbs of every log/scraper pipeline, proven
+    semantically identical cross-engine (anchors, greediness, global
+    flags and group indexing all behave the same or the hash breaks).
+    Map-only: all five regexes fuse into the scan projection under
+    whole-stage codegen — at 100 TB regex cost is pure CPU scale-out
+    with zero shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("regexp_count(lower(text), '[aeiou]+')")
+        .cast("bigint")
+        .alias("n_vowel_runs"),
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .cast("bigint")
+        .alias("n_alpha_words"),
+        F.regexp_extract(F.lower("text"), "([a-z]{4,})", 1).alias(
+            "first_long_word"
+        ),
+        F.col("text").rlike("^[A-Z]").alias("starts_upper"),
+        F.length(
+            F.regexp_replace(F.lower("text"), "[aeiou]", "")
+        )
+        .cast("bigint")
+        .alias("consonant_len"),
+    )

@@ -438,3 +438,32 @@ def multimodal_audio_downsample(spark, sf_dir):
     rows are the only shuffle payload."""
     media = spark.read.parquet(_stage_media(spark, sf_dir))
     return MM.wav_downsample_features(media, 2)
+
+
+@register(
+    "multimodal_image_histogram",
+    oracle=f"""
+    SELECT doc_id, CAST(b.b AS INT) AS bucket,
+           CAST(coalesce(sum(CASE WHEN {_PIX} // 64 = b.b
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_px
+    FROM documents
+    CROSS JOIN range(0, 4) b(b)
+    JOIN range(0, {MM.IMG_W_MOD - 1 + MM.IMG_MIN}) x(x) ON x.x < {_W}
+    JOIN range(0, {MM.IMG_H_MOD - 1 + MM.IMG_MIN}) y(y) ON y.y < {_H}
+    CROSS JOIN range(0, 3) c(c)
+    GROUP BY doc_id, b.b
+    """,
+)
+def multimodal_image_histogram(spark, sf_dir):
+    """Intensity HISTOGRAM over real decoded images: every
+    document's PNG/BMP is decoded and its pooled channel bytes
+    bucketed into four equal-width intensity bands — the
+    exposure/contrast profile a media curation gate reads (all-dark
+    or all-bright assets fail review). The oracle recomputes each
+    bucket's population in closed form from the fixture pixel
+    formula, so a decode bug that shifts even one byte moves a
+    bucket count and flips the hash. Scale shape: Arrow-batched
+    per-partition decode; the shuffle payload is 4 rows per image."""
+    media = spark.read.parquet(_stage_media(spark, sf_dir))
+    return MM.image_histogram(media, 4)

@@ -586,3 +586,102 @@ def agg_time_to_convert(spark, sf_dir):
         ).alias("p90_sec"),
         F.max("delta_s").cast("bigint").alias("max_sec"),
     )
+
+
+@register(
+    "scd2_merge_apply",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type),
+    hist AS (
+      SELECT user_id, event_type AS state, ts AS effective_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS effective_to
+      FROM changes),
+    ts0 AS (
+      SELECT max(ts) + INTERVAL 1 HOUR AS t FROM events),
+    applied AS (
+      -- untouched users keep their history verbatim
+      SELECT user_id, state, effective_from, effective_to
+      FROM hist WHERE user_id % 3 <> 0
+      UNION ALL
+      -- changed users: closed rows stay; the open row closes at t0
+      SELECT h.user_id, h.state, h.effective_from,
+             CASE WHEN h.effective_to IS NULL THEN t.t
+                  ELSE h.effective_to END
+      FROM hist h, ts0 t WHERE h.user_id % 3 = 0
+      UNION ALL
+      -- and a fresh open 'churned' row begins at t0
+      SELECT DISTINCT h.user_id, 'churned', t.t, NULL
+      FROM hist h, ts0 t WHERE h.user_id % 3 = 0)
+    SELECT state, effective_to IS NULL AS is_current,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM applied GROUP BY 1, 2
+    """,
+)
+def scd2_merge_apply(spark, sf_dir):
+    """SCD2 MAINTENANCE — applying a change batch to a type-2
+    dimension (scd2_history builds it; this keeps it current): a
+    deterministic churn batch (every third user flips to state
+    'churned' one hour after the corpus high-watermark) closes each
+    affected user's OPEN row at the change timestamp and appends a
+    fresh open row — the close-and-insert transaction every
+    warehouse dim pipeline runs nightly, with already-closed history
+    preserved byte-for-byte. Census output (state × currency flag)
+    keeps the driver row size bounded while pinning the interval
+    bookkeeping: a row double-closed, left dangling, or a lost
+    insert shifts a census cell. Scale shape: the history build is
+    the existing two-window pass; the apply is a partition-local
+    projection split by the change predicate plus a distinct over
+    changed users — at 100 TB this runs as one pass over the dim
+    (tiny next to facts) with the change batch broadcast."""
+    from pyspark.sql import Window as W
+
+    from etl_jobs_spark.operators import analytics as AN
+
+    ev = read_table(spark, sf_dir, "events")
+    hist = AN.scd2_history(ev).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "effective_from",
+        "effective_to",
+    )
+    ts0 = ev.agg(
+        (F.max("ts") + F.expr("INTERVAL 1 HOUR")).alias("t")
+    )
+    changed = F.col("user_id") % 3 == 0
+    untouched = hist.filter(~changed)
+    closed = hist.filter(changed).crossJoin(F.broadcast(ts0)).select(
+        "user_id",
+        "state",
+        "effective_from",
+        F.when(
+            F.col("effective_to").isNull(), F.col("t")
+        ).otherwise(F.col("effective_to")).alias("effective_to"),
+    )
+    fresh = (
+        hist.filter(changed)
+        .select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(ts0))
+        .select(
+            "user_id",
+            F.lit("churned").alias("state"),
+            F.col("t").alias("effective_from"),
+            F.lit(None).cast("timestamp").alias("effective_to"),
+        )
+    )
+    applied = untouched.unionByName(closed).unionByName(fresh)
+    return applied.groupBy(
+        "state", F.col("effective_to").isNull().alias("is_current")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -912,3 +912,73 @@ def ts_rolling_median_hourly(spark, sf_dir):
     return hourly.select(
         "event_type", "hr", "cnt", med.alias("rolling_median")
     )
+
+
+@register(
+    "ts_seasonal_profile",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    keyed AS (
+      SELECT event_type, CAST(extract(hour FROM hr) AS INT) AS hod, cnt
+      FROM hourly),
+    withmean AS (
+      SELECT event_type, hod, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY event_type, hod)
+                  * 1000000
+                  // count(*) OVER (PARTITION BY event_type, hod)
+                  AS BIGINT) AS seasonal_micro
+      FROM keyed)
+    SELECT event_type, hod,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(cnt) AS BIGINT) AS total_events,
+           CAST(max(seasonal_micro) AS BIGINT) AS seasonal_micro,
+           CAST(sum(abs(cnt * 1000000 - seasonal_micro)) // 1000000
+                AS BIGINT) AS resid_abs_sum
+    FROM withmean GROUP BY event_type, hod
+    """,
+)
+def ts_seasonal_profile(spark, sf_dir):
+    """Seasonal (hour-of-day) load profile with residuals — the
+    seasonal-naive decomposition that baselines every traffic
+    anomaly detector: per (type, hour-of-day), the mean hourly count
+    (the seasonal component, as an exact integer micro-mean) and the
+    summed absolute deviation of the observed hours from it (the
+    de-seasonalized residual mass — big residuals = the hour is
+    volatile beyond its daily pattern). All integer arithmetic: the
+    micro-mean is a BIGINT division, residuals are exact integer
+    |differences|. Scale shape: one hourly aggregation (map-side
+    combinable) then a window + aggregate over the (type, hod)
+    partitioning — the profile table is |types|·24 rows at any
+    volume."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    keyed = hourly.select(
+        "event_type",
+        F.hour("hr").cast("int").alias("hod"),
+        "cnt",
+    )
+    w = W.partitionBy("event_type", "hod")
+    withmean = keyed.withColumn(
+        "seasonal_micro",
+        F.expr(
+            "CAST(sum(cnt) OVER (PARTITION BY event_type, hod)"
+            " * 1000000 DIV count(*) OVER (PARTITION BY event_type, hod)"
+            " AS BIGINT)"
+        ),
+    )
+    return withmean.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("cnt").cast("bigint").alias("total_events"),
+        F.max("seasonal_micro").cast("bigint").alias("seasonal_micro"),
+        F.expr(
+            "CAST(sum(abs(cnt * 1000000 - seasonal_micro)) DIV 1000000"
+            " AS BIGINT)"
+        ).alias("resid_abs_sum"),
+    )
