@@ -694,11 +694,12 @@ def _bpe_expr(engine: str) -> str:
              string_split({_bpe_expr("duckdb")}, ' ') AS symbols
       FROM documents)
     SELECT doc_id, lang,
-           CAST(len(list_filter(symbols, s -> s <> '§')) AS BIGINT)
-             AS n_tokens,
+           CAST(len(list_filter(symbols, s -> s <> '§' AND s <> ''))
+                AS BIGINT) AS n_tokens,
            CAST(len(list_filter(symbols, s -> len(s) > 1 AND s <> '§'))
                 AS BIGINT) AS n_merged,
-           CAST(len(list_distinct(list_filter(symbols, s -> s <> '§')))
+           CAST(len(list_distinct(list_filter(symbols,
+                                  s -> s <> '§' AND s <> '')))
                 AS BIGINT) AS n_vocab
     FROM toks
     """,
@@ -720,7 +721,7 @@ def text_bpe_tokenize(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     sym = F.expr(f"split({_bpe_expr('spark')}, ' ')")
     toks = docs.select("doc_id", "lang", sym.alias("symbols"))
-    not_fence = F.expr("filter(symbols, s -> s <> '§')")
+    not_fence = F.expr("filter(symbols, s -> s <> '§' AND s <> '')")
     return toks.select(
         "doc_id",
         "lang",
