@@ -161,6 +161,9 @@ HEADLINE = [
     "ts_seasonal_profile",
     "fn_regex_suite",
     "scd2_merge_apply",
+    "join_lateral_topn",
+    "fn_url_suite",
+    "corpus_quality_threshold_sweep",
     # stream_interval_join_full rides the stream_ prefix scan
 ]
 

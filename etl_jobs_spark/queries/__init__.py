@@ -80,6 +80,9 @@ _NEEDS_CORRECTNESS_ROW = [
     "ts_seasonal_profile",
     "fn_regex_suite",
     "scd2_merge_apply",
+    "join_lateral_topn",
+    "fn_url_suite",
+    "corpus_quality_threshold_sweep",
     # (b) the last 27 r1-era rows (CORRECTNESS_r01 order; the window
     # is 50 — whatever the sweep doesn't reach rolls to round 7)
     "agg_approx_sketches",
@@ -89,9 +92,6 @@ _NEEDS_CORRECTNESS_ROW = [
     "agg_null_counts",
     "agg_profile_stats",
     "agg_quantiles_iqr",
-    "agg_record_count",
-    "agg_success_rate",
-    "dedup_full_row",
     # (q1_pricing_summary, the setop trio, topk_orders,
     # window_rank/running and the r2-era rows roll to round 7 —
     # the sweep window is 50)

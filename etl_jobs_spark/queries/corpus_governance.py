@@ -569,3 +569,68 @@ def curriculum_phase_plan(spark, sf_dir):
         F.max("n_chars").cast("bigint").alias("max_chars"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+@register(
+    "corpus_quality_threshold_sweep",
+    oracle="""
+    WITH scored AS (
+      SELECT least(n_chars // 200, 9) AS q_bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) // 4 AS BIGINT) AS tokens
+      FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS all_tokens FROM scored),
+    sweep AS (
+      SELECT q_bucket AS threshold,
+             CAST(sum(n_docs) OVER (ORDER BY q_bucket DESC
+                                    ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS n_docs_kept,
+             CAST(sum(tokens) OVER (ORDER BY q_bucket DESC
+                                    ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS tokens_kept
+      FROM scored)
+    SELECT s.threshold, s.n_docs_kept, s.tokens_kept,
+           CAST(s.tokens_kept * 1000 // t.all_tokens AS BIGINT)
+             AS token_share_millis
+    FROM sweep s, tot t
+    """,
+)
+def corpus_quality_threshold_sweep(spark, sf_dir):
+    """Quality-threshold ABLATION sweep — the planning table a
+    corpus curator reads before picking a cut: for every candidate
+    quality threshold (10 integer buckets over the length proxy),
+    the docs and training tokens that SURVIVE a keep-if-at-least-
+    this-good gate, cumulated from strictest to loosest, with each
+    cut's share of the total token budget in exact per-mille. One
+    tiny aggregation (10 rows) plus a prefix-sum window ordered by
+    the INTEGER bucket (descending — strictest first), so the sweep
+    costs one pass at any corpus size and the driver hash pins the
+    entire ablation curve. Pairs with corpus_token_budget (which
+    allocates within a chosen cut) and quality_filter_top_half
+    (which materializes one)."""
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.groupBy(
+        F.least(F.expr("n_chars DIV 200"), F.lit(9)).alias("q_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(sum(n_chars) DIV 4 AS BIGINT)").alias("tokens"),
+    )
+    tot = scored.agg(F.sum("tokens").cast("bigint").alias("all_tokens"))
+    w = W.orderBy(F.desc("q_bucket")).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    sweep = scored.select(
+        F.col("q_bucket").alias("threshold"),
+        F.sum("n_docs").over(w).cast("bigint").alias("n_docs_kept"),
+        F.sum("tokens").over(w).cast("bigint").alias("tokens_kept"),
+    )
+    return sweep.crossJoin(F.broadcast(tot)).select(
+        "threshold",
+        "n_docs_kept",
+        "tokens_kept",
+        F.expr(
+            "CAST(tokens_kept * 1000 DIV all_tokens AS BIGINT)"
+        ).alias("token_share_millis"),
+    )

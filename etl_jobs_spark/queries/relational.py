@@ -659,3 +659,66 @@ def setop_multiset_all(spark, sf_dir):
         .select(F.lit("intersect_all").alias("op"), "pri", "n")
     )
     return exc.unionAll(ints)
+
+
+#: One SQL text, two engines: the correlated LATERAL subquery is
+#: dialect-shared, so the oracle IS the Spark query string.
+_LATERAL_TOPN_SQL = """
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+"""
+
+
+@register("join_lateral_topn", oracle=_LATERAL_TOPN_SQL)
+def join_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL top-N join (SQL:2016 LATERAL, new to Spark
+    in 4.0): each customer's two largest orders via a correlated
+    ORDER BY … LIMIT subquery — the IDENTICAL SQL text runs on both
+    engines, so this query pins cross-dialect LATERAL semantics
+    (correlation scoping, per-row LIMIT, tiebreak) byte-for-byte.
+    Catalyst decorrelates the lateral into the same plan the window
+    formulation produces (rank over a partition — no per-row
+    re-execution), so the 100 TB cost is one orders shuffle keyed by
+    customer; LATERAL is surface syntax, not an execution strategy."""
+    for t in ("customer", "orders"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_TOPN_SQL)
+
+
+@register(
+    "fn_url_suite",
+    oracle="""
+    SELECT event_id,
+           'events.example.com' AS host,
+           concat('/u/', CAST(user_id AS VARCHAR)) AS path,
+           concat('t=', event_type) AS query,
+           event_type AS t_param
+    FROM events
+    """,
+)
+def fn_url_suite(spark, sf_dir):
+    """URL-function family: event rows rendered as canonical URLs
+    and parsed back with ``parse_url`` (HOST / PATH / QUERY and
+    keyed QUERY parameter extraction) — the clickstream-parsing
+    verbs of web analytics. The oracle states every component
+    DIRECTLY from the source columns, so parse_url must invert the
+    construction exactly (scheme handling, path/query split, param
+    lookup). Map-only: build + four parses fuse into one codegen
+    projection; no data moves until the caller aggregates."""
+    ev = read_table(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://events.example.com/u/"),
+        F.col("user_id").cast("string"),
+        F.lit("?t="),
+        F.col("event_type"),
+    )
+    return ev.select(
+        "event_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("t")).alias("t_param"),
+    )
