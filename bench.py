@@ -164,6 +164,9 @@ HEADLINE = [
     "join_lateral_topn",
     "fn_url_suite",
     "corpus_quality_threshold_sweep",
+    "ts_cusum_changepoint",
+    "dq_benford_first_digit",
+    "window_share_of_total",
     # stream_interval_join_full rides the stream_ prefix scan
 ]
 

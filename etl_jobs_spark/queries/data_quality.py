@@ -693,3 +693,85 @@ def dq_drift_psi(spark, sf_dir):
             " * 693147 DIV 1000000000 AS BIGINT)"
         ).alias("psi_contrib_micro"),
     )
+
+
+#: Benford's-law expected first-digit proportions, per-mille
+#: (round(log10(1+1/d)·1000) for d = 1..9) — literal on both engines.
+_BENFORD_MILLI = (301, 176, 125, 97, 79, 67, 58, 51, 46)
+
+
+@register(
+    "dq_benford_first_digit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0),
+    counts AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+    expected(digit, exp_milli) AS (VALUES {", ".join(
+        f"({d}, {m})" for d, m in enumerate(_BENFORD_MILLI, start=1))})
+    SELECT e.digit,
+           coalesce(c.n, 0) AS n,
+           CAST(coalesce(c.n, 0) * 1000 // t.total AS BIGINT)
+             AS obs_milli,
+           CAST(e.exp_milli AS BIGINT) AS exp_milli,
+           CAST((coalesce(c.n, 0) * 1000 // t.total - e.exp_milli)
+                * (coalesce(c.n, 0) * 1000 // t.total - e.exp_milli)
+                // e.exp_milli AS BIGINT) AS dev_contrib
+    FROM expected e LEFT JOIN counts c ON e.digit = c.digit
+    CROSS JOIN tot t
+    """,
+)
+def dq_benford_first_digit(spark, sf_dir):
+    """Benford's-law first-digit audit of order amounts — the
+    classic fraud/fabrication screen (organically-generated amounts
+    follow log10(1+1/d); fabricated ones usually don't). First
+    digits come from exact integer CENTS (never float formatting),
+    observed proportions quantize to per-mille, and the per-digit
+    deviation contribution (obs−exp)²/exp is pure integer arithmetic
+    against the literal Benford table — bit-stable everywhere. A
+    spike in dev_contrib localizes WHICH digit is off, the number an
+    auditor acts on. One aggregation over the facts; the audit table
+    is 9 rows at any scale. (The fixture amounts are uniform-ish, so
+    this run SHOWS non-conformance — the screen working, not
+    failing.)"""
+    orders = read_table(spark, sf_dir, "orders")
+    digit = F.expr(
+        "CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)"
+        " AS STRING), 1, 1) AS INT)"
+    )
+    counts = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    expected = orders.sparkSession.createDataFrame(
+        [(d, m) for d, m in enumerate(_BENFORD_MILLI, start=1)],
+        "digit INT, exp_milli BIGINT",
+    )
+    j = (
+        expected.join(F.broadcast(counts), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.expr(
+                "CAST(coalesce(n, 0) * 1000 DIV total AS BIGINT)"
+            ).alias("obs_milli"),
+            "exp_milli",
+        )
+    )
+    return j.select(
+        "digit",
+        "n",
+        "obs_milli",
+        "exp_milli",
+        F.expr(
+            "CAST((obs_milli - exp_milli) * (obs_milli - exp_milli)"
+            " DIV exp_milli AS BIGINT)"
+        ).alias("dev_contrib"),
+    )

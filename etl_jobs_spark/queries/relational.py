@@ -722,3 +722,72 @@ def fn_url_suite(spark, sf_dir):
         F.parse_url(url, F.lit("QUERY")).alias("query"),
         F.parse_url(url, F.lit("QUERY"), F.lit("t")).alias("t_param"),
     )
+
+
+@register(
+    "window_share_of_total",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2)
+    SELECT region, nation, cents,
+           CAST(cents * 1000 // sum(cents) OVER (PARTITION BY region)
+                AS BIGINT) AS share_millis,
+           CAST(row_number() OVER (PARTITION BY region
+                                   ORDER BY cents DESC, nation)
+                AS BIGINT) AS rank_in_region
+    FROM rev
+    """,
+)
+def window_share_of_total(spark, sf_dir):
+    """Share-of-total (ratio-to-report) window: each nation's
+    revenue as an exact per-mille share of its REGION total, with
+    its rank inside the region — the market-share breakdown every
+    BI rollup leads with, and the window shape (aggregate over the
+    partition, no ORDER BY) that turns a two-pass self-join into one
+    pass. Integer cents end-to-end; the share is one BIGINT
+    division. Scale shape: the fact aggregation is the only big
+    shuffle (dims broadcast); both windows share the region
+    partitioning over a |nations|-row table."""
+    from pyspark.sql import Window as W
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    rev = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = W.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        "cents",
+        F.expr(
+            "CAST(cents * 1000 DIV sum(cents) OVER (PARTITION BY region)"
+            " AS BIGINT)"
+        ).alias("share_millis"),
+        F.row_number()
+        .over(w.orderBy(F.desc("cents"), "nation"))
+        .cast("bigint")
+        .alias("rank_in_region"),
+    )

@@ -982,3 +982,84 @@ def ts_seasonal_profile(spark, sf_dir):
             " AS BIGINT)"
         ).alias("resid_abs_sum"),
     )
+
+
+@register(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type,
+             CAST(sum(cnt) * 1000000 // count(*) AS BIGINT) AS mean_micro,
+             CAST(count(*) AS BIGINT) AS n_hours
+      FROM hourly GROUP BY 1),
+    cusum AS (
+      SELECT h.event_type, h.hr, s.n_hours,
+             CAST(sum(h.cnt * 1000000 - s.mean_micro)
+                    OVER (PARTITION BY h.event_type ORDER BY h.hr
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+      FROM hourly h JOIN stats s USING (event_type)),
+    ranked AS (
+      SELECT event_type, hr, n_hours, c,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(c) DESC, hr) AS rk
+      FROM cusum)
+    SELECT event_type,
+           CAST(hr AS TIMESTAMP_NS) AS changepoint_hour,
+           CAST(abs(c) // 1000000 AS BIGINT) AS max_cusum,
+           n_hours
+    FROM ranked WHERE rk = 1
+    """,
+)
+def ts_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint detection per event-type series: the
+    cumulative sum of deviations from the series mean peaks (in
+    absolute value) at the most likely regime-change hour — the
+    classic offline changepoint estimator (the argmax of |CUSUM| is
+    the single-changepoint MLE under a mean-shift model). All
+    integer arithmetic: micro-quantized mean, exact prefix sums, an
+    argmax window with an earliest-hour tiebreak — bit-stable on
+    both engines. Scale shape: series length is hours-of-history;
+    one hourly aggregation over the facts, then windows over the
+    tiny series."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = hourly.groupBy("event_type").agg(
+        F.expr("CAST(sum(cnt) * 1000000 DIV count(*) AS BIGINT)").alias(
+            "mean_micro"
+        ),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    run = (
+        W.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cusum = hourly.join(F.broadcast(stats), "event_type").withColumn(
+        "c",
+        F.sum(F.col("cnt") * 1000000 - F.col("mean_micro"))
+        .over(run)
+        .cast("bigint"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy(F.abs(F.col("c")).desc(), "hr")
+    )
+    return (
+        cusum.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("hr").alias("changepoint_hour"),
+            F.expr("CAST(abs(c) DIV 1000000 AS BIGINT)").alias(
+                "max_cusum"
+            ),
+            "n_hours",
+        )
+    )
