@@ -167,6 +167,9 @@ HEADLINE = [
     "ts_cusum_changepoint",
     "dq_benford_first_digit",
     "window_share_of_total",
+    "fn_interval_suite",
+    "pipeline_dq_quarantine_replay",
+    # text_langid_confusion_eval rides the text_ prefix scan
     # stream_interval_join_full rides the stream_ prefix scan
 ]
 

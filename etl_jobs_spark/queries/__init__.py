@@ -86,12 +86,12 @@ _NEEDS_CORRECTNESS_ROW = [
     "ts_cusum_changepoint",
     "dq_benford_first_digit",
     "window_share_of_total",
+    "text_langid_confusion_eval",
+    "fn_interval_suite",
+    "pipeline_dq_quarantine_replay",
     # (b) the last 27 r1-era rows (CORRECTNESS_r01 order; the window
     # is 50 — whatever the sweep doesn't reach rolls to round 7)
     "agg_approx_sketches",
-    "agg_completion_rate",
-    "agg_dup_count",
-    "agg_events_by_type",
     # (q1_pricing_summary, the setop trio, topk_orders,
     # window_rank/running and the r2-era rows roll to round 7 —
     # the sweep window is 50)

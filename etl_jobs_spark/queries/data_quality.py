@@ -775,3 +775,108 @@ def dq_benford_first_digit(spark, sf_dir):
             " DIV exp_milli AS BIGINT)"
         ).alias("dev_contrib"),
     )
+
+
+@register(
+    "pipeline_dq_quarantine_replay",
+    oracle="""
+    WITH dirty AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value_n,
+             CASE WHEN event_id % 11 = 0 THEN NULL
+                  ELSE event_type END AS event_type_n
+      FROM events),
+    flagged AS (
+      SELECT *,
+             (value_n IS NOT NULL AND event_type_n IS NOT NULL
+              AND event_type_n <> '' AND value_n >= 0 AND value_n <= 150)
+               AS ok
+      FROM dirty),
+    repaired AS (
+      SELECT event_id, user_id,
+             least(greatest(coalesce(value_n, 0.0), 0.0), 150.0) AS value_r,
+             CASE WHEN event_type_n IS NULL OR event_type_n = ''
+                  THEN 'unknown' ELSE event_type_n END AS type_r
+      FROM flagged WHERE NOT ok)
+    SELECT 'valid_first_pass' AS phase,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(value_n * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM flagged WHERE ok
+    UNION ALL
+    SELECT 'repaired_replayed',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(round(value_r * 100) AS BIGINT)) AS BIGINT)
+    FROM repaired
+    WHERE value_r >= 0 AND value_r <= 150 AND type_r <> ''
+    UNION ALL
+    SELECT 'still_quarantined', CAST(count(*) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM repaired
+    WHERE NOT (value_r >= 0 AND value_r <= 150 AND type_r <> '')
+    """,
+)
+def pipeline_dq_quarantine_replay(spark, sf_dir):
+    """Quarantine → repair → REPLAY: the operational loop behind
+    every validation gate (filter_rejected_rows produces the
+    quarantine; this closes it): rows failing the rule set are
+    repaired by policy (null value → 0, out-of-range → clamped into
+    [0,150], missing type → 'unknown'), re-validated by the SAME
+    rules, and the job reports the three-phase census — first-pass
+    valid, repaired-and-replayed, and still-quarantined (the rows
+    needing a human). Monetary sums ride as integer cents so the
+    repaired total is exact evidence the repairs applied. Scale
+    shape: two map-only projections over the feed + one conditional
+    aggregation; the replay is a filter flip, not a second scan of
+    anything."""
+    from etl_jobs_spark.queries._shared import dirty_events
+
+    d = dirty_events(spark, sf_dir)
+    ok = (
+        F.col("value_n").isNotNull()
+        & F.col("event_type_n").isNotNull()
+        & (F.col("event_type_n") != "")
+        & (F.col("value_n") >= 0)
+        & (F.col("value_n") <= 150)
+    )
+    flagged = d.withColumn("ok", ok)
+    repaired = flagged.filter(~F.col("ok")).select(
+        "event_id",
+        F.least(
+            F.greatest(F.coalesce("value_n", F.lit(0.0)), F.lit(0.0)),
+            F.lit(150.0),
+        ).alias("value_r"),
+        F.when(
+            F.col("event_type_n").isNull() | (F.col("event_type_n") == ""),
+            "unknown",
+        )
+        .otherwise(F.col("event_type_n"))
+        .alias("type_r"),
+    )
+    re_ok = (
+        (F.col("value_r") >= 0)
+        & (F.col("value_r") <= 150)
+        & (F.col("type_r") != "")
+    )
+    valid = flagged.filter("ok").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr("CAST(round(value_n * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("value_cents"),
+    ).select(F.lit("valid_first_pass").alias("phase"), "n_rows", "value_cents")
+    replayed = repaired.filter(re_ok).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr("CAST(round(value_r * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("value_cents"),
+    ).select(
+        F.lit("repaired_replayed").alias("phase"), "n_rows", "value_cents"
+    )
+    stuck = repaired.filter(~re_ok).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    ).select(
+        F.lit("still_quarantined").alias("phase"),
+        "n_rows",
+        F.lit(0).cast("bigint").alias("value_cents"),
+    )
+    return valid.unionAll(replayed).unionAll(stuck)

@@ -526,3 +526,55 @@ def fn_regex_suite(spark, sf_dir):
         .cast("bigint")
         .alias("consonant_len"),
     )
+
+
+@register(
+    "fn_interval_suite",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP_NS)
+             AS plus_3mo,
+           CAST(o_orderdate - INTERVAL 45 DAY AS TIMESTAMP_NS)
+             AS minus_45d,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP_NS)
+             AS month_end,
+           CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INT) AS doy,
+           CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS iso_week,
+           CAST(date_diff('day', DATE '1995-06-01',
+                          CAST(o_orderdate AS DATE)) AS BIGINT)
+             AS days_since_epoch0,
+           CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP_NS)
+             AS quarter_start
+    FROM orders
+    """,
+)
+def fn_interval_suite(spark, sf_dir):
+    """Date/interval arithmetic family in one fused projection:
+    calendar-aware month addition, day arithmetic, month-end
+    snapping, ordinal day, ISO week, day distance from a pinned
+    anchor, and quarter truncation — the due-date/aging/cohort
+    verbs of every warehouse (TPC-H Q4's window is exactly
+    ``+ INTERVAL 3 MONTH``). Calendar arithmetic is where engines
+    quietly disagree (month-end clamping, ISO week 52/53
+    boundaries); the hash pins the two engines to identical
+    calendars. Map-only — fuses into the scan."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.expr("o_orderdate + INTERVAL 3 MONTH").alias("plus_3mo"),
+        F.expr("o_orderdate - INTERVAL 45 DAY").alias("minus_45d"),
+        F.expr(
+            "CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)"
+        ).alias("month_end"),
+        F.expr("dayofyear(CAST(o_orderdate AS DATE))")
+        .cast("int")
+        .alias("doy"),
+        F.expr("weekofyear(CAST(o_orderdate AS DATE))")
+        .cast("int")
+        .alias("iso_week"),
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE),"
+            " DATE '1995-06-01') AS BIGINT)"
+        ).alias("days_since_epoch0"),
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+    )

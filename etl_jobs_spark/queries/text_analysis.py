@@ -797,3 +797,65 @@ def text_hashing_trick_features(spark, sf_dir):
         for i in range(_FH_DIM)
     ]
     return toks.groupBy("doc_id").agg(*aggs)
+
+
+def _langid_eval_oracle() -> str:
+    """Confusion matrix + accuracy of the marker-lexicon language ID
+    against the declared labels, built on the registered lang-id
+    oracle (nested as a CTE — the eval inherits its verification)."""
+    from etl_jobs_spark.registry import _REGISTRY
+
+    pred = _REGISTRY["text_lang_id"].oracle
+    return f"""
+    WITH pred AS ({pred}),
+    cells AS (
+      SELECT declared_lang, predicted_lang,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN declared_lang = predicted_lang
+                           THEN n ELSE 0 END) AS BIGINT) AS correct
+      FROM cells)
+    SELECT c.declared_lang, c.predicted_lang, c.n,
+           CAST(t.correct * 10000 // t.total AS BIGINT)
+             AS overall_accuracy_bp
+    FROM cells c CROSS JOIN tot t
+    """
+
+
+@register("text_langid_confusion_eval", oracle=_langid_eval_oracle())
+def text_langid_confusion_eval(spark, sf_dir):
+    """Language-ID QUALITY EVALUATION: the marker-lexicon classifier
+    (text_lang_id) scored against the corpus's declared labels as a
+    full confusion matrix, every row carrying the overall accuracy
+    in basis points — the third self-audit tier after
+    ann_recall_eval and dedup_lsh_recall_eval (classifier, ANN, and
+    dedup approximations are all measured by first-class jobs whose
+    arithmetic AND inputs are oracle-restated). The confusion matrix
+    is what routing decisions read: WHICH languages leak into which
+    (not just how many). Scale shape: the classifier is map-only;
+    the eval adds one |langs|² aggregation."""
+    pred = TX.lang_id(read_table(spark, sf_dir, "documents"))
+    cells = pred.groupBy("declared_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.sum(
+            F.when(
+                F.col("declared_lang") == F.col("predicted_lang"),
+                F.col("n"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("correct"),
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "declared_lang",
+        "predicted_lang",
+        "n",
+        F.expr("CAST(correct * 10000 DIV total AS BIGINT)").alias(
+            "overall_accuracy_bp"
+        ),
+    )
