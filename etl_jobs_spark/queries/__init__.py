@@ -42,7 +42,6 @@ _NEEDS_CORRECTNESS_ROW = [
     # (a) round-6 additions
     "join_null_safe",
     "setop_multiset_all",
-    "fn_bitwise_suite",
     "agg_gini_revenue",
     "basket_brand_affinity",
     "path_top_sequences",
@@ -89,12 +88,15 @@ _NEEDS_CORRECTNESS_ROW = [
     "text_langid_confusion_eval",
     "fn_interval_suite",
     "pipeline_dq_quarantine_replay",
-    # (b) the last 27 r1-era rows (CORRECTNESS_r01 order; the window
-    # is 50 — whatever the sweep doesn't reach rolls to round 7)
-    "agg_approx_sketches",
-    # (q1_pricing_summary, the setop trio, topk_orders,
-    # window_rank/running and the r2-era rows roll to round 7 —
-    # the sweep window is 50)
+    "embed_centroid_drift",
+    "agg_bitmap_rollup_weekly",
+    # The 50-slot window is entirely round-6 additions; the r1/r2-era
+    # recheck rotation (VERDICT r4 item 7's tail: q1_pricing_summary,
+    # the agg_/filter_/fillna_/proj_ reference-parity rows, the setop
+    # trio, topk_orders, window_rank/running, and the r2-era batch)
+    # rolls to round 7. fn_bitwise_suite (pure-integer, individually
+    # driver-checked at sf0.01 this round) also rolls — 51 additions
+    # don't fit a 50-row window.
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

@@ -802,3 +802,105 @@ def ann_recall_eval(spark, sf_dir):
             F.count(F.col("i.vec_id")).cast("double") / SIM.DEFAULT_K, 4
         ).alias("recall_at_k"),
     )
+
+
+#: Fixed-point grid shared with embed_centroid_labels' discipline:
+#: quantize components BEFORE summing so both engines' centroid
+#: integers are exact under any aggregation order.
+_DRIFT_SCALE = 1_000_000
+
+
+@register(
+    "embed_centroid_drift",
+    oracle=f"""
+    WITH q AS (
+      SELECT label, vec_id % 2 AS half,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                        * {_DRIFT_SCALE} + 0.5) AS BIGINT) AS qv
+      FROM embeddings),
+    means AS (
+      SELECT label, dim,
+             CAST(sum(CASE WHEN half = 0 THEN qv END)
+                  // sum(CASE WHEN half = 0 THEN 1 END) AS BIGINT)
+               AS m_a,
+             CAST(sum(CASE WHEN half = 1 THEN qv END)
+                  // sum(CASE WHEN half = 1 THEN 1 END) AS BIGINT)
+               AS m_b
+      FROM q GROUP BY 1, 2),
+    ssd AS (
+      SELECT label,
+             CAST(sum((m_a - m_b) * (m_a - m_b)) AS BIGINT) AS s
+      FROM means GROUP BY 1),
+    halves AS (
+      SELECT label,
+             CAST(count(DISTINCT CASE WHEN vec_id % 2 = 0
+                                      THEN vec_id END) AS BIGINT) AS n_a,
+             CAST(count(DISTINCT CASE WHEN vec_id % 2 = 1
+                                      THEN vec_id END) AS BIGINT) AS n_b
+      FROM embeddings GROUP BY 1)
+    SELECT h.label, h.n_a, h.n_b,
+           round(sqrt(CAST(s.s AS DOUBLE)) / {_DRIFT_SCALE}, 6)
+             AS centroid_l2_drift
+    FROM halves h JOIN ssd s ON h.label = s.label
+    """,
+)
+def embed_centroid_drift(spark, sf_dir):
+    """EMBEDDING drift monitor — the vector counterpart of
+    dq_drift_psi's scalar PSI: per label, the L2 distance between
+    the centroid of one half of the corpus (even vec_ids, standing
+    in for last week's embeddings) and the other (odd ids, this
+    week's) — the cheap first alarm that an embedding distribution
+    moved (model update, upstream content shift) before any index
+    rebuild. Bit-exact under distribution: components quantize to a
+    fixed-point integer grid BEFORE summing (per-dim means are
+    integer divisions of exact sums — no float-summation order
+    anywhere), the squared-diff sum is exact BIGINT, and the only
+    float ops are one sqrt + divide. Scale shape: one explode +
+    (label, dim)-keyed aggregation — the same cost as one centroid
+    build; the drift table is |labels| rows."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "comp"),
+    ).select(
+        "label",
+        "half",
+        "dim",
+        F.expr(
+            f"CAST(floor(CAST(comp AS DOUBLE) * {_DRIFT_SCALE} + 0.5)"
+            " AS BIGINT)"
+        ).alias("qv"),
+    )
+    means = q.groupBy("label", "dim").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN half = 0 THEN qv END)"
+            " DIV sum(CASE WHEN half = 0 THEN 1 END) AS BIGINT)"
+        ).alias("m_a"),
+        F.expr(
+            "CAST(sum(CASE WHEN half = 1 THEN qv END)"
+            " DIV sum(CASE WHEN half = 1 THEN 1 END) AS BIGINT)"
+        ).alias("m_b"),
+    )
+    ssd = means.groupBy("label").agg(
+        F.sum((F.col("m_a") - F.col("m_b")) * (F.col("m_a") - F.col("m_b")))
+        .cast("bigint")
+        .alias("s")
+    )
+    halves = emb.groupBy("label").agg(
+        F.countDistinct(
+            F.when(F.col("vec_id") % 2 == 0, F.col("vec_id"))
+        ).alias("n_a"),
+        F.countDistinct(
+            F.when(F.col("vec_id") % 2 == 1, F.col("vec_id"))
+        ).alias("n_b"),
+    )
+    return halves.join(ssd, "label").select(
+        "label",
+        "n_a",
+        "n_b",
+        F.round(
+            F.sqrt(F.col("s").cast("double")) / _DRIFT_SCALE, 6
+        ).alias("centroid_l2_drift"),
+    )
