@@ -169,7 +169,9 @@ HEADLINE = [
     "window_share_of_total",
     "fn_interval_suite",
     "pipeline_dq_quarantine_replay",
-    # text_langid_confusion_eval rides the text_ prefix scan
+    "agg_bitmap_rollup_weekly",
+    # text_langid_confusion_eval / embed_centroid_drift ride the
+    # text_ / embed_ prefix scans
     # stream_interval_join_full rides the stream_ prefix scan
 ]
 
