@@ -70,6 +70,11 @@ AUDIT = {
     "q18_large_orders": "HAVING cuts before any join; customer broadcasts; top-100 is TakeOrderedAndProject",
     "attr_linear_touch": "touch join + per-purchase count share one user/purchase partitioning family",
     "agg_pareto_share": "rank + count windows share one segment partition sort; cutoff is integer",
+    "join_lateral_topn": "LATERAL decorrelates to a rank window — no per-row subquery execution",
+    "window_share_of_total": "fact agg is the only big shuffle; share+rank windows share the region partition",
+    "stat_chi_square_independence": "one fact aggregation to r x c cells; marginals are windows over 25 rows",
+    "agg_bitmap_rollup_weekly": "weekly uniques from stored daily bitmaps via bitmap_or_agg, no raw re-scan",
+    "graph_triangle_count": "edge build is ONE groupBy shuffle; close joins run over the persisted edge table",
 }
 
 INTERESTING = re.compile(
