@@ -170,6 +170,8 @@ HEADLINE = [
     "fn_interval_suite",
     "pipeline_dq_quarantine_replay",
     "agg_bitmap_rollup_weekly",
+    "window_pct_change_mom",
+    "agg_repeat_purchase_rate",
     # text_langid_confusion_eval / embed_centroid_drift ride the
     # text_ / embed_ prefix scans
     # stream_interval_join_full rides the stream_ prefix scan

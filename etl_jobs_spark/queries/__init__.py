@@ -40,8 +40,6 @@ from etl_jobs_spark.queries import (  # noqa: F401
 # fill the window.
 _NEEDS_CORRECTNESS_ROW = [
     # (a) round-6 additions
-    "join_null_safe",
-    "setop_multiset_all",
     "agg_gini_revenue",
     "basket_brand_affinity",
     "path_top_sequences",
@@ -90,13 +88,17 @@ _NEEDS_CORRECTNESS_ROW = [
     "pipeline_dq_quarantine_replay",
     "embed_centroid_drift",
     "agg_bitmap_rollup_weekly",
+    "window_pct_change_mom",
+    "agg_repeat_purchase_rate",
     # The 50-slot window is entirely round-6 additions; the r1/r2-era
     # recheck rotation (VERDICT r4 item 7's tail: q1_pricing_summary,
     # the agg_/filter_/fillna_/proj_ reference-parity rows, the setop
     # trio, topk_orders, window_rank/running, and the r2-era batch)
     # rolls to round 7. fn_bitwise_suite (pure-integer, individually
-    # driver-checked at sf0.01 this round) also rolls — 51 additions
-    # don't fit a 50-row window.
+    # driver-checked at sf0.01 this round) also rolls, as do
+    # join_null_safe and setop_multiset_all (same pure-integer class,
+    # same individual checks) — 53 additions don't fit a 50-row
+    # window.
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

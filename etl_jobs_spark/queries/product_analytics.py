@@ -685,3 +685,129 @@ def scd2_merge_apply(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "window_pct_change_mom",
+    oracle="""
+    WITH monthly AS (
+      SELECT c.c_mktsegment AS segment,
+             date_trunc('month', o.o_orderdate) AS month,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2)
+    SELECT segment, CAST(month AS TIMESTAMP_NS) AS month, cents,
+           lag(cents) OVER (PARTITION BY segment ORDER BY month)
+             AS prev_cents,
+           CAST((cents - lag(cents) OVER (PARTITION BY segment
+                                          ORDER BY month)) * 10000
+                // lag(cents) OVER (PARTITION BY segment ORDER BY month)
+                AS BIGINT) AS growth_bp
+    FROM monthly
+    """,
+)
+def window_pct_change_mom(spark, sf_dir):
+    """Month-over-month growth (period-over-period percent change):
+    each segment's monthly revenue with the prior month and the
+    growth rate in integer BASIS POINTS — the first chart of every
+    revenue dashboard, as one lag window over the monthly rollup.
+    Integer cents end-to-end; the growth rate is one BIGINT
+    division (floor — stated identically in both dialects), so the
+    driver hash pins sign, magnitude, and the NULL first month.
+    Scale shape: the fact aggregation is the only big shuffle; the
+    window runs over |segments|·|months| rows."""
+    from pyspark.sql import Window as W
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    monthly = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = W.partitionBy("segment").orderBy("month")
+    prev = F.lag("cents").over(w)
+    return monthly.select(
+        "segment",
+        "month",
+        "cents",
+        prev.alias("prev_cents"),
+        F.expr(
+            "CAST((cents - lag(cents) OVER (PARTITION BY segment"
+            " ORDER BY month)) * 10000"
+            " DIV lag(cents) OVER (PARTITION BY segment ORDER BY month)"
+            " AS BIGINT)"
+        ).alias("growth_bp"),
+    )
+
+
+@register(
+    "agg_repeat_purchase_rate",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    firsts AS (
+      SELECT user_id, min(ts) AS first_ts FROM p GROUP BY 1),
+    flags AS (
+      SELECT f.user_id,
+             max(CASE WHEN p.ts > f.first_ts
+                       AND p.ts <= f.first_ts + INTERVAL 30 DAY
+                      THEN 1 ELSE 0 END) AS repeated
+      FROM firsts f JOIN p ON f.user_id = p.user_id
+      GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_buyers,
+           CAST(sum(repeated) AS BIGINT) AS n_repeat_30d,
+           CAST(sum(repeated) * 10000 // count(*) AS BIGINT)
+             AS repeat_rate_bp
+    FROM flags
+    """,
+)
+def agg_repeat_purchase_rate(spark, sf_dir):
+    """30-day repeat-purchase rate: of users who ever purchased, the
+    share who purchased AGAIN within 30 days of their first — the
+    retention KPI next to the cohort triangle
+    (agg_retention_cohorts counts activity; this pins the monetary
+    loop). One keyed min, one self-aligned membership check (the
+    purchases table joins its own firsts on the user key — both
+    sides pre-shuffled identically, no extra pass over events), and
+    a single-row reduce with the rate in integer basis points.
+    Everything is integer/timestamp comparison — bit-exact."""
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    firsts = p.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    flags = (
+        p.join(firsts, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("ts") > F.col("first_ts"))
+                    & (
+                        F.col("ts")
+                        <= F.col("first_ts") + F.expr("INTERVAL 30 DAY")
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("repeated")
+        )
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_buyers"),
+        F.sum("repeated").cast("bigint").alias("n_repeat_30d"),
+        F.expr(
+            "CAST(sum(repeated) * 10000 DIV count(*) AS BIGINT)"
+        ).alias("repeat_rate_bp"),
+    )
