@@ -271,7 +271,7 @@ def main() -> None:
     # deltas compare code not VMs.
     norm = {k: round(v * scale, 3) for k, v in timings.items()}
 
-    cur_tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "r05")
+    cur_tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "r07")
     docs = Path(__file__).resolve().parent / "docs"
     history = docs / "bench_history.jsonl"
     # cross-round comparison: common-subset normalized total vs the

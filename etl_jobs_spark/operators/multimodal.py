@@ -451,9 +451,12 @@ def image_histogram(media_df: DataFrame, n_buckets: int = 4) -> DataFrame:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
                 img = C.decode_image(bytes(blob))
-                counts = np.bincount(
-                    img.reshape(-1) // width, minlength=n_buckets
-                )
+                # Clamp into the last bucket: when n_buckets does not
+                # divide 256, intensities >= n_buckets*width would
+                # otherwise land in a silently-dropped overflow bucket
+                # and per-image counts would no longer sum to W*H*C.
+                idx = np.minimum(img.reshape(-1) // width, n_buckets - 1)
+                counts = np.bincount(idx, minlength=n_buckets)
                 rows.extend(
                     (int(doc_id), int(b), int(c))
                     for b, c in enumerate(counts[:n_buckets])

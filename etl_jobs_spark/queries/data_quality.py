@@ -418,12 +418,22 @@ def governance_erasure_cascade(spark, sf_dir):
              CAST(count(*) AS BIGINT) AS n
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY 1, 2),
+    segs AS (SELECT DISTINCT seg FROM obs),
+    pris AS (SELECT DISTINCT pri FROM obs),
+    filled AS (
+      SELECT g.seg, g.pri, CAST(coalesce(o.n, 0) AS BIGINT) AS n
+      FROM (SELECT seg, pri FROM segs CROSS JOIN pris) g
+      LEFT JOIN obs o ON g.seg = o.seg AND g.pri = o.pri),
+    dims AS (
+      SELECT CAST(count(DISTINCT seg) AS BIGINT) AS r,
+             CAST(count(DISTINCT pri) AS BIGINT) AS c
+      FROM obs),
     tot AS (
       SELECT seg, pri, n,
              CAST(sum(n) OVER (PARTITION BY seg) AS BIGINT) AS row_n,
              CAST(sum(n) OVER (PARTITION BY pri) AS BIGINT) AS col_n,
              CAST(sum(n) OVER () AS BIGINT) AS grand_n
-      FROM obs),
+      FROM filled),
     cells AS (
       SELECT (CAST(n AS DOUBLE)
               - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
@@ -436,9 +446,9 @@ def governance_erasure_cascade(spark, sf_dir):
              grand_n
       FROM tot)
     SELECT round(sum(term), 6) AS chi_square,
-           CAST((count(*) / 5 - 1) * (5 - 1) AS BIGINT) AS dof,
+           CAST((max(d.r) - 1) * (max(d.c) - 1) AS BIGINT) AS dof,
            CAST(max(grand_n) AS BIGINT) AS n
-    FROM cells
+    FROM cells CROSS JOIN dims d
     """,
 )
 def stat_chi_square_independence(spark, sf_dir):
@@ -453,8 +463,12 @@ def stat_chi_square_independence(spark, sf_dir):
     operands, so round(…, 6) is bit-stable cross-engine. The
     statistic and degrees of freedom are reported; the p-value
     lookup is a client-side constant table (the CDF is not data
-    work). Scale shape: ONE fact-table aggregation to r×c cells;
-    everything after is constant-size."""
+    work). The observed cells are grid-completed over the full
+    seg×pri cross product (zero-observation cells contribute their
+    full (0−exp)²/exp = exp term) and dof is derived from the
+    DISTINCT level counts — correct for any input, not just one
+    where every cell is occupied. Scale shape: ONE fact-table
+    aggregation to r×c cells; everything after is constant-size."""
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
     from pyspark.sql import Window as W
@@ -470,8 +484,19 @@ def stat_chi_square_independence(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    grid = obs.select("seg").distinct().crossJoin(
+        obs.select("pri").distinct()
+    )
+    filled = (
+        grid.join(obs, ["seg", "pri"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)).cast("bigint"))
+    )
+    dims = obs.agg(
+        F.countDistinct("seg").cast("bigint").alias("r"),
+        F.countDistinct("pri").cast("bigint").alias("c"),
+    )
     tot = (
-        obs.withColumn(
+        filled.withColumn(
             "row_n", F.sum("n").over(W.partitionBy("seg")).cast("bigint")
         )
         .withColumn(
@@ -487,12 +512,14 @@ def stat_chi_square_independence(spark, sf_dir):
         / F.col("grand_n").cast("double")
     )
     term = (F.col("n") - exp) * (F.col("n") - exp) / exp
-    return tot.select(term.alias("term"), "grand_n").agg(
+    agg = tot.select(term.alias("term"), "grand_n").agg(
         F.round(F.sum("term"), 6).alias("chi_square"),
-        ((F.count(F.lit(1)) / 5 - 1) * (5 - 1))
-        .cast("bigint")
-        .alias("dof"),
         F.max("grand_n").cast("bigint").alias("n"),
+    )
+    return agg.crossJoin(F.broadcast(dims)).select(
+        "chi_square",
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+        "n",
     )
 
 

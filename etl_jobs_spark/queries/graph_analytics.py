@@ -227,11 +227,11 @@ def graph_triangle_count(spark, sf_dir):
     community-structure diagnostic behind recommender neighborhoods.
     The scale-critical choices: (1) edge generation is BLOCKED BY
     ORDER KEY (distinct parts per order self-equi-joined on the
-    order), never an all-pairs product; (2) edges are ORIENTED
-    (u < v), so each triangle is enumerated exactly once as
-    u < v < w by two equi-joins over the edge table — the standard
-    distributed triangle algorithm (degree-orientation is the same
-    plan with a different comparator when degree skew demands it);
+    order), never an all-pairs product; (2) edges are DEGREE-
+    ORIENTED (lower-(degree, id) endpoint first), so each triangle
+    is enumerated exactly once by two equi-joins over the edge
+    table and every out-neighborhood — hence every wedge fan-out —
+    is bounded by O(sqrt(m)) even under power-law hubs;
     (3) wedges come from an integer degree aggregation, no join. The
     only float op is the final coefficient division — exact-integer
     operands, round 6, bit-stable."""
@@ -264,14 +264,49 @@ def graph_triangle_count(spark, sf_dir):
             )
         ).alias("p")
     ).select("p.u", "p.v")
-    edges = cache.track(pairs.distinct())  # feeds 3 joins + degree
-    # Triangle close: two shuffle equi-joins over the persisted edge
-    # table (measured faster than broadcasting the 1.2M-row edge map
-    # twice on one machine; on a cluster the choice is AQE's — the
-    # 19 MB edge list sits under the broadcast threshold, and for
-    # edge lists beyond it the same joins run shuffle-partitioned on
-    # u/v with degree orientation bounding the wedge fan-out).
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    # Canonical (u < v) undirected edge set: feeds the degree agg,
+    # the edge count, and the orientation join below.
+    edges = cache.track(pairs.distinct())
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # DEGREE orientation: direct each edge from the lower-(degree,
+    # id) endpoint to the higher, so every out-neighborhood is
+    # bounded by O(sqrt(m)) — hub wedge fan-out stays flat under
+    # power-law skew, where raw id-orientation lets one hot node
+    # generate O(d_hub^2) wedges. The census (triangles, wedges,
+    # degrees, clustering) is orientation-invariant, so the oracle
+    # is unchanged. The degree map is tiny relative to the edge
+    # list (|V| vs |E|) — broadcast it onto both endpoints; beyond
+    # the broadcast threshold the same joins run shuffle-partitioned
+    # and AQE decides.
+    du = F.broadcast(
+        deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    )
+    dv = F.broadcast(
+        deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    )
+    lower_first = F.col("du") <= F.col("dv")  # tie → id order (u < v)
+    oriented = cache.track(
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("u"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("v"),
+        )
+    )
+    # Triangle close: two shuffle equi-joins over the persisted
+    # oriented edge table (measured faster than broadcasting the
+    # 1.2M-row edge map twice on one machine; on a cluster the
+    # choice is AQE's).
+    e1, e2, e3 = (
+        oriented.alias("e1"),
+        oriented.alias("e2"),
+        oriented.alias("e3"),
+    )
     tri = (
         e1.join(e2, F.col("e1.v") == F.col("e2.u"))
         .join(
@@ -280,12 +315,6 @@ def graph_triangle_count(spark, sf_dir):
             & (F.col("e3.v") == F.col("e2.v")),
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
     )
     summary = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),

@@ -562,13 +562,16 @@ def join_bloom_prefilter(spark, sf_dir):
       FROM events),
     sys_a AS (
       SELECT event_type_n AS k, CAST(count(*) AS BIGINT) AS n_a,
-             round(sum(value), 2) AS val_a
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS val_a_cents
       FROM dirty WHERE event_id % 2 = 0 GROUP BY 1),
     sys_b AS (
       SELECT event_type_n AS k, CAST(count(*) AS BIGINT) AS n_b,
-             round(sum(value), 2) AS val_b
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS val_b_cents
       FROM dirty WHERE event_id % 2 = 1 GROUP BY 1)
-    SELECT a.k AS event_type, a.n_a, b.n_b, a.val_a, b.val_b
+    SELECT a.k AS event_type, a.n_a, b.n_b,
+           a.val_a_cents, b.val_b_cents
     FROM sys_a a JOIN sys_b b
       ON a.k IS NOT DISTINCT FROM b.k
     """,
@@ -584,16 +587,19 @@ def join_null_safe(spark, sf_dir):
     both sides on the key; NULL hashes like any value under
     null-safe semantics), so the fix costs nothing at 100 TB —
     unlike the ``COALESCE(k, sentinel)`` workaround, which breaks
-    if the sentinel ever appears in data."""
+    if the sentinel ever appears in data. Float discipline: the
+    reconciled sums are integer cents (round-then-sum BIGINTs), so
+    the result is bit-stable regardless of aggregation order."""
     from etl_jobs_spark.queries._shared import dirty_events
 
     d = dirty_events(spark, sf_dir)
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
     a = (
         d.filter(F.col("event_id") % 2 == 0)
         .groupBy(F.col("event_type_n").alias("k"))
         .agg(
             F.count(F.lit(1)).alias("n_a"),
-            F.round(F.sum("value"), 2).alias("val_a"),
+            F.sum(cents).alias("val_a_cents"),
         )
     )
     b = (
@@ -601,11 +607,15 @@ def join_null_safe(spark, sf_dir):
         .groupBy(F.col("event_type_n").alias("k2"))
         .agg(
             F.count(F.lit(1)).alias("n_b"),
-            F.round(F.sum("value"), 2).alias("val_b"),
+            F.sum(cents).alias("val_b_cents"),
         )
     )
     return a.join(b, a.k.eqNullSafe(b.k2)).select(
-        F.col("k").alias("event_type"), "n_a", "n_b", "val_a", "val_b"
+        F.col("k").alias("event_type"),
+        "n_a",
+        "n_b",
+        "val_a_cents",
+        "val_b_cents",
     )
 
 

@@ -599,7 +599,7 @@ def join_asof_tolerance(spark, sf_dir):
              epoch_us(ts) + 1800000000 AS e
       FROM events),
     flagged AS (
-      SELECT user_id, s, e,
+      SELECT user_id, event_id, s, e,
              CASE WHEN s > coalesce(
                     max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING
@@ -610,7 +610,7 @@ def join_asof_tolerance(spark, sf_dir):
     islands AS (
       SELECT user_id, s, e,
              sum(new_island) OVER (PARTITION BY user_id
-                                   ORDER BY s, e
+                                   ORDER BY s, event_id
                                    ROWS UNBOUNDED PRECEDING) AS island_id
       FROM flagged),
     merged AS (
@@ -666,9 +666,13 @@ def ts_interval_coverage(spark, sf_dir):
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
+    # Same total order (s, event_id) as the new_island window: e is
+    # s + a constant, so ordering by (s, e) leaves ties among
+    # duplicate timestamps free to land before/after the
+    # island-opening row nondeterministically.
     run = (
         W.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(W.unboundedPreceding, 0)
     )
     islands = flagged.withColumn(

@@ -57,7 +57,6 @@ AUDIT = {
     "join_asof_tolerance": "tolerance is a projection over the one-shuffle as-of kernel",
     # round 6
     "basket_brand_affinity": "pairs blocked on the order key; marginals broadcast back onto the pair table",
-    "graph_triangle_count": "oriented edge table persisted once, reused by both triangle joins + degree agg",
     "ts_interval_coverage": "sweep-line as one user-partitioned window family; no self-join, no iteration",
     "agg_gini_revenue": "segment dim broadcasts; rank window + both aggs share the segment partitioning",
     "governance_erasure_cascade": "the ~1% erasure cohort broadcasts into every per-table semi join",
@@ -74,7 +73,7 @@ AUDIT = {
     "window_share_of_total": "fact agg is the only big shuffle; share+rank windows share the region partition",
     "stat_chi_square_independence": "one fact aggregation to r x c cells; marginals are windows over 25 rows",
     "agg_bitmap_rollup_weekly": "weekly uniques from stored daily bitmaps via bitmap_or_agg, no raw re-scan",
-    "graph_triangle_count": "edge build is ONE groupBy shuffle; close joins run over the persisted edge table",
+    "graph_triangle_count": "edge build is ONE groupBy shuffle; oriented edge table persisted once, reused by both close joins + degree agg",
 }
 
 INTERESTING = re.compile(
