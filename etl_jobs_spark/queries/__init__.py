@@ -32,73 +32,68 @@ from etl_jobs_spark.queries import (  # noqa: F401
     reference_parity,
 )
 
-# Round-6 sweep window (50 queries, registration order). Front of the
-# list = highest priority: (a) the 20 round-6 additions (all
-# hash-oracled), then (b) the remaining never-rechecked r1-era rows
-# (27 — the last of VERDICT r4 item 7's rotation; round 5 already
-# re-greened 23 of the oldest) and the three oldest r2-era rows to
-# fill the window.
+# Round-7 sweep window (50 queries, registration order), per VERDICT
+# r6 item 1: (a) round-7 additions (each new query is inserted at
+# the front as it lands), then (b) the THREE queries that have never
+# received a driver row, then (c) the 27 r1-era rows whose newest
+# driver evidence is still CORRECTNESS_r01, then (d) the oldest
+# r2-era rows to fill to 50 (scan_/sink_ family, the embed pair,
+# the text block — the rest of the r2 batch rotates in round 8).
 _NEEDS_CORRECTNESS_ROW = [
-    # (a) round-6 additions
-    "agg_gini_revenue",
-    "basket_brand_affinity",
-    "path_top_sequences",
-    "ts_interval_coverage",
-    "ts_autocorr_lag1",
-    "ts_ols_daily_trend",
-    "ts_rolling_median_hourly",
-    "graph_triangle_count",
-    "dq_l_diversity",
-    "governance_erasure_cascade",
-    "curriculum_phase_plan",
-    "sample_weighted_bernoulli",
-    "mv_incremental_refresh",
-    "maintenance_vacuum_report",
-    "ann_recall_eval",
-    "multimodal_audio_downsample",
-    "scan_text_logparse",
-    "q4_priority_exists",
-    "q12_priority_by_flag",
-    "q18_large_orders",
-    "stream_interval_join_full",
-    "attr_linear_touch",
-    "agg_pareto_share",
-    "fn_map_suite",
-    "scan_json_nested_explode",
-    "text_bpe_tokenize",
-    "text_hashing_trick_features",
-    "scan_txn_log_snapshot",
-    "agg_time_to_convert",
-    "stat_chi_square_independence",
-    "stat_ab_test_zscore",
-    "dq_drift_psi",
-    "dedup_lsh_recall_eval",
-    "multimodal_image_histogram",
-    "ts_seasonal_profile",
-    "fn_regex_suite",
-    "scd2_merge_apply",
-    "join_lateral_topn",
-    "fn_url_suite",
-    "corpus_quality_threshold_sweep",
-    "ts_cusum_changepoint",
-    "dq_benford_first_digit",
-    "window_share_of_total",
-    "text_langid_confusion_eval",
-    "fn_interval_suite",
-    "pipeline_dq_quarantine_replay",
-    "embed_centroid_drift",
-    "agg_bitmap_rollup_weekly",
-    "window_pct_change_mom",
-    "agg_repeat_purchase_rate",
-    # The 50-slot window is entirely round-6 additions; the r1/r2-era
-    # recheck rotation (VERDICT r4 item 7's tail: q1_pricing_summary,
-    # the agg_/filter_/fillna_/proj_ reference-parity rows, the setop
-    # trio, topk_orders, window_rank/running, and the r2-era batch)
-    # rolls to round 7. fn_bitwise_suite (pure-integer, individually
-    # driver-checked at sf0.01 this round) also rolls, as do
-    # join_null_safe and setop_multiset_all (same pure-integer class,
-    # same individual checks) — 53 additions don't fit a 50-row
-    # window.
+    # (a) round-7 additions
+    # (b) never driver-checked
+    "fn_bitwise_suite",
+    "join_null_safe",
+    "setop_multiset_all",
+    # (c) r1-era rows (newest driver row = r1)
+    "q1_pricing_summary",
+    "join_star_revenue",
+    "agg_null_counts",
+    "agg_dup_count",
+    "agg_quantiles_iqr",
+    "filter_outliers_iqr",
+    "agg_profile_stats",
+    "agg_record_count",
+    "agg_completion_rate",
+    "agg_success_rate",
+    "pred_alert_thresholds",
+    "dedup_full_row",
+    "fillna_const",
+    "fillna_mean",
+    "proj_quality_score",
+    "filter_rejected_rows",
+    "filter_valid_rows",
+    "setop_union_all",
+    "setop_intersect",
+    "setop_except",
+    "topk_orders",
+    "window_rank_events",
+    "window_running_sum",
+    "json_extract_props",
+    "pipeline_2022_end_to_end",
+    "agg_events_by_type",
+    "agg_approx_sketches",
+    # (d) r2-era fill (oldest evidence after the r1 block)
+    "scan_csv_single",
+    "scan_csv_pandas",
+    "scan_glob_union",
+    "scan_binary_files",
+    "scan_csv_corrupt_quarantine",
+    "scan_incremental_watermark",
+    "scan_orc_roundtrip",
+    "scan_schema_evolution",
+    "sink_jdbc_append",
+    "sink_json_report",
+    "sink_partition_overwrite",
+    "sink_s3",
+    "source_s3",
+    "embed_cosine_topk",
+    "embed_lsh_topk",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_tfidf",
+    "text_token_stats",
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)
