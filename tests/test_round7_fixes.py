@@ -57,3 +57,38 @@ def test_interval_coverage_stable_under_shuffled_input(spark):
         .collect()
     }
     assert base == again
+
+
+def test_substring_spans_find_planted_prefixes(spark):
+    """Every planted truncated copy (doc_id + 1e6, last 7 chars
+    dropped) shares its whole text with the original — the span
+    table must contain a (orig, plant) span covering ~the full
+    truncated length, starting at position 1 on both sides."""
+    from etl_jobs_spark.operators import dedup as DD
+    from etl_jobs_spark.sources.readers import read_table
+
+    corpus = DD.planted_corpus(
+        read_table(spark, SF_DIR, "documents"), mutate=True
+    )
+    lens = {
+        r.doc_id: r.l
+        for r in corpus.select(
+            "doc_id", F.length("n").alias("l")
+        ).collect()
+    }
+    spans = QUERIES["dedup_substring_spans"](spark, SF_DIR).collect()
+    by_pair = {}
+    for r in spans:
+        key = (r.doc_a, r.doc_b)
+        by_pair[key] = max(by_pair.get(key, 0), r.span_len)
+        assert r.span_len >= DD.SPAN_MIN_LEN
+    found = 0
+    for d in range(DD.PLANT_MAX_ID):
+        plant = d + DD.PLANT_OFFSET
+        if plant not in lens or lens[plant] < DD.SPAN_MIN_LEN:
+            continue
+        # stop-gram drops can trim a span's edges, but the planted
+        # prefix must still dominate the pair's longest span
+        assert by_pair.get((d, plant), 0) >= lens[plant] // 2, d
+        found += 1
+    assert found >= 20
