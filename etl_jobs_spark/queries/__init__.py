@@ -42,6 +42,7 @@ from etl_jobs_spark.queries import (  # noqa: F401
 _NEEDS_CORRECTNESS_ROW = [
     # (a) round-7 additions
     "dedup_substring_spans",
+    "text_bpe_learn",
     # (b) never driver-checked
     "fn_bitwise_suite",
     "join_null_safe",
@@ -93,9 +94,8 @@ _NEEDS_CORRECTNESS_ROW = [
     "text_fingerprint",
     "text_lang_id",
     "text_quality_score",
-    "text_tfidf",
-    # text_token_stats rotates to round 8 — each round-7 addition
-    # displaces one r2-era fill slot (window cap is 50).
+    # text_tfidf / text_token_stats rotate to round 8 — each round-7
+    # addition displaces one r2-era fill slot (window cap is 50).
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

@@ -656,31 +656,36 @@ _BPE_MERGES = (
 )
 
 
-def _bpe_expr(engine: str) -> str:
-    """Space-separated BPE symbol string for the normalized text:
-    lowercase letters only, words fenced by the '§' marker (no merge
-    crosses it), every char spaced out, then each merge applied
-    globally in rank order. Pure chained regexp_replace — fused,
-    JVM-side, no UDF; identical construction in both dialects."""
+def _bpe_spaced(engine: str) -> str:
+    """The pre-merge BPE symbol string: lowercase letters only,
+    words fenced by the '§' marker (no merge crosses it), every
+    char spaced out. Shared by the apply phase (text_bpe_tokenize)
+    and the learn phase (text_bpe_learn)."""
     if engine == "spark":
         base = (
             "regexp_replace(regexp_replace(lower(text),"
             " '[^a-z ]', ''), '\\\\s+', ' ')"
         )
-        spaced = (
+        return (
             f"trim(regexp_replace(replace({base}, ' ', ' § '),"
             " '([a-z§])', '$1 '))"
         )
-    else:
-        base = (
-            "regexp_replace(regexp_replace(lower(text),"
-            " '[^a-z ]', '', 'g'), '\\s+', ' ', 'g')"
-        )
-        spaced = (
-            f"trim(regexp_replace(replace({base}, ' ', ' § '),"
-            " '([a-z§])', '\\1 ', 'g'))"
-        )
-    expr = spaced
+    base = (
+        "regexp_replace(regexp_replace(lower(text),"
+        " '[^a-z ]', '', 'g'), '\\s+', ' ', 'g')"
+    )
+    return (
+        f"trim(regexp_replace(replace({base}, ' ', ' § '),"
+        " '([a-z§])', '\\1 ', 'g'))"
+    )
+
+
+def _bpe_expr(engine: str) -> str:
+    """Space-separated BPE symbol string for the normalized text
+    with each fixed merge applied globally in rank order. Pure
+    chained regexp_replace — fused, JVM-side, no UDF; identical
+    construction in both dialects."""
+    expr = _bpe_spaced(engine)
     for a, b in _BPE_MERGES:
         expr = f"replace({expr}, '{a} {b}', '{a}{b}')"
     return expr
@@ -858,4 +863,109 @@ def text_langid_confusion_eval(spark, sf_dir):
         F.expr("CAST(correct * 10000 DIV total AS BIGINT)").alias(
             "overall_accuracy_bp"
         ),
+    )
+
+
+#: Merge rounds learned by text_bpe_learn. Bounded and unrolled in
+#: the oracle: each round is one corpus pair-count + argmax + apply.
+_BPE_LEARN_ROUNDS = 8
+
+
+def _bpe_learn_oracle() -> str:
+    """The SAME iterative learner unrolled as {R} CTE stages: the
+    oracle independently re-learns the merge table rather than being
+    handed it — a wrong pair count, tie-break, or apply order in
+    either engine flips the hash."""
+    parts = [
+        f"s0 AS (SELECT {_bpe_spaced('duckdb')} AS s FROM documents)"
+    ]
+    for r in range(_BPE_LEARN_ROUNDS):
+        parts.append(
+            f"""p{r} AS (
+      SELECT z[1] AS a, z[2] AS b, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(list_zip(string_split(s, ' '),
+                                   string_split(s, ' ')[2:])) AS z
+            FROM s{r}) zz
+      WHERE z[2] IS NOT NULL AND z[1] <> '§' AND z[2] <> '§'
+        AND z[1] <> '' AND z[2] <> ''
+      GROUP BY 1, 2),
+    m{r} AS (
+      SELECT a, b, n FROM p{r}
+      ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+    s{r + 1} AS (
+      SELECT replace(s, m.a || ' ' || m.b, m.a || m.b) AS s
+      FROM s{r} CROSS JOIN m{r} m)"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS left_sym,"
+        f" b AS right_sym, n AS pair_count FROM m{r}"
+        for r in range(_BPE_LEARN_ROUNDS)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + union
+
+
+@register("text_bpe_learn", oracle=_bpe_learn_oracle())
+def text_bpe_learn(spark, sf_dir):
+    """BPE merge-table LEARNING — the distributed tokenizer-training
+    step a corpus build runs once, upstream of text_bpe_tokenize's
+    apply phase. Classic byte-pair-encoding fitting (Sennrich et
+    al.), bounded to {_BPE_LEARN_ROUNDS} rounds: per round, (1)
+    count adjacent symbol pairs corpus-wide — an explode into ONE
+    map-side-combinable keyed aggregation, the only shuffle; (2)
+    take the argmax pair under the deterministic total order
+    (count DESC, left ASC, right ASC) — a one-row reduce to the
+    driver, the same bounded-driver-data pattern as the IVF
+    centroid fit; (3) fuse that pair everywhere via a JVM-side
+    replace() appended to the projection chain — no UDF. The spaced
+    corpus is materialized once (the 3-regex spacing chain is the
+    expensive projection); each round replays r cheap replaces from
+    that cached base. At 100 TB the cache becomes a staged parquet
+    of the spaced corpus — written once, scanned R times. The oracle
+    re-learns the table independently with the identical unrolled
+    iteration, so merges must agree EXACTLY, rank by rank,
+    cross-engine. Word boundaries are fenced ('§') so no merge
+    crosses words."""
+    docs = read_table(spark, sf_dir, "documents")
+    # The spaced-out corpus is computed (and cached) ONCE: the
+    # 3-regex spacing chain is the expensive projection, and every
+    # round's replace chain replays from this cached base. The
+    # repartition spreads the single-file fixture across the
+    # executor threads — on a real cluster the source is already
+    # partitioned.
+    base = cache.track(
+        docs.repartition(32).select(
+            F.expr(_bpe_spaced("spark")).alias("s")
+        )
+    )
+    # Adjacent pairs from ONE split per row: index lookups into the
+    # materialized symbol array, never a re-split per element.
+    pair_struct = (
+        "filter(transform(slice(syms, 1, size(syms) - 1), (x, i) -> "
+        "struct(x AS a, syms[i + 1] AS b)), "
+        "p -> p.a <> '§' AND p.b <> '§' "
+        "AND p.a <> '' AND p.b <> '')"
+    )
+    cur = base
+    merges = []
+    for r in range(_BPE_LEARN_ROUNDS):
+        best = (
+            cur.select(F.expr("split(s, ' ')").alias("syms"))
+            .select(F.explode(F.expr(pair_struct)).alias("z"))
+            .groupBy(F.col("z.a").alias("a"), F.col("z.b").alias("b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((r, best.a, best.b, best.n))
+        # symbols are [a-z§]+ only — safe to inline in the literal
+        cur = cur.select(
+            F.expr(
+                f"replace(s, '{best.a} {best.b}', "
+                f"'{best.a}{best.b}') AS s"
+            )
+        )
+    return spark.createDataFrame(
+        merges, "merge_rank long, left_sym string, right_sym string, "
+        "pair_count long"
     )

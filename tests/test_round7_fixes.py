@@ -92,3 +92,16 @@ def test_substring_spans_find_planted_prefixes(spark):
         assert by_pair.get((d, plant), 0) >= lens[plant] // 2, d
         found += 1
     assert found >= 20
+
+
+def test_bpe_learn_merge_table_shape(spark):
+    """8 ranked merges, no pair repeats (a merged pair's count drops
+    to zero, so the greedy argmax can never pick it again), every
+    symbol lowercase-alpha, counts positive."""
+    rows = QUERIES["text_bpe_learn"](spark, SF_DIR).collect()
+    assert [r.merge_rank for r in rows] == list(range(8))
+    pairs = [(r.left_sym, r.right_sym) for r in rows]
+    assert len(set(pairs)) == 8
+    for r in rows:
+        assert r.pair_count > 0
+        assert r.left_sym.isalpha() and r.right_sym.isalpha()
