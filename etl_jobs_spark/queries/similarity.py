@@ -904,3 +904,184 @@ def embed_centroid_drift(spark, sf_dir):
             F.sqrt(F.col("s").cast("double")) / _DRIFT_SCALE, 6
         ).alias("centroid_l2_drift"),
     )
+
+
+#: Lloyd k-means: cluster count, iteration budget, and the integer
+#: quantization scale (embedding -> micro-units). ALL distance and
+#: centroid arithmetic is exact BIGINT — k-means is famously
+#: aggregation-order-sensitive in floats, so the quantized form is
+#: what makes the fit bit-reproducible cross-engine (and cross-run
+#: on a cluster, where partial-sum order is nondeterministic).
+_KM_K = 4
+_KM_ROUNDS = 3
+_KM_SCALE = 1_000_000
+
+
+def _km_quant(engine: str) -> str:
+    """array<float> -> array<bigint> micro-unit quantization."""
+    if engine == "spark":
+        return (
+            "transform(embedding, x -> "
+            f"CAST(round(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT))"
+        )
+    return (
+        "list_transform(embedding, x -> "
+        f"CAST(round(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT))"
+    )
+
+
+def _kmeans_oracle() -> str:
+    """The oracle RE-LEARNS the clustering: long-form (vec_id, dim,
+    q) vectors, {_KM_ROUNDS} unrolled assign+update rounds, final
+    assignment stats. Integer division is truncation-toward-zero in
+    both engines (verified); sums stay exact BIGINTs."""
+    parts = [
+        f"""v AS (
+      SELECT vec_id, CAST(d AS INT) AS d, q FROM (
+        SELECT vec_id, unnest({_km_quant("duckdb")}) AS q,
+               generate_subscripts(embedding, 1) AS d
+        FROM embeddings)),
+    c0 AS (
+      SELECT vec_id AS cid, d, q AS c FROM v
+      WHERE vec_id < {_KM_K})"""
+    ]
+    for r in range(_KM_ROUNDS):
+        parts.append(
+            f"""d{r} AS (
+      SELECT v.vec_id, c.cid,
+             CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS dist
+      FROM v JOIN c{r} c USING (d)
+      GROUP BY v.vec_id, c.cid),
+    a{r} AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist ASC, cid ASC) AS rk
+        FROM d{r})
+      WHERE rk = 1),
+    c{r + 1} AS (
+      SELECT a.cid, v.d,
+             CAST(CAST(sum(v.q) AS BIGINT) // count(*) AS BIGINT) AS c
+      FROM a{r} a JOIN v ON v.vec_id = a.vec_id
+      GROUP BY a.cid, v.d)"""
+        )
+    R = _KM_ROUNDS
+    parts.append(
+        f"""df AS (
+      SELECT v.vec_id, c.cid,
+             CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS dist
+      FROM v JOIN c{R} c USING (d)
+      GROUP BY v.vec_id, c.cid),
+    af AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist ASC, cid ASC) AS rk
+        FROM df)
+      WHERE rk = 1),
+    sig AS (
+      SELECT cid, CAST(sum(c) AS BIGINT) AS c_sum,
+             CAST(sum(abs(c)) AS BIGINT) AS c_absum
+      FROM c{R} GROUP BY cid)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT af.cid AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(af.dist) AS BIGINT) AS inertia,
+           max(sig.c_sum) AS c_sum,
+           max(sig.c_absum) AS c_absum
+    FROM af JOIN sig ON sig.cid = af.cid
+    GROUP BY af.cid"""
+    )
+
+
+@register("embed_kmeans_lloyd", oracle=_kmeans_oracle())
+def embed_kmeans_lloyd(spark, sf_dir):
+    """Distributed Lloyd k-means FIT over the embedding corpus —
+    the clustering step behind IVF index building, corpus topic
+    bucketing, and diversity sampling, here as a first-class
+    oracle-verified operator (the IVF queries consume pre-exported
+    centroids; this one LEARNS them, and the oracle independently
+    re-learns the identical fit). Integer discipline end-to-end:
+    vectors quantize to micro-unit BIGINTs, distances are exact
+    integer sums, centroid updates are integer mean (truncating
+    division — identical in both engines), argmin tie-breaks on
+    cluster id. Scale shape per round: ONE broadcast-literal
+    assignment projection (centroids ride into the closure as k·dim
+    literals — no join, no shuffle for assignment) + ONE
+    posexplode/groupBy(cid, dim) partial-agg shuffle for the
+    update + a k·dim-row collect. Driver state is k·dim ints per
+    round — the bounded-driver-data pattern of the BPE learner and
+    the IVF fit. At 100 TB: assignment is map-only over the corpus,
+    the update shuffle carries k·dim partial sums per task, and
+    round count is fixed."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qdf = emb.select(
+        "vec_id", F.expr(_km_quant("spark")).alias("q")
+    )
+    by_id = {
+        r.vec_id: list(r.q)
+        for r in qdf.filter(F.col("vec_id") < _KM_K).collect()
+    }
+    # cents: ordered [(cid, vector)] — cid labels are STABLE across
+    # rounds (an empty cluster drops out without renumbering the
+    # rest, mirroring the oracle's grouped update exactly).
+    cents = [(int(i), by_id[i]) for i in sorted(by_id)]
+
+    def lit_arr(vals):
+        return "array(" + ",".join(f"{v}L" for v in vals) + ")"
+
+    def assign_expr(cs):
+        structs = ", ".join(
+            "struct(aggregate(zip_with(q, "
+            + lit_arr(c)
+            + ", (x, y) -> (x - y) * (x - y)), 0L, "
+            "(acc, v) -> acc + v) AS dist, "
+            f"{cid} AS cid)"
+            for cid, c in cs
+        )
+        return f"array_min(array({structs}))"
+
+    dim = len(cents[0][1])
+    for _ in range(_KM_ROUNDS):
+        assigned = qdf.select(
+            "vec_id", "q", F.expr(assign_expr(cents)).alias("best")
+        )
+        upd = (
+            assigned.select(
+                F.col("best.cid").alias("cid"),
+                F.posexplode("q").alias("d", "qv"),
+            )
+            .groupBy("cid", "d")
+            .agg(
+                F.sum("qv").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select("cid", "d", F.expr("CAST(s DIV n AS BIGINT)").alias("c"))
+            .collect()
+        )
+        new = {}
+        for row in upd:
+            new.setdefault(row.cid, [0] * dim)[row.d] = row.c
+        cents = [(cid, new[cid]) for cid in sorted(new)]
+
+    final = qdf.select(
+        "vec_id", F.expr(assign_expr(cents)).alias("best")
+    )
+    stats = final.groupBy(F.col("best.cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("best.dist").cast("long").alias("inertia"),
+    )
+    sig = spark.createDataFrame(
+        [
+            (cid, int(sum(c)), int(sum(abs(x) for x in c)))
+            for cid, c in cents
+        ],
+        "cluster_id int, c_sum long, c_absum long",
+    )
+    return stats.join(F.broadcast(sig), "cluster_id").select(
+        "cluster_id", "n_vecs", "inertia", "c_sum", "c_absum"
+    )
