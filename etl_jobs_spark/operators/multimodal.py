@@ -466,3 +466,62 @@ def image_histogram(media_df: DataFrame, n_buckets: int = 4) -> DataFrame:
     return media_df.select("doc_id", "media").mapInPandas(
         batches, schema=HIST_SCHEMA
     )
+
+
+#: Frame width (samples) and mean-square silence threshold for
+#: wav_frame_energy. Fixture samples span ±2048, so x² means land
+#: around 1.4e6 — a 1e6 cut yields genuinely mixed silence flags.
+WAV_FRAME = 16
+WAV_SILENCE_MS = 1_000_000
+
+
+def wav_frame_energy(media_df: DataFrame) -> DataFrame:
+    """Decode PCM WAV containers and reduce each to FRAME-level
+    energy features: the waveform splits into fixed WAV_FRAME-sample
+    frames (last frame ragged), each frame's mean-square energy is
+    an exact integer (sum of squares DIV frame length), and the doc
+    row reports frame count, silent-frame count (ms energy below
+    WAV_SILENCE_MS — the VAD-style silence gate a speech curation
+    pipeline cuts on), peak frame energy, and total energy. Same
+    Arrow-batched mapInPandas shape as every codec stage; only the
+    5-column integer rows shuffle."""
+    from etl_jobs_spark.operators import codecs as C
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["audio"]):
+                samples, _rate = C.decode_wav(bytes(blob))
+                x = samples.astype("int64")
+                ms = [
+                    int((f * f).sum()) // len(f)
+                    for f in (
+                        x[i : i + WAV_FRAME]
+                        for i in range(0, len(x), WAV_FRAME)
+                    )
+                ]
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(ms),
+                        sum(1 for e in ms if e < WAV_SILENCE_MS),
+                        max(ms),
+                        int((x * x).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_frames",
+                    "n_silent",
+                    "peak_frame_ms",
+                    "total_energy",
+                ],
+            )
+
+    return media_df.select("doc_id", "audio").mapInPandas(
+        batches,
+        schema="doc_id long, n_frames long, n_silent long, "
+        "peak_frame_ms long, total_energy long",
+    )

@@ -44,6 +44,8 @@ _NEEDS_CORRECTNESS_ROW = [
     "dedup_substring_spans",
     "text_bpe_learn",
     "embed_kmeans_lloyd",
+    "text_pii_redact",
+    "multimodal_audio_rms_energy",
     # (b) never driver-checked
     "fn_bitwise_suite",
     "join_null_safe",
@@ -92,11 +94,9 @@ _NEEDS_CORRECTNESS_ROW = [
     "source_s3",
     "embed_cosine_topk",
     "embed_lsh_topk",
-    "text_fingerprint",
-    "text_lang_id",
-    # text_quality_score / text_tfidf / text_token_stats rotate to
-    # round 8 — each round-7 addition displaces one r2-era fill slot
-    # (window cap is 50).
+    # text_fingerprint / text_lang_id / text_quality_score /
+    # text_tfidf / text_token_stats rotate to round 8 — each round-7
+    # addition displaces one r2-era fill slot (window cap is 50).
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

@@ -467,3 +467,40 @@ def multimodal_image_histogram(spark, sf_dir):
     per-partition decode; the shuffle payload is 4 rows per image."""
     media = spark.read.parquet(_stage_media(spark, sf_dir))
     return MM.image_histogram(media, 4)
+
+
+@register(
+    "multimodal_audio_rms_energy",
+    oracle=f"""
+    WITH fr AS (
+      SELECT doc_id, i.i // {MM.WAV_FRAME} AS f,
+             CAST(count(*) AS BIGINT) AS fn,
+             CAST(sum(CAST({_SAMPLE} AS BIGINT) * {_SAMPLE})
+                  AS BIGINT) AS fe
+      FROM documents
+      JOIN range(0, {MM.WAV_N_MOD - 1 + MM.WAV_N_MIN}) i(i)
+        ON i.i < {_WAV_N}
+      GROUP BY doc_id, f),
+    ms AS (SELECT doc_id, f, CAST(fe // fn AS BIGINT) AS e, fe FROM fr)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN e < {MM.WAV_SILENCE_MS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_silent,
+           CAST(max(e) AS BIGINT) AS peak_frame_ms,
+           CAST(sum(fe) AS BIGINT) AS total_energy
+    FROM ms GROUP BY doc_id
+    """,
+)
+def multimodal_audio_rms_energy(spark, sf_dir):
+    """Frame-level audio ENERGY profile over real containers: decode
+    each document's PCM WAV, split into fixed 16-sample frames, and
+    report frame count, silent-frame count (mean-square energy under
+    the VAD threshold — the silence gate a speech-corpus curation
+    step cuts on), peak frame energy, and total energy. Mean-square
+    per frame is exact integer arithmetic (sum-of-squares truncating
+    division), so the closed-form fixture-waveform oracle must match
+    bit-for-bit — an off-by-one in frame boundaries (the classic
+    framing bug: last ragged frame) flips the hash. Arrow-batched
+    per-partition decode; 5 integer columns per doc shuffle."""
+    media = spark.read.parquet(_stage_media(spark, sf_dir))
+    return MM.wav_frame_energy(media)

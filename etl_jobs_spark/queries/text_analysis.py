@@ -969,3 +969,97 @@ def text_bpe_learn(spark, sf_dir):
         merges, "merge_rank long, left_sym string, right_sym string, "
         "pair_count long"
     )
+
+
+#: Backslash-free PII patterns (identical bytes in both dialects —
+#: no escaping divergence): synthetic emails, the fixture phone
+#: shape, dotted-quad IPs.
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+_PII_PHONE = "[+]1-555-[0-9][0-9][0-9][0-9]"
+_PII_IP = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+
+
+def _pii_dirty(engine: str) -> str:
+    """Deterministic PII injection (the planted-corpus pattern):
+    doc_id % 3 == 0 gains an email, % 5 == 0 a phone, % 7 == 0 an
+    IP — so redaction counts are non-trivial and exactly
+    predictable. Identical concat in both dialects."""
+    did = "CAST(doc_id AS VARCHAR)" if engine == "duckdb" else (
+        "CAST(doc_id AS STRING)"
+    )
+    pad = f"lpad(CAST(doc_id % 10000 AS {'VARCHAR' if engine == 'duckdb' else 'STRING'}), 4, '0')"
+    return (
+        f"text || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || {did}"
+        f" || '@example.com' ELSE '' END"
+        f" || CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' || {pad}"
+        f" ELSE '' END"
+        f" || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' ||"
+        f" CAST(doc_id % 256 AS {'VARCHAR' if engine == 'duckdb' else 'STRING'})"
+        f" || '.1' ELSE '' END"
+    )
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH dirty AS (
+      SELECT doc_id, {_pii_dirty("duckdb")} AS t FROM documents),
+    red AS (
+      SELECT doc_id, t,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g'),
+               '{_PII_IP}', '[IP]', 'g') AS r
+      FROM dirty)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT)
+             AS n_ips,
+           CAST(length(r) AS BIGINT) AS redacted_len,
+           md5(r) AS redacted_md5
+    FROM red
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII detection + redaction — the scrubbing gate every
+    training-corpus build runs before anything else: emails, phone
+    numbers, and IPs are counted and replaced with typed
+    placeholders, and the redacted text is fingerprinted (md5) so
+    the oracle verifies the EXACT output bytes, not just counts.
+    The fixture text is synthetic word-salad, so PII is injected
+    deterministically from doc_id (the planted-corpus discipline) —
+    detection totals are exactly predictable. All three patterns
+    are backslash-free (byte-identical across dialects) and the
+    whole operator is ONE fused map-only projection: chained
+    regexp_replace + regexp_extract_all counts, no UDF, no shuffle.
+    At 100 TB this is the cheapest possible shape — a single
+    codegen'd scan."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.expr(_pii_dirty("spark"))
+    r = F.expr(
+        "regexp_replace(regexp_replace(regexp_replace("
+        + _pii_dirty("spark")
+        + f", '{_PII_EMAIL}', '[EMAIL]'),"
+        f" '{_PII_PHONE}', '[PHONE]'),"
+        f" '{_PII_IP}', '[IP]')"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"CAST(size(regexp_extract_all({_pii_dirty('spark')},"
+            f" '{_PII_EMAIL}', 0)) AS BIGINT)"
+        ).alias("n_emails"),
+        F.expr(
+            f"CAST(size(regexp_extract_all({_pii_dirty('spark')},"
+            f" '{_PII_PHONE}', 0)) AS BIGINT)"
+        ).alias("n_phones"),
+        F.expr(
+            f"CAST(size(regexp_extract_all({_pii_dirty('spark')},"
+            f" '{_PII_IP}', 0)) AS BIGINT)"
+        ).alias("n_ips"),
+        F.length(r).cast("bigint").alias("redacted_len"),
+        F.md5(r).alias("redacted_md5"),
+    )
