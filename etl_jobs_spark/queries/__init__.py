@@ -30,6 +30,7 @@ from etl_jobs_spark.queries import (  # noqa: F401
     extensibility,
     multimodal,
     reference_parity,
+    spatial,
 )
 
 # Round-7 sweep window (50 queries, registration order), per VERDICT
@@ -46,6 +47,8 @@ _NEEDS_CORRECTNESS_ROW = [
     "embed_kmeans_lloyd",
     "text_pii_redact",
     "multimodal_audio_rms_energy",
+    "join_spatial_grid",
+    "geo_grid_density",
     # (b) never driver-checked
     "fn_bitwise_suite",
     "join_null_safe",
@@ -92,9 +95,8 @@ _NEEDS_CORRECTNESS_ROW = [
     "sink_partition_overwrite",
     "sink_s3",
     "source_s3",
-    "embed_cosine_topk",
-    "embed_lsh_topk",
-    # text_fingerprint / text_lang_id / text_quality_score /
+    # embed_cosine_topk / embed_lsh_topk / text_fingerprint /
+    # text_lang_id / text_quality_score /
     # text_tfidf / text_token_stats rotate to round 8 — each round-7
     # addition displaces one r2-era fill slot (window cap is 50).
 ]

@@ -1,0 +1,215 @@
+"""Spatial (2-D) operators: grid-blocked distance joins and density
+maps.
+
+A new operator family beyond the reference's relational surface
+(generalizing its band/range joins — src/etl_2022.py joins are all
+1-D): points live on an integer grid, and every pairwise operation
+is BLOCKED through fixed-size cells, so the only joins are equi-joins
+on cell keys — the standard distributed spatial-join plan (the same
+seed-block-verify discipline as the dedup ladder, in two dimensions).
+
+Coordinates are derived deterministically from event_id (the fixture
+carries no geo columns), with multiplicative scattering that fills
+the grid uniformly — integer arithmetic end-to-end, so both engines
+agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_jobs_spark.registry import register
+from etl_jobs_spark.sources.readers import read_table
+
+#: World size (coordinates in [0, GRID_WORLD)), neighbor radius, and
+#: the cell width — cells are exactly the radius, so all neighbors
+#: within the radius sit in the 3x3 surrounding cell block.
+GRID_WORLD = 10_000
+GRID_RADIUS = 25
+
+from etl_jobs_spark.operators.hashing import hash60
+
+#: Portable md5-derived scatter: a LINEAR map (id * prime % world)
+#: lays points on sparse lattice lines and the even/odd split onto
+#: parallel lines that never come within the join radius — the
+#: hash scatter is what makes the fixture genuinely uniform.
+_HX_D = hash60("'gx:' || CAST(event_id AS VARCHAR)", "duckdb")
+_HY_D = hash60("'gy:' || CAST(event_id AS VARCHAR)", "duckdb")
+_HX_S = hash60("'gx:' || CAST(event_id AS STRING)", "spark")
+_HY_S = hash60("'gy:' || CAST(event_id AS STRING)", "spark")
+_X_D = f"({_HX_D}) % 10000"
+_Y_D = f"({_HY_D}) % 10000"
+_X_S = f"({_HX_S}) % 10000"
+_Y_S = f"({_HY_S}) % 10000"
+
+
+@register(
+    "join_spatial_grid",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id,
+             CAST({_X_D} AS BIGINT) AS x,
+             CAST({_Y_D} AS BIGINT) AS y
+      FROM events),
+    a AS (SELECT event_id AS a_id, x AS xa, y AS ya FROM pts
+          WHERE event_id % 2 = 0),
+    b AS (SELECT event_id AS b_id, x AS xb, y AS yb,
+                 xb // {GRID_RADIUS} AS cx, yb // {GRID_RADIUS} AS cy
+          FROM pts WHERE event_id % 2 = 1),
+    cand AS (
+      SELECT a.a_id, a.xa, a.ya, b.b_id,
+             (a.xa - b.xb) * (a.xa - b.xb)
+             + (a.ya - b.yb) * (a.ya - b.yb) AS d2
+      FROM a
+      CROSS JOIN range(-1, 2) dx(dx)
+      CROSS JOIN range(-1, 2) dy(dy)
+      JOIN b ON b.cx = a.xa // {GRID_RADIUS} + dx.dx
+            AND b.cy = a.ya // {GRID_RADIUS} + dy.dy
+      WHERE (a.xa - b.xb) * (a.xa - b.xb)
+            + (a.ya - b.yb) * (a.ya - b.yb)
+            <= {GRID_RADIUS * GRID_RADIUS}),
+    ranked AS (
+      SELECT a_id, b_id, d2,
+             row_number() OVER (PARTITION BY a_id
+                                ORDER BY d2 ASC, b_id ASC) AS rk,
+             CAST(count(*) OVER (PARTITION BY a_id) AS BIGINT)
+               AS n_within
+      FROM cand)
+    SELECT a_id AS a_event_id, n_within,
+           CAST(d2 AS BIGINT) AS min_dist2,
+           b_id AS nearest_b
+    FROM ranked WHERE rk = 1
+    """,
+)
+def join_spatial_grid(spark, sf_dir):
+    """Distance join on a 2-D integer grid: for every even-id point
+    find all odd-id points within GRID_RADIUS (L2), report neighbor
+    count + deterministic nearest (tie-break on id). The scale plan:
+    cell = coordinate DIV radius, the probe side expands to its 3x3
+    neighbor cells (a 9-row explode — constant), and the ONLY join
+    is an equi-join on cell keys; the exact distance predicate then
+    filters candidates. Never an all-pairs product, never a
+    theta-join: output and work are bounded by point density per
+    cell. At 100 TB the cell width is the knob (match it to the
+    query radius; repartition by cell co-locates both sides), and
+    skewed hot cells split by salting the cell key — same playbook
+    as every blocked join in the repo. Generalizes the 1-D
+    band/as-of joins (queries/temporal.py) to two dimensions."""
+    ev = read_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        F.expr(f"CAST({_X_S} AS BIGINT)").alias("x"),
+        F.expr(f"CAST({_Y_S} AS BIGINT)").alias("y"),
+    )
+    a = pts.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("a_id"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+    )
+    b = pts.filter(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("b_id"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.expr(f"x DIV {GRID_RADIUS}").alias("cx"),
+        F.expr(f"y DIV {GRID_RADIUS}").alias("cy"),
+    )
+    offsets = spark.range(-1, 2).select(F.col("id").alias("dx")).crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("dy"))
+    )
+    a_exp = a.crossJoin(F.broadcast(offsets)).select(
+        "a_id",
+        "xa",
+        "ya",
+        (F.expr(f"xa DIV {GRID_RADIUS}") + F.col("dx")).alias("cx"),
+        (F.expr(f"ya DIV {GRID_RADIUS}") + F.col("dy")).alias("cy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    cand = (
+        a_exp.join(b, ["cx", "cy"])
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= GRID_RADIUS * GRID_RADIUS)
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("a_id")
+    ranked = cand.select(
+        "a_id",
+        "b_id",
+        "d2",
+        F.row_number()
+        .over(w.orderBy(F.col("d2").asc(), F.col("b_id").asc()))
+        .alias("rk"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_within"),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        F.col("a_id").alias("a_event_id"),
+        "n_within",
+        F.col("d2").cast("long").alias("min_dist2"),
+        F.col("b_id").alias("nearest_b"),
+    )
+
+
+#: Density-map cell width (coarser than the join cells).
+DENSITY_CELL = 250
+
+
+@register(
+    "geo_grid_density",
+    oracle=f"""
+    WITH pts AS (
+      SELECT CAST({_X_D} AS BIGINT) // {DENSITY_CELL} AS cx,
+             CAST({_Y_D} AS BIGINT) // {DENSITY_CELL} AS cy,
+             value
+      FROM events),
+    cells AS (
+      SELECT cx, cy, CAST(count(*) AS BIGINT) AS n_points,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM pts GROUP BY cx, cy)
+    SELECT cx, cy, n_points, value_cents,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT cx, cy, n_points, value_cents,
+             row_number() OVER (ORDER BY n_points DESC, cx ASC, cy ASC)
+               AS rk
+      FROM cells)
+    WHERE rk <= 20
+    """,
+)
+def geo_grid_density(spark, sf_dir):
+    """Top-20 densest grid cells (a heatmap tile census): points
+    bucket into coarse cells, ONE keyed aggregation counts and sums
+    integer-cent values, and the global top-20 compiles to
+    TakeOrderedAndProject (no full sort — per-partition top-20s
+    merge on the driver). The hot-cell ranking a geo dashboard or a
+    partition-skew monitor reads. Deterministic: counts break ties
+    on (cx, cy)."""
+    ev = read_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.expr(f"CAST({_X_S} AS BIGINT) DIV {DENSITY_CELL}").alias("cx"),
+            F.expr(f"CAST({_Y_S} AS BIGINT) DIV {DENSITY_CELL}").alias("cy"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("cx", "cy")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum("cents").cast("long").alias("value_cents"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    order = [
+        F.col("n_points").desc(),
+        F.col("cx").asc(),
+        F.col("cy").asc(),
+    ]
+    # limit-first: the global cut compiles to TakeOrderedAndProject
+    # (per-partition top-20s merged on the driver); the rank window
+    # then runs over exactly 20 rows.
+    top = cells.orderBy(*order).limit(20)
+    return top.withColumn(
+        "rk", F.row_number().over(W.orderBy(*order)).cast("long")
+    )
