@@ -49,7 +49,9 @@ OFFSETS = {
 }
 
 
-def build_replica(spark, dst: str = DST, skew: bool = False) -> None:
+def build_replica(
+    spark, dst: str = DST, skew: bool = False, skew_parts: bool = False
+) -> None:
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst)
     for t in FIXTURE_TABLES:
@@ -58,6 +60,21 @@ def build_replica(spark, dst: str = DST, skew: bool = False) -> None:
             os.symlink(src_file, Path(dst) / f"{t}.parquet")
             continue
         df = read_table(spark, SRC, t)
+        if skew_parts and t == "lineitem":
+            # Power-law hub injection for the co-purchase graph: 10%
+            # of lineitems collapse onto ONE hot part (key 1), which
+            # then co-occurs with a huge share of the catalog — the
+            # hub whose wedge fan-out id-orientation cannot bound.
+            # The hot key stays hot across all four replicas (only
+            # l_orderkey is offset), so the 4x graph has ONE 4x-degree
+            # hub, not four warm ones.
+            df = df.withColumn(
+                "l_partkey",
+                F.expr(
+                    "CASE WHEN (l_orderkey * 31 + l_linenumber) % 10 = 0"
+                    " THEN 1 ELSE l_partkey END"
+                ),
+            )
         if skew and t == "events":
             # Hot-key injection: 50% of events hit user_id 7, 75% hit
             # event_type 'click'. Offsetting ONLY event_id across
@@ -93,7 +110,8 @@ def build_replica(spark, dst: str = DST, skew: bool = False) -> None:
 def main() -> None:
     names = sys.argv[1:]
     skew = "--skew" in names
-    names = [n for n in names if n != "--skew"]
+    skew_parts = "--skew-parts" in names
+    names = [n for n in names if n not in ("--skew", "--skew-parts")]
     queries = registry.all_queries()
     if not names:
         print("usage: stress_4x.py [--skew] QUERY [QUERY ...]", file=sys.stderr)
@@ -103,12 +121,12 @@ def main() -> None:
     if unknown:
         print(f"unknown queries: {unknown}", file=sys.stderr)
         sys.exit(2)
-    dst = DST + ("_skew" if skew else "")
+    dst = DST + ("_skew" if skew else "_skewparts" if skew_parts else "")
     spark = get_spark("stress4x")
-    build_replica(spark, dst, skew=skew)
+    build_replica(spark, dst, skew=skew, skew_parts=skew_parts)
     # warm the JVM/codegen once
     queries[names[0]](spark, SRC).count()
-    label = "4x-skew" if skew else "4x"
+    label = "4x-skew" if skew else "4x-hub" if skew_parts else "4x"
     print(f"{'query':34s} {'1x':>8s} {label:>8s}  ratio")
     for n in names:
         t0 = time.time()
