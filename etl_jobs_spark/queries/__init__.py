@@ -49,6 +49,9 @@ _NEEDS_CORRECTNESS_ROW = [
     "multimodal_audio_rms_energy",
     "join_spatial_grid",
     "geo_grid_density",
+    "dedup_substring_coverage",
+    "decontam_substring_hits",
+    "text_bpe_apply_learned",
     # (b) never driver-checked
     "fn_bitwise_suite",
     "join_null_safe",
@@ -92,9 +95,8 @@ _NEEDS_CORRECTNESS_ROW = [
     "scan_schema_evolution",
     "sink_jdbc_append",
     "sink_json_report",
-    "sink_partition_overwrite",
-    "sink_s3",
-    "source_s3",
+    # sink_partition_overwrite / sink_s3 / source_s3 rotate to
+    # round 8 with the text block below.
     # embed_cosine_topk / embed_lsh_topk / text_fingerprint /
     # text_lang_id / text_quality_score /
     # text_tfidf / text_token_stats rotate to round 8 — each round-7

@@ -634,3 +634,64 @@ def corpus_quality_threshold_sweep(spark, sf_dir):
             "CAST(tokens_kept * 1000 DIV all_tokens AS BIGINT)"
         ).alias("token_share_millis"),
     )
+
+
+#: Benchmark slice for substring decontamination: the lowest doc_ids
+#: stand in for the held-out eval set.
+_DECONTAM_EVAL_MAX = 50
+
+
+def _decontam_substring_oracle() -> str:
+    from etl_jobs_spark.queries.dedup import _substring_spans_oracle
+
+    spans = _substring_spans_oracle(
+        f"SELECT doc_id, {norm_text('text', 'duckdb')} AS n FROM documents"
+    )
+    return f"""
+    WITH hits AS ({spans})
+    SELECT doc_b AS train_doc,
+           CAST(count(DISTINCT doc_a) AS BIGINT) AS n_eval_docs,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(max(span_len) AS BIGINT) AS max_span_len,
+           CAST(sum(span_len) AS BIGINT) AS total_span_chars
+    FROM hits
+    WHERE doc_a < {_DECONTAM_EVAL_MAX} AND doc_b >= {_DECONTAM_EVAL_MAX}
+    GROUP BY doc_b
+    """
+
+
+@register("decontam_substring_hits", oracle=_decontam_substring_oracle())
+def decontam_substring_hits(spark, sf_dir):
+    """SUBSTRING decontamination — the long-verbatim-overlap check
+    run against a held-out benchmark before training (n-gram-overlap
+    decontam, decontam_ngram_overlap, misses long spans diluted
+    across a big doc; this catches any >= 40-char verbatim carry).
+    The eval set is the lowest-id slice of documents; every training
+    doc sharing a long span with ANY eval doc is reported with its
+    hit census (distinct eval docs, span count, longest and total
+    carried chars) — the kill-list a corpus build subtracts. Engine:
+    the same seed-and-chain span plan as dedup_substring_spans
+    (stride-1 grams, stop-gram cap, diagonal chaining) over the RAW
+    corpus, then a one-sided pair filter: span ordering puts the
+    eval side first whenever eval ids are the low range, so the
+    filter is a predicate, not a second join. Scale: identical to
+    the span operator — the eval slice is tiny, and at 100 TB you'd
+    gram only the eval side into a broadcast filter; the plan here
+    keeps the general two-sided shape the operator already has."""
+    docs = read_table(spark, sf_dir, "documents")
+    from etl_jobs_spark.operators import dedup as DD
+
+    corpus = docs.select(
+        "doc_id", F.expr(norm_text("text", "spark")).alias("n")
+    )
+    spans = DD.substring_spans(corpus)
+    hits = spans.filter(
+        (F.col("doc_a") < _DECONTAM_EVAL_MAX)
+        & (F.col("doc_b") >= _DECONTAM_EVAL_MAX)
+    )
+    return hits.groupBy(F.col("doc_b").alias("train_doc")).agg(
+        F.countDistinct("doc_a").cast("long").alias("n_eval_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.max("span_len").cast("long").alias("max_span_len"),
+        F.sum("span_len").cast("long").alias("total_span_chars"),
+    )

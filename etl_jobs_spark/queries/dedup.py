@@ -843,11 +843,15 @@ def dedup_lsh_recall_eval(spark, sf_dir):
     )
 
 
-def _substring_spans_oracle() -> str:
+def _substring_spans_oracle(corpus_sql: str | None = None) -> str:
+    """Span-table oracle over an arbitrary corpus subquery (columns
+    doc_id, n); defaults to the planted corpus. Shared with the
+    decontamination variant in queries/corpus_governance.py."""
     w, cap, mn = DD.SPAN_GRAM_W, DD.SPAN_FREQ_CAP, DD.SPAN_MIN_LEN
+    if corpus_sql is None:
+        corpus_sql = f"SELECT * FROM {DD.planted_corpus_sql(mutate=True)} pc"
     return f"""
-    WITH corpus AS (
-      SELECT * FROM {DD.planted_corpus_sql(mutate=True)} pc),
+    WITH corpus AS ({corpus_sql}),
     g0 AS (
       -- constant-bound position table (DuckDB's range() cannot take
       -- lateral column args); 2048 is ~3.5x the fixture max doc
@@ -903,4 +907,116 @@ def dedup_substring_spans(spark, sf_dir):
     (VERDICT r6 item 4)."""
     return DD.substring_spans(
         DD.planted_corpus(read_table(spark, sf_dir, "documents"), mutate=True)
+    )
+
+
+def _substring_coverage_oracle() -> str:
+    mn = DD.SPAN_MIN_LEN
+    return f"""
+    WITH spans AS ({_substring_spans_oracle()}),
+    iv AS (
+      -- DISTINCT makes (s, e) a total order per doc: several doc_a
+      -- partners can contribute IDENTICAL spans, and tied rows
+      -- would split islands nondeterministically in the running
+      -- sum (the ts_interval_coverage tie lesson)
+      SELECT DISTINCT doc_b AS doc_id, start_b AS s,
+             start_b + span_len AS e
+      FROM spans),
+    lens AS (
+      SELECT doc_id, CAST(length(n) AS BIGINT) AS n_chars
+      FROM {DD.planted_corpus_sql(mutate=True)} pc),
+    flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(
+                    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING),
+                    -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv),
+    islands AS (
+      SELECT doc_id, s, e,
+             sum(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING)
+               AS island_id
+      FROM flagged),
+    merged AS (
+      SELECT doc_id, island_id,
+             min(s) AS st, max(e) AS en
+      FROM islands GROUP BY 1, 2),
+    cov AS (
+      SELECT doc_id, CAST(sum(en - st) AS BIGINT) AS dup_chars
+      FROM merged GROUP BY doc_id)
+    SELECT c.doc_id, c.dup_chars, l.n_chars,
+           CAST(c.dup_chars * 1000 // l.n_chars AS BIGINT)
+             AS dup_permille,
+           CASE WHEN c.dup_chars * 2 >= l.n_chars
+                THEN 1 ELSE 0 END AS drop_flag
+    FROM cov c JOIN lens l ON l.doc_id = c.doc_id
+    """
+
+
+@register("dedup_substring_coverage", oracle=_substring_coverage_oracle())
+def dedup_substring_coverage(spark, sf_dir):
+    """The dedup ACTION on top of the span table: per document, how
+    much of it is covered by cross-document repeated substrings?
+    Spans landing on the doc (higher-id side, so originals survive)
+    union via the islands idiom — overlapping spans must not double
+    count, exactly the sweep-line of ts_interval_coverage — into an
+    exact duplicated-char total, a per-mille fraction, and the
+    majority-duplicated drop flag a corpus build enforces. Equal
+    (s, e) rows from different partners collapse via DISTINCT first,
+    so (s, e) is a total order inside every window. All integers. Scale: one doc-keyed window family
+    over the (small) span table + a join back to doc lengths."""
+    from pyspark.sql import Window as W
+
+    corpus = DD.planted_corpus(
+        read_table(spark, sf_dir, "documents"), mutate=True
+    )
+    spans = DD.substring_spans(corpus)
+    # DISTINCT: identical spans from different doc_a partners would
+    # otherwise tie in the island windows (see oracle comment)
+    iv = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("span_len")).alias("e"),
+    ).distinct()
+    prior = (
+        W.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(prior), F.lit(-1)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    run = (
+        W.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    merged = (
+        flagged.withColumn("island_id", F.sum("new_island").over(run))
+        .groupBy("doc_id", "island_id")
+        .agg(F.min("s").alias("st"), F.max("e").alias("en"))
+    )
+    cov = merged.groupBy("doc_id").agg(
+        F.sum(F.col("en") - F.col("st")).cast("long").alias("dup_chars")
+    )
+    lens = corpus.select(
+        "doc_id", F.length("n").cast("long").alias("n_chars")
+    )
+    return cov.join(lens, "doc_id").select(
+        "doc_id",
+        "dup_chars",
+        "n_chars",
+        F.expr("CAST(dup_chars * 1000 DIV n_chars AS BIGINT)").alias(
+            "dup_permille"
+        ),
+        F.expr(
+            "CASE WHEN dup_chars * 2 >= n_chars THEN 1 ELSE 0 END"
+        ).alias("drop_flag"),
     )

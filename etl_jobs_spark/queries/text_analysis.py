@@ -871,13 +871,13 @@ def text_langid_confusion_eval(spark, sf_dir):
 _BPE_LEARN_ROUNDS = 8
 
 
-def _bpe_learn_oracle() -> str:
-    """The SAME iterative learner unrolled as {R} CTE stages: the
-    oracle independently re-learns the merge table rather than being
-    handed it — a wrong pair count, tie-break, or apply order in
-    either engine flips the hash."""
+def _bpe_learn_parts() -> list:
+    """The iterative learner unrolled as CTE stages (doc identity
+    carried through so downstream oracles can read the post-merge
+    corpus s{R} as well as the merge tables m0..m{R-1})."""
     parts = [
-        f"s0 AS (SELECT {_bpe_spaced('duckdb')} AS s FROM documents)"
+        f"s0 AS (SELECT doc_id, lang, {_bpe_spaced('duckdb')} AS s"
+        " FROM documents)"
     ]
     for r in range(_BPE_LEARN_ROUNDS):
         parts.append(
@@ -893,15 +893,24 @@ def _bpe_learn_oracle() -> str:
       SELECT a, b, n FROM p{r}
       ORDER BY n DESC, a ASC, b ASC LIMIT 1),
     s{r + 1} AS (
-      SELECT replace(s, m.a || ' ' || m.b, m.a || m.b) AS s
+      SELECT doc_id, lang,
+             replace(s, m.a || ' ' || m.b, m.a || m.b) AS s
       FROM s{r} CROSS JOIN m{r} m)"""
         )
+    return parts
+
+
+def _bpe_learn_oracle() -> str:
+    """The SAME iterative learner unrolled as CTE stages: the
+    oracle independently re-learns the merge table rather than being
+    handed it — a wrong pair count, tie-break, or apply order in
+    either engine flips the hash."""
     union = "\n    UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS left_sym,"
         f" b AS right_sym, n AS pair_count FROM m{r}"
         for r in range(_BPE_LEARN_ROUNDS)
     )
-    return "WITH " + ",\n    ".join(parts) + "\n    " + union
+    return "WITH " + ",\n    ".join(_bpe_learn_parts()) + "\n    " + union
 
 
 @register("text_bpe_learn", oracle=_bpe_learn_oracle())
@@ -925,6 +934,24 @@ def text_bpe_learn(spark, sf_dir):
     iteration, so merges must agree EXACTLY, rank by rank,
     cross-engine. Word boundaries are fenced ('§') so no merge
     crosses words."""
+    merges = _learn_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "merge_rank long, left_sym string, right_sym string, "
+        "pair_count long"
+    )
+
+
+def _learn_merges(spark, sf_dir):
+    """The BPE fit (memoized per session+corpus — text_bpe_learn
+    reports it, text_bpe_apply_learned consumes it)."""
+    from etl_jobs_spark.queries._shared import session_memo
+
+    return session_memo(
+        spark, "bpe_merges", sf_dir, lambda: _learn_merges_fit(spark, sf_dir)
+    )
+
+
+def _learn_merges_fit(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     # The spaced-out corpus is computed (and cached) ONCE: the
     # 3-regex spacing chain is the expensive projection, and every
@@ -965,10 +992,7 @@ def text_bpe_learn(spark, sf_dir):
                 f"'{best.a}{best.b}') AS s"
             )
         )
-    return spark.createDataFrame(
-        merges, "merge_rank long, left_sym string, right_sym string, "
-        "pair_count long"
-    )
+    return merges
 
 
 #: Backslash-free PII patterns (identical bytes in both dialects —
@@ -1062,4 +1086,60 @@ def text_pii_redact(spark, sf_dir):
         ).alias("n_ips"),
         F.length(r).cast("bigint").alias("redacted_len"),
         F.md5(r).alias("redacted_md5"),
+    )
+
+
+def _bpe_apply_oracle() -> str:
+    R = _BPE_LEARN_ROUNDS
+    return (
+        "WITH "
+        + ",\n    ".join(_bpe_learn_parts())
+        + f""",
+    toks AS (
+      SELECT doc_id, lang, string_split(s, ' ') AS symbols
+      FROM s{R})
+    SELECT doc_id, lang,
+           CAST(len(list_filter(symbols, x -> x <> '§' AND x <> ''))
+                AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(symbols, x -> len(x) > 1 AND x <> '§'))
+                AS BIGINT) AS n_merged,
+           CAST(len(list_distinct(list_filter(symbols,
+                                  x -> x <> '§' AND x <> '')))
+                AS BIGINT) AS n_vocab
+    FROM toks
+    """
+    )
+
+
+@register("text_bpe_apply_learned", oracle=_bpe_apply_oracle())
+def text_bpe_apply_learned(spark, sf_dir):
+    """Train→apply END-TO-END: the merge table LEARNED by
+    text_bpe_learn (memoized — fit once per session+corpus) is
+    applied back over the corpus, and each document reports its
+    post-merge token census (same columns as the fixed-table
+    text_bpe_tokenize, now under the data-derived vocabulary). The
+    oracle replays the full learn-then-apply chain — its s{R} CTE IS
+    the post-merge corpus — so a divergence anywhere in fit OR apply
+    flips per-document counts. The apply is the same fused JVM
+    replace chain as the fixed-table path: map-only, no UDF; at
+    100 TB the learned table ships as 8 broadcast literals exactly
+    like a production tokenizer's merge file."""
+    merges = _learn_merges(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    expr = _bpe_spaced("spark")
+    for _, a, b, _n in merges:
+        expr = f"replace({expr}, '{a} {b}', '{a}{b}')"
+    sym = F.expr(f"split({expr}, ' ')")
+    toks = docs.select("doc_id", "lang", sym.alias("symbols"))
+    not_fence = F.expr("filter(symbols, x -> x <> '§' AND x <> '')")
+    return toks.select(
+        "doc_id",
+        "lang",
+        F.size(not_fence).cast("bigint").alias("n_tokens"),
+        F.size(
+            F.expr("filter(symbols, x -> length(x) > 1 AND x <> '§')")
+        )
+        .cast("bigint")
+        .alias("n_merged"),
+        F.size(F.array_distinct(not_fence)).cast("bigint").alias("n_vocab"),
     )
