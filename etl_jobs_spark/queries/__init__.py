@@ -52,6 +52,9 @@ _NEEDS_CORRECTNESS_ROW = [
     "dedup_substring_coverage",
     "decontam_substring_hits",
     "text_bpe_apply_learned",
+    "agg_weighted_median",
+    "sample_reservoir_per_key",
+    "ts_downsample_m4",
     # (b) never driver-checked
     "fn_bitwise_suite",
     "join_null_safe",
@@ -92,9 +95,7 @@ _NEEDS_CORRECTNESS_ROW = [
     "scan_csv_corrupt_quarantine",
     "scan_incremental_watermark",
     "scan_orc_roundtrip",
-    "scan_schema_evolution",
-    "sink_jdbc_append",
-    "sink_json_report",
+    # scan_schema_evolution / sink_jdbc_append / sink_json_report /
     # sink_partition_overwrite / sink_s3 / source_s3 rotate to
     # round 8 with the text block below.
     # embed_cosine_topk / embed_lsh_topk / text_fingerprint /

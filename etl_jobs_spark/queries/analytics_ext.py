@@ -750,3 +750,76 @@ def agg_bitmap_rollup_weekly(spark, sf_dir):
         F.count(F.lit(1)).alias("n_days")
     )
     return weekly.join(days, "week").select("week", "n_users", "n_days")
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH rows_w AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS w,
+             l_orderkey, l_linenumber
+      FROM lineitem),
+    tot AS (
+      SELECT flag, CAST(sum(w) AS BIGINT) AS total_w,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM rows_w GROUP BY flag),
+    cum AS (
+      SELECT flag, cents,
+             CAST(sum(w) OVER (PARTITION BY flag
+                               ORDER BY cents, l_orderkey, l_linenumber
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cw
+      FROM rows_w)
+    SELECT c.flag, t.n_rows, t.total_w,
+           CAST(min(c.cents) AS BIGINT) AS weighted_median_cents
+    FROM cum c JOIN tot t ON t.flag = c.flag
+    WHERE 2 * c.cw >= t.total_w
+    GROUP BY c.flag, t.n_rows, t.total_w
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """Exact WEIGHTED median (price weighted by quantity, per return
+    flag) — the order-statistic aggregate GROUP BY can't express
+    directly: smallest price x with cumulative weight(<= x) >= W/2.
+    One keyed window (cumulative weight in a deterministic total
+    order: cents, then the unique line key) + a filter-and-min over
+    the qualifying suffix. Integer cents and integer weights, so the
+    crossing row is identical cross-engine. Scale shape: one
+    sort-based window per group — the same cost as any exact
+    quantile; at 100 TB the approximate path (fixed-bin cumulative
+    histograms) trades this sort for two map-side passes, and the
+    engine carries both (dq_drift_psi's binning pattern)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window as W
+
+    rows_w = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    tot = rows_w.groupBy("flag").agg(
+        F.sum("w").cast("bigint").alias("total_w"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    cum = rows_w.withColumn(
+        "cw",
+        F.sum("w")
+        .over(
+            W.partitionBy("flag")
+            .orderBy("cents", "l_orderkey", "l_linenumber")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        .cast("bigint"),
+    )
+    return (
+        cum.join(F.broadcast(tot), "flag")
+        .filter(2 * F.col("cw") >= F.col("total_w"))
+        .groupBy("flag", "n_rows", "total_w")
+        .agg(F.min("cents").cast("bigint").alias("weighted_median_cents"))
+    )

@@ -1067,3 +1067,96 @@ def ts_cusum_changepoint(spark, sf_dir):
             "n_hours",
         )
     )
+
+
+@register(
+    "ts_downsample_m4",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS bucket,
+             epoch_us(ts) AS t,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             event_id
+      FROM events),
+    ranked AS (
+      SELECT event_type, bucket, t, cents, event_id,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY t ASC, event_id ASC) AS rf,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY t DESC, event_id DESC) AS rl,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY cents ASC, event_id ASC) AS rmin,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY cents DESC, event_id DESC) AS rmax
+      FROM pts)
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           CAST(max(CASE WHEN rf = 1 THEN cents END) AS BIGINT)
+             AS first_cents,
+           CAST(max(CASE WHEN rl = 1 THEN cents END) AS BIGINT)
+             AS last_cents,
+           CAST(max(CASE WHEN rmin = 1 THEN cents END) AS BIGINT)
+             AS min_cents,
+           CAST(max(CASE WHEN rmax = 1 THEN cents END) AS BIGINT)
+             AS max_cents,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM ranked GROUP BY event_type, bucket
+    """,
+)
+def ts_downsample_m4(spark, sf_dir):
+    """M4 time-series downsampling (Jugel et al., VLDB'14 — the
+    standard visualization-grade reducer): per (series, hour
+    bucket), keep first/last/min/max, which provably preserves the
+    pixel-exact line rendering at the target width. Four rank
+    windows over ONE (series, bucket) partitioning — a single sort
+    per group serves rf/rl and a second serves rmin/rmax — then one
+    grouped reduce; every selected value is integer cents with
+    event_id tie-breaks, so the chosen representatives are identical
+    cross-engine (min/max BY KEY, not just the extreme values). At
+    100 TB this is the render-path aggregation a dashboard backend
+    runs instead of shipping raw points; it partitions by series and
+    never shuffles raw rows twice."""
+    ev = read_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    pts = ev.select(
+        "event_type",
+        (us / 3600000000).cast("long").alias("bucket"),
+        us.alias("t"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        "event_id",
+    )
+    g = W.partitionBy("event_type", "bucket")
+    ranked = pts.select(
+        "event_type",
+        "bucket",
+        "cents",
+        F.row_number()
+        .over(g.orderBy(F.col("t").asc(), F.col("event_id").asc()))
+        .alias("rf"),
+        F.row_number()
+        .over(g.orderBy(F.col("t").desc(), F.col("event_id").desc()))
+        .alias("rl"),
+        F.row_number()
+        .over(g.orderBy(F.col("cents").asc(), F.col("event_id").asc()))
+        .alias("rmin"),
+        F.row_number()
+        .over(g.orderBy(F.col("cents").desc(), F.col("event_id").desc()))
+        .alias("rmax"),
+    )
+    return ranked.groupBy("event_type", "bucket").agg(
+        F.max(F.when(F.col("rf") == 1, F.col("cents")))
+        .cast("bigint")
+        .alias("first_cents"),
+        F.max(F.when(F.col("rl") == 1, F.col("cents")))
+        .cast("bigint")
+        .alias("last_cents"),
+        F.max(F.when(F.col("rmin") == 1, F.col("cents")))
+        .cast("bigint")
+        .alias("min_cents"),
+        F.max(F.when(F.col("rmax") == 1, F.col("cents")))
+        .cast("bigint")
+        .alias("max_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from etl_jobs_spark.operators import dedup as DD
 from etl_jobs_spark.operators import training as TR
 from etl_jobs_spark.operators.hashing import (
+    hash60,
     norm_text,
     norm_unrolled,
     word_tokens,
@@ -254,4 +255,58 @@ def sample_weighted_bernoulli(spark, sf_dir):
         F.sum(F.when(keep, F.col("n_chars")).otherwise(0))
         .cast("bigint")
         .alias("sampled_chars"),
+    )
+
+
+#: Per-key sample size for the derandomized reservoir.
+_RESERVOIR_K = 3
+
+
+def _reservoir_oracle() -> str:
+    pr = hash60("'rs:' || CAST(doc_id AS VARCHAR)", "duckdb")
+    return f"""
+    WITH pri AS (
+      SELECT doc_id, lang, ({pr}) AS priority
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang, priority,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY priority ASC, doc_id ASC)
+                  AS BIGINT) AS rk
+      FROM pri)
+    SELECT doc_id, lang, CAST(priority AS BIGINT) AS priority, rk
+    FROM ranked WHERE rk <= {_RESERVOIR_K}
+    """
+
+
+@register("sample_reservoir_per_key", oracle=_reservoir_oracle())
+def sample_reservoir_per_key(spark, sf_dir):
+    """Derandomized per-key RESERVOIR sample: k uniform docs per
+    language chosen by md5-hash priority — the distributed
+    equivalent of reservoir sampling (priority sampling: keep the k
+    smallest hash priorities per key), with the hash replacing the
+    RNG so reruns, retries, and both engines pick the SAME sample.
+    One keyed window; at 100 TB the same result comes from a
+    per-partition top-k (partial TakeOrdered per key) merged
+    map-side — no global sort, no state. The sampling step every
+    eval-set builder and debugging slice needs."""
+    docs = read_table(spark, sf_dir, "documents")
+    pr = hash60("'rs:' || CAST(doc_id AS STRING)", "spark")
+    from pyspark.sql import Window as W
+
+    pri = docs.select(
+        "doc_id", "lang", F.expr(pr).alias("priority")
+    )
+    ranked = pri.withColumn(
+        "rk",
+        F.row_number()
+        .over(
+            W.partitionBy("lang").orderBy(
+                F.col("priority").asc(), F.col("doc_id").asc()
+            )
+        )
+        .cast("long"),
+    )
+    return ranked.filter(F.col("rk") <= _RESERVOIR_K).select(
+        "doc_id", "lang", F.col("priority").cast("bigint"), "rk"
     )

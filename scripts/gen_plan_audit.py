@@ -74,6 +74,14 @@ AUDIT = {
     "stat_chi_square_independence": "one fact aggregation to r x c cells; marginals are windows over 25 rows",
     "agg_bitmap_rollup_weekly": "weekly uniques from stored daily bitmaps via bitmap_or_agg, no raw re-scan",
     "graph_triangle_count": "edge build is ONE groupBy shuffle; oriented edge table persisted once, reused by both close joins + degree agg",
+    # round 7
+    "dedup_substring_spans": "stop-gram window + ONE gram equi-join; diagonal chaining is one window family",
+    "join_spatial_grid": "9-offset broadcast explode; the only big join is the cell-key equi-join",
+    "geo_grid_density": "one cell-keyed agg; top-20 is TakeOrderedAndProject",
+    "embed_kmeans_lloyd": "assignment is map-only broadcast literals; update is one (cid,dim) partial agg",
+    "text_pii_redact": "ONE fused map-only regex projection, no Exchange at all",
+    "text_bpe_apply_learned": "learned merges ride as literals in a fused map-only replace chain",
+    "decontam_substring_hits": "eval/train split is a predicate on the span table, not a second join",
 }
 
 INTERESTING = re.compile(
