@@ -55,6 +55,8 @@ _NEEDS_CORRECTNESS_ROW = [
     "agg_weighted_median",
     "sample_reservoir_per_key",
     "ts_downsample_m4",
+    "spatial_point_in_polygon",
+    "ts_missing_buckets",
     # (b) never driver-checked
     "fn_bitwise_suite",
     "join_null_safe",
@@ -93,8 +95,7 @@ _NEEDS_CORRECTNESS_ROW = [
     "scan_glob_union",
     "scan_binary_files",
     "scan_csv_corrupt_quarantine",
-    "scan_incremental_watermark",
-    "scan_orc_roundtrip",
+    # scan_incremental_watermark / scan_orc_roundtrip /
     # scan_schema_evolution / sink_jdbc_append / sink_json_report /
     # sink_partition_overwrite / sink_s3 / source_s3 rotate to
     # round 8 with the text block below.

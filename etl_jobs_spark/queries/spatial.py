@@ -213,3 +213,86 @@ def geo_grid_density(spark, sf_dir):
     return top.withColumn(
         "rk", F.row_number().over(W.orderBy(*order)).cast("long")
     )
+
+
+#: Convex test polygons (integer vertices, counter-clockwise). A
+#: point is inside iff every edge cross product is >= 0 — exact
+#: integer arithmetic, unrolled per polygon into ONE scan projection
+#: (the polygon table is literal, like the k-means centroids).
+POLYGONS = {
+    1: [(1000, 1000), (4000, 1200), (3800, 4200), (900, 3900)],
+    2: [(5000, 5000), (9000, 5200), (9500, 9000), (7000, 9800), (4800, 8800)],
+    3: [(200, 6000), (2500, 6200), (1500, 9500)],
+    4: [(6000, 500), (9500, 700), (9000, 3500), (6200, 3300)],
+}
+
+
+def _inside_expr(poly) -> str:
+    terms = []
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        terms.append(
+            f"(({x2} - {x1}) * (y - {y1}) - ({y2} - {y1}) * (x - {x1})) >= 0"
+        )
+    return "(" + " AND ".join(terms) + ")"
+
+
+def _pip_oracle() -> str:
+    rows = []
+    for pid, poly in POLYGONS.items():
+        rows.append(f"""
+    SELECT {pid} AS polygon_id,
+           CAST(sum(CASE WHEN {_inside_expr(poly)} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_points,
+           CAST(sum(CASE WHEN {_inside_expr(poly)}
+                         THEN CAST(round(value * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS value_cents
+    FROM pts""")
+    return f"""
+    WITH pts AS (
+      SELECT CAST({_X_D} AS BIGINT) AS x,
+             CAST({_Y_D} AS BIGINT) AS y,
+             value
+      FROM events)
+    {" UNION ALL ".join(rows)}
+    """
+
+
+@register("spatial_point_in_polygon", oracle=_pip_oracle())
+def spatial_point_in_polygon(spark, sf_dir):
+    """Point-in-polygon containment census over convex regions: for
+    each literal polygon, count contained points and sum their
+    integer-cent values. The convex test is k exact integer cross
+    products per polygon, fully unrolled into the scan projection —
+    NO join, NO shuffle beyond the final 4-row reduce; the polygon
+    set rides into the closure exactly like a broadcast dim. At
+    100 TB with thousands of polygons the same plan becomes a
+    cell-blocked candidate join (polygon bounding boxes rasterized
+    to the join_spatial_grid cells) followed by this exact test —
+    the standard two-phase spatial filter-refine."""
+    ev = read_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.expr(f"CAST({_X_S} AS BIGINT)").alias("x"),
+        F.expr(f"CAST({_Y_S} AS BIGINT)").alias("y"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    parts = []
+    for pid, poly in POLYGONS.items():
+        inside = F.expr(_inside_expr(poly))
+        parts.append(
+            pts.agg(
+                F.lit(pid).alias("polygon_id"),
+                F.sum(F.when(inside, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_points"),
+                F.sum(F.when(inside, F.col("cents")).otherwise(0))
+                .cast("bigint")
+                .alias("value_cents"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1160,3 +1160,64 @@ def ts_downsample_m4(spark, sf_dir):
         .alias("max_cents"),
         F.count(F.lit(1)).cast("long").alias("n_points"),
     )
+
+
+@register(
+    "ts_missing_buckets",
+    oracle="""
+    WITH hrs AS (
+      SELECT DISTINCT event_type,
+             epoch_us(ts) // 3600000000 AS h
+      FROM events),
+    gaps AS (
+      SELECT event_type, h,
+             h - lag(h) OVER (PARTITION BY event_type ORDER BY h)
+               AS step
+      FROM hrs)
+    SELECT event_type,
+           CAST(min(h) AS BIGINT) AS first_hour,
+           CAST(max(h) AS BIGINT) AS last_hour,
+           CAST(max(h) - min(h) + 1 AS BIGINT) AS expected_n,
+           CAST(count(*) AS BIGINT) AS observed_n,
+           CAST(max(h) - min(h) + 1 - count(*) AS BIGINT) AS missing_n,
+           CAST(coalesce(max(step), 1) - 1 AS BIGINT) AS max_gap_hours
+    FROM gaps GROUP BY event_type
+    """,
+)
+def ts_missing_buckets(spark, sf_dir):
+    """Calendar-gap census per series: which hourly buckets SHOULD
+    exist (min..max of the series) but don't — the
+    missing-data/ingestion-hole detector every time-series quality
+    gate runs. No bucket explosion: expected count is pure endpoint
+    arithmetic, observed is a distinct count, and the largest
+    contiguous hole falls out of one lag window over the (tiny)
+    distinct-hour table. Integer hour indexes (epoch_us DIV 3600e6)
+    end-to-end. Scale: one distinct-aggregate shuffle on (series,
+    hour) — the gap analysis itself runs over |series|·|hours|
+    rows, thousands of times smaller than the raw events."""
+    ev = read_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    hrs = ev.select(
+        "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"
+        ).alias("h"),
+    ).distinct()
+    gaps = hrs.withColumn(
+        "step",
+        F.col("h")
+        - F.lag("h").over(W.partitionBy("event_type").orderBy("h")),
+    )
+    return gaps.groupBy("event_type").agg(
+        F.min("h").cast("bigint").alias("first_hour"),
+        F.max("h").cast("bigint").alias("last_hour"),
+        (F.max("h") - F.min("h") + 1).cast("bigint").alias("expected_n"),
+        F.count(F.lit(1)).cast("long").alias("observed_n"),
+        (F.max("h") - F.min("h") + 1 - F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("missing_n"),
+        (F.coalesce(F.max("step"), F.lit(1)) - 1)
+        .cast("bigint")
+        .alias("max_gap_hours"),
+    )
