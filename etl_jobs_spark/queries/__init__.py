@@ -57,6 +57,7 @@ _NEEDS_CORRECTNESS_ROW = [
     "ts_downsample_m4",
     "spatial_point_in_polygon",
     "ts_missing_buckets",
+    "ts_stl_decompose_hourly",
     # (b) never driver-checked
     "fn_bitwise_suite",
     "join_null_safe",
@@ -94,8 +95,7 @@ _NEEDS_CORRECTNESS_ROW = [
     "scan_csv_pandas",
     "scan_glob_union",
     "scan_binary_files",
-    "scan_csv_corrupt_quarantine",
-    # scan_incremental_watermark / scan_orc_roundtrip /
+    # scan_csv_corrupt_quarantine / scan_incremental_watermark / scan_orc_roundtrip /
     # scan_schema_evolution / sink_jdbc_append / sink_json_report /
     # sink_partition_overwrite / sink_s3 / source_s3 rotate to
     # round 8 with the text block below.

@@ -1221,3 +1221,85 @@ def ts_missing_buckets(spark, sf_dir):
         .cast("bigint")
         .alias("max_gap_hours"),
     )
+
+
+@register(
+    "ts_stl_decompose_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    tr AS (
+      SELECT event_type, h, cnt,
+             CAST(CAST(sum(cnt) OVER w AS BIGINT)
+                  // count(*) OVER w AS BIGINT) AS trend
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+    se AS (
+      SELECT event_type, h, cnt, trend,
+             CAST(CAST(sum(cnt - trend) OVER s AS BIGINT)
+                  // count(*) OVER s AS BIGINT) AS seasonal
+      FROM tr
+      WINDOW s AS (PARTITION BY event_type, h % 24))
+    SELECT event_type, CAST(h AS BIGINT) AS h, cnt, trend, seasonal,
+           CAST(cnt - trend - seasonal AS BIGINT) AS remainder
+    FROM se
+    """,
+)
+def ts_stl_decompose_hourly(spark, sf_dir):
+    """STL-style decomposition of each type's hourly count series
+    into trend + daily seasonal + remainder — the
+    anomaly-vs-seasonality separation step (a spike is only an
+    anomaly if it survives detrending and deseasonalizing). Classic
+    construction, integerized: trend is a centered 25-row moving
+    mean (integer sum DIV window count, edge windows use their
+    actual size), seasonal is the per-hour-of-day mean of the
+    detrended series (one unordered partition window), remainder is
+    what's left. Truncating integer division is identical in both
+    engines including negatives (verified: both truncate toward
+    zero), so every component is bit-stable. Frames are ROWS over
+    observed hours — a gap-dense series decomposes over its
+    observations (pair with ts_missing_buckets for the gap audit).
+    Scale: two window families over the hourly rollup (thousands of
+    times smaller than raw events); the rollup is the only big
+    shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"
+            ).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tr = hourly.withColumn(
+        "trend",
+        F.expr(
+            "CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY h "
+            "ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) DIV "
+            "count(*) OVER (PARTITION BY event_type ORDER BY h "
+            "ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS BIGINT)"
+        ),
+    )
+    se = tr.withColumn(
+        "seasonal",
+        F.expr(
+            "CAST(CAST(sum(cnt - trend) OVER "
+            "(PARTITION BY event_type, h % 24) AS BIGINT) DIV "
+            "count(*) OVER (PARTITION BY event_type, h % 24) AS BIGINT)"
+        ),
+    )
+    return se.select(
+        "event_type",
+        F.col("h").cast("bigint").alias("h"),
+        "cnt",
+        "trend",
+        "seasonal",
+        (F.col("cnt") - F.col("trend") - F.col("seasonal"))
+        .cast("bigint")
+        .alias("remainder"),
+    )
