@@ -58,6 +58,12 @@ _NEEDS_CORRECTNESS_ROW = [
     "spatial_point_in_polygon",
     "ts_missing_buckets",
     "ts_stl_decompose_hourly",
+    "q7_nation_volume",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
     # (b) never driver-checked
     "fn_bitwise_suite",
     "join_null_safe",
@@ -79,7 +85,6 @@ _NEEDS_CORRECTNESS_ROW = [
     "fillna_mean",
     "proj_quality_score",
     "filter_rejected_rows",
-    "filter_valid_rows",
     "setop_union_all",
     "setop_intersect",
     "setop_except",
@@ -89,12 +94,12 @@ _NEEDS_CORRECTNESS_ROW = [
     "json_extract_props",
     "pipeline_2022_end_to_end",
     "agg_events_by_type",
-    "agg_approx_sketches",
-    # (d) r2-era fill (oldest evidence after the r1 block)
-    "scan_csv_single",
-    "scan_csv_pandas",
-    "scan_glob_union",
-    "scan_binary_files",
+    # agg_approx_sketches (rows-only by design — its refresh carries
+    # no hash information) and filter_valid_rows (the complement
+    # half of filter_rejected_rows, same code path) defer to round 8
+    # to make room for the 22 round-7 additions.
+    # (d) r2-era fill — fully displaced this round; the whole r2
+    # rotation (scan_/sink_/embed_/text_ families) runs in round 8.
     # scan_csv_corrupt_quarantine / scan_incremental_watermark / scan_orc_roundtrip /
     # scan_schema_evolution / sink_jdbc_append / sink_json_report /
     # sink_partition_overwrite / sink_s3 / source_s3 rotate to

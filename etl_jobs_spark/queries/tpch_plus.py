@@ -831,3 +831,384 @@ def q18_large_orders(spark, sf_dir):
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+#: Round-then-sum integer cents for the TPC-H revenue expression:
+#: the per-row DOUBLE product is IEEE-identical on identical
+#: operands in both engines, and the BIGINT sum is order-free.
+_REV_CENTS = (
+    "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+)
+
+
+@register(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS ship_year,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum({_REV_CENTS}) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_nationkey <> n2.n_nationkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape (cross-nation shipping volume): revenue
+    between every (supplier nation, customer nation) pair per order
+    year — the five-way snowflake join whose scale story is that
+    ONLY lineitem⋈orders is big: customer, supplier, and both
+    nation legs broadcast, so the fact side shuffles exactly once
+    (the orderkey join) and the rest is map-side. (The fixture has
+    no partsupp table, so the generalization keeps ALL nation pairs
+    instead of TPC-H's two literals — a bigger but
+    constant-bounded |nations|² output.) Revenue is round-then-sum
+    integer cents — order-free, bit-stable."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(n1, F.col("s_nationkey") == F.col("sk"))
+        .join(n2, F.col("c_nationkey") == F.col("ck"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.expr(_REV_CENTS)).cast("bigint").alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey,
+             CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    SELECT c_count, CAST(count(*) AS BIGINT) AS n_customers
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): LEFT
+    OUTER join with the filter INSIDE the join predicate (urgent
+    orders don't count, but order-less customers still appear with
+    count 0 — moving the predicate to WHERE silently drops them,
+    the classic outer-join bug this query exists to catch), then the
+    histogram of counts. (The fixture has no o_comment, so the
+    'special requests' exclusion is the priority flag.) Scale: one
+    shuffle on custkey for the count, a second tiny one for the
+    distribution; the filter rides the scan."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (orders.o_custkey == cust.c_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(sum({_REV_CENTS}) AS BIGINT) AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, r.total_cents
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.suppkey
+    WHERE r.total_cents = (SELECT max(total_cents) FROM rev)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): quarterly revenue per
+    supplier, keep the one(s) equal to the GLOBAL max — the
+    view-plus-scalar-subquery pattern. Realization: the revenue
+    rollup is computed ONCE and persisted (it feeds both the max
+    and the final filter — TPC-H's CREATE VIEW made the same
+    point); the scalar max is a 1-row broadcast cross join, so
+    nothing rescans lineitem. Ties all surface (revenue is exact
+    integer cents, so 'equal to max' is well-defined — the float
+    version of this query is famously tie-broken by luck)."""
+    from etl_jobs_spark import cache
+
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    rev = cache.track(
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.sum(F.expr(_REV_CENTS)).cast("bigint").alias("total_cents"))
+    )
+    mx = rev.agg(F.max("total_cents").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_cents") == F.col("mx"))
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            F.col("suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_cents")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH q AS (
+      SELECT l_partkey,
+             CAST(round(l_quantity) AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem),
+    stats AS (
+      SELECT l_partkey, qty, cents,
+             CAST(sum(qty) OVER (PARTITION BY l_partkey) AS BIGINT)
+               AS part_qty,
+             CAST(count(*) OVER (PARTITION BY l_partkey) AS BIGINT)
+               AS part_n
+      FROM q)
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           CAST(sum(cents) // 7 AS BIGINT) AS avg_yearly_cents
+    FROM stats
+    WHERE 5 * qty * part_n < part_qty
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): lines whose
+    quantity is below 20% of their part's average — the correlated
+    scalar-subquery pattern, decorrelated to ONE per-part window
+    (TPC-H's per-row subquery would rescan lineitem per part; the
+    window computes every part's average in the same single sort).
+    The 0.2·avg comparison is cleared of floats entirely:
+    qty < sum/(5·n)  ⇔  5·qty·n < sum — exact BIGINTs, no division
+    at all. Scale: one partkey-partitioned window + a global
+    reduce; no join (the fixture carries no part-brand filter
+    column constraint — the window IS the correlation)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window as W
+
+    q = li.select(
+        "l_partkey",
+        F.expr("CAST(round(l_quantity) AS BIGINT)").alias("qty"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    w = W.partitionBy("l_partkey")
+    stats = q.select(
+        "qty",
+        "cents",
+        F.sum("qty").over(w).cast("bigint").alias("part_qty"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("part_n"),
+    )
+    return stats.filter(
+        5 * F.col("qty") * F.col("part_n") < F.col("part_qty")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+        F.expr("CAST(sum(cents) DIV 7 AS BIGINT)").alias(
+            "avg_yearly_cents"
+        ),
+    )
+
+
+@register(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+    WITH lines AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN epoch_us(l.l_shipdate) // 86400000000
+                       - epoch_us(o.o_orderdate) // 86400000000 > 90
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'),
+    per_supp AS (
+      SELECT l_orderkey, l_suppkey,
+             CAST(max(late) AS BIGINT) AS supp_late
+      FROM lines GROUP BY 1, 2),
+    per_order AS (
+      SELECT l_orderkey,
+             CAST(count(*) AS BIGINT) AS n_supps,
+             CAST(sum(supp_late) AS BIGINT) AS n_late
+      FROM per_supp GROUP BY 1),
+    blamed AS (
+      SELECT ps.l_suppkey
+      FROM per_supp ps
+      JOIN per_order po ON po.l_orderkey = ps.l_orderkey
+      WHERE ps.supp_late = 1 AND po.n_supps >= 2 AND po.n_late = 1)
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM blamed b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q21_suppliers_kept_waiting(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): in
+    finished multi-supplier orders, blame the supplier who was the
+    ONLY late one. The textbook form is EXISTS + NOT-EXISTS
+    self-joins on lineitem (three scans); here the correlation
+    decorrelates to a two-level aggregation — per (order, supplier)
+    lateness, then per-order supplier/late counts — so lineitem
+    shuffles ONCE on the order key and the 'exactly one late
+    supplier among ≥2' predicate is arithmetic over the rollup.
+    ('Late' = shipped >90 days after order date in integer day
+    indexes — the fixture has no commit/receipt dates.) Top-20 is
+    TakeOrderedAndProject with the (count, name) tiebreak."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    supp = read_table(spark, sf_dir, "supplier")
+    day = "epoch_us_day"
+    lines = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.expr(
+                "CASE WHEN unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+                " DIV 86400000000"
+                " - unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                " DIV 86400000000 > 90 THEN 1 ELSE 0 END"
+            ).alias("late"),
+        )
+    )
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").cast("bigint").alias("supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_supps"),
+        F.sum("supp_late").cast("bigint").alias("n_late"),
+    )
+    blamed = (
+        per_supp.join(per_order, "l_orderkey")
+        .filter(
+            (F.col("supp_late") == 1)
+            & (F.col("n_supps") >= 2)
+            & (F.col("n_late") == 1)
+        )
+        .select("l_suppkey")
+    )
+    return (
+        blamed.join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            blamed.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(avg(CAST(round(c_acctbal * 100) AS BIGINT))
+                  AS BIGINT) AS cutoff_cents
+      FROM customer WHERE c_acctbal > 0),
+    rich_idle AS (
+      SELECT c.c_nationkey,
+             CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer c CROSS JOIN avg_bal a
+      WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > a.cutoff_cents
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
+    FROM rich_idle GROUP BY c_nationkey
+    """,
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): customers with
+    above-average positive balance with NO RECENT order (nothing
+    since 2000 — the lapsed-customer slice; the fixture's order
+    history is dense enough that literally-never-ordered is empty),
+    rolled up per nation — the scalar-aggregate-subquery +
+    anti-join composite. Realization: the balance cutoff is a 1-row broadcast
+    (integer cents; avg of BIGINTs truncates identically in both
+    engines), the never-ordered predicate is a LEFT ANTI join on
+    custkey (never a NOT IN, whose null semantics are the classic
+    trap), and the rollup shuffles only the tiny survivor set. (The
+    fixture has no phone column, so the country-code slice is the
+    nation key itself.)"""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+    cutoff = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg(cents).cast("bigint").alias("cutoff_cents"))
+    )
+    rich = (
+        cust.select("c_custkey", "c_nationkey", cents.alias("bal_cents"))
+        .crossJoin(F.broadcast(cutoff))
+        .filter(F.col("bal_cents") > F.col("cutoff_cents"))
+    )
+    idle = rich.join(
+        orders.filter(F.col("o_orderdate") >= "2000-01-01").select(
+            "o_custkey"
+        ),
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("bal_cents").cast("bigint").alias("total_bal_cents"),
+    )
