@@ -175,6 +175,26 @@ HEADLINE = [
     # text_langid_confusion_eval / embed_centroid_drift ride the
     # text_ / embed_ prefix scans
     # stream_interval_join_full rides the stream_ prefix scan
+    # round-7 surface: substring dedup ladder (rides dedup_ prefix),
+    # BPE learn/apply + PII (text_ prefix), kmeans (embed_ prefix),
+    # spatial family, six more TPC-H shapes, weighted median, M4,
+    # STL, gap census, reservoir sampling, audio frames
+    "join_spatial_grid",
+    "geo_grid_density",
+    "spatial_point_in_polygon",
+    "decontam_substring_hits",
+    "agg_weighted_median",
+    "sample_reservoir_per_key",
+    "ts_downsample_m4",
+    "ts_missing_buckets",
+    "ts_stl_decompose_hourly",
+    "multimodal_audio_rms_energy",
+    "q7_nation_volume",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
 ]
 
 
