@@ -578,3 +578,102 @@ def fn_interval_suite(spark, sf_dir):
         ).alias("days_since_epoch0"),
         F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
     )
+
+
+@register(
+    "fn_variant_suite",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+           CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10
+                AS BIGINT) AS k_mod,
+           CASE WHEN json_extract(props, '$.missing') IS NULL
+                THEN 1 ELSE 0 END AS missing_is_null,
+           CAST(json_array_length(json_extract(props, '$'))
+                IS NOT NULL AS INT) * 0 AS always_zero
+    FROM events
+    """,
+)
+def fn_variant_suite(spark, sf_dir):
+    """Spark 4 VARIANT path: semi-structured JSON parsed ONCE into
+    the binary VARIANT encoding (parse_json) and then accessed with
+    typed, lazily-shredded path extraction (variant_get) — the
+    engine-native semi-structured story that replaces repeated
+    get_json_object string re-parsing (json_extract_props carries
+    the legacy path for comparison). Typed extraction, modulo
+    arithmetic on the extracted int, and missing-path null
+    semantics are all exercised; the oracle reads the same fields
+    with DuckDB's JSON extraction. Map-only, fused, no UDF. At
+    100 TB VARIANT's columnar shredding keeps path access
+    vectorized instead of per-row JSON parsing — this is the scan
+    shape a props-heavy event table wants."""
+    ev = read_table(spark, sf_dir, "events")
+    v = "parse_json(props)"
+    return ev.select(
+        "event_id",
+        F.expr(f"variant_get({v}, '$.k', 'bigint')").alias("k_int"),
+        F.expr(f"variant_get({v}, '$.k', 'bigint') % 10").alias("k_mod"),
+        F.expr(
+            f"CASE WHEN variant_get({v}, '$.missing', 'string') IS NULL"
+            " THEN 1 ELSE 0 END"
+        ).alias("missing_is_null"),
+        F.lit(0).alias("always_zero"),
+    )
+
+
+@register(
+    "agg_listagg_ordered",
+    oracle="""
+    WITH top3 AS (
+      SELECT c_mktsegment AS seg, c_name, c_acctbal
+      FROM (
+        SELECT c_mktsegment, c_name, c_acctbal,
+               row_number() OVER (
+                 PARTITION BY c_mktsegment
+                 ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC,
+                          c_custkey ASC) AS rk
+        FROM customer)
+      WHERE rk <= 3)
+    SELECT seg,
+           string_agg(c_name, '|' ORDER BY
+             CAST(round(c_acctbal * 100) AS BIGINT) DESC, c_name ASC)
+             AS top_names,
+           CAST(count(*) AS BIGINT) AS n
+    FROM top3 GROUP BY seg
+    """,
+)
+def agg_listagg_ordered(spark, sf_dir):
+    """Ordered string aggregation (Spark 4 listagg / SQL:2023
+    LISTAGG ... WITHIN GROUP): the top-3 richest customers per
+    segment concatenated in a DETERMINISTIC order — the report
+    column every BI export needs, and the aggregate whose
+    unordered form is a classic nondeterminism bug
+    (collect_list order is partition-dependent; WITHIN GROUP
+    pins it). The top-3 cut runs first (rank window on integer
+    cents with custkey tiebreak) so the aggregated strings are
+    tiny regardless of table size; the oracle is DuckDB's
+    ORDER-BY string_agg — an independent implementation of the
+    ordered-aggregate semantics."""
+    cust = read_table(spark, sf_dir, "customer")
+    from pyspark.sql import Window as W
+
+    cents = F.expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+    top3 = (
+        cust.withColumn("cents", cents)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("c_mktsegment").orderBy(
+                    F.col("cents").desc(), F.col("c_custkey").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+    return top3.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.expr(
+            "listagg(c_name, '|') WITHIN GROUP "
+            "(ORDER BY cents DESC, c_name ASC)"
+        ).alias("top_names"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
