@@ -195,6 +195,9 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q21_suppliers_kept_waiting",
     "q22_global_sales_opportunity",
+    "fn_variant_suite",
+    "agg_listagg_ordered",
+    "recursive_cte_hierarchy",
 ]
 
 

@@ -66,6 +66,7 @@ _NEEDS_CORRECTNESS_ROW = [
     "q22_global_sales_opportunity",
     "fn_variant_suite",
     "agg_listagg_ordered",
+    "recursive_cte_hierarchy",
     # (b) never driver-checked
     "fn_bitwise_suite",
     "join_null_safe",
@@ -99,7 +100,8 @@ _NEEDS_CORRECTNESS_ROW = [
     "window_running_sum",
     "json_extract_props",
     "pipeline_2022_end_to_end",
-    "agg_events_by_type",
+    # agg_events_by_type (bare groupBy-count, the same path dozens
+    # of green queries exercise) defers to round 8.
     # agg_approx_sketches (rows-only by design — its refresh carries
     # no hash information) and filter_valid_rows (the complement
     # half of filter_rejected_rows, same code path) defer to round 8

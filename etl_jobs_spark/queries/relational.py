@@ -801,3 +801,70 @@ def window_share_of_total(spark, sf_dir):
         .cast("bigint")
         .alias("rank_in_region"),
     )
+
+
+@register(
+    "recursive_cte_hierarchy",
+    oracle="""
+    WITH RECURSIVE chain AS (
+      SELECT c_custkey AS leaf, c_custkey AS cur,
+             CAST(0 AS BIGINT) AS depth,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS chain_cents
+      FROM customer
+      UNION ALL
+      SELECT ch.leaf, p.c_custkey,
+             ch.depth + 1,
+             ch.chain_cents + CAST(round(p.c_acctbal * 100) AS BIGINT)
+      FROM chain ch
+      JOIN customer p ON p.c_custkey = ch.cur // 3
+      WHERE ch.cur > 1),
+    final AS (
+      SELECT leaf, CAST(max(depth) AS BIGINT) AS depth,
+             CAST(max(chain_cents) AS BIGINT) AS chain_cents
+      FROM chain GROUP BY leaf)
+    SELECT depth, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(chain_cents) AS BIGINT) AS total_chain_cents
+    FROM final GROUP BY depth
+    """,
+)
+def recursive_cte_hierarchy(spark, sf_dir):
+    """RECURSIVE CTE (Spark 4's WITH RECURSIVE — SQL:1999 recursive
+    queries, the last big ANSI surface Spark lacked): every customer
+    walks a synthetic referral hierarchy (parent = custkey DIV 3, a
+    ternary tree rooted at 1) to the root, accumulating depth and
+    the ancestor-chain balance; the result is the per-depth census.
+    The recursion terminates by JOIN failure at the root (parent key
+    0 doesn't exist) — no explicit LIMIT — and each iteration is
+    one equi-join of the frontier against the static dim, which is
+    exactly how the engine executes it (iterative union of
+    frontier joins, the same plan family as the label-propagation
+    fallback in operators/dedup.py). Depth is O(log₃ n), so at
+    100 TB the frontier shrinks geometrically and the recursion is
+    ~a dozen broadcast joins. Oracle: DuckDB's independent native
+    WITH RECURSIVE. Integer cents; both engines' DIV truncate
+    identically."""
+    cust = read_table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("rcte_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT c_custkey AS leaf, c_custkey AS cur,
+                 CAST(0 AS BIGINT) AS depth,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS chain_cents
+          FROM rcte_customer
+          UNION ALL
+          SELECT ch.leaf, p.c_custkey,
+                 ch.depth + 1,
+                 ch.chain_cents + CAST(round(p.c_acctbal * 100) AS BIGINT)
+          FROM chain ch
+          JOIN rcte_customer p ON p.c_custkey = ch.cur DIV 3
+          WHERE ch.cur > 1),
+        final AS (
+          SELECT leaf, CAST(max(depth) AS BIGINT) AS depth,
+                 CAST(max(chain_cents) AS BIGINT) AS chain_cents
+          FROM chain GROUP BY leaf)
+        SELECT depth, CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(chain_cents) AS BIGINT) AS total_chain_cents
+        FROM final GROUP BY depth
+        """
+    )
