@@ -198,6 +198,7 @@ HEADLINE = [
     "fn_variant_suite",
     "agg_listagg_ordered",
     "recursive_cte_hierarchy",
+    "agg_hll_custom_deterministic",
 ]
 
 

@@ -67,6 +67,7 @@ _NEEDS_CORRECTNESS_ROW = [
     "fn_variant_suite",
     "agg_listagg_ordered",
     "recursive_cte_hierarchy",
+    "agg_hll_custom_deterministic",
     # (b) never driver-checked
     "fn_bitwise_suite",
     "join_null_safe",
@@ -93,7 +94,9 @@ _NEEDS_CORRECTNESS_ROW = [
     "proj_quality_score",
     "filter_rejected_rows",
     "setop_union_all",
-    "setop_intersect",
+    # setop_intersect defers to round 8 (setop_union_all,
+    # setop_except AND the multiset pair all hold fresh rows — the
+    # set-operation path is covered from four directions).
     "setop_except",
     "topk_orders",
     "window_rank_events",

@@ -823,3 +823,138 @@ def agg_weighted_median(spark, sf_dir):
         .groupBy("flag", "n_rows", "total_w")
         .agg(F.min("cents").cast("bigint").alias("weighted_median_cents"))
     )
+
+
+#: Custom deterministic HLL: precision p=8 → m=256 registers; ranks
+#: live in [1, 53] (52 payload bits + 1). ALPHA is the standard
+#: bias-correction constant for m=256.
+_HLL_M = 256
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / 256)
+
+
+def _hll_oracle() -> str:
+    from etl_jobs_spark.operators.hashing import hash60
+
+    h = hash60("'hll:' || CAST(k AS VARCHAR)", "duckdb")
+    return f"""
+    WITH keys AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS k
+      FROM events),
+    hashes AS (
+      SELECT event_type, ({h}) AS h FROM keys),
+    ranks AS (
+      SELECT event_type, h % {_HLL_M} AS b,
+             CASE WHEN h // {_HLL_M} = 0 THEN 53
+                  ELSE 53 - length(bin(h // {_HLL_M})) END AS r
+      FROM hashes),
+    types AS (SELECT DISTINCT event_type FROM events),
+    regs AS (
+      SELECT t.event_type, g.b,
+             CAST(coalesce(max(ranks.r), 0) AS BIGINT) AS reg
+      FROM types t
+      CROSS JOIN range(0, {_HLL_M}) g(b)
+      LEFT JOIN ranks ON ranks.event_type = t.event_type
+                     AND ranks.b = g.b
+      GROUP BY t.event_type, g.b),
+    sums AS (
+      SELECT event_type,
+             CAST(sum(CAST(1 AS BIGINT) << (53 - reg)) AS BIGINT)
+               AS sum_scaled,
+             CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_zero
+      FROM regs GROUP BY event_type),
+    exact AS (
+      SELECT event_type, CAST(count(DISTINCT k) AS BIGINT) AS n_exact
+      FROM keys GROUP BY event_type)
+    SELECT s.event_type, e.n_exact, s.v_zero, s.sum_scaled,
+           CAST(round(CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M} * {_HLL_M}
+                      * 9007199254740992.0 * 1000 / s.sum_scaled)
+                AS BIGINT) AS est_milli,
+           CAST(abs(CAST(round(CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M} * {_HLL_M}
+                               * 9007199254740992.0 * 1000
+                               / s.sum_scaled) AS BIGINT)
+                    - e.n_exact * 1000) * 1000
+                // (e.n_exact * 1000) AS BIGINT) AS err_permille
+    FROM sums s JOIN exact e ON e.event_type = s.event_type
+    """
+
+
+@register("agg_hll_custom_deterministic", oracle=_hll_oracle())
+def agg_hll_custom_deterministic(spark, sf_dir):
+    """HyperLogLog built from scratch on the portable md5 hash — the
+    deterministic, hash-oracle-VERIFIED counterpart of the library
+    sketches (agg_approx_sketches / agg_hll_mergeable are rows-only
+    by design because their binary sketches are
+    implementation-defined; this one's 256 registers, harmonic sum,
+    and bias-corrected estimate are bit-identical cross-engine).
+    Mechanics: bucket = hash % m, rank = leading-zero count of the
+    52 payload bits (via length(bin(w)) — identical in both
+    engines), register = max(rank) per (type, bucket) — ONE
+    map-side-combinable aggregation, the mergeability that makes
+    HLL the 100 TB distinct-count workhorse. The harmonic mean is
+    cleared of float-order hazards by integer scaling: Σ 2^(-reg)
+    is summed as exact BIGINT terms 2^(53-reg) (max 256·2^53 <
+    2^63), and the single final division is IEEE on identical
+    operands. The register table is grid-completed over all 256
+    buckets (the chi-square lesson: empty buckets carry rank 0 and
+    MUST contribute 2^53 to the sum). Self-auditing: the exact
+    distinct count and the per-mille error ship in the same row —
+    at m=256 the expected error is ~6.5%. Production small-range
+    correction (linear counting when est < 2.5m) would use the
+    emitted v_zero; it is left out of the verified columns because
+    ln() is libm-dependent cross-engine."""
+    from etl_jobs_spark.operators.hashing import hash60
+
+    ev = read_table(spark, sf_dir, "events")
+    keys = ev.select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("k"),
+    )
+    h = hash60("'hll:' || CAST(k AS STRING)", "spark")
+    ranks = keys.select(
+        "event_type",
+        F.expr(f"({h}) % {_HLL_M}").alias("b"),
+        F.expr(
+            f"CASE WHEN ({h}) DIV {_HLL_M} = 0 THEN 53 "
+            f"ELSE 53 - length(bin(({h}) DIV {_HLL_M})) END"
+        ).alias("r"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(
+        ev.sparkSession.range(0, _HLL_M).select(F.col("id").alias("b"))
+    )
+    regs = (
+        grid.join(ranks, ["event_type", "b"], "left")
+        .groupBy("event_type", "b")
+        .agg(F.coalesce(F.max("r"), F.lit(0)).cast("bigint").alias("reg"))
+    )
+    sums = regs.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - reg AS INT))"))
+        .cast("bigint")
+        .alias("sum_scaled"),
+        F.sum(F.when(F.col("reg") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_zero"),
+    )
+    exact = keys.groupBy("event_type").agg(
+        F.countDistinct("k").cast("bigint").alias("n_exact")
+    )
+    est = F.expr(
+        f"CAST(round({_HLL_ALPHA} * {_HLL_M} * {_HLL_M}"
+        f" * 9007199254740992.0 * 1000 / sum_scaled) AS BIGINT)"
+    )
+    return (
+        sums.join(exact, "event_type")
+        .withColumn("est_milli", est)
+        .select(
+            "event_type",
+            "n_exact",
+            "v_zero",
+            "sum_scaled",
+            "est_milli",
+            F.expr(
+                "CAST(abs(est_milli - n_exact * 1000) * 1000"
+                " DIV (n_exact * 1000) AS BIGINT)"
+            ).alias("err_permille"),
+        )
+    )
