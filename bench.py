@@ -199,6 +199,8 @@ HEADLINE = [
     "agg_listagg_ordered",
     "recursive_cte_hierarchy",
     "agg_hll_custom_deterministic",
+    "dq_order_lineitem_reconcile",
+    "governance_access_report",
 ]
 
 

@@ -68,6 +68,8 @@ _NEEDS_CORRECTNESS_ROW = [
     "agg_listagg_ordered",
     "recursive_cte_hierarchy",
     "agg_hll_custom_deterministic",
+    "dq_order_lineitem_reconcile",
+    "governance_access_report",
     # (b) never driver-checked
     "fn_bitwise_suite",
     "join_null_safe",
@@ -89,7 +91,8 @@ _NEEDS_CORRECTNESS_ROW = [
     # path.
     "pred_alert_thresholds",
     "dedup_full_row",
-    "fillna_const",
+    # fillna_const defers to round 8 (sibling fillna_mean stays —
+    # same imputation path, the mean variant is the harder half).
     "fillna_mean",
     "proj_quality_score",
     "filter_rejected_rows",
@@ -100,7 +103,8 @@ _NEEDS_CORRECTNESS_ROW = [
     "setop_except",
     "topk_orders",
     "window_rank_events",
-    "window_running_sum",
+    # window_running_sum defers to round 8 (cumulative-window code
+    # is exercised by the fresh M4/STL/coverage/share rows).
     "json_extract_props",
     "pipeline_2022_end_to_end",
     # agg_events_by_type (bare groupBy-count, the same path dozens

@@ -907,3 +907,175 @@ def pipeline_dq_quarantine_replay(spark, sf_dir):
         F.lit(0).cast("bigint").alias("value_cents"),
     )
     return valid.unionAll(replayed).unionAll(stuck)
+
+
+@register(
+    "dq_order_lineitem_reconcile",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(round(l_extendedprice
+                                 * (1 - l_discount) * (1 + l_tax)
+                                 * 100) AS BIGINT)) AS BIGINT)
+               AS gross_cents
+      FROM lineitem GROUP BY 1),
+    rec AS (
+      SELECT o.o_orderkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+             coalesce(li.gross_cents, 0) AS detail_cents,
+             CASE WHEN li.l_orderkey IS NULL THEN 1 ELSE 0 END
+               AS headless
+      FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey)
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(sum(headless) AS BIGINT) AS n_without_lines,
+      CAST(sum(CASE WHEN headless = 0
+                     AND header_cents = detail_cents
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_match,
+      CAST(sum(CASE WHEN headless = 0
+                     AND abs(header_cents - detail_cents) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+      CAST(max(CASE WHEN headless = 0
+                    THEN abs(header_cents - detail_cents)
+                    ELSE 0 END) AS BIGINT) AS max_abs_diff_cents,
+      CAST(sum(CASE WHEN headless = 0
+                    THEN abs(header_cents - detail_cents)
+                    ELSE 0 END) AS BIGINT) AS total_abs_diff_cents
+    FROM rec
+    """,
+)
+def dq_order_lineitem_reconcile(spark, sf_dir):
+    """Header-vs-detail RECONCILIATION: every order's stored
+    o_totalprice against the recomputed gross of its line items
+    (price·(1−discount)·(1+tax), round-then-sum integer cents) —
+    the daily finance-close check every warehouse runs between a
+    summary table and its fact detail. Census output: exact
+    matches, mismatches, headless orders (LEFT JOIN keeps them —
+    the reconciliation bug an inner join hides), worst and total
+    absolute drift. One orderkey-keyed rollup + one join — at
+    100 TB both sides shuffle once on the same key, or zero times
+    if the tables are co-bucketed on orderkey
+    (join_bucketed_colocated's layout)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    detail = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.expr(
+                "CAST(round(l_extendedprice * (1 - l_discount)"
+                " * (1 + l_tax) * 100) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("gross_cents")
+    )
+    rec = orders.join(
+        detail, orders.o_orderkey == detail.l_orderkey, "left"
+    ).select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+            "header_cents"
+        ),
+        F.coalesce("gross_cents", F.lit(0)).alias("detail_cents"),
+        F.when(F.col("l_orderkey").isNull(), 1).otherwise(0).alias(
+            "headless"
+        ),
+    )
+    live = F.col("headless") == 0
+    diff = F.abs(F.col("header_cents") - F.col("detail_cents"))
+    return rec.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("headless").cast("bigint").alias("n_without_lines"),
+        F.sum(
+            F.when(live & (diff == 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_exact_match"),
+        F.sum(F.when(live & (diff > 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mismatch"),
+        F.max(F.when(live, diff).otherwise(0))
+        .cast("bigint")
+        .alias("max_abs_diff_cents"),
+        F.sum(F.when(live, diff).otherwise(0))
+        .cast("bigint")
+        .alias("total_abs_diff_cents"),
+    )
+
+
+@register(
+    "governance_access_report",
+    oracle="""
+    WITH cohort AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 101 = 7),
+    o AS (
+      SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders WHERE o_custkey IN (SELECT c_custkey FROM cohort)
+      GROUP BY 1),
+    e AS (
+      SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE user_id IN (SELECT c_custkey FROM cohort)
+      GROUP BY 1)
+    SELECT c.c_custkey AS subject,
+           coalesce(o.n, 0) AS n_orders,
+           coalesce(o.cents, 0) AS order_cents,
+           coalesce(e.n, 0) AS n_events,
+           coalesce(e.cents, 0) AS event_cents
+    FROM cohort c
+    LEFT JOIN o ON o.k = c.c_custkey
+    LEFT JOIN e ON e.k = c.c_custkey
+    """,
+)
+def governance_access_report(spark, sf_dir):
+    """Right-of-access (GDPR Art. 15) subject-access report — the
+    erasure cascade's read-side twin (same deterministic cohort,
+    custkey ≡ 7 mod 101): for every requesting subject, a per-table
+    footprint census (row counts + integer-cent value totals across
+    orders and events), LEFT-joined so subjects with NO footprint
+    still get their (correct, all-zero) report — the access-report
+    bug an inner join causes is a compliance violation, not a
+    perf choice. Scale shape: the cohort (~1%) broadcasts into a
+    semi-filter on each fact table; each fact aggregates ONCE keyed
+    by subject. The pair (erasure cascade + access report) is the
+    complete data-subject-rights surface a governed lakehouse
+    needs."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    events = read_table(spark, sf_dir, "events")
+    cohort = cust.filter(F.col("c_custkey") % 101 == 7).select(
+        F.col("c_custkey").alias("subject")
+    )
+    bc = F.broadcast(cohort)
+    o = (
+        orders.join(bc, orders.o_custkey == cohort.subject, "left_semi")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("order_cents"),
+        )
+    )
+    e = (
+        events.join(bc, events.user_id == cohort.subject, "left_semi")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("event_cents"),
+        )
+    )
+    return (
+        cohort.join(o, cohort.subject == o.k, "left")
+        .join(e, cohort.subject == e.k, "left")
+        .select(
+            "subject",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("order_cents", F.lit(0)).alias("order_cents"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("event_cents", F.lit(0)).alias("event_cents"),
+        )
+    )
