@@ -201,6 +201,7 @@ HEADLINE = [
     "agg_hll_custom_deterministic",
     "dq_order_lineitem_reconcile",
     "governance_access_report",
+    "fn_collation_suite",
 ]
 
 

@@ -70,6 +70,7 @@ _NEEDS_CORRECTNESS_ROW = [
     "agg_hll_custom_deterministic",
     "dq_order_lineitem_reconcile",
     "governance_access_report",
+    "fn_collation_suite",
     # (b) never driver-checked
     "fn_bitwise_suite",
     "join_null_safe",
@@ -100,7 +101,8 @@ _NEEDS_CORRECTNESS_ROW = [
     # setop_intersect defers to round 8 (setop_union_all,
     # setop_except AND the multiset pair all hold fresh rows — the
     # set-operation path is covered from four directions).
-    "setop_except",
+    # setop_except defers to round 8 alongside setop_intersect
+    # (setop_union_all + the multiset pair keep the family fresh).
     "topk_orders",
     "window_rank_events",
     # window_running_sum defers to round 8 (cumulative-window code

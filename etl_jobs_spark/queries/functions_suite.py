@@ -677,3 +677,68 @@ def agg_listagg_ordered(spark, sf_dir):
         ).alias("top_names"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+@register(
+    "fn_collation_suite",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                  ELSE event_type END AS t,
+             value
+      FROM events),
+    dim(name) AS (VALUES ('CLICK'), ('View'), ('purchase'),
+                         ('SIGNUP'), ('eRRor')),
+    joined AS (
+      SELECT d.name, m.t, m.value
+      FROM mixed m JOIN dim d ON lower(m.t) = lower(d.name))
+    SELECT name,
+           CAST(count(*) AS BIGINT) AS n_matched,
+           CAST(count(DISTINCT t) AS BIGINT) AS n_binary_variants,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM joined GROUP BY name
+    """,
+)
+def fn_collation_suite(spark, sf_dir):
+    """Spark 4 COLLATION surface: case-insensitive equality via
+    UTF8_LCASE collated comparison — the engine-native form of the
+    lower()-both-sides workaround, pushed into the join operator
+    itself (collation-aware hashing; no expression wrapper on the
+    probe side). The fixture types gain deterministic case variance
+    (even event_ids uppercase), a mixed-case dim joins under the
+    collation, and each dim name reports matches, how many BINARY
+    variants merged (2 — proving the collation did the merging),
+    and integer-cent totals. The oracle states the equivalent
+    lower()-normalized join — independent semantics, identical
+    result. Output columns carry the dim's literal names, never a
+    collation-picked group representative (which engines choose
+    nondeterministically — the collation trap this query
+    documents). At 100 TB the win is that collated joins/groupBys
+    hash normalized keys natively — no double-scan of a derived
+    column."""
+    ev = read_table(spark, sf_dir, "events")
+    mixed = ev.select(
+        F.expr(
+            "CASE WHEN event_id % 2 = 0 THEN upper(event_type)"
+            " ELSE event_type END"
+        ).alias("t"),
+        "value",
+    )
+    dim = F.broadcast(
+        ev.sparkSession.createDataFrame(
+            [("CLICK",), ("View",), ("purchase",), ("SIGNUP",), ("eRRor",)],
+            "name string",
+        )
+    )
+    joined = mixed.join(
+        dim,
+        F.expr("collate(t, 'UTF8_LCASE') = collate(name, 'UTF8_LCASE')"),
+    )
+    return joined.groupBy("name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.countDistinct("t").cast("long").alias("n_binary_variants"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("value_cents"),
+    )
