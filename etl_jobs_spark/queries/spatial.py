@@ -43,6 +43,62 @@ _X_S = f"({_HX_S}) % 10000"
 _Y_S = f"({_HY_S}) % 10000"
 
 
+def grid_distance_join(a_df, b_df, radius: int):
+    """Generic grid-blocked 2-D distance join: for every row of
+    ``a_df`` (a_id, xa, ya), all rows of ``b_df`` (b_id, xb, yb)
+    within L2 ``radius``, returned as the per-a nearest/count rollup
+    (a_event_id, n_within, min_dist2, nearest_b). Cells are exactly
+    ``radius`` wide, so the 3x3 neighbor block provably contains
+    every candidate: |dx| <= radius implies the cell indexes differ
+    by at most 1 (tests/test_spatial_property.py checks completeness
+    against brute force). Extracted from join_spatial_grid so the
+    blocking logic is testable on arbitrary point sets."""
+    spark = a_df.sparkSession
+    b = b_df.select(
+        "b_id",
+        "xb",
+        "yb",
+        F.expr(f"xb DIV {radius}").alias("cx"),
+        F.expr(f"yb DIV {radius}").alias("cy"),
+    )
+    offsets = spark.range(-1, 2).select(F.col("id").alias("dx")).crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("dy"))
+    )
+    a_exp = a_df.crossJoin(F.broadcast(offsets)).select(
+        "a_id",
+        "xa",
+        "ya",
+        (F.expr(f"xa DIV {radius}") + F.col("dx")).alias("cx"),
+        (F.expr(f"ya DIV {radius}") + F.col("dy")).alias("cy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    cand = (
+        a_exp.join(b, ["cx", "cy"])
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= radius * radius)
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("a_id")
+    ranked = cand.select(
+        "a_id",
+        "b_id",
+        "d2",
+        F.row_number()
+        .over(w.orderBy(F.col("d2").asc(), F.col("b_id").asc()))
+        .alias("rk"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_within"),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        F.col("a_id").alias("a_event_id"),
+        "n_within",
+        F.col("d2").cast("long").alias("min_dist2"),
+        F.col("b_id").alias("nearest_b"),
+    )
+
+
 @register(
     "join_spatial_grid",
     oracle=f"""
@@ -110,45 +166,8 @@ def join_spatial_grid(spark, sf_dir):
         F.col("event_id").alias("b_id"),
         F.col("x").alias("xb"),
         F.col("y").alias("yb"),
-        F.expr(f"x DIV {GRID_RADIUS}").alias("cx"),
-        F.expr(f"y DIV {GRID_RADIUS}").alias("cy"),
     )
-    offsets = spark.range(-1, 2).select(F.col("id").alias("dx")).crossJoin(
-        spark.range(-1, 2).select(F.col("id").alias("dy"))
-    )
-    a_exp = a.crossJoin(F.broadcast(offsets)).select(
-        "a_id",
-        "xa",
-        "ya",
-        (F.expr(f"xa DIV {GRID_RADIUS}") + F.col("dx")).alias("cx"),
-        (F.expr(f"ya DIV {GRID_RADIUS}") + F.col("dy")).alias("cy"),
-    )
-    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
-        F.col("ya") - F.col("yb")
-    ) * (F.col("ya") - F.col("yb"))
-    cand = (
-        a_exp.join(b, ["cx", "cy"])
-        .withColumn("d2", d2)
-        .filter(F.col("d2") <= GRID_RADIUS * GRID_RADIUS)
-    )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("a_id")
-    ranked = cand.select(
-        "a_id",
-        "b_id",
-        "d2",
-        F.row_number()
-        .over(w.orderBy(F.col("d2").asc(), F.col("b_id").asc()))
-        .alias("rk"),
-        F.count(F.lit(1)).over(w).cast("long").alias("n_within"),
-    )
-    return ranked.filter(F.col("rk") == 1).select(
-        F.col("a_id").alias("a_event_id"),
-        "n_within",
-        F.col("d2").cast("long").alias("min_dist2"),
-        F.col("b_id").alias("nearest_b"),
-    )
+    return grid_distance_join(a, b, GRID_RADIUS)
 
 
 #: Density-map cell width (coarser than the join cells).
