@@ -952,7 +952,16 @@ def _learn_merges(spark, sf_dir):
 
 
 def _learn_merges_fit(spark, sf_dir):
-    docs = read_table(spark, sf_dir, "documents")
+    return fit_bpe_merges(
+        read_table(spark, sf_dir, "documents"), _BPE_LEARN_ROUNDS
+    )
+
+
+def fit_bpe_merges(docs, n_rounds):
+    """The BPE fit over any DataFrame with a ``text`` column —
+    separated from the fixture read so
+    tests/test_bpe_property.py can cross-check the learned table
+    against a pure-Python reference on arbitrary corpora."""
     # The spaced-out corpus is computed (and cached) ONCE: the
     # 3-regex spacing chain is the expensive projection, and every
     # round's replace chain replays from this cached base. The
@@ -974,7 +983,7 @@ def _learn_merges_fit(spark, sf_dir):
     )
     cur = base
     merges = []
-    for r in range(_BPE_LEARN_ROUNDS):
+    for r in range(n_rounds):
         best = (
             cur.select(F.expr("split(s, ' ')").alias("syms"))
             .select(F.explode(F.expr(pair_struct)).alias("z"))
