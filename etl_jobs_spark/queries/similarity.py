@@ -1019,12 +1019,21 @@ def embed_kmeans_lloyd(spark, sf_dir):
     the update shuffle carries k·dim partial sums per task, and
     round count is fixed."""
     emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd_fit(emb)
+
+
+def kmeans_lloyd_fit(emb, k=_KM_K, rounds=_KM_ROUNDS):
+    """Integer Lloyd fit over any DataFrame with (vec_id,
+    embedding array<float>) — separated from the fixture read so
+    tests/test_kmeans_property.py can cross-check against a
+    pure-Python reference with the identical integer rules."""
+    spark = emb.sparkSession
     qdf = emb.select(
         "vec_id", F.expr(_km_quant("spark")).alias("q")
     )
     by_id = {
         r.vec_id: list(r.q)
-        for r in qdf.filter(F.col("vec_id") < _KM_K).collect()
+        for r in qdf.filter(F.col("vec_id") < k).collect()
     }
     # cents: ordered [(cid, vector)] — cid labels are STABLE across
     # rounds (an empty cluster drops out without renumbering the
@@ -1046,7 +1055,7 @@ def embed_kmeans_lloyd(spark, sf_dir):
         return f"array_min(array({structs}))"
 
     dim = len(cents[0][1])
-    for _ in range(_KM_ROUNDS):
+    for _ in range(rounds):
         assigned = qdf.select(
             "vec_id", "q", F.expr(assign_expr(cents)).alias("best")
         )
