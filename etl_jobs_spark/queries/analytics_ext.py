@@ -903,15 +903,24 @@ def agg_hll_custom_deterministic(spark, sf_dir):
     correction (linear counting when est < 2.5m) would use the
     emitted v_zero; it is left out of the verified columns because
     ln() is libm-dependent cross-engine."""
-    from etl_jobs_spark.operators.hashing import hash60
-
     ev = read_table(spark, sf_dir, "events")
     keys = ev.select(
         "event_type",
         F.expr("CAST(round(value * 100) AS BIGINT)").alias("k"),
     )
+    return hll_estimate(keys)
+
+
+def hll_estimate(keys):
+    """The custom-HLL pipeline over any (event_type, k) DataFrame —
+    separated from the fixture read so
+    tests/test_hll_property.py can cross-check registers and
+    estimate against a pure-Python reference."""
+    from etl_jobs_spark.operators.hashing import hash60
+
+    ev = keys
     h = hash60("'hll:' || CAST(k AS STRING)", "spark")
-    ranks = keys.select(
+    ranks = ev.select(
         "event_type",
         F.expr(f"({h}) % {_HLL_M}").alias("b"),
         F.expr(
@@ -936,7 +945,7 @@ def agg_hll_custom_deterministic(spark, sf_dir):
         .cast("bigint")
         .alias("v_zero"),
     )
-    exact = keys.groupBy("event_type").agg(
+    exact = ev.groupBy("event_type").agg(
         F.countDistinct("k").cast("bigint").alias("n_exact")
     )
     est = F.expr(
