@@ -202,6 +202,8 @@ HEADLINE = [
     "dq_order_lineitem_reconcile",
     "governance_access_report",
     "fn_collation_suite",
+    "multimodal_image_patches",
+    "agg_funnel_time_bound",
 ]
 
 

@@ -525,3 +525,54 @@ def wav_frame_energy(media_df: DataFrame) -> DataFrame:
         schema="doc_id long, n_frames long, n_silent long, "
         "peak_frame_ms long, total_energy long",
     )
+
+
+#: ViT-style patch width (square patches, full patches only — the
+#: fixture images are 4..16 px, so 1-4 patches per axis).
+PATCH_W = 4
+
+
+def image_patches(media_df: DataFrame) -> DataFrame:
+    """Decode real PNG/BMP containers and slice each image into
+    non-overlapping PATCH_W x PATCH_W patches — the
+    vision-transformer tokenization step (images become patch
+    sequences before embedding). Per patch: exact integer pixel sum
+    (all channels) and milli-mean. Ragged right/bottom edges are
+    dropped, matching the resize-to-multiple convention. Same
+    Arrow-batched shape as every codec stage; only the small patch
+    rows shuffle."""
+    import numpy as np
+
+    from etl_jobs_spark.operators import codecs as C
+
+    P = PATCH_W
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                img = C.decode_image(bytes(blob)).astype(np.int64)
+                h, w, c = img.shape
+                for py in range(h // P):
+                    for px in range(w // P):
+                        block = img[py * P:(py + 1) * P, px * P:(px + 1) * P, :]
+                        s = int(block.sum())
+                        rows.append(
+                            (
+                                int(doc_id),
+                                py,
+                                px,
+                                s,
+                                s * 1000 // (P * P * c),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "py", "px", "px_sum", "mean_milli"],
+            )
+
+    return media_df.select("doc_id", "media").mapInPandas(
+        batches,
+        schema="doc_id long, py long, px long, px_sum long, "
+        "mean_milli long",
+    )

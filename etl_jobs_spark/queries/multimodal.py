@@ -504,3 +504,41 @@ def multimodal_audio_rms_energy(spark, sf_dir):
     per-partition decode; 5 integer columns per doc shuffle."""
     media = spark.read.parquet(_stage_media(spark, sf_dir))
     return MM.wav_frame_energy(media)
+
+
+@register(
+    "multimodal_image_patches",
+    oracle=f"""
+    SELECT doc_id, CAST(py.py AS BIGINT) AS py,
+           CAST(px.px AS BIGINT) AS px,
+           CAST(sum((doc_id*7 + (px.px*{MM.PATCH_W} + dx.dx)*3
+                     + (py.py*{MM.PATCH_W} + dy.dy)*5
+                     + c.c*11) % {MM.PIX_MOD}) AS BIGINT) AS px_sum,
+           CAST(sum((doc_id*7 + (px.px*{MM.PATCH_W} + dx.dx)*3
+                     + (py.py*{MM.PATCH_W} + dy.dy)*5
+                     + c.c*11) % {MM.PIX_MOD}) * 1000
+                // ({MM.PATCH_W} * {MM.PATCH_W} * 3) AS BIGINT)
+             AS mean_milli
+    FROM documents
+    JOIN range(0, 4) px(px) ON px.px < {_W} // {MM.PATCH_W}
+    JOIN range(0, 4) py(py) ON py.py < {_H} // {MM.PATCH_W}
+    CROSS JOIN range(0, {MM.PATCH_W}) dx(dx)
+    CROSS JOIN range(0, {MM.PATCH_W}) dy(dy)
+    CROSS JOIN range(0, 3) c(c)
+    GROUP BY doc_id, py.py, px.px
+    """,
+)
+def multimodal_image_patches(spark, sf_dir):
+    """ViT-style PATCH tokenization over real decoded images: every
+    document's PNG/BMP slices into non-overlapping 4x4 patches —
+    the images-become-token-sequences step a vision-transformer
+    training pipeline runs (patch count = sequence length; the
+    per-patch reduction here stands in for the linear projection,
+    which is model work, not data work). The oracle recomputes
+    every patch sum in closed form from the fixture pixel formula —
+    a one-pixel offset in the patch grid (the classic
+    tokenization bug) flips the hash. Ragged edges drop, matching
+    the resize-to-multiple convention. Arrow-batched decode; patch
+    rows are the only shuffle payload."""
+    media = spark.read.parquet(_stage_media(spark, sf_dir))
+    return MM.image_patches(media)

@@ -811,3 +811,127 @@ def agg_repeat_purchase_rate(spark, sf_dir):
             "CAST(sum(repeated) * 10000 DIV count(*) AS BIGINT)"
         ).alias("repeat_rate_bp"),
     )
+
+
+@register(
+    "agg_funnel_time_bound",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup'
+                      THEN epoch_us(ts) END) AS first_signup,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) END) AS first_purchase_any
+      FROM events GROUP BY user_id),
+    conv AS (
+      SELECT p.user_id, p.first_signup,
+             min(epoch_us(e.ts)) AS first_purchase_after
+      FROM per_user p
+      JOIN events e
+        ON e.user_id = p.user_id
+       AND e.event_type = 'purchase'
+       AND epoch_us(e.ts) >= p.first_signup
+      WHERE p.first_signup IS NOT NULL
+      GROUP BY p.user_id, p.first_signup),
+    signups AS (
+      SELECT user_id, first_signup,
+             first_signup // 86400000000 AS signup_day
+      FROM per_user WHERE first_signup IS NOT NULL)
+    SELECT CAST(s.signup_day AS BIGINT) AS signup_day,
+           CAST(count(*) AS BIGINT) AS n_signups,
+           CAST(sum(CASE WHEN c.first_purchase_after IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted_ever,
+           CAST(sum(CASE WHEN c.first_purchase_after
+                              - s.first_signup <= 86400000000
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted_24h,
+           CAST(coalesce(min(CASE WHEN c.first_purchase_after IS NOT NULL
+                                  THEN (c.first_purchase_after
+                                        - s.first_signup) // 1000000
+                             END), -1) AS BIGINT)
+             AS fastest_convert_sec
+    FROM signups s
+    LEFT JOIN conv c ON c.user_id = s.user_id
+    GROUP BY s.signup_day
+    """,
+)
+def agg_funnel_time_bound(spark, sf_dir):
+    """TIME-BOUND conversion funnel: of each day's first-time
+    signups, how many purchased within 24 HOURS of signing up (and
+    ever, and how fast the fastest converted) — the
+    conversion-window metric agg_funnel_steps' strict-ordering
+    variant can't express (ordering says 'after'; activation
+    metrics need 'after AND within Δt'). Shape: one user-keyed
+    conditional rollup for the first-signup/first-purchase marks,
+    one semi-filtered join for purchases-after-signup, integer
+    microsecond arithmetic throughout (day buckets, 24 h bound,
+    seconds-to-convert). LEFT JOIN keeps never-converting cohorts
+    in the census. At 100 TB both stages key on user_id — one
+    shuffle family, AQE handles the hot-user skew like every other
+    user-keyed rollup here."""
+    ev = read_table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", us)).alias(
+            "first_signup"
+        ),
+    )
+    signups = per_user.filter(F.col("first_signup").isNotNull())
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("pts")
+    )
+    conv = (
+        signups.join(purchases, "user_id")
+        .filter(F.col("pts") >= F.col("first_signup"))
+        .groupBy("user_id", "first_signup")
+        .agg(F.min("pts").alias("first_purchase_after"))
+    )
+    out = (
+        signups.withColumn(
+            "signup_day", F.expr("first_signup DIV 86400000000")
+        )
+        .join(
+            conv.select("user_id", "first_purchase_after"), "user_id", "left"
+        )
+        .groupBy("signup_day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_signups"),
+            F.sum(
+                F.when(F.col("first_purchase_after").isNotNull(), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_converted_ever"),
+            F.sum(
+                F.when(
+                    F.col("first_purchase_after") - F.col("first_signup")
+                    <= 86400000000,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_converted_24h"),
+            F.coalesce(
+                F.min(
+                    F.when(
+                        F.col("first_purchase_after").isNotNull(),
+                        F.expr(
+                            "(first_purchase_after - first_signup)"
+                            " DIV 1000000"
+                        ),
+                    )
+                ),
+                F.lit(-1),
+            )
+            .cast("bigint")
+            .alias("fastest_convert_sec"),
+        )
+    )
+    return out.select(
+        F.col("signup_day").cast("bigint").alias("signup_day"),
+        "n_signups",
+        "n_converted_ever",
+        "n_converted_24h",
+        "fastest_convert_sec",
+    )
