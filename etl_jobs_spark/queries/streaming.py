@@ -911,3 +911,85 @@ def stream_interval_join_full(spark, sf_dir):
         )
     )
     return S.run_to_memory(joined, str(wk / "ck"), "append", state_partitions=4)
+
+
+@register(
+    "stream_pii_redact",
+    oracle="""
+    WITH msgs AS (
+      SELECT event_type,
+             event_type || ' by user ' || CAST(user_id AS VARCHAR)
+             || CASE WHEN user_id % 3 = 0
+                     THEN ' reply to u' || CAST(user_id AS VARCHAR)
+                          || '@example.com' ELSE '' END
+             || CASE WHEN user_id % 5 = 0
+                     THEN ' callback +1-555-'
+                          || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS msg
+      FROM events),
+    red AS (
+      SELECT event_type, msg,
+             regexp_replace(regexp_replace(msg,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+', '[EMAIL]', 'g'),
+               '[+]1-555-[0-9][0-9][0-9][0-9]', '[PHONE]', 'g') AS r
+      FROM msgs)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_msgs,
+           CAST(sum(len(regexp_extract_all(msg,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+'))) AS BIGINT)
+             AS n_emails,
+           CAST(sum(len(regexp_extract_all(msg,
+                '[+]1-555-[0-9][0-9][0-9][0-9]'))) AS BIGINT) AS n_phones,
+           CAST(sum(length(r)) AS BIGINT) AS redacted_len
+    FROM red GROUP BY event_type
+    """,
+)
+def stream_pii_redact(spark, sf_dir):
+    """STREAMING PII scrub — the governance gate moved to the
+    ingestion path: event messages (deterministic PII injection from
+    the key columns, the text_pii_redact discipline) are redacted
+    IN-FLIGHT by the same fused regex projection, and the running
+    per-type census aggregates in complete mode. The scrub itself is
+    stateless map work — it adds NOTHING to streaming state; only
+    the tiny census aggregation holds state. That is the central
+    design point: redaction belongs before the first stateful
+    operator, so raw PII never enters a state store or checkpoint
+    (checkpoints are durable and outlive retention windows — PII in
+    state is a compliance incident). Oracle: the identical batch
+    computation."""
+    raw = _stage(spark, sf_dir, "parquet", 2)
+    wk = _workdir()
+    src = S.file_stream_source(
+        spark, str(raw / "raw"), EVENTS_SCHEMA, "parquet", 1
+    )
+    email = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+    phone = "[+]1-555-[0-9][0-9][0-9][0-9]"
+    msg = (
+        "event_type || ' by user ' || CAST(user_id AS STRING)"
+        " || CASE WHEN user_id % 3 = 0"
+        " THEN ' reply to u' || CAST(user_id AS STRING) || '@example.com'"
+        " ELSE '' END"
+        " || CASE WHEN user_id % 5 = 0"
+        " THEN ' callback +1-555-'"
+        " || lpad(CAST(event_id % 10000 AS STRING), 4, '0')"
+        " ELSE '' END"
+    )
+    scrubbed = src.selectExpr(
+        "event_type",
+        f"({msg}) AS msg",
+        f"regexp_replace(regexp_replace(({msg}),"
+        f" '{email}', '[EMAIL]'), '{phone}', '[PHONE]') AS r",
+    )
+    census = scrubbed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_msgs"),
+        F.sum(F.expr(f"size(regexp_extract_all(msg, '{email}', 0))"))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.sum(F.expr(f"size(regexp_extract_all(msg, '{phone}', 0))"))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.sum(F.length("r")).cast("bigint").alias("redacted_len"),
+    )
+    return S.run_to_memory(
+        census, str(wk / "ck"), "complete", state_partitions=4
+    )
