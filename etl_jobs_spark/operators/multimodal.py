@@ -576,3 +576,47 @@ def image_patches(media_df: DataFrame) -> DataFrame:
         schema="doc_id long, py long, px long, px_sum long, "
         "mean_milli long",
     )
+
+
+def image_dhash(media_df: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image: decode, integer
+    grayscale ((r+g+b) DIV 3), nearest-neighbor resample to 9x8,
+    then 64 horizontal gradient signs — split into two 32-bit
+    halves (dhash_hi, dhash_lo) so the top bit never overflows a
+    signed BIGINT in either engine. dHash is brightness-shift
+    invariant (the property that makes it the image near-dup
+    detector: re-encodes, gamma tweaks, and exposure changes keep
+    the gradient signs), and every step here is integer arithmetic,
+    so the closed-form fixture oracle reproduces each bit."""
+    import numpy as np
+
+    from etl_jobs_spark.operators import codecs as C
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                img = C.decode_image(bytes(blob)).astype(np.int64)
+                h, w, _ = img.shape
+                gray = img.sum(axis=2) // 3  # (h, w)
+                xs = (np.arange(9) * w) // 9
+                ys = (np.arange(8) * h) // 8
+                g = gray[np.ix_(ys, xs)]  # (8, 9)
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)  # (8, 8)
+                lo = hi = 0
+                for j in range(8):
+                    for i in range(8):
+                        k = j * 8 + i
+                        if bits[j, i]:
+                            if k < 32:
+                                lo |= 1 << k
+                            else:
+                                hi |= 1 << (k - 32)
+                rows.append((int(doc_id), hi, lo))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "dhash_hi", "dhash_lo"]
+            )
+
+    return media_df.select("doc_id", "media").mapInPandas(
+        batches, schema="doc_id long, dhash_hi long, dhash_lo long"
+    )

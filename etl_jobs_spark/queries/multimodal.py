@@ -542,3 +542,73 @@ def multimodal_image_patches(spark, sf_dir):
     rows are the only shuffle payload."""
     media = spark.read.parquet(_stage_media(spark, sf_dir))
     return MM.image_patches(media)
+
+
+def _dhash_oracle() -> str:
+    w = "(doc_id % 13 + 4)"
+    h = "(doc_id % 11 + 4)"
+
+    def gray(x, y):
+        a = f"(doc_id*7 + 3*({x}) + 5*({y}))"
+        return (
+            f"((({a}) % {MM.PIX_MOD} + (({a}) + 11) % {MM.PIX_MOD}"
+            f" + (({a}) + 22) % {MM.PIX_MOD}) // 3)"
+        )
+
+    x1 = f"((i.i) * {w} // 9)"
+    x2 = f"((i.i + 1) * {w} // 9)"
+    yj = f"((j.j) * {h} // 8)"
+    return f"""
+    WITH bits AS (
+      SELECT doc_id, i.i AS i, j.j AS j,
+             CASE WHEN {gray(x2, yj)} > {gray(x1, yj)}
+                  THEN 1 ELSE 0 END AS bit
+      FROM documents
+      CROSS JOIN range(0, 8) i(i)
+      CROSS JOIN range(0, 8) j(j)),
+    hashes AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN bit = 1 AND j*8 + i >= 32
+                           THEN 1 << (j*8 + i - 32) ELSE 0 END)
+                  AS BIGINT) AS dhash_hi,
+             CAST(sum(CASE WHEN bit = 1 AND j*8 + i < 32
+                           THEN 1 << (j*8 + i) ELSE 0 END)
+                  AS BIGINT) AS dhash_lo
+      FROM bits GROUP BY doc_id)
+    SELECT dhash_hi, dhash_lo,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+    FROM hashes GROUP BY 1, 2 HAVING count(*) >= 2
+    """
+
+
+@register("multimodal_image_dhash_dedup", oracle=_dhash_oracle())
+def multimodal_image_dhash_dedup(spark, sf_dir):
+    """IMAGE near-dup detection via perceptual difference-hash — the
+    multimodal rung of the dedup ladder (exact/MinHash/substring
+    cover text; dHash covers images): every PNG/BMP decodes, resamples
+    to 9x8 grayscale, and 64 horizontal gradient SIGNS become the
+    64-bit fingerprint; images sharing a fingerprint form a near-dup
+    group with a keep-first survivor — exactly exact_dedup's
+    hash-groupBy shape, but over a hash that is invariant to
+    brightness shifts and re-encodes (the fixture's images differ by
+    a constant intensity offset wherever doc_ids share dimensions —
+    dHash collapses those on purpose, except where the mod-251 wrap
+    moves a sampled gradient sign, which the closed-form oracle
+    reproduces bit-for-bit). Scale: decode+hash is map-only
+    Arrow-batched work; the groupBy ships 2 BIGINTs per image — at
+    100 TB of images this is the cheapest possible near-dup plan,
+    and the radius-1 hamming variant reuses dedup.py's SimHash
+    byte-chunk banding unchanged."""
+    from pyspark.sql import functions as F
+
+    media = spark.read.parquet(_stage_media(spark, sf_dir))
+    hashes = MM.image_dhash(media)
+    return (
+        hashes.groupBy("dhash_hi", "dhash_lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_images") >= 2)
+    )
