@@ -620,3 +620,33 @@ def image_dhash(media_df: DataFrame) -> DataFrame:
     return media_df.select("doc_id", "media").mapInPandas(
         batches, schema="doc_id long, dhash_hi long, dhash_lo long"
     )
+
+
+def audio_fingerprint(media_df: DataFrame) -> DataFrame:
+    """Transition-sign audio fingerprint: decode PCM WAV and take
+    the SIGNS of up to 32 successive sample transitions as a bit
+    fingerprint — the shape-not-level audio analogue of image
+    dHash (gain changes and DC offsets keep the signs; the
+    zero-crossing structure is what collides for re-encoded/
+    re-leveled copies). Integer end-to-end."""
+    import numpy as np
+
+    from etl_jobs_spark.operators import codecs as C
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["audio"]):
+                samples, _rate = C.decode_wav(bytes(blob))
+                x = samples.astype(np.int64)
+                k = min(len(x) - 1, 32)
+                fp = 0
+                for i in range(k):
+                    if x[i + 1] > x[i]:
+                        fp |= 1 << i
+                rows.append((int(doc_id), fp, k))
+            yield pd.DataFrame(rows, columns=["doc_id", "fp", "n_bits"])
+
+    return media_df.select("doc_id", "audio").mapInPandas(
+        batches, schema="doc_id long, fp long, n_bits long"
+    )

@@ -612,3 +612,50 @@ def multimodal_image_dhash_dedup(spark, sf_dir):
         )
         .filter(F.col("n_images") >= 2)
     )
+
+
+@register(
+    "multimodal_audio_fingerprint_dedup",
+    oracle=f"""
+    WITH bits AS (
+      SELECT doc_id, i.i AS i,
+             CASE WHEN {_SAMPLE.replace("i.i", "(i.i+1)")}
+                       > {_SAMPLE}
+                  THEN 1 ELSE 0 END AS bit
+      FROM documents
+      JOIN range(0, 32) i(i)
+        ON i.i < least({_WAV_N} - 1, 32)),
+    fps AS (
+      SELECT doc_id,
+             CAST(sum(bit * (1 << i)) AS BIGINT) AS fp,
+             CAST(count(*) AS BIGINT) AS n_bits
+      FROM bits GROUP BY doc_id)
+    SELECT fp, n_bits,
+           CAST(count(*) AS BIGINT) AS n_clips,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+    FROM fps GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def multimodal_audio_fingerprint_dedup(spark, sf_dir):
+    """AUDIO near-dup detection via transition-sign fingerprints —
+    the audio rung of the perceptual dedup family (dHash covers
+    images): every clip's WAV decodes and the signs of its first
+    ≤32 sample transitions form the fingerprint; clips sharing
+    (fingerprint, length) group with a keep-first survivor. Signs
+    survive gain/DC changes — the invariance an audio near-dup
+    detector needs — while the closed-form fixture oracle pins
+    every bit (a one-sample framing slip flips the hash). Same
+    100 TB shape as every perceptual rung: map-only decode+hash,
+    2-integer shuffle payload per asset."""
+    from pyspark.sql import functions as F
+
+    media = spark.read.parquet(_stage_media(spark, sf_dir))
+    fps = MM.audio_fingerprint(media)
+    return (
+        fps.groupBy("fp", "n_bits")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_clips") >= 2)
+    )
