@@ -82,6 +82,13 @@ AUDIT = {
     "text_pii_redact": "ONE fused map-only regex projection, no Exchange at all",
     "text_bpe_apply_learned": "learned merges ride as literals in a fused map-only replace chain",
     "decontam_substring_hits": "eval/train split is a predicate on the span table, not a second join",
+    "agg_hll_custom_deterministic": "ONE map-side-combinable (type,bucket) max-agg; registers grid-complete",
+    "dq_order_lineitem_reconcile": "one orderkey rollup + one join; LEFT keeps headless orders",
+    "governance_access_report": "cohort broadcasts into LEFT SEMI filters; facts aggregate once by subject",
+    "fn_collation_suite": "collation-aware hash join against a 5-row broadcast dim",
+    "recursive_cte_hierarchy": "WITH RECURSIVE as iterative frontier joins; depth O(log n)",
+    "agg_weighted_median": "one sort-window per group; crossing row via integer cumulative compare",
+    "agg_funnel_time_bound": "two user-keyed stages share one shuffle family",
 }
 
 INTERESTING = re.compile(
