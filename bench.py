@@ -204,6 +204,7 @@ HEADLINE = [
     "fn_collation_suite",
     "multimodal_image_patches",
     "agg_funnel_time_bound",
+    "pipeline_entity_resolution",
 ]
 
 

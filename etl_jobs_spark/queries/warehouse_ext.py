@@ -729,3 +729,137 @@ def scan_txn_log_snapshot(spark, sf_dir):
         )
 
     return census(1).unionAll(census(2))
+
+
+def _er_oracle() -> str:
+    return """
+    WITH RECURSIVE
+    p0 AS (
+      SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
+      FROM customer a JOIN customer b
+        ON a.c_custkey < b.c_custkey
+       AND a.c_nationkey = b.c_nationkey
+       AND a.c_mktsegment = b.c_mktsegment
+      WHERE levenshtein(a.c_name, b.c_name) <= 1),
+    edges(a, b) AS (
+      SELECT key_a, key_b FROM p0
+      UNION ALL
+      SELECT key_b, key_a FROM p0),
+    nodes(n) AS (SELECT DISTINCT a FROM edges),
+    reach(node, root) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node),
+    comp AS (
+      SELECT node AS c_custkey, min(root) AS entity_id
+      FROM reach GROUP BY node),
+    members AS (
+      SELECT comp.entity_id, c.c_custkey, c.c_name,
+             CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM comp JOIN customer c ON c.c_custkey = comp.c_custkey),
+    golden AS (
+      SELECT entity_id, c_custkey AS golden_key, c_name AS golden_name
+      FROM (
+        SELECT entity_id, c_custkey, c_name,
+               row_number() OVER (PARTITION BY entity_id
+                                  ORDER BY bal_cents DESC,
+                                           c_custkey ASC) AS rk
+        FROM members)
+      WHERE rk = 1)
+    SELECT m.entity_id,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(m.bal_cents) AS BIGINT) AS merged_bal_cents,
+           max(g.golden_key) AS golden_key,
+           max(g.golden_name) AS golden_name
+    FROM members m JOIN golden g ON g.entity_id = m.entity_id
+    GROUP BY m.entity_id
+    """
+
+
+@register("pipeline_entity_resolution", oracle=_er_oracle())
+def pipeline_entity_resolution(spark, sf_dir):
+    """END-TO-END ENTITY RESOLUTION — the master-data user story
+    composed from the engine's own operators: (1) candidate pairs
+    via SymSpell deletion-neighborhood blocking + exact levenshtein
+    verify (operators/matching.py — never all-pairs; the oracle IS
+    the all-pairs scan, the thing the blocking exists to avoid);
+    (2) entity clusters via distributed connected components
+    (operators/dedup.py — min-label propagation, verified here
+    against the oracle's recursive-CTE reachability) — with a
+    CONJUNCTIVE match rule (name edit-distance <= 1 AND same nation
+    AND same segment): single-attribute matching over
+    serial-numbered names transitively chains the whole table into
+    one entity, the over-merge failure multi-attribute rules exist
+    to stop; (3) GOLDEN
+    RECORD per entity: highest-balance member wins (custkey
+    tiebreak), with the merged balance and record census — the
+    survivorship rule every MDM pipeline configures. Only clustered
+    entities (>= 2 records) report. Scale: blocking bounds pair
+    generation, components run on the (tiny) pair graph, and the
+    golden-record pass is one window over cluster members."""
+    from etl_jobs_spark.operators import dedup as DD
+    from etl_jobs_spark.operators import matching as MT
+    from pyspark.sql import Window as W
+
+    cust = read_table(spark, sf_dir, "customer")
+    name_pairs = MT.fuzzy_pairs(
+        cust.select("c_custkey", "c_name"), "c_custkey", "c_name"
+    ).filter(F.col("dist") <= 1)
+    attrs = cust.select("c_custkey", "c_nationkey", "c_mktsegment")
+    aa = attrs.alias("aa")
+    bb = attrs.alias("bb")
+    pairs = (
+        name_pairs.join(aa, name_pairs.key_a == F.col("aa.c_custkey"))
+        .join(bb, name_pairs.key_b == F.col("bb.c_custkey"))
+        .filter(
+            (F.col("aa.c_nationkey") == F.col("bb.c_nationkey"))
+            & (F.col("aa.c_mktsegment") == F.col("bb.c_mktsegment"))
+        )
+        .select("key_a", "key_b")
+    )
+    comp = DD.connected_components(
+        pairs.select(
+            F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b")
+        )
+    ).select(F.col("doc_id").alias("c_custkey"), F.col("component").alias("entity_id"))
+    members = comp.join(
+        cust.select(
+            "c_custkey",
+            "c_name",
+            F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias(
+                "bal_cents"
+            ),
+        ),
+        "c_custkey",
+    )
+    golden = (
+        members.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("entity_id").orderBy(
+                    F.col("bal_cents").desc(), F.col("c_custkey").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "entity_id",
+            F.col("c_custkey").alias("golden_key"),
+            F.col("c_name").alias("golden_name"),
+        )
+    )
+    return (
+        members.groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.sum("bal_cents").cast("bigint").alias("merged_bal_cents"),
+        )
+        .join(golden, "entity_id")
+        .select(
+            "entity_id",
+            "n_records",
+            "merged_bal_cents",
+            "golden_key",
+            "golden_name",
+        )
+    )
