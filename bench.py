@@ -205,6 +205,7 @@ HEADLINE = [
     "multimodal_image_patches",
     "agg_funnel_time_bound",
     "pipeline_entity_resolution",
+    "dq_drift_ks",
 ]
 
 

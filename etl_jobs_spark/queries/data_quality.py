@@ -1079,3 +1079,94 @@ def governance_access_report(spark, sf_dir):
             F.coalesce("event_cents", F.lit(0)).alias("event_cents"),
         )
     )
+
+
+@register(
+    "dq_drift_ks",
+    oracle="""
+    WITH tagged AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS in_a,
+             CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS in_b,
+             event_id
+      FROM events),
+    tot AS (
+      SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+             CAST(sum(in_b) AS BIGINT) AS n_b
+      FROM tagged),
+    cum AS (
+      SELECT v,
+             CAST(sum(in_a) OVER (ORDER BY v, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS ca,
+             CAST(sum(in_b) OVER (ORDER BY v, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cb
+      FROM tagged),
+    steps AS (
+      -- evaluate the CDF gap at value boundaries: the max per v of
+      -- the running counts IS the CDF numerator at that v
+      SELECT v, max(ca) AS ca, max(cb) AS cb
+      FROM cum GROUP BY v),
+    d AS (
+      SELECT max(abs(ca * t.n_b - cb * t.n_a)) AS d_num,
+             max(t.n_a) AS n_a, max(t.n_b) AS n_b
+      FROM steps CROSS JOIN tot t)
+    SELECT n_a, n_b,
+           CAST(d_num AS BIGINT) AS d_numerator,
+           CAST(d_num * 1000000 // (n_a * n_b) AS BIGINT) AS ks_d_micro
+    FROM d
+    """,
+)
+def dq_drift_ks(spark, sf_dir):
+    """Two-sample KOLMOGOROV–SMIRNOV drift statistic — the
+    nonparametric sibling of dq_drift_psi (PSI needs binning; KS
+    compares whole CDFs): the event value distribution split into
+    two deterministic halves (even/odd event_id — standing in for
+    reference vs candidate window), D = max |F_a(v) − F_b(v)|.
+    Float-free: with integer-cent values, D's numerator is
+    max |c_a·n_b − c_b·n_a| over value boundaries — exact BIGINTs;
+    the reported statistic is micro-scaled integer division. One
+    global sort-window over the pooled sample computes both running
+    CDFs in a single pass (per-value max collapses ties at step
+    boundaries — (v, event_id) is the total order, the window tie
+    lesson applied). At 100 TB: a global sort is the honest cost of
+    an exact KS; the approximate path quantizes values first (the
+    PSI binning) and this exact form is its audit."""
+    ev = read_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    tagged = ev.select(
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+        F.when(F.col("event_id") % 2 == 0, 1).otherwise(0).alias("in_a"),
+        F.when(F.col("event_id") % 2 == 1, 1).otherwise(0).alias("in_b"),
+        "event_id",
+    )
+    tot = tagged.agg(
+        F.sum("in_a").cast("bigint").alias("n_a"),
+        F.sum("in_b").cast("bigint").alias("n_b"),
+    )
+    w = W.orderBy("v", "event_id").rowsBetween(W.unboundedPreceding, 0)
+    cum = tagged.select(
+        "v",
+        F.sum("in_a").over(w).cast("bigint").alias("ca"),
+        F.sum("in_b").over(w).cast("bigint").alias("cb"),
+    )
+    steps = cum.groupBy("v").agg(
+        F.max("ca").alias("ca"), F.max("cb").alias("cb")
+    )
+    d = steps.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+        ).alias("d_num"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+    )
+    return d.select(
+        "n_a",
+        "n_b",
+        F.col("d_num").cast("bigint").alias("d_numerator"),
+        F.expr("CAST(d_num * 1000000 DIV (n_a * n_b) AS BIGINT)").alias(
+            "ks_d_micro"
+        ),
+    )
