@@ -97,3 +97,41 @@ def test_reservoir_sample_is_k_per_key(spark):
         per_lang.setdefault(r.lang, []).append(r.rk)
     for lang, rks in per_lang.items():
         assert sorted(rks) == [1, 2, 3], lang
+
+
+def test_entity_resolution_contracts(spark):
+    rows = QUERIES["pipeline_entity_resolution"](spark, SF_DIR).collect()
+    assert rows
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    n_cust = cust.count()
+    keys = {r.c_custkey for r in cust.select("c_custkey").collect()}
+    total_clustered = 0
+    for r in rows:
+        assert r.n_records >= 2  # only real clusters report
+        assert r.golden_key in keys
+        assert r.entity_id in keys  # min-member id is the label
+        total_clustered += r.n_records
+    assert total_clustered <= n_cust
+
+
+def test_ks_matches_bruteforce(spark):
+    r = QUERIES["dq_drift_ks"](spark, SF_DIR).collect()[0]
+    import pandas as pd
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "value"
+    ).toPandas()
+    ev["v"] = (ev["value"] * 100).round().astype("int64")
+    a = sorted(ev.loc[ev.event_id % 2 == 0, "v"])
+    b = sorted(ev.loc[ev.event_id % 2 == 1, "v"])
+    na, nb = len(a), len(b)
+    vals = sorted(set(a) | set(b))
+    import bisect
+
+    d_num = max(
+        abs(bisect.bisect_right(a, v) * nb - bisect.bisect_right(b, v) * na)
+        for v in vals
+    )
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert r.d_numerator == d_num
+    assert 0 <= r.ks_d_micro <= 1_000_000
