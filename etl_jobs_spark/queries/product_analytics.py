@@ -935,3 +935,104 @@ def agg_funnel_time_bound(spark, sf_dir):
         "n_converted_24h",
         "fastest_convert_sec",
     )
+
+
+@register(
+    "agg_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(epoch_us(ts)) // 86400000000 AS cohort
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    rev AS (
+      SELECT f.cohort,
+             epoch_us(e.ts) // 86400000000 - f.cohort AS age,
+             CAST(round(e.value * 100) AS BIGINT) AS cents
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) // 86400000000 >= f.cohort),
+    cells AS (
+      SELECT cohort, age,
+             CAST(sum(cents) AS BIGINT) AS rev_cents
+      FROM rev GROUP BY cohort, age),
+    sizes AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+      FROM firsts GROUP BY cohort)
+    SELECT c.cohort, c.age, s.n_users, c.rev_cents,
+           CAST(sum(c.rev_cents) OVER (PARTITION BY c.cohort
+                                       ORDER BY c.age
+                                       ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_rev_cents,
+           CAST(CAST(sum(c.rev_cents) OVER (PARTITION BY c.cohort
+                                            ORDER BY c.age
+                                            ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) // s.n_users AS BIGINT)
+             AS ltv_cents_per_user
+    FROM cells c JOIN sizes s ON s.cohort = c.cohort
+    """,
+)
+def agg_cohort_ltv(spark, sf_dir):
+    """Cohort LIFETIME VALUE curves: signup cohorts (daily epochs — the fixture spans days)
+    × account age → purchase revenue, cumulated into the LTV curve
+    and normalized per cohort member — the payback-period table
+    every growth team reads next to the retention triangle
+    (agg_retention_cohorts gives the WHO; this gives the HOW MUCH).
+    Integer cents, integer 30-day buckets, cumulative window per
+    cohort, truncating per-user division. Scale: one user-keyed
+    first-touch rollup + one fact join keyed on user + a cumulative
+    window over the tiny cohort×age grid."""
+    ev = read_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    firsts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(min(unix_micros(CAST(ts AS TIMESTAMP)))"
+                " DIV 86400000000 AS BIGINT)"
+            ).alias("cohort")
+        )
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            (us / 1).alias("pus"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .join(firsts, "user_id")
+        .withColumn("month", F.expr("CAST(pus AS BIGINT) DIV 86400000000"))
+        .filter(F.col("month") >= F.col("cohort"))
+        .select(
+            "cohort", (F.col("month") - F.col("cohort")).alias("age"), "cents"
+        )
+    )
+    cells = rev.groupBy("cohort", "age").agg(
+        F.sum("cents").cast("bigint").alias("rev_cents")
+    )
+    sizes = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    w = (
+        W.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort")
+        .withColumn(
+            "cum_rev_cents", F.sum("rev_cents").over(w).cast("bigint")
+        )
+        .select(
+            "cohort",
+            "age",
+            "n_users",
+            "rev_cents",
+            "cum_rev_cents",
+            F.expr(
+                "CAST(cum_rev_cents DIV n_users AS BIGINT)"
+            ).alias("ltv_cents_per_user"),
+        )
+    )
