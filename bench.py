@@ -206,6 +206,8 @@ HEADLINE = [
     "agg_funnel_time_bound",
     "pipeline_entity_resolution",
     "dq_drift_ks",
+    "agg_cohort_ltv",
+    "ts_bollinger_breakouts",
 ]
 
 

@@ -1303,3 +1303,97 @@ def ts_stl_decompose_hourly(spark, sf_dir):
         .cast("bigint")
         .alias("remainder"),
     )
+
+
+@register(
+    "ts_bollinger_breakouts",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    win AS (
+      SELECT event_type, h, x,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(x) OVER w AS BIGINT) AS s,
+             CAST(sum(x * x) OVER w AS BIGINT) AS ss
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+    flags AS (
+      -- breakout iff |x - mean| > 2*sigma, cleared of ALL floats:
+      -- (n*x - s)^2 > 4 * (n*ss - s*s)  [both sides * n^2]
+      SELECT event_type, h, x, n,
+             CASE WHEN n >= 12
+                   AND (n*x - s) * (n*x - s) > 4 * (n*ss - s*s)
+                  THEN CASE WHEN n*x > s THEN 1 ELSE -1 END
+                  ELSE 0 END AS breakout
+      FROM win)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(CASE WHEN breakout = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_up_breakouts,
+           CAST(sum(CASE WHEN breakout = -1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_down_breakouts,
+           CAST(min(CASE WHEN breakout <> 0 THEN h END) AS BIGINT)
+             AS first_breakout_hour
+    FROM flags GROUP BY event_type
+    """,
+)
+def ts_bollinger_breakouts(spark, sf_dir):
+    """Bollinger-band BREAKOUT detection over each type's hourly
+    series — the rolling mean ± 2σ envelope every monitoring
+    dashboard draws, with the band test cleared of floats entirely:
+    |x − s/n| > 2·sqrt((n·ss − s²)/n²)  ⇔  (n·x − s)² > 4·(n·ss − s²)
+    — exact BIGINTs both sides (moment products stay ≤ ~1e13 at any
+    realistic hourly count), so the breakout flags are bit-stable
+    with NO sqrt, NO division anywhere. 24-hour trailing frame, a
+    12-observation warm-up guard, direction from the sign of
+    n·x − s. One window family per series over the hourly rollup;
+    the rollup is the only corpus-sized shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"
+            ).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-23, 0)
+    )
+    win = hourly.select(
+        "event_type",
+        "h",
+        "x",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("ss"),
+    )
+    flags = win.withColumn(
+        "breakout",
+        F.expr(
+            "CASE WHEN n >= 12"
+            " AND (n*x - s) * (n*x - s) > 4 * (n*ss - s*s)"
+            " THEN CASE WHEN n*x > s THEN 1 ELSE -1 END ELSE 0 END"
+        ),
+    )
+    return flags.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum(F.when(F.col("breakout") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_up_breakouts"),
+        F.sum(F.when(F.col("breakout") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_down_breakouts"),
+        F.min(F.when(F.col("breakout") != 0, F.col("h")))
+        .cast("bigint")
+        .alias("first_breakout_hour"),
+    )
