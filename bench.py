@@ -208,6 +208,10 @@ HEADLINE = [
     "dq_drift_ks",
     "agg_cohort_ltv",
     "ts_bollinger_breakouts",
+    "feat_quantile_binning",
+    "feat_minmax_scale",
+    "feat_target_encode",
+    "feat_cross_hash",
 ]
 
 

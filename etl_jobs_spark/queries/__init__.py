@@ -31,6 +31,7 @@ from etl_jobs_spark.queries import (  # noqa: F401
     multimodal,
     reference_parity,
     spatial,
+    feature_engineering,
 )
 
 # Round-7 sweep window (50 queries, registration order), per VERDICT

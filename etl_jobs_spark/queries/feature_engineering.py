@@ -1,0 +1,245 @@
+"""Feature-engineering operators: the fit/transform steps a training
+pipeline runs between the cleaned corpus and the model — equi-depth
+quantile binning, min-max scaling, smoothed target (mean) encoding,
+and hashed categorical crosses. Generalizes the reference's derived-
+column era (src/etl_2016.py:23-27 adds computed columns;
+src/etl_2022.py:203-218 derives quality_score) from ad-hoc
+projections to the standard sklearn/Spark-ML featurizer family,
+re-expressed as exact-integer SQL so both engines agree bit-for-bit.
+
+Scale shapes: binning needs ONE global sort of a 2-column (value,
+key) projection — at 100 TB the production variant learns edges from
+approx_percentile and broadcasts them, and the docstring of each
+query states which side is the "fit" artifact that would be
+broadcast; scaling/encoding are one tiny fit aggregate broadcast
+into a map-only transform; the hashed cross is pure map + one
+combinable aggregation (no vocabulary, no shuffle for the fit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_jobs_spark.operators.hashing import hash60
+from etl_jobs_spark.registry import register
+from etl_jobs_spark.sources.readers import read_table
+
+#: Equi-depth bucket count for quantile binning.
+N_BINS = 10
+
+#: Additive-smoothing pseudo-count for target encoding (the prior's
+#: weight in observations; sklearn's TargetEncoder "smooth" knob).
+TE_SMOOTH = 20
+
+#: Hashed-cross output dimensionality.
+CROSS_DIM = 64
+
+#: Fixed-point resolution for the min-max scaler output.
+MM_SCALE = 1_000_000
+
+
+@register(
+    "feat_quantile_binning",
+    oracle=f"""
+    WITH cents AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders),
+    binned AS (
+      SELECT c,
+             ntile({N_BINS}) OVER (ORDER BY c, o_orderkey) AS bin
+      FROM cents)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(c) AS BIGINT) AS lo_cents,
+           CAST(max(c) AS BIGINT) AS hi_cents
+    FROM binned GROUP BY bin
+    """,
+)
+def feat_quantile_binning(spark, sf_dir):
+    """Equi-depth (quantile) BINNING of order totalprice into
+    {N_BINS} deciles — the discretizer every scorecard / GBM
+    preprocessing stage runs. ntile over the total order (cents,
+    orderkey) makes the assignment deterministic in both engines
+    (ANSI ntile: the first n mod k buckets get the extra row);
+    output is the fitted bin table (count + [lo, hi] edges per bin)
+    that the transform side would broadcast. Scale: the sort ships
+    only (cents, key) pairs — 16 bytes/row; at 100 TB the fit
+    switches to approx_percentile edges (fn_percentile_suite shows
+    that path) and this exact variant becomes its audit."""
+    from pyspark.sql import Window as W
+
+    cents = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("c"),
+    )
+    binned = cents.select(
+        "c",
+        F.ntile(N_BINS).over(W.orderBy("c", "o_orderkey")).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("c").cast("long").alias("lo_cents"),
+        F.max("c").cast("long").alias("hi_cents"),
+    ).select(F.col("bin").cast("long").alias("bin"), "n", "lo_cents", "hi_cents")
+
+
+@register(
+    "feat_minmax_scale",
+    oracle=f"""
+    WITH cents AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders),
+    fit AS (
+      SELECT CAST(min(c) AS BIGINT) AS mn, CAST(max(c) AS BIGINT) AS mx
+      FROM cents),
+    scaled AS (
+      SELECT o_orderpriority,
+             CAST((c - mn) * {MM_SCALE} // (mx - mn) AS BIGINT) AS s
+      FROM cents, fit)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(s) AS BIGINT) AS min_scaled,
+           CAST(max(s) AS BIGINT) AS max_scaled,
+           CAST(sum(s) // count(*) AS BIGINT) AS mean_scaled
+    FROM scaled GROUP BY o_orderpriority
+    """,
+)
+def feat_minmax_scale(spark, sf_dir):
+    """MIN-MAX SCALER in exact fixed-point: x -> (x - min) * 1e6 //
+    (max - min), the [0, 1]-range normalizer (sklearn MinMaxScaler /
+    spark.ml MinMaxScaler) with the float division replaced by
+    truncating integer division at 1e-6 resolution so both engines
+    agree exactly. The fit artifact is ONE row (mn, mx) — broadcast
+    into a map-only transform (the crossJoin below is literally
+    that); output audits the scaled distribution per priority class.
+    Scale: one global 2-value aggregate + map; no shuffle grows with
+    the corpus beyond the final 5-group rollup."""
+    cents = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("c"),
+    )
+    fit = cents.agg(
+        F.min("c").cast("long").alias("mn"), F.max("c").cast("long").alias("mx")
+    )
+    scaled = cents.crossJoin(F.broadcast(fit)).select(
+        "o_orderpriority",
+        F.expr(f"CAST((c - mn) * {MM_SCALE} DIV (mx - mn) AS BIGINT)").alias("s"),
+    )
+    return scaled.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("s").cast("long").alias("min_scaled"),
+        F.max("s").cast("long").alias("max_scaled"),
+        F.expr("CAST(sum(s) DIV count(*) AS BIGINT)").alias("mean_scaled"),
+    )
+
+
+@register(
+    "feat_target_encode",
+    oracle=f"""
+    WITH obs AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    fit AS (
+      SELECT CAST(sum(cents) // count(*) AS BIGINT) AS gmean
+      FROM obs),
+    cells AS (
+      SELECT seg, pri,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM obs GROUP BY seg, pri)
+    SELECT seg, pri, n,
+           CAST(s // n AS BIGINT) AS raw_mean_cents,
+           CAST((s + {TE_SMOOTH} * gmean) // (n + {TE_SMOOTH}) AS BIGINT)
+             AS encoded_cents
+    FROM cells, fit
+    """,
+)
+def feat_target_encode(spark, sf_dir):
+    """Smoothed TARGET (mean) ENCODING of the (segment x priority)
+    categorical cross against order revenue: encoded = (sum + m *
+    global_mean) / (n + m) with m = {TE_SMOOTH} pseudo-observations —
+    the empirical-Bayes shrinkage (sklearn TargetEncoder, CatBoost's
+    prior term) that keeps rare categories from memorizing their few
+    labels, in exact integer cents with truncating division. The fit
+    table (one row per category pair + the 1-row global prior) is
+    the broadcast artifact; the docstring contract is fit-on-train
+    only (split_train_holdout provides the split). Scale: one fact
+    x broadcast-dim join + one combinable aggregation."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    obs = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == c.c_custkey,
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_orderpriority").alias("pri"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    fit = obs.agg(
+        F.expr("CAST(sum(cents) DIV count(*) AS BIGINT)").alias("gmean")
+    )
+    cells = obs.groupBy("seg", "pri").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    return cells.crossJoin(F.broadcast(fit)).select(
+        "seg",
+        "pri",
+        "n",
+        F.expr("CAST(s DIV n AS BIGINT)").alias("raw_mean_cents"),
+        F.expr(
+            f"CAST((s + {TE_SMOOTH} * gmean) DIV (n + {TE_SMOOTH}) AS BIGINT)"
+        ).alias("encoded_cents"),
+    )
+
+
+@register(
+    "feat_cross_hash",
+    oracle=f"""
+    WITH crossed AS (
+      SELECT concat(c.c_mktsegment, '|', o.o_orderpriority) AS k
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    bucketed AS (
+      SELECT k,
+             CAST({hash60("concat('fx:', k)", "duckdb")} % {CROSS_DIM}
+                  AS BIGINT) AS bucket
+      FROM crossed)
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_crosses
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def feat_cross_hash(spark, sf_dir):
+    """HASHED FEATURE CROSS (the hashing trick on categorical
+    interactions): segment x priority concatenated and hashed into
+    {CROSS_DIM} buckets with the engine-portable md5-hash60 — the
+    vocabulary-free interaction featurizer (Weinberger et al.; TF's
+    crossed_column). No fit, no dictionary to ship: the transform is
+    pure map, so at 100 TB it costs one combinable aggregation.
+    Output is the collision audit per bucket (row mass + how many
+    distinct raw crosses landed there) — n_crosses > 1 rows measure
+    the collision rate the dimension choice trades away."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    crossed = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == c.c_custkey,
+    ).select(
+        F.concat(
+            F.col("c_mktsegment"), F.lit("|"), F.col("o_orderpriority")
+        ).alias("k")
+    )
+    bucketed = crossed.select(
+        "k",
+        (F.expr(hash60("concat('fx:', k)", "spark")) % CROSS_DIM)
+        .cast("long")
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("k").cast("long").alias("n_crosses"),
+    )
