@@ -212,6 +212,9 @@ HEADLINE = [
     "feat_minmax_scale",
     "feat_target_encode",
     "feat_cross_hash",
+    "stat_mann_whitney_u",
+    "pipeline_pit_training_set",
+    "graph_bfs_hops",
 ]
 
 

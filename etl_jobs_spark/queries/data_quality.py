@@ -1170,3 +1170,98 @@ def dq_drift_ks(spark, sf_dir):
             "ks_d_micro"
         ),
     )
+
+
+@register(
+    "stat_mann_whitney_u",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS in_a,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS in_b
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    per_v AS (
+      SELECT v, CAST(sum(in_a) AS BIGINT) AS ca,
+             CAST(sum(in_b) AS BIGINT) AS cb
+      FROM s GROUP BY v),
+    ranked AS (
+      SELECT ca, cb, ca + cb AS t,
+             CAST(coalesce(sum(ca + cb) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS below
+      FROM per_v),
+    tots AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b,
+             CAST(sum(ca * (2 * below + t + 1)) AS BIGINT) AS two_r_a,
+             CAST(sum(t * t * t - t) AS BIGINT) AS tie_correction
+      FROM ranked)
+    SELECT n_a, n_b, two_r_a,
+           CAST(two_r_a - n_a * (n_a + 1) AS BIGINT) AS two_u_a,
+           CAST(2 * n_a * n_b - (two_r_a - n_a * (n_a + 1)) AS BIGINT)
+             AS two_u_b,
+           tie_correction
+    FROM tots
+    """,
+)
+def stat_mann_whitney_u(spark, sf_dir):
+    """MANN-WHITNEY U (Wilcoxon rank-sum): does the 'click' value
+    distribution stochastically dominate 'purchase'? Exact-integer
+    formulation: ranks never materialize per row — group both
+    samples by value (cents), one cumulative window over DISTINCT
+    values gives each tie-group's rank block, and 2x the average
+    rank (2*below + t + 1) keeps the .5 tie-midpoints integral.
+    Emits doubled rank/U statistics plus the tie-correction term
+    sum(t^3 - t) so a caller can form the normal approximation; the
+    statistics themselves are bit-exact BIGINTs in both engines.
+    Scale: the corpus-sized work is ONE combinable groupBy(v); the
+    window runs over |distinct values| rows only (the same
+    distinct-value-staircase shape as dq_drift_ks above)."""
+    from pyspark.sql import Window as W
+
+    s = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("in_a"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("in_b"),
+        )
+    )
+    per_v = s.groupBy("v").agg(
+        F.sum("in_a").cast("bigint").alias("ca"),
+        F.sum("in_b").cast("bigint").alias("cb"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("t"),
+        F.coalesce(
+            F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("below"),
+    )
+    tots = ranked.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+        F.sum(F.col("ca") * (2 * F.col("below") + F.col("t") + 1))
+        .cast("bigint")
+        .alias("two_r_a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_correction"),
+    )
+    return tots.select(
+        "n_a",
+        "n_b",
+        "two_r_a",
+        F.expr("CAST(two_r_a - n_a * (n_a + 1) AS BIGINT)").alias("two_u_a"),
+        F.expr(
+            "CAST(2 * n_a * n_b - (two_r_a - n_a * (n_a + 1)) AS BIGINT)"
+        ).alias("two_u_b"),
+        "tie_correction",
+    )

@@ -334,3 +334,104 @@ def graph_triangle_count(spark, sf_dir):
             ).alias("global_clustering"),
         )
     )
+
+
+#: BFS depth bound and seed selector (nodes with key % SEED_MOD == 1).
+BFS_MAX_HOPS = 3
+BFS_SEED_MOD = 997
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    bidir AS (
+      SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    nodes AS (
+      SELECT DISTINCT u AS node FROM bidir),
+    seeds AS (
+      SELECT node FROM nodes WHERE node % {BFS_SEED_MOD} = 1),
+    walk AS (
+      SELECT node, 0 AS hop FROM seeds
+      UNION ALL
+      SELECT b.v AS node, w.hop + 1 AS hop
+      FROM walk w JOIN bidir b ON b.u = w.node
+      WHERE w.hop < {BFS_MAX_HOPS}),
+    dist AS (
+      SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM walk GROUP BY node),
+    full_dist AS (
+      SELECT n.node, coalesce(d.hop, -1) AS hop
+      FROM nodes n LEFT JOIN dist d ON d.node = n.node)
+    SELECT CAST(hop AS BIGINT) AS hop,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(min(node) AS BIGINT) AS min_part,
+           CAST(max(node) AS BIGINT) AS max_part
+    FROM full_dist GROUP BY hop
+    """,
+)
+def graph_bfs_hops(spark, sf_dir):
+    """Multi-source BFS over the part co-purchase graph: min-hop
+    distance from the seed set (part keys ≡ 1 mod {BFS_SEED_MOD})
+    out to {BFS_MAX_HOPS} hops, with never-reached nodes reported at
+    hop = -1 — the neighborhood-expansion primitive behind
+    recommendation candidate generation and blast-radius analysis.
+    The Spark side is a PROPER frontier BFS: each level joins only
+    the NEW nodes against the edge list, dedups, and anti-joins the
+    settled set, so work per level is O(frontier boundary), not
+    O(paths) — the oracle's recursive CTE enumerates paths (fine at
+    oracle scale; min() collapses them identically). Edge build
+    reuses the basket pattern (one groupBy orderkey, JVM-side pair
+    expansion). Scale: at 100 TB the settled set and frontier stay
+    partitioned by node; iterations are bounded and each is two
+    equi-joins — the same loop discipline as
+    dedup_cluster_components' label propagation."""
+    li = read_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("parts"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                        lambda y: F.struct(x.alias("u"), y.alias("v")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+    edges = pairs.distinct()
+    bidir = cache.track(
+        edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    )
+    nodes = bidir.select(F.col("u").alias("node")).distinct()
+    seeds = nodes.filter(F.col("node") % BFS_SEED_MOD == 1)
+    settled = cache.track(seeds.withColumn("hop", F.lit(0)))
+    frontier = seeds
+    for h in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(bidir, frontier.node == bidir.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(settled.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+        )
+        settled = cache.track(settled.unionAll(nxt))
+        frontier = nxt.select("node")
+    full_dist = nodes.join(settled, "node", "left").select(
+        "node", F.coalesce(F.col("hop"), F.lit(-1)).alias("hop")
+    )
+    return full_dist.groupBy("hop").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.min("node").cast("long").alias("min_part"),
+        F.max("node").cast("long").alias("max_part"),
+    ).select(F.col("hop").cast("bigint").alias("hop"), "n_parts", "min_part", "max_part")

@@ -310,3 +310,103 @@ def sample_reservoir_per_key(spark, sf_dir):
     return ranked.filter(F.col("rk") <= _RESERVOIR_K).select(
         "doc_id", "lang", F.col("priority").cast("bigint"), "rk"
     )
+
+
+@register(
+    "pipeline_pit_training_set",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    featured AS (
+      SELECT user_id, event_id, event_type, cents,
+             CAST(coalesce(count(*) OVER w, 0) AS BIGINT)
+               AS n_prior_events,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) OVER w, 0)
+                  AS BIGINT) AS n_prior_purchases,
+             CAST(coalesce(sum(cents) OVER w, 0) AS BIGINT)
+               AS prior_value_cents,
+             CAST(coalesce((us - lag(us) OVER
+                    (PARTITION BY user_id ORDER BY us, event_id))
+                    // 1000000, -1) AS BIGINT) AS sec_since_prev
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT user_id, event_id,
+           cents AS label_cents,
+           n_prior_events, n_prior_purchases, prior_value_cents,
+           sec_since_prev
+    FROM featured WHERE event_type = 'purchase'
+    """,
+)
+def pipeline_pit_training_set(spark, sf_dir):
+    """POINT-IN-TIME training-set assembly: spine = purchase events
+    (label = purchase cents); features = the user's history STRICTLY
+    BEFORE the label instant (prior event count, prior purchase
+    count, prior value sum, seconds since previous event) — the
+    leakage-free feature-store discipline (the as-of contract every
+    feature platform enforces: a feature may only see data with
+    ts < label_ts, never <=). Here the feature source is the event
+    stream itself, so the strict-before frame (UNBOUNDED PRECEDING
+    .. 1 PRECEDING over the (us, event_id) total order) IS the PIT
+    join; join_dim_snapshot_asof covers the cross-table variant.
+    Emits the row-level training table a trainer consumes. Scale:
+    one user-keyed window — single shuffle, no self-join; the frame
+    is computed incrementally per partition."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    order = [F.col("us"), F.col("event_id")]
+    wprior = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wlag = W.partitionBy("user_id").orderBy(*order)
+    featured = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "cents",
+        F.coalesce(F.count(F.lit(1)).over(wprior), F.lit(0))
+        .cast("bigint")
+        .alias("n_prior_events"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(wprior),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_prior_purchases"),
+        F.coalesce(F.sum("cents").over(wprior), F.lit(0))
+        .cast("bigint")
+        .alias("prior_value_cents"),
+        F.coalesce(
+            F.expr(
+                "CAST((us - lag(us) OVER (PARTITION BY user_id"
+                " ORDER BY us, event_id)) DIV 1000000 AS BIGINT)"
+            ),
+            F.lit(-1),
+        )
+        .cast("bigint")
+        .alias("sec_since_prev"),
+    )
+    return featured.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.col("cents").alias("label_cents"),
+        "n_prior_events",
+        "n_prior_purchases",
+        "prior_value_cents",
+        "sec_since_prev",
+    )
