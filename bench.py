@@ -215,6 +215,10 @@ HEADLINE = [
     "stat_mann_whitney_u",
     "pipeline_pit_training_set",
     "graph_bfs_hops",
+    "ts_holt_level_trend",
+    "embed_pca_power_iter",
+    "fn_try_suite",
+    "sample_negative_pairs",
 ]
 
 

@@ -742,3 +742,60 @@ def fn_collation_suite(spark, sf_dir):
         .cast("bigint")
         .alias("value_cents"),
     )
+
+
+@register(
+    "fn_try_suite",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(split_part(o_orderpriority, '-', 1) AS INTEGER)
+             AS lead_digit,
+           TRY_CAST(o_orderstatus AS INTEGER) IS NULL AS status_not_num,
+           (o_orderkey % 5) = 0 AS div0_is_null,
+           CAST(round(o_totalprice * 100) AS BIGINT) > 0
+             AS add_overflow_null,
+           CAST(epoch_us(TRY_CAST(CAST(o_orderdate AS VARCHAR)
+                                  AS TIMESTAMP)) AS BIGINT) AS date_us,
+           (string_split(o_orderpriority, '-'))[3] AS seg3,
+           (string_split(o_orderpriority, '-'))[2] AS seg2
+    FROM orders
+    """,
+)
+def fn_try_suite(spark, sf_dir):
+    """The ANSI-mode TRY_* error-absorbing family (Spark 4 runs
+    ANSI-strict by default, so these are the sanctioned way to keep
+    dirty-data pipelines total): try_cast on non-numeric strings,
+    try_divide by zero, try_add past BIGINT max — each returning
+    NULL instead of raising — plus try_to_timestamp and
+    try_element_at past the array end. The oracle states the
+    EXPECTED null-pattern in plain SQL (DuckDB TRY_CAST + natural
+    out-of-bounds NULL), so the suite pins the semantics, not just
+    the syntax. Map-only; scale-free."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "try_cast(split_part(o_orderpriority, '-', 1) AS INT)"
+        ).alias("lead_digit"),
+        F.expr("try_cast(o_orderstatus AS INT) IS NULL").alias(
+            "status_not_num"
+        ),
+        F.expr(
+            "try_divide(1, o_orderkey % 5) IS NULL"
+        ).alias("div0_is_null"),
+        F.expr(
+            "try_add(9223372036854775807,"
+            " CAST(round(o_totalprice * 100) AS BIGINT)) IS NULL"
+        ).alias("add_overflow_null"),
+        F.expr(
+            "unix_micros(try_to_timestamp(CAST(o_orderdate AS STRING)))"
+        )
+        .cast("bigint")
+        .alias("date_us"),
+        F.expr(
+            "try_element_at(split(o_orderpriority, '-'), 3)"
+        ).alias("seg3"),
+        F.expr(
+            "try_element_at(split(o_orderpriority, '-'), 2)"
+        ).alias("seg2"),
+    )

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from etl_jobs_spark import cache
 from etl_jobs_spark.operators import similarity as SIM
 from etl_jobs_spark.operators.hashing import (
     dot_unrolled,
@@ -1093,4 +1094,111 @@ def kmeans_lloyd_fit(emb, k=_KM_K, rounds=_KM_ROUNDS):
     )
     return stats.join(F.broadcast(sig), "cluster_id").select(
         "cluster_id", "n_vecs", "inertia", "c_sum", "c_absum"
+    )
+
+
+#: Power-iteration PCA constants: micro-unit quantization reuses
+#: _KM_SCALE; the iterate is renormalized to max-abs _PCA_VS and the
+#: per-vector dot is right-shifted by _PCA_SHIFT before the second
+#: product so every sum stays far inside BIGINT (bound stated in the
+#: docstring).
+_PCA_VS = 1_000_000
+_PCA_SHIFT = 4_194_304  # 2^22
+_PCA_ITERS = 3
+
+
+def _pca_oracle() -> str:
+    parts = [
+        f"""lf AS (
+      SELECT vec_id, CAST(d AS INT) AS d, q FROM (
+        SELECT vec_id, unnest({_km_quant("duckdb")}) AS q,
+               generate_subscripts(embedding, 1) AS d
+        FROM embeddings)),
+    v0 AS (
+      SELECT d, CAST({_PCA_VS} AS BIGINT) AS v
+      FROM (SELECT DISTINCT d FROM lf))"""
+    ]
+    for r in range(_PCA_ITERS):
+        parts.append(
+            f"""t{r} AS (
+      SELECT lf.vec_id,
+             CAST(sum(lf.q * v{r}.v) // {_PCA_SHIFT} AS BIGINT) AS t
+      FROM lf JOIN v{r} USING (d) GROUP BY lf.vec_id),
+    w{r} AS (
+      SELECT d, CAST(sum(lf.q * t{r}.t) AS BIGINT) AS w
+      FROM lf JOIN t{r} USING (vec_id) GROUP BY d),
+    m{r} AS (SELECT max(abs(w)) AS m FROM w{r}),
+    v{r + 1} AS (
+      SELECT d, CAST(w * {_PCA_VS} // m AS BIGINT) AS v
+      FROM w{r}, m{r})"""
+        )
+    R = _PCA_ITERS
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT vf.d AS d, vf.v AS loading_scaled, wl.w AS w_last
+    FROM v{R} vf JOIN w{R - 1} wl USING (d)"""
+    )
+
+
+@register("embed_pca_power_iter", oracle=_pca_oracle())
+def embed_pca_power_iter(spark, sf_dir):
+    """Top PRINCIPAL COMPONENT of the embedding corpus by {_PCA_ITERS}
+    unrolled POWER ITERATIONS on X'X, entirely in exact integers:
+    micro-unit quantized vectors (the integer-Lloyd discipline), the
+    all-ones start, and per iteration (1) per-vector dot q.v,
+    right-shifted 22 bits, (2) the d-dim co-product sum(q * t),
+    (3) max-abs renormalization to 1e6 — truncating division is
+    toward-zero in both engines, so the iterate is bit-identical and
+    the oracle RE-RUNS the same three iterations. Overflow bound:
+    |q| <= 1e6, |v| <= 1e6, dim 64 => |dot| <= 6.4e13, t <= 1.6e7,
+    |w| <= n * 1.6e13 — safe to n ~ 5e5 vectors; beyond that raise
+    _PCA_SHIFT (the shift is the float-free analogue of norm
+    scaling). Scale shape: X'X is NEVER materialized (d^2 would be
+    fine, but n x d^2 intermediate wouldn't) — each iteration is two
+    corpus joins: long-form x broadcast-v (64 rows), then the
+    vec-keyed re-join for the co-product, both combinable
+    aggregations; the iterate itself is always 64 rows. Ref: the
+    classic two-pass matvec decomposition of power iteration
+    (Halko/Martinsson/Tropp randomized-SVD literature)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    lf = cache.track(
+        emb.select(
+            "vec_id",
+            F.posexplode(F.expr(_km_quant("spark"))).alias("d", "q"),
+        )
+    )
+    v = (
+        lf.select("d")
+        .distinct()
+        .select("d", F.lit(_PCA_VS).cast("bigint").alias("v"))
+    )
+    w = None
+    for _ in range(_PCA_ITERS):
+        t = (
+            lf.join(F.broadcast(v), "d")
+            .groupBy("vec_id")
+            .agg(
+                F.expr(
+                    f"CAST(sum(q * v) DIV {_PCA_SHIFT} AS BIGINT)"
+                ).alias("t")
+            )
+        )
+        w = (
+            lf.join(t, "vec_id")
+            .groupBy("d")
+            .agg(F.sum(F.col("q") * F.col("t")).cast("bigint").alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = w.crossJoin(F.broadcast(m)).select(
+            "d", F.expr(f"CAST(w * {_PCA_VS} DIV m AS BIGINT)").alias("v")
+        )
+    # posexplode is 0-based; the oracle's generate_subscripts is
+    # 1-based — internal joins are self-consistent, only the output
+    # key needs the +1 alignment.
+    return v.join(w.withColumnRenamed("w", "w_last"), "d").select(
+        (F.col("d") + 1).cast("int").alias("d"),
+        F.col("v").alias("loading_scaled"),
+        "w_last",
     )

@@ -1397,3 +1397,100 @@ def ts_bollinger_breakouts(spark, sf_dir):
         .cast("bigint")
         .alias("first_breakout_hour"),
     )
+
+
+#: Fixed-point scale for the Holt level/trend state (2^10).
+_HOLT_S = 1024
+
+
+@register(
+    "ts_holt_level_trend",
+    oracle=f"""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    idx AS (
+      SELECT event_type, x,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
+                  AS BIGINT) AS i
+      FROM hourly),
+    fold AS (
+      SELECT event_type, i, x * {_HOLT_S} AS l,
+             CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS sae
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT n.event_type, n.i,
+             (n.x * {_HOLT_S} + f.l + f.b) // 2,
+             ((n.x * {_HOLT_S} + f.l + f.b) // 2 - f.l + f.b) // 2,
+             f.sae + abs(n.x * {_HOLT_S} - f.l - f.b)
+      FROM fold f JOIN idx n
+        ON n.event_type = f.event_type AND n.i = f.i + 1),
+    lastrow AS (
+      SELECT event_type, CAST(max(i) AS BIGINT) AS n_hours
+      FROM idx GROUP BY 1)
+    SELECT f.event_type, lr.n_hours,
+           CAST(f.l AS BIGINT) AS level_scaled,
+           CAST(f.b AS BIGINT) AS trend_scaled,
+           CAST(f.l + f.b AS BIGINT) AS forecast_scaled,
+           CAST(f.sae AS BIGINT) AS sae_scaled
+    FROM fold f JOIN lastrow lr
+      ON lr.event_type = f.event_type AND f.i = lr.n_hours
+    """,
+)
+def ts_holt_level_trend(spark, sf_dir):
+    """HOLT double-exponential smoothing (level + linear trend) over
+    each type's hourly series, alpha = beta = 1/2, in 2^10 fixed
+    point with truncating halving each step — the recurrence
+    l_t = (x_t + l + b)/2, b_t = (l_t - l + b)/2 is inherently
+    SEQUENTIAL, so the exactness discipline is per-step integer
+    truncation stated identically in both engines (both truncate
+    integer division toward zero). Emits the final state, the
+    one-step forecast l + b, and the accumulated absolute one-step
+    error (the in-sample backtest a forecast monitor tracks). Spark
+    folds the sorted per-series array partition-locally with
+    aggregate(); the oracle advances the identical recurrence as a
+    recursive CTE. Scale: the corpus-sized stage is the hourly
+    rollup; the fold touches |types| x |hours| state rows — for
+    unbounded series the production shape is the streaming per-key
+    state (stream_stateful_pandas), not a longer array."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias(
+                "h"
+            ),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    series = hourly.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(h, x))), s -> s.x)"
+        ).alias("xs")
+    )
+    folded = series.select(
+        "event_type",
+        F.size("xs").cast("long").alias("n_hours"),
+        F.expr(
+            f"""aggregate(
+              slice(xs, 2, size(xs) - 1),
+              named_struct(
+                'l', xs[0] * CAST({_HOLT_S} AS BIGINT),
+                'b', CAST(0 AS BIGINT), 'sae', CAST(0 AS BIGINT)),
+              (acc, x) -> named_struct(
+                'l', (x * {_HOLT_S} + acc.l + acc.b) DIV 2,
+                'b', ((x * {_HOLT_S} + acc.l + acc.b) DIV 2
+                      - acc.l + acc.b) DIV 2,
+                'sae', acc.sae + abs(x * {_HOLT_S} - acc.l - acc.b)))"""
+        ).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        "n_hours",
+        F.col("st.l").cast("bigint").alias("level_scaled"),
+        F.col("st.b").cast("bigint").alias("trend_scaled"),
+        (F.col("st.l") + F.col("st.b")).cast("bigint").alias("forecast_scaled"),
+        F.col("st.sae").cast("bigint").alias("sae_scaled"),
+    )

@@ -410,3 +410,115 @@ def pipeline_pit_training_set(spark, sf_dir):
         "prior_value_cents",
         "sec_since_prev",
     )
+
+
+@register(
+    "sample_negative_pairs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, source,
+             CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM documents),
+    pos AS (
+      SELECT doc_id,
+             lead(doc_id) OVER (PARTITION BY lang, source
+                                ORDER BY doc_id) AS pos_id
+      FROM d),
+    cand AS (
+      SELECT doc_id, lang, source, n,
+             {hash60("concat('neg1:', CAST(doc_id AS VARCHAR))", "duckdb")}
+               % n + 1 AS r1,
+             {hash60("concat('neg2:', CAST(doc_id AS VARCHAR))", "duckdb")}
+               % n + 1 AS r2
+      FROM d),
+    picked AS (
+      SELECT c.doc_id, c.lang, c.source,
+             d1.doc_id AS c1, d1.lang AS l1, d1.source AS s1,
+             d2.doc_id AS c2, d2.lang AS l2, d2.source AS s2
+      FROM cand c
+      JOIN d d1 ON d1.rn = c.r1
+      JOIN d d2 ON d2.rn = c.r2)
+    SELECT p.doc_id AS anchor_id,
+           pos.pos_id,
+           CASE WHEN p.c1 <> p.doc_id
+                     AND (p.l1 <> p.lang OR p.s1 <> p.source) THEN p.c1
+                WHEN p.c2 <> p.doc_id
+                     AND (p.l2 <> p.lang OR p.s2 <> p.source) THEN p.c2
+                END AS neg_id
+    FROM picked p JOIN pos ON pos.doc_id = p.doc_id
+    """,
+)
+def sample_negative_pairs(spark, sf_dir):
+    """Contrastive TRAINING-PAIR construction: for every document an
+    in-domain POSITIVE (the next doc in its lang x source bucket —
+    the weak-supervision positive CLIP-style pipelines use when no
+    labeled pairs exist) and a derandomized NEGATIVE drawn by
+    portable hash over the global doc index, with cascaded rejection
+    (two hash candidates; a candidate is rejected if it is the
+    anchor itself or shares the anchor's domain — in-batch-negative
+    hygiene). No RNG anywhere: hash60(doc_id) IS the sampler, so the
+    pair table is reproducible across engines and re-runs (the
+    sample_weighted_bernoulli discipline). Scale: the rank lookup is
+    a doc-keyed equi-join (2 candidates/doc, never a cross join);
+    the positive is one lag window per domain bucket."""
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.row_number().over(W.orderBy("doc_id")).cast("bigint").alias("rn"),
+    ).crossJoin(
+        F.broadcast(docs.agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    )
+    pos = d.select(
+        "doc_id",
+        F.lead("doc_id")
+        .over(W.partitionBy("lang", "source").orderBy("doc_id"))
+        .alias("pos_id"),
+    )
+    cand = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        (
+            F.expr(hash60("concat('neg1:', CAST(doc_id AS STRING))", "spark"))
+            % F.col("n")
+            + 1
+        ).alias("r1"),
+        (
+            F.expr(hash60("concat('neg2:', CAST(doc_id AS STRING))", "spark"))
+            % F.col("n")
+            + 1
+        ).alias("r2"),
+    )
+    lut1 = d.select(
+        F.col("rn").alias("r1"),
+        F.col("doc_id").alias("c1"),
+        F.col("lang").alias("l1"),
+        F.col("source").alias("s1"),
+    )
+    lut2 = d.select(
+        F.col("rn").alias("r2"),
+        F.col("doc_id").alias("c2"),
+        F.col("lang").alias("l2"),
+        F.col("source").alias("s2"),
+    )
+    picked = cand.join(lut1, "r1").join(lut2, "r2")
+    return picked.join(pos, "doc_id").select(
+        F.col("doc_id").alias("anchor_id"),
+        "pos_id",
+        F.when(
+            (F.col("c1") != F.col("doc_id"))
+            & ((F.col("l1") != F.col("lang")) | (F.col("s1") != F.col("source"))),
+            F.col("c1"),
+        )
+        .when(
+            (F.col("c2") != F.col("doc_id"))
+            & ((F.col("l2") != F.col("lang")) | (F.col("s2") != F.col("source"))),
+            F.col("c2"),
+        )
+        .alias("neg_id"),
+    )
