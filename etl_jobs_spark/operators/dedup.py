@@ -704,7 +704,20 @@ def substring_spans(corpus: DataFrame) -> DataFrame:
     shuffles are the gram-frequency window, the seed equi-join, and
     the per-(pair, diagonal) window; each is keyed, none is
     quadratic in documents. At 100 TB the stop-gram cap is the knob:
-    it bounds per-gram join fan-out regardless of corpus size."""
+    it bounds per-gram join fan-out regardless of corpus size.
+
+    RECALL BOUND (explicit): any substring whose interior grams ALL
+    occur in more than ``SPAN_FREQ_CAP`` documents — boilerplate
+    repeated corpus-wide — loses those seeds, so its reported runs
+    split into shorter spans or vanish below ``SPAN_MIN_LEN``. That
+    is the winnowing trade: the cap is exactly what keeps the seed
+    join non-quadratic, so the miss is priced, not accidental. Per
+    the repo's no-silent-caps rule the drop is OBSERVABLE, not
+    silent: ``substring_stop_gram_audit`` reports how many distinct
+    grams / gram occurrences the cap removed (registered as query
+    ``dedup_substring_drop_audit``), and high-duplication corpora
+    should scale ``SPAN_FREQ_CAP`` with expected replication depth
+    (it bounds fan-out per gram, not corpus size)."""
     from pyspark.sql import Window as W
 
     pos = corpus.filter(F.length("n") >= SPAN_GRAM_W).select(
@@ -758,4 +771,43 @@ def substring_spans(corpus: DataFrame) -> DataFrame:
     )
     return spans.filter(F.col("span_len") >= SPAN_MIN_LEN).select(
         "doc_a", "doc_b", "start_a", "start_b", "span_len"
+    )
+
+
+def substring_stop_gram_audit(corpus: DataFrame) -> DataFrame:
+    """Observability companion to :func:`substring_spans` (the
+    no-silent-caps rule): quantify what the ``SPAN_FREQ_CAP``
+    stop-gram filter removed. One row — distinct grams kept/dropped
+    and gram OCCURRENCES kept/dropped (occurrences are what seed the
+    pair join, so dropped_occurrences is the recall exposure). Plan:
+    the same stride-1 gram explode, one groupBy(g).count(), then a
+    single-row conditional aggregate — two keyed shuffles, nothing
+    quadratic, same shape at 100 TB."""
+    freq = (
+        corpus.filter(F.length("n") >= SPAN_GRAM_W)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(n) - {SPAN_GRAM_W}"
+                    f" + 1), p -> substring(n, p, {SPAN_GRAM_W}))"
+                )
+            ).alias("g")
+        )
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    cap = F.lit(SPAN_FREQ_CAP)
+    return freq.agg(
+        F.sum(F.when(F.col("f") <= cap, 1).otherwise(0))
+        .cast("long")
+        .alias("kept_grams"),
+        F.sum(F.when(F.col("f") > cap, 1).otherwise(0))
+        .cast("long")
+        .alias("dropped_grams"),
+        F.sum(F.when(F.col("f") <= cap, F.col("f")).otherwise(0))
+        .cast("long")
+        .alias("kept_occurrences"),
+        F.sum(F.when(F.col("f") > cap, F.col("f")).otherwise(0))
+        .cast("long")
+        .alias("dropped_occurrences"),
     )

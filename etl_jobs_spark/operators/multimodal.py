@@ -505,7 +505,7 @@ def wav_frame_energy(media_df: DataFrame) -> DataFrame:
                         int(doc_id),
                         len(ms),
                         sum(1 for e in ms if e < WAV_SILENCE_MS),
-                        max(ms),
+                        max(ms) if ms else 0,
                         int((x * x).sum()),
                     )
                 )
@@ -639,7 +639,7 @@ def audio_fingerprint(media_df: DataFrame) -> DataFrame:
             for doc_id, blob in zip(pdf["doc_id"], pdf["audio"]):
                 samples, _rate = C.decode_wav(bytes(blob))
                 x = samples.astype(np.int64)
-                k = min(len(x) - 1, 32)
+                k = max(0, min(len(x) - 1, 32))
                 fp = 0
                 for i in range(k):
                     if x[i + 1] > x[i]:

@@ -1038,3 +1038,44 @@ def dedup_substring_coverage(spark, sf_dir):
             "CASE WHEN dup_chars * 2 >= n_chars THEN 1 ELSE 0 END"
         ).alias("drop_flag"),
     )
+
+
+def _substring_drop_audit_oracle() -> str:
+    w, cap = DD.SPAN_GRAM_W, DD.SPAN_FREQ_CAP
+    return f"""
+    WITH corpus AS (
+      SELECT * FROM {DD.planted_corpus_sql(mutate=True)} pc),
+    g0 AS (
+      SELECT substr(n, CAST(pp.p AS INT), {w}) AS g
+      FROM corpus JOIN range(1, 2048) pp(p)
+        ON pp.p <= length(n) - {w} + 1),
+    freq AS (SELECT g, count(*) AS f FROM g0 GROUP BY g)
+    SELECT
+      CAST(sum(CASE WHEN f <= {cap} THEN 1 ELSE 0 END) AS BIGINT)
+        AS kept_grams,
+      CAST(sum(CASE WHEN f > {cap} THEN 1 ELSE 0 END) AS BIGINT)
+        AS dropped_grams,
+      CAST(sum(CASE WHEN f <= {cap} THEN f ELSE 0 END) AS BIGINT)
+        AS kept_occurrences,
+      CAST(sum(CASE WHEN f > {cap} THEN f ELSE 0 END) AS BIGINT)
+        AS dropped_occurrences
+    FROM freq
+    """
+
+
+@register("dedup_substring_drop_audit", oracle=_substring_drop_audit_oracle())
+def dedup_substring_drop_audit(spark, sf_dir):
+    """No-silent-caps observability for the substring-dedup tier
+    (ADVICE r7): one row quantifying what the SPAN_FREQ_CAP
+    stop-gram filter removed before seed generation — distinct grams
+    and gram occurrences kept vs dropped. dropped_occurrences is the
+    recall exposure of dedup_substring_spans/coverage: boilerplate
+    whose interior grams are all corpus-frequent loses those seeds
+    (documented bound in operators/dedup.py::substring_spans). Plan:
+    gram explode -> groupBy(g).count() -> single-row conditional
+    aggregate; two keyed shuffles, nothing quadratic."""
+    return DD.substring_stop_gram_audit(
+        DD.planted_corpus(
+            read_table(spark, sf_dir, "documents"), mutate=True
+        )
+    )

@@ -1122,7 +1122,9 @@ def ts_downsample_m4(spark, sf_dir):
     us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
     pts = ev.select(
         "event_type",
-        (us / 3600000000).cast("long").alias("bucket"),
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"
+        ).alias("bucket"),
         us.alias("t"),
         F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
         "event_id",

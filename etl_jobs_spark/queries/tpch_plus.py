@@ -1159,8 +1159,8 @@ def q21_suppliers_kept_waiting(spark, sf_dir):
     "q22_global_sales_opportunity",
     oracle="""
     WITH avg_bal AS (
-      SELECT CAST(avg(CAST(round(c_acctbal * 100) AS BIGINT))
-                  AS BIGINT) AS cutoff_cents
+      SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                  // count(*) AS BIGINT) AS cutoff_cents
       FROM customer WHERE c_acctbal > 0),
     rich_idle AS (
       SELECT c.c_nationkey,
@@ -1183,8 +1183,11 @@ def q22_global_sales_opportunity(spark, sf_dir):
     history is dense enough that literally-never-ordered is empty),
     rolled up per nation — the scalar-aggregate-subquery +
     anti-join composite. Realization: the balance cutoff is a 1-row broadcast
-    (integer cents; avg of BIGINTs truncates identically in both
-    engines), the never-ordered predicate is a LEFT ANTI join on
+    computed as sum(cents) DIV count(*) on BOTH sides (avg-then-cast
+    is NOT portable: DuckDB's CAST(avg AS BIGINT) rounds
+    half-away-from-zero while Spark's .cast('bigint') truncates, so
+    the cutoff would diverge by 1 whenever the mean's fraction is
+    >= 0.5), the never-ordered predicate is a LEFT ANTI join on
     custkey (never a NOT IN, whose null semantics are the classic
     trap), and the rollup shuffles only the tiny survivor set. (The
     fixture has no phone column, so the country-code slice is the
@@ -1194,7 +1197,12 @@ def q22_global_sales_opportunity(spark, sf_dir):
     cents = F.expr("CAST(round(c_acctbal * 100) AS BIGINT)")
     cutoff = (
         cust.filter(F.col("c_acctbal") > 0)
-        .agg(F.avg(cents).cast("bigint").alias("cutoff_cents"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))"
+                " DIV count(*) AS BIGINT)"
+            ).alias("cutoff_cents")
+        )
     )
     rich = (
         cust.select("c_custkey", "c_nationkey", cents.alias("bal_cents"))
