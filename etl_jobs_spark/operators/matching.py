@@ -26,37 +26,84 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def deletion_variants(df: DataFrame, key: str, text: str) -> DataFrame:
-    """(key, text, variant) — the string itself plus every
+def deletion_variants(
+    df: DataFrame, key: str, text: str, carry: list[str] | None = None
+) -> DataFrame:
+    """(key, text, *carry, variant) — the string itself plus every
     single-character deletion, generated JVM-side with higher-order
-    array functions (no UDF, stays in codegen)."""
+    array functions (no UDF, stays in codegen). ``carry`` columns
+    ride along unchanged (blocking attributes)."""
     variants = F.expr(
         f"array_union(array({text}), transform(sequence(1, length({text})),"
         f" i -> concat(substr({text}, 1, i - 1), substr({text}, i + 1))))"
     )
     return df.select(
-        F.col(key), F.col(text), F.explode(variants).alias("variant")
+        F.col(key),
+        F.col(text),
+        *[F.col(c) for c in (carry or [])],
+        F.explode(variants).alias("variant"),
     )
 
 
 def fuzzy_pairs(
-    df: DataFrame, key: str, text: str, max_dist: int = 1
+    df: DataFrame,
+    key: str,
+    text: str,
+    max_dist: int = 1,
+    block_cols: list[str] | None = None,
+    block_cap: int | None = None,
 ) -> DataFrame:
     """All (a, b) pairs with levenshtein(text_a, text_b) <= max_dist
     (a < b), found via deletion-neighborhood candidates + exact
     verification. ``max_dist`` must be 1: the single-deletion
     neighborhood is only complete for distance <= 1 (deeper radii
-    need the recursive delete set)."""
+    need the recursive delete set).
+
+    ``block_cols``: equality conjuncts COMPOSED INTO the blocking
+    key (VERDICT r7 item 2). A match rule of the form "text within
+    distance 1 AND attr_1 = ... AND attr_k = ..." must prune on the
+    equalities BEFORE candidate generation, not after: on skewed
+    real corpora (common names) the name-only variant join is the
+    classic ER blow-up — every popular name forms one giant block.
+    Hashing (variant, *block_cols) splits those blocks by the
+    conjunct cardinality, with IDENTICAL results (pairs differing on
+    a block col could never match the rule; rare hash collisions
+    only add candidates, removed by the exact equality+distance
+    verify below). Result keeps only true-equality pairs.
+
+    ``block_cap``: optional bounded-fan-out guard for adversarial
+    skew (> cap rows sharing one composed block key). Over-cap
+    blocks are DROPPED — an explicit recall bound, same trade as the
+    substring tier's SPAN_FREQ_CAP stop-gram rule: any pair whose
+    every shared variant is corpus-frequent beyond the cap is lost.
+    Default None (exact); callers whose oracle is an all-pairs scan
+    must leave it None or mirror the cap oracle-side."""
     if max_dist != 1:
         raise ValueError("deletion-neighborhood blocking covers max_dist=1")
-    # Join on an 8-byte hash of the variant, not the variant string:
-    # the shuffle carries fixed-width keys (the repo-wide
-    # shuffle-carries-hashes-not-text rule). A hash collision can only
-    # ADD a candidate pair, and the exact levenshtein verify below
-    # removes it — correctness is unaffected.
-    v = deletion_variants(df, key, text).select(
-        key, text, F.xxhash64("variant").alias("vh")
+    block_cols = list(block_cols or [])
+    # Join on an 8-byte hash of (variant, *block_cols), not the
+    # variant string: the shuffle carries fixed-width keys (the
+    # repo-wide shuffle-carries-hashes-not-text rule). A hash
+    # collision can only ADD a candidate pair, and the exact
+    # verification below removes it — correctness is unaffected.
+    v = deletion_variants(
+        df.select(key, text, *block_cols), key, text, carry=block_cols
+    ).select(
+        key,
+        text,
+        *block_cols,
+        F.xxhash64("variant", *block_cols).alias("vh"),
     )
+    if block_cap is not None:
+        from pyspark.sql import Window as W
+
+        v = (
+            v.withColumn(
+                "_bn", F.count(F.lit(1)).over(W.partitionBy("vh"))
+            )
+            .filter(F.col("_bn") <= block_cap)
+            .drop("_bn")
+        )
     # Pin the join's parallelism with an explicit hash repartition on
     # the join key (the join reuses it — still exactly one shuffle per
     # side). AQE's byte-based coalescing sees a few MB of narrow rows
@@ -66,10 +113,16 @@ def fuzzy_pairs(
     # cores). At real scale the byte heuristic and this pin agree.
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     a = v.select(
-        F.col(key).alias("key_a"), F.col(text).alias("text_a"), "vh"
+        F.col(key).alias("key_a"),
+        F.col(text).alias("text_a"),
+        *[F.col(c).alias(f"a_{c}") for c in block_cols],
+        "vh",
     ).repartition(n_part, "vh")
     b = v.select(
-        F.col(key).alias("key_b"), F.col(text).alias("text_b"), "vh"
+        F.col(key).alias("key_b"),
+        F.col(text).alias("text_b"),
+        *[F.col(c).alias(f"b_{c}") for c in block_cols],
+        "vh",
     ).repartition(n_part, "vh")
     # Verify BEFORE deduplicating: candidate multiplicity is low (a
     # true pair surfaces from only a couple of shared variants), so
@@ -77,10 +130,19 @@ def fuzzy_pairs(
     # stream and then distinct-ing the narrow (key_a, key_b, dist)
     # result shuffles ~3 ints per row instead of two full text columns
     # per row (measured 5.1s -> ~3s at sf0.1).
+    joined = a.join(b, "vh").filter(F.col("key_a") < F.col("key_b"))
+    for c in block_cols:
+        # exact equality re-check: the composed hash already blocks
+        # on these, this only screens out hash collisions (null-safe
+        # eqNullSafe so NULL attrs block together, matching an
+        # IS NOT DISTINCT FROM conjunct)
+        joined = joined.filter(
+            F.col(f"a_{c}").eqNullSafe(F.col(f"b_{c}"))
+        )
     return (
-        a.join(b, "vh")
-        .filter(F.col("key_a") < F.col("key_b"))
-        .withColumn("dist", F.levenshtein("text_a", "text_b").cast("bigint"))
+        joined.withColumn(
+            "dist", F.levenshtein("text_a", "text_b").cast("bigint")
+        )
         .filter(F.col("dist") <= max_dist)
         .select("key_a", "key_b", "dist")
         .distinct()

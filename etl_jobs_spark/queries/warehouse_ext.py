@@ -802,21 +802,19 @@ def pipeline_entity_resolution(spark, sf_dir):
     from pyspark.sql import Window as W
 
     cust = read_table(spark, sf_dir, "customer")
-    name_pairs = MT.fuzzy_pairs(
-        cust.select("c_custkey", "c_name"), "c_custkey", "c_name"
-    ).filter(F.col("dist") <= 1)
-    attrs = cust.select("c_custkey", "c_nationkey", "c_mktsegment")
-    aa = attrs.alias("aa")
-    bb = attrs.alias("bb")
-    pairs = (
-        name_pairs.join(aa, name_pairs.key_a == F.col("aa.c_custkey"))
-        .join(bb, name_pairs.key_b == F.col("bb.c_custkey"))
-        .filter(
-            (F.col("aa.c_nationkey") == F.col("bb.c_nationkey"))
-            & (F.col("aa.c_mktsegment") == F.col("bb.c_mktsegment"))
-        )
-        .select("key_a", "key_b")
-    )
+    # Equality conjuncts (nation, segment) are COMPOSED INTO the
+    # deletion-neighborhood blocking key (VERDICT r7 item 2): on a
+    # skewed corpus (common names) a name-only block is the classic
+    # ER blow-up — splitting every variant block by the conjunct
+    # attributes bounds block size by true per-(name, nation,
+    # segment) dup density, with identical results (cross-attribute
+    # pairs could never satisfy the match rule).
+    pairs = MT.fuzzy_pairs(
+        cust.select("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
+        "c_custkey",
+        "c_name",
+        block_cols=["c_nationkey", "c_mktsegment"],
+    ).select("key_a", "key_b")
     comp = DD.connected_components(
         pairs.select(
             F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b")
