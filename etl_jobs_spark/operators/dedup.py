@@ -720,6 +720,12 @@ def substring_spans(corpus: DataFrame) -> DataFrame:
     (it bounds fan-out per gram, not corpus size)."""
     from pyspark.sql import Window as W
 
+    # Spread the explode across tasks (single-file fixture scan =
+    # one input split; see substring_spans_decontam).
+    n_part = int(
+        corpus.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    corpus = corpus.repartition(n_part, "doc_id")
     pos = corpus.filter(F.length("n") >= SPAN_GRAM_W).select(
         "doc_id",
         "n",
@@ -750,6 +756,105 @@ def substring_spans(corpus: DataFrame) -> DataFrame:
         F.col("a.p").alias("pa"),
         F.col("b.p").alias("pb"),
         (F.col("a.p") - F.col("b.p")).alias("diag"),
+    )
+    wseq = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    flagged = seeds.withColumn(
+        "new_run",
+        F.when(
+            F.col("pa") - F.lag("pa", 1, -100).over(wseq) > 1, F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("new_run").over(wseq.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    spans = runs.groupBy("doc_a", "doc_b", "diag", "run_id").agg(
+        F.min("pa").cast("long").alias("start_a"),
+        F.min("pb").cast("long").alias("start_b"),
+        (F.max("pa") - F.min("pa") + SPAN_GRAM_W)
+        .cast("long")
+        .alias("span_len"),
+    )
+    return spans.filter(F.col("span_len") >= SPAN_MIN_LEN).select(
+        "doc_a", "doc_b", "start_a", "start_b", "span_len"
+    )
+
+
+def substring_spans_decontam(
+    corpus: DataFrame, eval_max: int
+) -> DataFrame:
+    """Eval-vs-train substring spans — the DECONTAMINATION plan
+    shape (VERDICT r7 item 3): spans where doc_a < ``eval_max`` <=
+    doc_b, bit-identical to ``substring_spans`` filtered to that
+    pair slice, but planned for the asymmetry. The eval set is tiny
+    by definition, so its distinct gram set BROADCASTS, and the
+    broadcast semi-join lands right after the gram explode — the
+    full train-side gram stream is filtered MAP-SIDE, before any
+    shuffle, instead of being shuffled whole for the corpus-wide
+    frequency window.
+
+    Exactness argument (why this equals the two-sided operator +
+    filter): a seed for an (eval, train) pair needs a gram present
+    in BOTH docs, so grams absent from every eval doc can neither
+    seed nor chain into a reported span; and since the semi-join
+    keeps EVERY corpus occurrence of each surviving gram, the
+    full-corpus SPAN_FREQ_CAP frequencies of those grams are exact.
+    At 100 TB: one map stage over train (explode + broadcast
+    filter), one small groupBy for frequencies, one small seed join
+    — nothing corpus-sized ever shuffles."""
+    from pyspark.sql import Window as W
+
+    # Spread the explode: the fixture corpus is one parquet file =
+    # one input split, and the ~L-per-doc gram amplification plus
+    # the broadcast probe would otherwise run on a single task.
+    # Repartitioning the COMPACT pre-explode rows costs a tiny
+    # shuffle of raw docs; at real scale the scan has many splits
+    # and this is a cheap no-op-shaped rebalance.
+    n_part = int(
+        corpus.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    corpus = corpus.repartition(n_part, "doc_id")
+    pos = corpus.filter(F.length("n") >= SPAN_GRAM_W).select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(1, length(n) - {SPAN_GRAM_W} + 1)")
+        ).alias("p"),
+        "n",
+    )
+    grams = pos.select(
+        "doc_id",
+        F.col("p").cast("long").alias("p"),
+        F.expr(f"substring(n, p, {SPAN_GRAM_W})").alias("g"),
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") < eval_max).select("g").distinct()
+    )
+    # Broadcast semi-join lands in the explode's map stage: the full
+    # gram stream shrinks to eval-present grams BEFORE any shuffle.
+    # Frequency then comes from ONE window over the shrunken stream
+    # (not a groupBy + a second broadcast): both seed-join sides sit
+    # above the SAME g-partitioned exchange, so ReuseExchange runs
+    # the corpus-wide explode exactly once.
+    cand = grams.join(F.broadcast(eval_grams), "g")
+    rare = (
+        cand.withColumn(
+            "f", F.count(F.lit(1)).over(W.partitionBy("g"))
+        )
+        .filter(F.col("f") <= SPAN_FREQ_CAP)
+        .drop("f")
+    )
+    a = rare.filter(F.col("doc_id") < eval_max).select(
+        F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"), "g"
+    )
+    b = rare.filter(F.col("doc_id") >= eval_max).select(
+        F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"), "g"
+    )
+    seeds = a.join(b, "g").select(
+        "doc_a",
+        "doc_b",
+        "pa",
+        "pb",
+        (F.col("pa") - F.col("pb")).alias("diag"),
     )
     wseq = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     flagged = seeds.withColumn(

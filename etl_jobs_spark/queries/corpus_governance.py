@@ -669,26 +669,22 @@ def decontam_substring_hits(spark, sf_dir):
     The eval set is the lowest-id slice of documents; every training
     doc sharing a long span with ANY eval doc is reported with its
     hit census (distinct eval docs, span count, longest and total
-    carried chars) — the kill-list a corpus build subtracts. Engine:
-    the same seed-and-chain span plan as dedup_substring_spans
-    (stride-1 grams, stop-gram cap, diagonal chaining) over the RAW
-    corpus, then a one-sided pair filter: span ordering puts the
-    eval side first whenever eval ids are the low range, so the
-    filter is a predicate, not a second join. Scale: identical to
-    the span operator — the eval slice is tiny, and at 100 TB you'd
-    gram only the eval side into a broadcast filter; the plan here
-    keeps the general two-sided shape the operator already has."""
+    carried chars) — the kill-list a corpus build subtracts. Engine
+    (VERDICT r7 item 3): the DECONTAM-SHAPED span plan
+    (operators/dedup.py::substring_spans_decontam) — the tiny eval
+    slice's distinct gram set broadcasts and semi-join-filters the
+    train-side gram stream MAP-SIDE right after the explode, so
+    nothing corpus-sized ever shuffles; stop-gram frequencies stay
+    exact full-corpus values (every occurrence of each surviving
+    gram is kept), making the result bit-identical to the general
+    two-sided operator + pair filter, which the oracle still is."""
     docs = read_table(spark, sf_dir, "documents")
     from etl_jobs_spark.operators import dedup as DD
 
     corpus = docs.select(
         "doc_id", F.expr(norm_text("text", "spark")).alias("n")
     )
-    spans = DD.substring_spans(corpus)
-    hits = spans.filter(
-        (F.col("doc_a") < _DECONTAM_EVAL_MAX)
-        & (F.col("doc_b") >= _DECONTAM_EVAL_MAX)
-    )
+    hits = DD.substring_spans_decontam(corpus, _DECONTAM_EVAL_MAX)
     return hits.groupBy(F.col("doc_b").alias("train_doc")).agg(
         F.countDistinct("doc_a").cast("long").alias("n_eval_docs"),
         F.count(F.lit(1)).cast("long").alias("n_spans"),
