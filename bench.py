@@ -309,6 +309,19 @@ def main() -> None:
         f"# shared BPE fit memo: {time.perf_counter() - t0:.3f}s",
         file=sys.stderr,
     )
+    # same policy for the round-8 shared graph artifacts: the
+    # co-purchase edge table + degree map (reported by
+    # graph_triangle_count, walked by graph_bfs_hops) — VERDICT r7
+    # item 4: first-consumer-pays was a bench distortion.
+    from etl_jobs_spark.queries import graph_analytics as GQ
+
+    t0 = time.perf_counter()
+    GQ._copurchase_edges(spark, sf_dir).count()
+    GQ._copurchase_degrees(spark, sf_dir).count()
+    print(
+        f"# shared co-purchase edge memo: {time.perf_counter() - t0:.3f}s",
+        file=sys.stderr,
+    )
     # warm the Python DataSource runtime (worker pool + Arrow writer
     # spin-up is a ~6.5s one-time cost in a fresh JVM — VERDICT r4):
     # a 100-row ledger write+read here makes sink_custom_ledger's
