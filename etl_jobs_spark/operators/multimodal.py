@@ -229,9 +229,11 @@ def _grid_audio(doc_id: int):
 def generate_media(docs: DataFrame) -> DataFrame:
     """Encode the fixture grid into REAL containers per doc: PNG for
     odd doc_ids (cycling all five scanline filters), 24-bit BMP for
-    even, plus a PCM WAV of the fixture waveform — an Arrow-batched
-    generation stage (each executor encodes its own partition; no
-    driver-side loop)."""
+    even, plus a baseline JPEG of the same grid (color for odd ids,
+    grayscale channel-0 for even — both JPEG component layouts) and
+    a PCM WAV of the fixture waveform — an Arrow-batched generation
+    stage (each executor encodes its own partition; no driver-side
+    loop)."""
     from etl_jobs_spark.operators import codecs as C
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -243,21 +245,27 @@ def generate_media(docs: DataFrame) -> DataFrame:
                 media = (
                     C.encode_png(img) if d % 2 == 1 else C.encode_bmp(img)
                 )
+                jpeg = C.encode_jpeg(
+                    img if d % 2 == 1 else img[:, :, :1]
+                )
                 rows.append(
                     (
                         d,
                         "png" if d % 2 == 1 else "bmp",
                         media,
+                        jpeg,
                         C.encode_wav(_grid_audio(d), WAV_RATE),
                     )
                 )
             yield pd.DataFrame(
-                rows, columns=["doc_id", "container", "media", "audio"]
+                rows,
+                columns=["doc_id", "container", "media", "jpeg", "audio"],
             )
 
     return docs.select("doc_id").mapInPandas(
         batches,
-        schema="doc_id long, container string, media binary, audio binary",
+        schema="doc_id long, container string, media binary, "
+        "jpeg binary, audio binary",
     )
 
 
@@ -303,6 +311,76 @@ def extract_real_features(media_df: DataFrame) -> DataFrame:
 
     return media_df.select("doc_id", "container", "media").mapInPandas(
         batches, schema=REAL_FEATURE_SCHEMA
+    )
+
+
+JPEG_FEATURE_SCHEMA = (
+    "doc_id long, container string, width int, height int, "
+    "channels int, n_blocks long, roundtrip_ok long"
+)
+
+
+def jpeg_roundtrip_features(media_df: DataFrame) -> DataFrame:
+    """Decode REAL baseline JPEG containers (operators/codecs.py —
+    from-scratch Huffman + IDCT, tables read from the file) and
+    verify the decode against the closed-form fixture grid each blob
+    was encoded from: roundtrip_ok is 1 iff every decoded pixel is
+    within codecs.JPEG_MAX_ABS_ERR of the source (the Q=1 DCT +
+    YCbCr rounding bound). JPEG is lossy, so unlike the PNG/BMP
+    path the oracle cannot recompute pixel sums — instead it pins
+    the header-derived geometry (width/height/channels/block count)
+    closed-form and requires the error-bound flag to hold, which a
+    broken Huffman table, filter, or IDCT blows immediately. Arrow-
+    batched mapInPandas; only 7 small columns leave the stage."""
+    import numpy as np
+
+    from etl_jobs_spark.operators import codecs as C
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["jpeg"]):
+                d = int(doc_id)
+                img = C.decode_jpeg(bytes(blob))
+                h, w, ch = img.shape
+                ref = _grid_image(d)
+                if ch == 1:
+                    ref = ref[:, :, :1]
+                ok = (
+                    ref.shape == img.shape
+                    and int(
+                        np.abs(
+                            img.astype(np.int64) - ref.astype(np.int64)
+                        ).max()
+                    )
+                    <= C.JPEG_MAX_ABS_ERR
+                )
+                rows.append(
+                    (
+                        d,
+                        "jpeg",
+                        w,
+                        h,
+                        ch,
+                        -(-w // 8) * -(-h // 8) * ch,
+                        1 if ok else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "container",
+                    "width",
+                    "height",
+                    "channels",
+                    "n_blocks",
+                    "roundtrip_ok",
+                ],
+            )
+
+    return media_df.select("doc_id", "jpeg").mapInPandas(
+        batches, schema=JPEG_FEATURE_SCHEMA
     )
 
 

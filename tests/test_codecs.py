@@ -60,8 +60,10 @@ def test_decode_image_sniffs_containers():
 
 
 def test_unsupported_containers_raise():
+    # WebP (RIFF) is out of scope; JPEG now dispatches to the real
+    # baseline decoder (see test_decode_image_sniffs_jpeg)
     with pytest.raises(NotImplementedError):
-        C.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+        C.decode_image(b"RIFF\x00\x00\x00\x00WEBP")
     # 16-bit PNG: honest refusal, not silent garbage
     img = np.zeros((2, 2, 3), np.uint8)
     data = bytearray(C.encode_png(img))
@@ -171,3 +173,81 @@ def test_decode_image_sniffs_gif():
 
     img = np.zeros((4, 5, 3), dtype=np.uint8)
     assert decode_image(encode_gif(img)).shape == (4, 5, 3)
+
+
+@pytest.mark.parametrize("ch", [1, 3])
+def test_jpeg_roundtrip_within_bound(ch):
+    """Baseline JPEG is lossy but bounded: with all-ones quant
+    tables the decode must sit within JPEG_MAX_ABS_ERR of the
+    source for arbitrary (worst-case random) content."""
+    rng = np.random.default_rng(13)
+    for _ in range(8):
+        h, w = int(rng.integers(1, 33)), int(rng.integers(1, 33))
+        img = rng.integers(0, 256, size=(h, w, ch)).astype(np.uint8)
+        back = C.decode_jpeg(C.encode_jpeg(img))
+        assert back.shape == (h, w, ch)
+        err = np.abs(back.astype(int) - img.astype(int)).max()
+        assert err <= C.JPEG_MAX_ABS_ERR, err
+
+
+def test_jpeg_smooth_content_is_near_lossless():
+    """Q=1 quantization keeps smooth gradients essentially exact —
+    the DCT basis represents them with tiny rounding error."""
+    img = np.tile(np.arange(256, dtype=np.uint8), (16, 1))[:, :, None]
+    back = C.decode_jpeg(C.encode_jpeg(img))
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_jpeg_container_structure():
+    """Emitted files are genuine JFIF: SOI first, EOI last, and a
+    marker walk finds APP0, DQT, SOF0, DHT and SOS in order."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8, 1)
+    data = C.encode_jpeg(img)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    import struct as _s
+
+    seen, pos = [], 2
+    while pos < len(data) - 2:
+        assert data[pos] == 0xFF
+        marker = data[pos + 1]
+        seen.append(marker)
+        (length,) = _s.unpack_from(">H", data, pos + 2)
+        pos += 2 + length
+        if marker == 0xDA:
+            break
+    assert seen == [0xE0, 0xDB, 0xC0, 0xC4, 0xDA]
+
+
+def test_jpeg_scope_guards():
+    img = np.zeros((8, 8, 1), dtype=np.uint8)
+    data = bytearray(C.encode_jpeg(img))
+    with pytest.raises(ValueError):
+        C.decode_jpeg(b"\x00\x01" + bytes(data[2:]))
+    # flip SOF0 -> SOF2 (progressive): honest NotImplementedError.
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        C.decode_jpeg(bytes(data))
+    with pytest.raises(ValueError):
+        C.decode_jpeg(C.encode_jpeg(img)[:40])  # truncated: no SOS
+
+
+def test_decode_image_sniffs_jpeg():
+    img = np.full((4, 5, 3), 77, dtype=np.uint8)
+    assert C.decode_image(C.encode_jpeg(img)).shape == (4, 5, 3)
+
+
+def test_jpeg_grid_fixture_roundtrips_both_layouts():
+    """The planted fixture (gray even ids / color odd ids) decodes
+    within the bound for every doc in a small id range — the same
+    check multimodal_decode_jpeg's roundtrip_ok column pins at SF."""
+    for d in range(1, 24):
+        ref = MM._grid_image(d)
+        if d % 2 == 0:
+            ref = ref[:, :, :1]
+        back = C.decode_jpeg(C.encode_jpeg(ref))
+        assert back.shape == ref.shape
+        assert (
+            np.abs(back.astype(int) - ref.astype(int)).max()
+            <= C.JPEG_MAX_ABS_ERR
+        )
