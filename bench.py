@@ -219,6 +219,9 @@ HEADLINE = [
     "embed_pca_power_iter",
     "fn_try_suite",
     "sample_negative_pairs",
+    # round-8 surface (dedup_substring_drop_audit rides the dedup_
+    # prefix scan)
+    "multimodal_decode_jpeg",
 ]
 
 
@@ -250,15 +253,18 @@ def main() -> None:
     # across VMs of different speed — round-1's recorded 64.9s total
     # and round-2's run on hardware measured ~2.6x slower by THIS
     # metric are the same engine (docs/SCALE.md "Host variance").
-    calib = min(
-        _timed(
-            lambda: spark.range(1 << 29)
-            .selectExpr("sum(xxhash64(id) % 1000000) s")
-            .collect()
+    def _calib_probe() -> float:
+        return min(
+            _timed(
+                lambda: spark.range(1 << 29)
+                .selectExpr("sum(xxhash64(id) % 1000000) s")
+                .collect()
+            )
+            for _ in range(2)
         )
-        for _ in range(2)
-    )
-    print(f"# calib: {calib:.3f}s", file=sys.stderr)
+
+    calib_start = _calib_probe()
+    print(f"# calib (start): {calib_start:.3f}s", file=sys.stderr)
     # pre-stage streaming fixture inputs (memoized) so stream_* timings
     # measure the streaming operators, not the one-time test staging
     from etl_jobs_spark.queries import analytics_ext as AQ
@@ -346,23 +352,51 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
-    for name in names:
+    calib_mid = None
+    for i, name in enumerate(names):
+        if i == len(names) // 2:
+            # two-point calibration (VERDICT r7 item 6): one probe
+            # before the run cannot see a mid-run slow window — r7
+            # recorded a 1.395 median per-query swing on identical
+            # code while the start probe moved only 5%. A second
+            # probe mid-run bounds WHEN the host was slow.
+            calib_mid = _calib_probe()
+            print(f"# calib (mid): {calib_mid:.3f}s", file=sys.stderr)
         t0 = time.perf_counter()
         df = queries[name](spark, sf_dir)
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         cache.release_all()  # don't let one query's persist leak into the next
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    if calib_mid is None:
+        calib_mid = _calib_probe()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Normalization basis: the faster of the two probes (both are
+    # already min-of-2) — the closest sample to unloaded hardware
+    # speed. The slower probe measures contention, which the drift
+    # flag below reports instead of silently folding into ratios.
+    calib = min(calib_start, calib_mid)
+    drift_pct = round(
+        100.0 * abs(calib_mid - calib_start) / calib, 1
+    ) if calib > 0 else 0.0
+    calib_drift_flag = drift_pct > 10.0
+    if calib_drift_flag:
+        print(
+            f"# WARNING: calib drift {drift_pct}% between start "
+            f"({calib_start:.3f}s) and mid-run ({calib_mid:.3f}s) — "
+            "host window unstable; treat per-query ratios from this "
+            "run as noisy",
+            file=sys.stderr,
+        )
     scale = CALIB_REF_SEC / calib if calib > 0 else 1.0
     # raw * (ref-host calib / this-host calib): per-query seconds as
     # the round-2 reference host would measure them, so cross-round
     # deltas compare code not VMs.
     norm = {k: round(v * scale, 3) for k, v in timings.items()}
 
-    cur_tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "r07")
+    cur_tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "r08")
     docs = Path(__file__).resolve().parent / "docs"
     history = docs / "bench_history.jsonl"
     # cross-round comparison: common-subset normalized total vs the
@@ -407,6 +441,10 @@ def main() -> None:
         "queries_norm": norm,
         "value_norm": round(sum(timings.values()) * scale, 3),
         "calib_sec": round(calib, 3),
+        "calib_start_sec": round(calib_start, 3),
+        "calib_mid_sec": round(calib_mid, 3),
+        "calib_drift_pct": drift_pct,
+        "calib_drift_flag": calib_drift_flag,
         "calib_ref_sec": CALIB_REF_SEC,
         "ratio_vs_prev_norm": ratio,
         "ratio_prev_tag": prev_tag,
@@ -434,6 +472,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "value_norm": round(sum(timings.values()) * scale, 3),
                 "calib_sec": round(calib, 3),
+                "calib_drift_pct": drift_pct,
                 "calib_ref_sec": CALIB_REF_SEC,
                 "ratio_vs_prev_norm": ratio,
                 "full": "docs/BENCH_FULL_LATEST.json",
