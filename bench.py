@@ -220,8 +220,17 @@ HEADLINE = [
     "fn_try_suite",
     "sample_negative_pairs",
     # round-8 surface (dedup_substring_drop_audit rides the dedup_
-    # prefix scan)
+    # prefix scan): real JPEG decode, the six TPC-H shapes that
+    # complete all 22, and the two new exact-integer stats
     "multimodal_decode_jpeg",
+    "q8_national_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_supplier_part_count",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "stat_kendall_tau",
+    "stat_bootstrap_ci_mean",
 ]
 
 

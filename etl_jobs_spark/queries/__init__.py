@@ -50,6 +50,14 @@ _NEEDS_CORRECTNESS_ROW = [
     # (a) round-8 additions
     "dedup_substring_drop_audit",
     "multimodal_decode_jpeg",
+    "q8_national_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_supplier_part_count",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "stat_kendall_tau",
+    "stat_bootstrap_ci_mean",
     # (b) never driver-checked round-7 queries
     "pipeline_entity_resolution",
     "stream_pii_redact",
@@ -92,19 +100,20 @@ _NEEDS_CORRECTNESS_ROW = [
     "text_quality_score",
     "text_tfidf",
     "text_token_stats",
-    # (d) r1-era rows deferred from round 7 (displacement order:
-    # bottom of this list goes first when a round-8 addition lands)
-    "setop_intersect",
-    "setop_except",
-    "fillna_const",
-    "window_running_sum",
-    "filter_valid_rows",
-    "agg_events_by_type",
-    "agg_success_rate",
-    "agg_record_count",
-    # agg_approx_sketches (rows-only by design — its refresh carries
-    # no hash information) displaced by round-8 addition
-    # multimodal_decode_jpeg.
+    # (d) r1-era rows deferred from round 7: ALL NINE are displaced
+    # by the nine round-8 additions above (the window caps at 50 and
+    # backlog-first means the 20 never-checked r7 rows + the full
+    # r2-era rotation keep their slots). Each displaced row HOLDS a
+    # green r1 driver row and is a low-information re-check by its
+    # round-7 deferral rationale: agg_approx_sketches (rows-only by
+    # design), filter_valid_rows (complement of the fresh
+    # filter_rejected_rows), agg_success_rate (alias of
+    # agg_completion_rate's implementation), agg_record_count /
+    # agg_events_by_type (bare counts), setop_intersect /
+    # setop_except (family fresh from four directions),
+    # fillna_const (sibling of the fresh fillna_mean),
+    # window_running_sum (cumulative-window path fresh via M4/STL).
+    # They rotate into round 9's window front.
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

@@ -1265,3 +1265,202 @@ def stat_mann_whitney_u(spark, sf_dir):
         ).alias("two_u_b"),
         "tie_correction",
     )
+
+
+@register(
+    "stat_kendall_tau",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS rev,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1),
+    pairs AS (
+      SELECT CASE WHEN (a.rev - b.rev) * (a.cnt - b.cnt) > 0
+                  THEN 1 ELSE 0 END AS conc,
+             CASE WHEN (a.rev - b.rev) * (a.cnt - b.cnt) < 0
+                  THEN 1 ELSE 0 END AS disc,
+             CASE WHEN a.rev = b.rev AND a.cnt <> b.cnt
+                  THEN 1 ELSE 0 END AS tie_x,
+             CASE WHEN a.cnt = b.cnt AND a.rev <> b.rev
+                  THEN 1 ELSE 0 END AS tie_y,
+             CASE WHEN a.rev = b.rev AND a.cnt = b.cnt
+                  THEN 1 ELSE 0 END AS tie_xy
+      FROM daily a JOIN daily b ON a.d < b.d)
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(sum(conc) AS BIGINT) AS n_concordant,
+           CAST(sum(disc) AS BIGINT) AS n_discordant,
+           CAST(sum(tie_x) AS BIGINT) AS ties_rev_only,
+           CAST(sum(tie_y) AS BIGINT) AS ties_cnt_only,
+           CAST(sum(tie_xy) AS BIGINT) AS ties_both,
+           CAST(sum(conc) - sum(disc) AS BIGINT) AS tau_numerator
+    FROM pairs
+    """,
+)
+def stat_kendall_tau(spark, sf_dir):
+    """KENDALL TAU rank correlation (the effect-size companion
+    VERDICT r7 item 8 asked for, pairing stat_mann_whitney_u):
+    does daily revenue co-move with daily event volume? Exact-
+    integer formulation: concordant / discordant / tie pair counts
+    over the DAILY AGGREGATE series — tau-b's numerator (nc - nd)
+    and every denominator ingredient emitted as BIGINTs, no square
+    roots engine-side. Scale: the corpus-sized work is ONE
+    combinable day-keyed rollup; the O(k²) pair comparison runs on
+    the CALENDAR-bounded aggregate (k = distinct days, a few
+    thousand at any corpus size), the same bounded-quadratic
+    rationale as the ER oracle — never on raw rows."""
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        (F.col("a.rev") - F.col("b.rev")).alias("dx"),
+        (F.col("a.cnt") - F.col("b.cnt")).alias("dy"),
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    agg = pairs.agg(
+        F.sum(F.expr("CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_concordant"),
+        F.sum(F.expr("CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_discordant"),
+        F.sum(F.expr("CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("ties_rev_only"),
+        F.sum(F.expr("CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("ties_cnt_only"),
+        F.sum(F.expr("CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("ties_both"),
+    )
+    return (
+        n_days.crossJoin(agg)
+        .withColumn(
+            "tau_numerator",
+            (F.col("n_concordant") - F.col("n_discordant")).cast("bigint"),
+        )
+    )
+
+
+#: Derandomized-bootstrap geometry: B resamples; per (row, b) the
+#: resample weight comes from 2 bits of the cross-engine md5 hash —
+#: weight 0/1/1/2 (mean 1, so each resample is an unbiased draw;
+#: variance 0.5 vs the Poisson bootstrap's 1.0, stated explicitly —
+#: the CI is a hair narrow, and it is DETERMINISTIC, which is what
+#: a hash-checked oracle needs).
+BOOT_B = 32
+
+
+def _boot_oracle() -> str:
+    from etl_jobs_spark.operators.hashing import hash60
+
+    h = hash60("(CAST(event_id AS VARCHAR) || ':' || CAST(bb.b AS VARCHAR))", "duckdb")
+    return f"""
+    WITH base AS (
+      SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    weighted AS (
+      SELECT bb.b, base.cents,
+             CASE ({h}) % 4 WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END AS w
+      FROM base CROSS JOIN range(0, {BOOT_B}) bb(b)),
+    means AS (
+      SELECT b, CAST(sum(w * cents) // sum(w) AS BIGINT) AS mean_cents
+      FROM weighted GROUP BY b),
+    ordered AS (
+      SELECT mean_cents,
+             row_number() OVER (ORDER BY mean_cents, b) AS rn
+      FROM means),
+    point AS (
+      SELECT CAST(sum(cents) // count(*) AS BIGINT) AS point_mean_cents,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM base)
+    SELECT p.n_rows, CAST({BOOT_B} AS BIGINT) AS n_resamples,
+           p.point_mean_cents,
+           (SELECT mean_cents FROM ordered WHERE rn = 2) AS ci_lo_cents,
+           (SELECT mean_cents FROM ordered WHERE rn = {BOOT_B - 1})
+             AS ci_hi_cents
+    FROM point p
+    """
+
+
+@register("stat_bootstrap_ci_mean", oracle=_boot_oracle())
+def stat_bootstrap_ci_mean(spark, sf_dir):
+    """BOOTSTRAP CONFIDENCE INTERVAL for the mean purchase value via
+    DERANDOMIZED resampling (VERDICT r7 item 8): every (row,
+    resample) weight is 2 bits of the cross-engine md5 hash mapped
+    to 0/1/1/2 (mean 1 — unbiased; variance 0.5 vs Poisson's 1.0,
+    so the CI is slightly narrow and says so here), making all
+    {BOOT_B} resample means — and therefore the order-statistic CI
+    (2nd / 31st of 32, ~94% nominal) — bit-reproducible with no
+    rand() anywhere. Plan shape at 100 TB: the explode is map-only
+    (B narrow int rows per input row) feeding ONE combinable
+    groupBy(b) of B groups — partial aggregation collapses the
+    amplification inside each task; the order statistics run over B
+    rows. One pass, one tiny shuffle."""
+    from pyspark.sql import Window as W
+
+    from etl_jobs_spark.operators.hashing import hash60
+
+    h = hash60(
+        "(CAST(event_id AS STRING) || ':' || CAST(b AS STRING))", "spark"
+    )
+    base = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    weighted = base.select(
+        "cents",
+        F.explode(F.expr(f"sequence(0, {BOOT_B - 1})")).alias("b"),
+        "event_id",
+    ).select(
+        "b",
+        "cents",
+        F.expr(
+            f"CASE ({h}) % 4 WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END"
+        ).alias("w"),
+    )
+    means = weighted.groupBy("b").agg(
+        F.expr("CAST(sum(w * cents) DIV sum(w) AS BIGINT)").alias(
+            "mean_cents"
+        )
+    )
+    ordered = means.withColumn(
+        "rn", F.row_number().over(W.orderBy("mean_cents", "b"))
+    )
+    lo = ordered.filter(F.col("rn") == 2).select(
+        F.col("mean_cents").alias("ci_lo_cents")
+    )
+    hi = ordered.filter(F.col("rn") == BOOT_B - 1).select(
+        F.col("mean_cents").alias("ci_hi_cents")
+    )
+    point = base.agg(
+        F.expr("CAST(sum(cents) DIV count(*) AS BIGINT)").alias(
+            "point_mean_cents"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_rows",
+            F.lit(BOOT_B).cast("bigint").alias("n_resamples"),
+            "point_mean_cents",
+            "ci_lo_cents",
+            "ci_hi_cents",
+        )
+    )

@@ -1220,3 +1220,359 @@ def q22_global_sales_opportunity(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("bal_cents").cast("bigint").alias("total_bal_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: the six remaining TPC-H shapes (Q8, Q9, Q11, Q16, Q19,
+# Q20) — completing all 22. The fixture has no partsupp table, so
+# the three partsupp-dependent queries substitute lineitem's
+# (l_partkey, l_suppkey) relationship as the supplier-part link and
+# p_retailprice as the unit-cost basis; each docstring states the
+# substitution. All money is round-then-sum integer cents
+# (_REV_CENTS); all ratios are integer DIV.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q8_national_market_share",
+    oracle=f"""
+    WITH sales AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             s.s_nationkey,
+             {_REV_CENTS} AS cents
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+      JOIN region r   ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE r.r_regionkey = 2)
+    SELECT o_year,
+           CAST(sum(CASE WHEN s_nationkey = 3 THEN cents ELSE 0 END)
+                AS BIGINT) AS nation_cents,
+           CAST(sum(cents) AS BIGINT) AS region_cents,
+           CAST(sum(CASE WHEN s_nationkey = 3 THEN cents ELSE 0 END)
+                * 1000 // sum(cents) AS BIGINT) AS share_permille
+    FROM sales GROUP BY o_year
+    """,
+)
+def q8_national_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): within orders from
+    customers in one region (r_regionkey 2), the per-year revenue
+    share captured by suppliers of one nation (n_nationkey 3) — the
+    eight-way snowflake whose answer is a conditional-aggregate
+    ratio. Plan: ONLY lineitem⋈orders shuffles; customer, supplier,
+    nation, and the region filter all broadcast, and the share is a
+    CASE-sum over the one grouped pass (never two scans). Share is
+    exact integer per-mille (cents * 1000 DIV cents)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    asia_cust = (
+        cust.join(
+            F.broadcast(nation.filter(F.col("n_regionkey") == 2)),
+            cust.c_nationkey == F.col("n_nationkey"),
+            "left_semi",
+        ).select("c_custkey")
+    )
+    sales = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(asia_cust), orders.o_custkey == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            F.col("s_nationkey"),
+            F.expr(_REV_CENTS).alias("cents"),
+        )
+    )
+    return sales.groupBy("o_year").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN s_nationkey = 3 THEN cents ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("nation_cents"),
+        F.sum("cents").cast("bigint").alias("region_cents"),
+        F.expr(
+            "CAST(sum(CASE WHEN s_nationkey = 3 THEN cents ELSE 0 END)"
+            " * 1000 DIV sum(cents) AS BIGINT)"
+        ).alias("share_permille"),
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum({_REV_CENTS}
+                    - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                      * CAST(l.l_quantity AS BIGINT) * 9 // 10)
+                AS BIGINT) AS profit_cents
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%g%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit): profit per supplier
+    nation per year over parts whose name matches a pattern. The
+    fixture has no partsupp, so unit cost substitutes 90% of
+    p_retailprice (ps_supplycost's role), making
+    profit = revenue_cents - qty * cost_cents — exact BIGINTs, DIV
+    by 10 AFTER the multiply so both engines truncate identically.
+    Plan: the name filter prunes part BEFORE its broadcast join
+    (predicate pushdown to the part scan), lineitem shuffles once
+    for the orders join, supplier/nation broadcast."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    orders = read_table(spark, sf_dir, "orders")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    gp = part.filter(F.col("p_name").like("%g%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    return (
+        li.join(F.broadcast(gp), li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(
+                nation.select("n_nationkey", F.col("n_name").alias("nation"))
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.sum(
+                F.expr(
+                    f"{_REV_CENTS} - CAST(round(p_retailprice * 100) AS"
+                    " BIGINT) * CAST(l_quantity AS BIGINT) * 9 DIV 10"
+                )
+            )
+            .cast("bigint")
+            .alias("profit_cents")
+        )
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+    WITH vals AS (
+      SELECT l.l_partkey,
+             CAST(sum({_REV_CENTS}) AS BIGINT) AS value_cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey = 7
+      GROUP BY l.l_partkey),
+    total AS (SELECT CAST(sum(value_cents) AS BIGINT) AS t FROM vals)
+    SELECT v.l_partkey AS p_partkey, v.value_cents
+    FROM vals v CROSS JOIN total
+    WHERE v.value_cents * 5000 > total.t
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (important stock): parts whose inventory
+    value held via one nation's suppliers (s_nationkey 7) exceeds a
+    fixed fraction (1/5000) of that nation's total — the
+    group-by-HAVING-scalar-subquery pattern. partsupp substitution:
+    value = revenue cents of the nation's lineitems per part. Plan:
+    ONE part-keyed aggregation over the (nation-pruned, broadcast
+    semi-joined) fact slice; the total is a 1-row broadcast; the
+    fraction test is integer cross-multiplication (value*5000 > t),
+    no division anywhere."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    nat7 = supp.filter(F.col("s_nationkey") == 7).select("s_suppkey")
+    vals = (
+        li.join(F.broadcast(nat7), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey"))
+        .agg(F.sum(F.expr(_REV_CENTS)).cast("bigint").alias("value_cents"))
+    )
+    total = vals.agg(F.sum("value_cents").cast("bigint").alias("t"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 5000 > F.col("t"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
+    )
+
+
+@register(
+    "q16_supplier_part_count",
+    oracle="""
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#9'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 = 7)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_part_count(spark, sf_dir):
+    """TPC-H Q16 shape (supplier-part relationship census): distinct
+    suppliers per (brand, type, size) over a size IN-list, excluding
+    one brand and a flagged-supplier set (the complaint filter;
+    the fixture has no s_comment, so flagged = s_suppkey % 10 = 7).
+    The NOT IN realizes as a LEFT ANTI join — the null-semantics
+    trap TPC-H's Q16 is famous for never applies to an anti-join.
+    Plan: part prunes on brand+size IN-list at the scan, broadcasts
+    onto the fact; the anti side broadcasts; one distinct-agg
+    shuffle keyed by the (brand, type, size) group."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    supp = read_table(spark, sf_dir, "supplier")
+    sized = part.filter(
+        (F.col("p_brand") != "Brand#9")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    flagged = supp.filter(F.col("s_suppkey") % 10 == 7).select("s_suppkey")
+    return (
+        li.join(F.broadcast(sized), li.l_partkey == F.col("p_partkey"))
+        .join(
+            F.broadcast(flagged),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt")
+        )
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    oracle=f"""
+    SELECT CAST(sum({_REV_CENTS}) AS BIGINT) AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue): revenue over the
+    DISJUNCTION of three brand/size/quantity branches — the query
+    that punishes engines which can't push a disjunctive predicate
+    into a join. Realization: the part side pre-filters to the
+    UNION of the three brand/size envelopes (so the broadcast
+    carries only candidate parts), and the full branch disjunction
+    evaluates post-join in one codegen'd predicate. Single-row
+    exact-cents output."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    env = part.filter(
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15))
+    ).select("p_partkey", "p_brand", "p_size")
+    joined = li.join(F.broadcast(env), li.l_partkey == F.col("p_partkey"))
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(branch).agg(
+        F.sum(F.expr(_REV_CENTS)).cast("bigint").alias("revenue_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    oracle="""
+    WITH sq AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE 'small%'
+        AND l.l_shipdate >= TIMESTAMP '1999-01-01'
+      GROUP BY 1, 2),
+    pt AS (
+      SELECT l_partkey,
+             CAST(sum(supp_qty) AS BIGINT) AS part_qty
+      FROM sq GROUP BY 1),
+    dominant AS (
+      SELECT sq.l_suppkey, sq.l_partkey
+      FROM sq JOIN pt ON sq.l_partkey = pt.l_partkey
+      WHERE sq.supp_qty * 3 > pt.part_qty)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(count(*) AS BIGINT) AS n_dominated_parts
+    FROM dominant d JOIN supplier s ON d.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+    """,
+)
+def q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion): suppliers who
+    DOMINATE the recent flow of a name-matched part — shipped more
+    than a third of that part's total since the cutoff (availqty's role,
+    partsupp substitution). TPC-H states it as nested correlated
+    subqueries; the scale realization decorrelates to TWO keyed
+    aggregations over the same pruned slice (per (part, supp), then
+    per part via a second rollup OF THE FIRST — the fact is read
+    once) joined back with an integer cross-multiplication
+    (3*supp_qty > part_qty). Suppliers roll up with their dominated-
+    part census."""
+    from etl_jobs_spark import cache
+
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    supp = read_table(spark, sf_dir, "supplier")
+    small = part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    sq = (
+        li.filter(F.col("l_shipdate") >= "1999-01-01")
+        .join(F.broadcast(small), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("supp_qty")
+        )
+    )
+    sq = cache.track(sq)
+    pt = sq.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("supp_qty").cast("bigint").alias("part_qty")
+    )
+    dominant = sq.join(
+        F.broadcast(pt), sq.l_partkey == F.col("pk")
+    ).filter(F.col("supp_qty") * 3 > F.col("part_qty"))
+    return (
+        dominant.join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            dominant.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dominated_parts"))
+    )
