@@ -337,6 +337,20 @@ def main() -> None:
         f"# shared co-purchase edge memo: {time.perf_counter() - t0:.3f}s",
         file=sys.stderr,
     )
+    # same policy for the shared media fixture: generate_media now
+    # also entropy-encodes a baseline JPEG per doc (round-8 codec),
+    # which roughly tripled the staging the FIRST decode consumer
+    # paid (multimodal_decode_png_bmp read 4.41s in the first r08
+    # run vs 1.58s in r07 — all staging, not decode).
+    from etl_jobs_spark.queries import multimodal as MMQ
+
+    t0 = time.perf_counter()
+    MMQ._stage_media(spark, sf_dir)
+    print(
+        f"# shared media fixture (PNG/BMP/JPEG/WAV encode): "
+        f"{time.perf_counter() - t0:.3f}s",
+        file=sys.stderr,
+    )
     # warm the Python DataSource runtime (worker pool + Arrow writer
     # spin-up is a ~6.5s one-time cost in a fresh JVM — VERDICT r4):
     # a 100-row ledger write+read here makes sink_custom_ledger's
@@ -382,21 +396,31 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    # Normalization basis: the faster of the two probes (both are
-    # already min-of-2) — the closest sample to unloaded hardware
-    # speed. The slower probe measures contention, which the drift
-    # flag below reports instead of silently folding into ratios.
-    calib = min(calib_start, calib_mid)
+    # Normalization basis: the START probe, because every pre-r08
+    # history record sampled ONLY the start position — the mid-run
+    # probe reads systematically ~25% faster in EVERY run (fully
+    # JIT-warmed JVM, not a host window: both r08 runs read start
+    # ~0.357 / mid ~0.265 identically), so min(start, mid) mixed a
+    # warmed probe into a cold-probe baseline and inflated
+    # cross-round norm ratios ~1.4x. The mid probe exists to DETECT
+    # intra-run host swings (the drift flag below), not to set the
+    # basis.
+    calib = calib_start
+    # Signed drift: positive = the mid probe was SLOWER than the
+    # start probe, i.e. the host degraded mid-run (the r7 run-5
+    # failure mode this probe exists to catch). Negative drift (mid
+    # faster) is the expected ~25% JVM-warmup effect and is recorded
+    # but never flagged.
     drift_pct = round(
-        100.0 * abs(calib_mid - calib_start) / calib, 1
+        100.0 * (calib_mid - calib_start) / calib, 1
     ) if calib > 0 else 0.0
     calib_drift_flag = drift_pct > 10.0
     if calib_drift_flag:
         print(
-            f"# WARNING: calib drift {drift_pct}% between start "
-            f"({calib_start:.3f}s) and mid-run ({calib_mid:.3f}s) — "
-            "host window unstable; treat per-query ratios from this "
-            "run as noisy",
+            f"# WARNING: mid-run calib {drift_pct}% slower than start "
+            f"({calib_start:.3f}s -> {calib_mid:.3f}s) — host window "
+            "degraded mid-run; treat per-query ratios from this run "
+            "as noisy",
             file=sys.stderr,
         )
     scale = CALIB_REF_SEC / calib if calib > 0 else 1.0
