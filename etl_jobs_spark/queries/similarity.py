@@ -1105,6 +1105,14 @@ def kmeans_lloyd_fit(emb, k=_KM_K, rounds=_KM_ROUNDS):
 _PCA_VS = 1_000_000
 _PCA_SHIFT = 4_194_304  # 2^22
 _PCA_ITERS = 3
+#: Renormalization branch point: above this max-abs the upscale
+#: divides the DIVISOR down (w DIV (m DIV VS)) instead of
+#: multiplying w up (w * VS DIV m), because w * VS would overflow
+#: BIGINT — |w| reaches ~1e16 at 2k vectors (observed: the sf0.1
+#: fixture overflowed the multiply; sf0.01 passed only on headroom).
+#: Below it the multiply is exact and safe (|w| <= m < 1e12 so
+#: w * VS < 1e18). Same truncating integer ops in both engines.
+_PCA_BIG = 1_000_000_000_000  # 1e12
 
 
 def _pca_oracle() -> str:
@@ -1129,7 +1137,9 @@ def _pca_oracle() -> str:
       FROM lf JOIN t{r} USING (vec_id) GROUP BY d),
     m{r} AS (SELECT max(abs(w)) AS m FROM w{r}),
     v{r + 1} AS (
-      SELECT d, CAST(w * {_PCA_VS} // m AS BIGINT) AS v
+      SELECT d, CAST(CASE WHEN m >= {_PCA_BIG}
+                          THEN w // (m // {_PCA_VS})
+                          ELSE w * {_PCA_VS} // m END AS BIGINT) AS v
       FROM w{r}, m{r})"""
         )
     R = _PCA_ITERS
@@ -1153,9 +1163,13 @@ def embed_pca_power_iter(spark, sf_dir):
     toward-zero in both engines, so the iterate is bit-identical and
     the oracle RE-RUNS the same three iterations. Overflow bound:
     |q| <= 1e6, |v| <= 1e6, dim 64 => |dot| <= 6.4e13, t <= 1.6e7,
-    |w| <= n * 1.6e13 — safe to n ~ 5e5 vectors; beyond that raise
-    _PCA_SHIFT (the shift is the float-free analogue of norm
-    scaling). Scale shape: X'X is NEVER materialized (d^2 would be
+    |w| <= n * 1.6e13 — the SUMS are safe to n ~ 5e5 vectors
+    (beyond that raise _PCA_SHIFT, the float-free analogue of norm
+    scaling); the renormalization branches on m >= _PCA_BIG so the
+    upscale never forms w * 1e6 when w is already large (the sf0.1
+    fixture overflowed that multiply at just 2k vectors — the sums
+    were fine, the renorm product was not).
+    Scale shape: X'X is NEVER materialized (d^2 would be
     fine, but n x d^2 intermediate wouldn't) — each iteration is two
     corpus joins: long-form x broadcast-v (64 rows), then the
     vec-keyed re-join for the co-product, both combinable
@@ -1192,7 +1206,12 @@ def embed_pca_power_iter(spark, sf_dir):
         )
         m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
         v = w.crossJoin(F.broadcast(m)).select(
-            "d", F.expr(f"CAST(w * {_PCA_VS} DIV m AS BIGINT)").alias("v")
+            "d",
+            F.expr(
+                f"CAST(CASE WHEN m >= {_PCA_BIG}"
+                f" THEN w DIV (m DIV {_PCA_VS})"
+                f" ELSE w * {_PCA_VS} DIV m END AS BIGINT)"
+            ).alias("v"),
         )
     # posexplode is 0-based; the oracle's generate_subscripts is
     # 1-based — internal joins are self-consistent, only the output

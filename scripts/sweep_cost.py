@@ -118,7 +118,13 @@ def main() -> None:
     }
     # only the full sweep owns the canonical record; tiered runs
     # write alongside it
+    # canonical unsuffixed record = full tier at the driver's sf0.01;
+    # any other (sf, tier) writes alongside it (a full sf0.1 sweep
+    # once clobbered the committed sf0.01 record)
     suffix = "" if tier == "full" else f"_{tier}"
+    sf_name = Path(sf_dir).name
+    if sf_name != "sf0.01":
+        suffix = f"_{sf_name}{suffix}"
     Path(f"docs/SWEEP_COST{suffix}.json").write_text(
         json.dumps(out, indent=1)
     )

@@ -160,3 +160,37 @@ def test_bootstrap_ci_matches_python_resampler(spark):
     assert got["point_mean_cents"] == sum(cents) // len(cents)
     assert got["ci_lo_cents"] == means[1][0]
     assert got["ci_hi_cents"] == means[BOOT_B - 2][0]
+
+
+def test_pca_renorm_big_branch_is_exercised_at_test_sf(spark):
+    """Regression lock for the sf0.1 renormalization overflow: the
+    iterate's max-abs must exceed _PCA_BIG even at the test SF, so
+    the oracle sweep exercises the divide-the-divisor branch (the
+    multiply branch overflowed BIGINT at 2k vectors)."""
+    from pyspark.sql import functions as F
+
+    from etl_jobs_spark.queries.similarity import (
+        _PCA_BIG,
+        _PCA_SHIFT,
+        _PCA_VS,
+        _km_quant,
+    )
+    from etl_jobs_spark.sources.readers import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    lf = emb.select(
+        "vec_id", F.posexplode(F.expr(_km_quant("spark"))).alias("d", "q")
+    )
+    t = lf.groupBy("vec_id").agg(
+        F.expr(f"CAST(sum(q * {_PCA_VS}) DIV {_PCA_SHIFT} AS BIGINT)").alias(
+            "t"
+        )
+    )
+    m0 = (
+        lf.join(t, "vec_id")
+        .groupBy("d")
+        .agg(F.sum(F.col("q") * F.col("t")).alias("w"))
+        .agg(F.max(F.abs(F.col("w"))))
+        .collect()[0][0]
+    )
+    assert m0 >= _PCA_BIG, m0
