@@ -1114,7 +1114,10 @@ def governance_access_report(spark, sf_dir):
       FROM steps CROSS JOIN tot t)
     SELECT n_a, n_b,
            CAST(d_num AS BIGINT) AS d_numerator,
-           CAST(d_num * 1000000 // (n_a * n_b) AS BIGINT) AS ks_d_micro
+           CAST(CASE WHEN n_a * n_b >= 1000000000000
+                     THEN d_num // ((n_a * n_b) // 1000000)
+                     ELSE d_num * 1000000 // (n_a * n_b) END
+                AS BIGINT) AS ks_d_micro
     FROM d
     """,
 )
@@ -1166,9 +1169,15 @@ def dq_drift_ks(spark, sf_dir):
         "n_a",
         "n_b",
         F.col("d_num").cast("bigint").alias("d_numerator"),
-        F.expr("CAST(d_num * 1000000 DIV (n_a * n_b) AS BIGINT)").alias(
-            "ks_d_micro"
-        ),
+        # branch on the product size so the micro-scaling never
+        # forms d_num * 1e6 once d_num is itself n_a*n_b-sized
+        # (the embed_pca_power_iter renormalization lesson); at
+        # driver SFs the product is < 1e12 so values are unchanged
+        F.expr(
+            "CAST(CASE WHEN n_a * n_b >= 1000000000000"
+            " THEN d_num DIV ((n_a * n_b) DIV 1000000)"
+            " ELSE d_num * 1000000 DIV (n_a * n_b) END AS BIGINT)"
+        ).alias("ks_d_micro"),
     )
 
 

@@ -230,8 +230,11 @@ def agg_activity_streaks(spark, sf_dir):
       GROUP BY 1, 2)
     SELECT p.brand_a, p.brand_b, p.co_count,
            ca.n AS n_a, cb.n AS n_b,
-           CAST(p.co_count * t.n_orders * 1000000
-                // (ca.n * cb.n) AS BIGINT) AS lift_micro
+           CAST(CASE WHEN p.co_count * t.n_orders >= 1000000000000
+                     THEN p.co_count * t.n_orders
+                          // (greatest((ca.n * cb.n) // 1000000, 1))
+                     ELSE p.co_count * t.n_orders * 1000000
+                          // (ca.n * cb.n) END AS BIGINT) AS lift_micro
     FROM pairs p
     JOIN cnt ca ON p.brand_a = ca.p_brand
     JOIN cnt cb ON p.brand_b = cb.p_brand
@@ -299,8 +302,16 @@ def basket_brand_affinity(spark, sf_dir):
             "co_count",
             "n_a",
             "n_b",
+            # branch so the micro-scaling never forms co*N*1e6 once
+            # co*N is already ~1e12 (the embed_pca_power_iter
+            # renormalization lesson); below the branch point —
+            # every driver SF — values are unchanged
             F.expr(
-                "CAST(co_count * n_orders * 1000000 DIV (n_a * n_b) AS BIGINT)"
+                "CAST(CASE WHEN co_count * n_orders >= 1000000000000"
+                " THEN co_count * n_orders"
+                "      DIV (greatest((n_a * n_b) DIV 1000000, 1))"
+                " ELSE co_count * n_orders * 1000000"
+                "      DIV (n_a * n_b) END AS BIGINT)"
             ).alias("lift_micro"),
         )
     )

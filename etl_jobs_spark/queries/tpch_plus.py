@@ -1251,8 +1251,14 @@ def q22_global_sales_opportunity(spark, sf_dir):
            CAST(sum(CASE WHEN s_nationkey = 3 THEN cents ELSE 0 END)
                 AS BIGINT) AS nation_cents,
            CAST(sum(cents) AS BIGINT) AS region_cents,
-           CAST(sum(CASE WHEN s_nationkey = 3 THEN cents ELSE 0 END)
-                * 1000 // sum(cents) AS BIGINT) AS share_permille
+           CAST(CASE WHEN sum(cents) >= 1000000000000
+                     THEN sum(CASE WHEN s_nationkey = 3 THEN cents
+                              ELSE 0 END)
+                          // (sum(cents) // 1000)
+                     ELSE sum(CASE WHEN s_nationkey = 3 THEN cents
+                              ELSE 0 END)
+                          * 1000 // sum(cents) END
+                AS BIGINT) AS share_permille
     FROM sales GROUP BY o_year
     """,
 )
@@ -1296,9 +1302,15 @@ def q8_national_market_share(spark, sf_dir):
             " AS BIGINT)"
         ).alias("nation_cents"),
         F.sum("cents").cast("bigint").alias("region_cents"),
+        # branch so the per-mille scaling never multiplies a
+        # corpus-sized revenue sum by 1000 (the embed_pca_power_iter
+        # renormalization lesson); inert below ~1e12 cents/region-year
         F.expr(
-            "CAST(sum(CASE WHEN s_nationkey = 3 THEN cents ELSE 0 END)"
-            " * 1000 DIV sum(cents) AS BIGINT)"
+            "CAST(CASE WHEN sum(cents) >= 1000000000000"
+            " THEN sum(CASE WHEN s_nationkey = 3 THEN cents ELSE 0 END)"
+            "      DIV (sum(cents) DIV 1000)"
+            " ELSE sum(CASE WHEN s_nationkey = 3 THEN cents ELSE 0 END)"
+            "      * 1000 DIV sum(cents) END AS BIGINT)"
         ).alias("share_permille"),
     )
 
