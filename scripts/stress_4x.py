@@ -50,7 +50,11 @@ OFFSETS = {
 
 
 def build_replica(
-    spark, dst: str = DST, skew: bool = False, skew_parts: bool = False
+    spark,
+    dst: str = DST,
+    skew: bool = False,
+    skew_parts: bool = False,
+    copies: int = 4,
 ) -> None:
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst)
@@ -96,7 +100,7 @@ def build_replica(
             else OFFSETS[t]
         )
         parts = [df]
-        for i in range(1, 4):
+        for i in range(1, copies):
             c = df
             for col, step in offsets.items():
                 c = c.withColumn(col, F.col(col) + F.lit(i * step))
@@ -111,6 +115,11 @@ def main() -> None:
     names = sys.argv[1:]
     skew = "--skew" in names
     skew_parts = "--skew-parts" in names
+    copies = 4
+    for a in list(names):
+        if a.startswith("--copies="):
+            copies = int(a.split("=", 1)[1])
+            names.remove(a)
     names = [n for n in names if n not in ("--skew", "--skew-parts")]
     queries = registry.all_queries()
     if not names:
@@ -122,11 +131,16 @@ def main() -> None:
         print(f"unknown queries: {unknown}", file=sys.stderr)
         sys.exit(2)
     dst = DST + ("_skew" if skew else "_skewparts" if skew_parts else "")
+    if copies != 4:
+        dst += f"_{copies}x"
     spark = get_spark("stress4x")
-    build_replica(spark, dst, skew=skew, skew_parts=skew_parts)
+    build_replica(spark, dst, skew=skew, skew_parts=skew_parts, copies=copies)
     # warm the JVM/codegen once
     queries[names[0]](spark, SRC).count()
-    label = "4x-skew" if skew else "4x-hub" if skew_parts else "4x"
+    base = f"{copies}x"
+    label = (
+        f"{base}-skew" if skew else f"{base}-hub" if skew_parts else base
+    )
     print(f"{'query':34s} {'1x':>8s} {label:>8s}  ratio")
     for n in names:
         t0 = time.time()
