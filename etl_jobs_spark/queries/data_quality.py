@@ -1473,3 +1473,255 @@ def stat_bootstrap_ci_mean(spark, sf_dir):
             "ci_hi_cents",
         )
     )
+
+
+#: Shared SQL fragments for the rank-statistic pair below: the daily
+#: (revenue, volume) series (identical text to stat_kendall_tau's
+#: oracle) and the tie-corrected Spearman rho from its exact-integer
+#: ingredients — ONE string used verbatim by both the DuckDB oracle
+#: and the Spark F.expr, so the only float ops (three divisions, one
+#: sqrt — all IEEE correctly-rounded) evaluate identically.
+_DAILY_SQL = """
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS rev,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1
+"""
+
+_RHO_EXPR = """
+    CASE WHEN n_days > 1
+          AND (n_days * n_days * n_days - n_days - tie_x) > 0
+          AND (n_days * n_days * n_days - n_days - tie_y) > 0
+    THEN round(
+      ( CAST(n_days * n_days * n_days - n_days - tie_x AS DOUBLE) / 12.0
+      + CAST(n_days * n_days * n_days - n_days - tie_y AS DOUBLE) / 12.0
+      - CAST(sum_d2_x4 AS DOUBLE) / 4.0 )
+      / (2.0 * sqrt(
+          (CAST(n_days * n_days * n_days - n_days - tie_x AS DOUBLE) / 12.0)
+        * (CAST(n_days * n_days * n_days - n_days - tie_y AS DOUBLE) / 12.0)))
+      , 6)
+    END
+"""
+
+
+@register(
+    "stat_spearman_rho",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    rx AS (
+      SELECT rev AS v, CAST(count(*) AS BIGINT) AS t,
+             CAST(coalesce(sum(count(*)) OVER (ORDER BY rev
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS below
+      FROM daily GROUP BY rev),
+    ry AS (
+      SELECT cnt AS v, CAST(count(*) AS BIGINT) AS t,
+             CAST(coalesce(sum(count(*)) OVER (ORDER BY cnt
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS below
+      FROM daily GROUP BY cnt),
+    ranked AS (
+      SELECT (2 * x.below + x.t + 1) AS r2x,
+             (2 * y.below + y.t + 1) AS r2y
+      FROM daily JOIN rx x ON daily.rev = x.v
+                 JOIN ry y ON daily.cnt = y.v),
+    ingredients AS (
+      SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+             CAST(sum((r2x - r2y) * (r2x - r2y)) AS BIGINT) AS sum_d2_x4,
+             (SELECT CAST(sum(t * t * t - t) AS BIGINT) FROM rx) AS tie_x,
+             (SELECT CAST(sum(t * t * t - t) AS BIGINT) FROM ry) AS tie_y
+      FROM ranked)
+    SELECT n_days, sum_d2_x4, tie_x, tie_y,
+           ({_RHO_EXPR}) AS rho
+    FROM ingredients
+    """,
+)
+def stat_spearman_rho(spark, sf_dir):
+    """SPEARMAN RANK CORRELATION (tie-corrected) between daily
+    revenue and daily event volume — completes the rank-statistic
+    tier (stat_mann_whitney_u's rank-sum, stat_kendall_tau's pair
+    counts) with the third classic: Pearson on ranks. Exact-integer
+    formulation: average ranks are carried DOUBLED (2·avg-rank =
+    2·below + t + 1, an integer — the same trick as mann_whitney's
+    two_r_a), so the rank-difference sum is the BIGINT sum_d2_x4 =
+    4·Σd², and tie corrections Σ(t³−t) are BIGINTs; rho is ONE
+    shared float expression over those integers (identical text in
+    both engines, round 6). Scale: the corpus-sized work is the
+    combinable day rollup; ranking runs on the CALENDAR-bounded
+    aggregate (k distinct days), where n³ ≈ 5e10 at ten years —
+    well inside BIGINT. Degenerate (constant) series yield NULL rho
+    identically in both engines via the guarded CASE."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+
+    def two_rank(col: str):
+        per_v = daily.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("t")
+        )
+        w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+        return per_v.select(
+            "v",
+            "t",
+            F.coalesce(F.sum("t").over(w), F.lit(0))
+            .cast("bigint")
+            .alias("below"),
+        )
+
+    rx, ry = two_rank("rev"), two_rank("cnt")
+    ranked = daily.join(
+        rx.select(
+            F.col("v").alias("rev"),
+            (2 * F.col("below") + F.col("t") + 1).alias("r2x"),
+        ),
+        "rev",
+    ).join(
+        ry.select(
+            F.col("v").alias("cnt"),
+            (2 * F.col("below") + F.col("t") + 1).alias("r2y"),
+        ),
+        "cnt",
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    d2 = ranked.agg(
+        F.sum((F.col("r2x") - F.col("r2y")) * (F.col("r2x") - F.col("r2y")))
+        .cast("bigint")
+        .alias("sum_d2_x4")
+    )
+    tie_x = rx.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_x")
+    )
+    tie_y = ry.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_y")
+    )
+    return (
+        n_days.crossJoin(d2)
+        .crossJoin(tie_x)
+        .crossJoin(tie_y)
+        .select(
+            "n_days",
+            "sum_d2_x4",
+            "tie_x",
+            "tie_y",
+            F.expr(_RHO_EXPR).alias("rho"),
+        )
+    )
+
+
+#: Wald–Wolfowitz z from the exact run/sign counts — one shared
+#: float expression (see _RHO_EXPR note).
+_RUNS_Z_EXPR = """
+    CASE WHEN (n_up + n_down) > 1 AND n_up > 0 AND n_down > 0
+         AND (2 * n_up * n_down) > (n_up + n_down)
+    THEN round(
+      ( CAST(n_runs AS DOUBLE)
+      - (1.0 + CAST(2 * n_up * n_down AS DOUBLE)
+               / CAST(n_up + n_down AS DOUBLE)) )
+      / sqrt(
+          CAST(2 * n_up * n_down AS DOUBLE)
+        * (CAST(2 * n_up * n_down AS DOUBLE)
+           - CAST(n_up + n_down AS DOUBLE))
+        / ( CAST(n_up + n_down AS DOUBLE)
+          * CAST(n_up + n_down AS DOUBLE)
+          * (CAST(n_up + n_down AS DOUBLE) - 1.0)))
+      , 6)
+    END
+"""
+
+
+@register(
+    "stat_runs_test",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    deltas AS (
+      SELECT d, rev - lag(rev) OVER (ORDER BY d) AS delta FROM daily),
+    signs AS (
+      SELECT d, CASE WHEN delta > 0 THEN 1 ELSE -1 END AS s
+      FROM deltas WHERE delta IS NOT NULL AND delta <> 0),
+    flips AS (
+      SELECT s, CASE WHEN lag(s) OVER (ORDER BY d) IS NULL THEN 1
+                     WHEN s <> lag(s) OVER (ORDER BY d) THEN 1
+                     ELSE 0 END AS new_run
+      FROM signs),
+    agg AS (
+      SELECT CAST(coalesce(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_up,
+             CAST(coalesce(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_down,
+             CAST(coalesce(sum(new_run), 0) AS BIGINT) AS n_runs
+      FROM flips)
+    SELECT n_up, n_down, n_runs, ({_RUNS_Z_EXPR}) AS z
+    FROM agg
+    """,
+)
+def stat_runs_test(spark, sf_dir):
+    """WALD–WOLFOWITZ RUNS TEST for randomness of the daily revenue
+    series: count maximal runs of same-sign day-over-day deltas
+    (zero deltas dropped — stated, and applied identically in both
+    engines), emit the exact BIGINT counts (n_up, n_down, n_runs)
+    and the normal-approximation z from ONE float expression shared
+    verbatim with the oracle. The trend-shape companion to
+    ts_cusum_changepoint: CUSUM finds a level shift, the runs test
+    scores whether up/down moves cluster at all. Scale: one
+    combinable day rollup, then two lag windows over the
+    CALENDAR-bounded series — 2·n_up·n_down ≈ 6.7e6 at ten years,
+    nowhere near BIGINT."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    w = W.orderBy("d")
+    signs = (
+        daily.select(
+            "d", (F.col("rev") - F.lag("rev").over(w)).alias("delta")
+        )
+        .filter(F.col("delta").isNotNull() & (F.col("delta") != 0))
+        .select(
+            "d",
+            F.when(F.col("delta") > 0, F.lit(1)).otherwise(F.lit(-1)).alias("s"),
+        )
+    )
+    flips = signs.select(
+        "s",
+        F.when(F.lag("s").over(w).isNull(), F.lit(1))
+        .when(F.col("s") != F.lag("s").over(w), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_run"),
+    )
+    agg = flips.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("s") == 1, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_up"),
+        F.coalesce(
+            F.sum(F.when(F.col("s") == -1, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_down"),
+        F.coalesce(F.sum("new_run"), F.lit(0)).cast("bigint").alias("n_runs"),
+    )
+    return agg.select(
+        "n_up", "n_down", "n_runs", F.expr(_RUNS_Z_EXPR).alias("z")
+    )

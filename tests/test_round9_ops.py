@@ -1,0 +1,97 @@
+"""Round-9 operator locks: pure-Python cross-implementation checks
+for the new rank/runs statistics (value correctness vs the DuckDB
+oracle is covered by test_queries_oracle's parametrized sweep — these
+re-derive the statistics from first principles with an independent
+algorithm, the same discipline as test_round8_ops' kendall/bootstrap
+checks)."""
+
+from __future__ import annotations
+
+import math
+from itertools import combinations
+
+import pandas as pd
+import pytest
+
+from etl_jobs_spark.queries.data_quality import (
+    stat_runs_test,
+    stat_spearman_rho,
+)
+from tests.conftest import SF_DIR
+
+
+def _daily(sf_dir) -> pd.DataFrame:
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.assign(
+            d=pd.to_datetime(ev["ts"]).dt.date,
+            cents=(ev["value"] * 100).round().astype("int64"),
+        )
+        .groupby("d")
+        .agg(rev=("cents", "sum"), cnt=("cents", "size"))
+        .reset_index()
+        .sort_values("d")
+    )
+
+
+def test_spearman_matches_average_rank_bruteforce(spark):
+    got = stat_spearman_rho(spark, SF_DIR).collect()[0].asDict()
+    daily = _daily(SF_DIR)
+    n = len(daily)
+    # independent rank computation: scipy-style average ranks
+    rx = daily["rev"].rank(method="average")
+    ry = daily["cnt"].rank(method="average")
+    d = rx - ry
+    sum_d2 = float((d * d).sum())
+
+    def tie_term(s):
+        return int(sum(t**3 - t for t in s.value_counts()))
+
+    tie_x, tie_y = tie_term(daily["rev"]), tie_term(daily["cnt"])
+    assert got["n_days"] == n
+    # the engine carries 4*Σd² as the exact integer
+    assert got["sum_d2_x4"] == round(4 * sum_d2)
+    assert got["tie_x"] == tie_x
+    assert got["tie_y"] == tie_y
+    n3n = n**3 - n
+    sx = (n3n - tie_x) / 12.0
+    sy = (n3n - tie_y) / 12.0
+    rho = (sx + sy - sum_d2) / (2.0 * math.sqrt(sx * sy))
+    assert got["rho"] == pytest.approx(rho, abs=1e-6)
+    # sanity: Pearson-on-ranks gives the same number
+    pearson = rx.corr(ry)
+    assert rho == pytest.approx(pearson, abs=1e-9)
+
+
+def test_runs_test_matches_bruteforce(spark):
+    got = stat_runs_test(spark, SF_DIR).collect()[0].asDict()
+    daily = _daily(SF_DIR)
+    deltas = daily["rev"].diff().dropna()
+    signs = [1 if x > 0 else -1 for x in deltas if x != 0]
+    n_up = sum(1 for s in signs if s == 1)
+    n_down = len(signs) - n_up
+    runs = 1 + sum(
+        1 for a, b in zip(signs, signs[1:]) if a != b
+    ) if signs else 0
+    assert got["n_up"] == n_up
+    assert got["n_down"] == n_down
+    assert got["n_runs"] == runs
+    n = n_up + n_down
+    two_ud = 2 * n_up * n_down
+    mu = 1.0 + two_ud / n
+    var = two_ud * (two_ud - n) / (n * n * (n - 1.0))
+    z = (runs - mu) / math.sqrt(var)
+    assert got["z"] == pytest.approx(z, abs=1e-6)
+    # the fixture series must actually exercise both signs
+    assert n_up > 0 and n_down > 0
+
+
+def test_spearman_pair_identity_with_kendall_base(spark):
+    """The spearman daily base must be IDENTICAL to kendall's (same
+    _DAILY_SQL text) — lock the row counts so a drift in one oracle's
+    base silently diverging from the other is caught here."""
+    from etl_jobs_spark.queries.data_quality import stat_kendall_tau
+
+    k = stat_kendall_tau(spark, SF_DIR).collect()[0].asDict()
+    s = stat_spearman_rho(spark, SF_DIR).collect()[0].asDict()
+    assert k["n_days"] == s["n_days"]
