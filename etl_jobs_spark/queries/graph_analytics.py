@@ -474,3 +474,248 @@ def graph_bfs_hops(spark, sf_dir):
         F.min("node").cast("long").alias("min_part"),
         F.max("node").cast("long").alias("max_part"),
     ).select(F.col("hop").cast("bigint").alias("hop"), "n_parts", "min_part", "max_part")
+
+
+#: k-core threshold and the peel-round bound. K = 80 sits inside the
+#: co-purchase degree distribution at every fixture SF (measured:
+#: the cascade runs 4-6 simultaneous-removal rounds and the core
+#: empties at sf0.001, survives ~93% at sf0.01/sf0.1 — both the
+#: cascade and the empty-fixpoint path are exercised). The oracle
+#: unrolls KCORE_MAX_ROUNDS rounds; past the fixpoint each round is
+#: a no-op, so any convergence point <= the bound hash-matches. The
+#: Spark side RAISES if the peel has not converged by the bound
+#: (loud-on-non-convergence, the dedup_cluster_components
+#: discipline) — a too-small bound fails the row, never silently
+#: diverges.
+KCORE_K = 80
+KCORE_MAX_ROUNDS = 10
+
+
+def _kcore_oracle() -> str:
+    """Chained-CTE peel: e0 = canonical co-purchase edges; round i
+    recomputes degrees over e{i-1} and keeps edges whose BOTH
+    endpoints still have degree >= K."""
+    parts = [
+        """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+    ]
+    for i in range(1, KCORE_MAX_ROUNDS + 1):
+        parts.append(f"""
+    d{i} AS MATERIALIZED (
+      SELECT n, count(*) AS d FROM (
+        SELECT u AS n FROM e{i - 1} UNION ALL SELECT v FROM e{i - 1}) t
+      GROUP BY n),
+    k{i} AS MATERIALIZED (SELECT n FROM d{i} WHERE d >= {KCORE_K}),
+    e{i} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e{i - 1} e
+      JOIN k{i} ku ON ku.n = e.u
+      JOIN k{i} kv ON kv.n = e.v)""")
+    last = f"e{KCORE_MAX_ROUNDS}"
+    counts = ", ".join(
+        f"(SELECT count(*) FROM e{i}) AS c{i}"
+        for i in range(KCORE_MAX_ROUNDS + 1)
+    )
+    changed = " + ".join(
+        f"(CASE WHEN c{i} <> c{i - 1} THEN 1 ELSE 0 END)"
+        for i in range(1, KCORE_MAX_ROUNDS + 1)
+    )
+    parts.append(f"""
+    cts AS (SELECT {counts}),
+    core_deg AS (
+      SELECT n, count(*) AS d FROM (
+        SELECT u AS n FROM {last} UNION ALL SELECT v FROM {last}) t
+      GROUP BY n),
+    summary AS (
+      SELECT CAST(coalesce(count(*), 0) AS BIGINT) AS n_core_nodes,
+             CAST(coalesce(min(d), 0) AS BIGINT) AS min_core_degree
+      FROM core_deg),
+    base AS (
+      SELECT CAST(count(DISTINCT n) AS BIGINT) AS n_nodes_initial FROM (
+        SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) t)
+    SELECT CAST({KCORE_K} AS BIGINT) AS k,
+           b.n_nodes_initial,
+           s.n_core_nodes,
+           CAST(cts.c{KCORE_MAX_ROUNDS} AS BIGINT) AS n_core_edges,
+           s.min_core_degree,
+           CAST({changed} AS BIGINT) AS n_peel_rounds
+    FROM base b, summary s, cts""")
+    return ",".join(parts)
+
+
+@register("graph_k_core", oracle=_kcore_oracle())
+def graph_k_core(spark, sf_dir):
+    """K-CORE DECOMPOSITION (k = {k}) of the part co-purchase graph
+    by simultaneous peeling: repeatedly drop every node whose degree
+    in the SURVIVING subgraph is < k, until fixpoint — the classic
+    community-density filter (dense-subgraph mining, spam/bot
+    subgraph detection) and the third member of the iterative-graph
+    family (BFS frontier walk, min-label components, now the peel).
+    Spark side is a bounded loop over the SHARED co-purchase edge
+    memo: each round is one degree aggregation + two broadcast
+    semi-joins against the shrinking keep-set, localCheckpoint per
+    round (lineage discipline), converged when an edge-count action
+    repeats; RAISES past {r} rounds — the oracle unrolls exactly
+    {r} rounds, so every converged result hash-matches and a
+    non-converged one fails LOUDLY rather than silently diverging.
+    Scale: degrees and keep-sets are node-partitioned aggregates
+    (|V| rows against |E| edges); the simultaneous-removal rounds
+    measured 4-6 at every fixture SF and grow with the DEPTH of the
+    degree hierarchy, not corpus size.""".format(
+        k=KCORE_K, r=KCORE_MAX_ROUNDS
+    )
+    edges0 = _copurchase_edges(spark, sf_dir)
+    n_nodes_initial = (
+        _copurchase_degrees(spark, sf_dir).count()
+    )
+    edges = edges0.localCheckpoint(eager=True)
+    prev_cnt = edges.count()
+    n_peel_rounds = 0
+    for _ in range(KCORE_MAX_ROUNDS):
+        deg = (
+            edges.select(F.col("u").alias("n"))
+            .unionAll(edges.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= KCORE_K).select("n")
+        nxt = (
+            edges.join(
+                F.broadcast(keep), edges.u == keep.n, "left_semi"
+            )
+            .join(F.broadcast(keep), edges.v == keep.n, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        cnt = nxt.count()
+        if cnt == prev_cnt:
+            edges = nxt
+            break
+        n_peel_rounds += 1
+        prev_cnt = cnt
+        edges = nxt
+    else:
+        raise RuntimeError(
+            f"graph_k_core: peel did not converge within "
+            f"{KCORE_MAX_ROUNDS} rounds (edge count still "
+            f"changing at {prev_cnt}) — raise KCORE_MAX_ROUNDS "
+            f"in BOTH the loop and the oracle"
+        )
+    core_deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    summary = core_deg.agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_core_nodes"),
+        F.coalesce(F.min("d"), F.lit(0))
+        .cast("bigint")
+        .alias("min_core_degree"),
+    )
+    n_core_edges = prev_cnt
+    return summary.select(
+        F.lit(KCORE_K).cast("bigint").alias("k"),
+        F.lit(n_nodes_initial).cast("bigint").alias("n_nodes_initial"),
+        "n_core_nodes",
+        F.lit(n_core_edges).cast("bigint").alias("n_core_edges"),
+        "min_core_degree",
+        F.lit(n_peel_rounds).cast("bigint").alias("n_peel_rounds"),
+    )
+
+
+#: Newman degree assortativity from exact-integer edge-end sums —
+#: ONE shared float expression (same text in both engines):
+#: r = (4M·Σjk − (Σ(j+k))²) / (2M·Σ(j²+k²) − (Σ(j+k))²).
+_ASSORT_EXPR = """
+    CASE WHEN (2.0 * CAST(n_edges AS DOUBLE) * CAST(s_sq AS DOUBLE)
+               - CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE)) <> 0.0
+    THEN round(
+      ( 4.0 * CAST(n_edges AS DOUBLE) * CAST(s_prod AS DOUBLE)
+        - CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE) )
+      / ( 2.0 * CAST(n_edges AS DOUBLE) * CAST(s_sq AS DOUBLE)
+        - CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE) )
+      , 6)
+    END
+"""
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS n FROM edges UNION ALL SELECT v FROM edges) t
+      GROUP BY n),
+    ends AS (
+      SELECT du.d AS du, dv.d AS dv
+      FROM edges e
+      JOIN deg du ON du.n = e.u
+      JOIN deg dv ON dv.n = e.v),
+    ing AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(sum(du * dv) AS BIGINT) AS s_prod,
+             CAST(sum(du + dv) AS BIGINT) AS s_sum,
+             CAST(sum(du * du + dv * dv) AS BIGINT) AS s_sq
+      FROM ends)
+    SELECT n_edges, s_prod, s_sum, s_sq,
+           ({_ASSORT_EXPR}) AS assortativity
+    FROM ing
+    """,
+)
+def graph_degree_assortativity(spark, sf_dir):
+    """DEGREE ASSORTATIVITY (Newman's r) of the co-purchase graph:
+    do high-degree parts co-purchase with high-degree parts? The
+    hub-structure diagnostic that decides whether degree-oriented
+    triangle counting and hub-salting are worth their premium on a
+    given corpus. Exact-integer ingredients over the SHARED edge +
+    degree memos (one broadcast of the |V|-row degree map onto both
+    endpoints — no new shuffle beyond the memoized build): M, Σjk,
+    Σ(j+k), Σ(j²+k²) as BIGINTs, then r from ONE shared float
+    expression (round 6). Integer bounds (docs/INT_BOUNDS.md class:
+    intrinsic-with-stated-bound): s_prod <= M·dmax² — exact while
+    M·dmax² < 9.2e18, i.e. any corpus whose hub degree stays under
+    ~sqrt(9.2e18/M); at M = 1e9 edges that is dmax ~ 3e4, beyond
+    which the ingredient itself must pre-aggregate per degree class
+    (the distribution is what assortativity consumes, so the
+    degree-class rollup loses nothing)."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = _copurchase_degrees(spark, sf_dir)
+    du = F.broadcast(
+        deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    )
+    dv = F.broadcast(
+        deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    )
+    ing = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.sum(F.col("du") * F.col("dv")).cast("bigint").alias("s_prod"),
+            F.sum(F.col("du") + F.col("dv")).cast("bigint").alias("s_sum"),
+            F.sum(
+                F.col("du") * F.col("du") + F.col("dv") * F.col("dv")
+            )
+            .cast("bigint")
+            .alias("s_sq"),
+        )
+    )
+    return ing.select(
+        "n_edges",
+        "s_prod",
+        "s_sum",
+        "s_sq",
+        F.expr(_ASSORT_EXPR).alias("assortativity"),
+    )

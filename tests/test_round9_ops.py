@@ -95,3 +95,84 @@ def test_spearman_pair_identity_with_kendall_base(spark):
     k = stat_kendall_tau(spark, SF_DIR).collect()[0].asDict()
     s = stat_spearman_rho(spark, SF_DIR).collect()[0].asDict()
     assert k["n_days"] == s["n_days"]
+
+
+# ---------------------------------------------------------------------------
+# Graph pair: independent Python peel / assortativity over the same
+# co-purchase edge set.
+# ---------------------------------------------------------------------------
+
+
+def _copurchase_edges_py(sf_dir):
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).drop_duplicates()
+    m = li.merge(li, on="l_orderkey")
+    m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+    return set(
+        zip(m["l_partkey_x"].tolist(), m["l_partkey_y"].tolist())
+    )
+
+
+def test_k_core_matches_python_peel(spark):
+    from etl_jobs_spark.queries.graph_analytics import (
+        KCORE_K,
+        KCORE_MAX_ROUNDS,
+        graph_k_core,
+    )
+
+    got = graph_k_core(spark, SF_DIR).collect()[0].asDict()
+    edges = _copurchase_edges_py(SF_DIR)
+    nodes0 = {n for e in edges for n in e}
+    rounds = 0
+    while True:
+        deg = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= KCORE_K}
+        nxt = {(u, v) for u, v in edges if u in keep and v in keep}
+        if nxt == edges:
+            break
+        edges = nxt
+        rounds += 1
+    core_deg = {}
+    for u, v in edges:
+        core_deg[u] = core_deg.get(u, 0) + 1
+        core_deg[v] = core_deg.get(v, 0) + 1
+    assert got["k"] == KCORE_K
+    assert got["n_nodes_initial"] == len(nodes0)
+    assert got["n_core_nodes"] == len(core_deg)
+    assert got["n_core_edges"] == len(edges)
+    assert got["min_core_degree"] == (
+        min(core_deg.values()) if core_deg else 0
+    )
+    assert got["n_peel_rounds"] == rounds
+    assert rounds <= KCORE_MAX_ROUNDS
+    # the surviving core, if any, really is a k-core
+    assert not core_deg or min(core_deg.values()) >= KCORE_K
+
+
+def test_assortativity_matches_python(spark):
+    from etl_jobs_spark.queries.graph_analytics import (
+        graph_degree_assortativity,
+    )
+
+    got = graph_degree_assortativity(spark, SF_DIR).collect()[0].asDict()
+    edges = _copurchase_edges_py(SF_DIR)
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    m = len(edges)
+    s_prod = sum(deg[u] * deg[v] for u, v in edges)
+    s_sum = sum(deg[u] + deg[v] for u, v in edges)
+    s_sq = sum(deg[u] ** 2 + deg[v] ** 2 for u, v in edges)
+    assert got["n_edges"] == m
+    assert got["s_prod"] == s_prod
+    assert got["s_sum"] == s_sum
+    assert got["s_sq"] == s_sq
+    r = (4.0 * m * s_prod - float(s_sum) ** 2) / (
+        2.0 * m * s_sq - float(s_sum) ** 2
+    )
+    assert got["assortativity"] == pytest.approx(r, abs=1e-6)
