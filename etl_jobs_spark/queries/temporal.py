@@ -1496,3 +1496,209 @@ def ts_holt_level_trend(spark, sf_dir):
         (F.col("st.l") + F.col("st.b")).cast("bigint").alias("forecast_scaled"),
         F.col("st.sae").cast("bigint").alias("sae_scaled"),
     )
+
+
+#: SAX geometry: four 6-hour PAA segments per day, alphabet size 4
+#: (quartile breakpoints over the GLOBAL segment-mean distribution,
+#: assigned by ntile with a full deterministic tie-break).
+SAX_SEGS_PER_DAY = 4
+SAX_HOURS_PER_SEG = 6
+SAX_ALPHABET = 4
+
+
+@register(
+    "ts_sax_symbols",
+    oracle=f"""
+    WITH seg AS (
+      SELECT CAST(ts AS DATE) AS d,
+             (epoch_us(ts) // 3600000000) % 24 // {SAX_HOURS_PER_SEG}
+               AS seg,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    paa AS (
+      SELECT d, seg,
+             CAST(sum(cents) // count(*) AS BIGINT) AS paa,
+             CAST(count(*) AS BIGINT) AS n_pts
+      FROM seg GROUP BY d, seg),
+    sym AS (
+      SELECT d, seg, n_pts,
+             ntile({SAX_ALPHABET}) OVER (ORDER BY paa, d, seg) AS q
+      FROM paa),
+    lettered AS (
+      SELECT d, seg, n_pts,
+             CASE q WHEN 1 THEN 'a' WHEN 2 THEN 'b'
+                    WHEN 3 THEN 'c' ELSE 'd' END AS sym
+      FROM sym)
+    SELECT d,
+           coalesce(max(CASE WHEN seg = 0 THEN sym END), '_')
+           || coalesce(max(CASE WHEN seg = 1 THEN sym END), '_')
+           || coalesce(max(CASE WHEN seg = 2 THEN sym END), '_')
+           || coalesce(max(CASE WHEN seg = 3 THEN sym END), '_')
+             AS sax_word,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(n_pts) AS BIGINT) AS n_points
+    FROM lettered GROUP BY d
+    """,
+)
+def ts_sax_symbols(spark, sf_dir):
+    """SAX SYMBOLIZATION (Lin et al.'s Symbolic Aggregate
+    approXimation) of the daily revenue shape: each day is reduced
+    to a {s}-segment PAA (integer mean cents per 6-hour segment —
+    sum DIV count, truncating identically in both engines) and each
+    segment mean is mapped to a quartile letter a-d via ntile over
+    the GLOBAL segment distribution with a full (paa, d, seg)
+    tie-break, yielding one 4-letter word per day ('_' marks an
+    empty segment — stated, not silently skipped). The symbolic
+    index that motif/discord mining and SAX-based similarity search
+    run on. Scale: one combinable (day, segment) rollup over the
+    corpus, then window + pivot on the CALENDAR-bounded aggregate;
+    the breakpoint fit is the ntile over that same bounded table —
+    at a petabyte of events the symbol table is still
+    4·(distinct days) rows.""".format(s=SAX_SEGS_PER_DAY)
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    seg = ev.select(
+        F.col("ts").cast("date").alias("d"),
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000) % 24"
+            f" DIV {SAX_HOURS_PER_SEG}"
+        ).alias("seg"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    paa = seg.groupBy("d", "seg").agg(
+        F.expr("CAST(sum(cents) DIV count(*) AS BIGINT)").alias("paa"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pts"),
+    )
+    sym = paa.select(
+        "d",
+        "seg",
+        "n_pts",
+        F.ntile(SAX_ALPHABET)
+        .over(W.orderBy("paa", "d", "seg"))
+        .alias("q"),
+    ).select(
+        "d",
+        "seg",
+        "n_pts",
+        F.expr(
+            "CASE q WHEN 1 THEN 'a' WHEN 2 THEN 'b' "
+            "WHEN 3 THEN 'c' ELSE 'd' END"
+        ).alias("sym"),
+    )
+    segcol = [
+        F.coalesce(
+            F.max(F.when(F.col("seg") == s, F.col("sym"))), F.lit("_")
+        )
+        for s in range(SAX_SEGS_PER_DAY)
+    ]
+    return sym.groupBy("d").agg(
+        F.concat(*segcol).alias("sax_word"),
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum("n_pts").cast("bigint").alias("n_points"),
+    )
+
+
+@register(
+    "ts_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM events GROUP BY 1, 2),
+    slopes AS (
+      SELECT a.d AS da, b.d AS db,
+             CASE WHEN b.rev >= a.rev
+                  THEN (b.rev - a.rev) * 1000 // (b.x - a.x)
+                  ELSE -((a.rev - b.rev) * 1000 // (b.x - a.x))
+             END AS slope
+      FROM daily a JOIN daily b ON a.d < b.d),
+    ranked AS (
+      SELECT slope,
+             row_number() OVER (ORDER BY slope, da, db) AS rn,
+             count(*) OVER () AS n_pairs
+      FROM slopes)
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(max(n_pairs) AS BIGINT) AS n_pairs,
+           CAST(max(CASE WHEN rn = (n_pairs + 1) // 2 THEN slope END)
+             AS BIGINT) AS median_slope_permille,
+           CAST(max(CASE WHEN rn = (n_pairs + 3) // 4 THEN slope END)
+             AS BIGINT) AS q1_slope_permille,
+           CAST(max(CASE WHEN rn = (3 * n_pairs + 1) // 4 THEN slope END)
+             AS BIGINT) AS q3_slope_permille
+    FROM ranked
+    """,
+)
+def ts_theil_sen_trend(spark, sf_dir):
+    """THEIL–SEN ROBUST TREND of daily revenue: the median of all
+    pairwise slopes — the breakdown-resistant alternative to
+    ts_ols_daily_trend's least squares (one wild day moves OLS, not
+    the pairwise-slope median). Exact-integer formulation: slopes in
+    permille-cents-per-day via magnitude-then-sign division
+    (|Δrev|·1000 DIV Δdays, negated when falling) because Spark's
+    DIV truncates toward zero while DuckDB's // floors — identical
+    only on non-negative operands, so the sign is applied OUTSIDE
+    the division (stated; the same discipline as the bounded-series
+    pair ops). Median and quartiles are order statistics with a
+    full (slope, day-pair) tie-break — lower-median convention,
+    deterministic. Scale: the pair expansion runs on the
+    CALENDAR-bounded daily aggregate (k² pairs at k distinct days —
+    ~6.7M at a decade), never raw rows; the corpus-sized stage is
+    the one combinable day rollup."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("ts").cast("date").alias("d"),
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        F.col("a.d").alias("da"),
+        F.col("b.d").alias("db"),
+        F.expr(
+            "CASE WHEN b.rev >= a.rev "
+            "THEN (b.rev - a.rev) * 1000 DIV (b.x - a.x) "
+            "ELSE -((a.rev - b.rev) * 1000 DIV (b.x - a.x)) END"
+        ).alias("slope"),
+    )
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(W.orderBy("slope", "da", "db")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n_pairs"),
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    stats = ranked.agg(
+        F.max("n_pairs").cast("bigint").alias("n_pairs"),
+        F.max(
+            F.expr("CASE WHEN rn = (n_pairs + 1) DIV 2 THEN slope END")
+        )
+        .cast("bigint")
+        .alias("median_slope_permille"),
+        F.max(F.expr("CASE WHEN rn = (n_pairs + 3) DIV 4 THEN slope END"))
+        .cast("bigint")
+        .alias("q1_slope_permille"),
+        F.max(
+            F.expr("CASE WHEN rn = (3 * n_pairs + 1) DIV 4 THEN slope END")
+        )
+        .cast("bigint")
+        .alias("q3_slope_permille"),
+    )
+    return n_days.crossJoin(stats).select(
+        "n_days",
+        "n_pairs",
+        "median_slope_permille",
+        "q1_slope_permille",
+        "q3_slope_permille",
+    )

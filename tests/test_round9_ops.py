@@ -176,3 +176,76 @@ def test_assortativity_matches_python(spark):
         2.0 * m * s_sq - float(s_sum) ** 2
     )
     assert got["assortativity"] == pytest.approx(r, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Temporal pair: independent Python SAX / Theil-Sen over the raw events.
+# ---------------------------------------------------------------------------
+
+
+def test_sax_symbols_matches_python(spark):
+    from etl_jobs_spark.queries.temporal import (
+        SAX_ALPHABET,
+        SAX_HOURS_PER_SEG,
+        ts_sax_symbols,
+    )
+
+    got = {
+        r["d"]: (r["sax_word"], r["n_segments"], r["n_points"])
+        for r in ts_sax_symbols(spark, SF_DIR).collect()
+    }
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ts = pd.to_datetime(ev["ts"])
+    df = pd.DataFrame(
+        {
+            "d": ts.dt.date,
+            "seg": ts.dt.hour // SAX_HOURS_PER_SEG,
+            "cents": (ev["value"] * 100).round().astype("int64"),
+        }
+    )
+    paa = (
+        df.groupby(["d", "seg"])
+        .agg(s=("cents", "sum"), n=("cents", "size"))
+        .reset_index()
+    )
+    paa["paa"] = paa["s"] // paa["n"]
+    # ntile with full (paa, d, seg) tie-break
+    paa = paa.sort_values(["paa", "d", "seg"], ignore_index=True)
+    n = len(paa)
+    base, extra = divmod(n, SAX_ALPHABET)
+    bucket = []
+    for q in range(SAX_ALPHABET):
+        bucket += [q] * (base + (1 if q < extra else 0))
+    paa["sym"] = [chr(ord("a") + q) for q in bucket]
+    words = {}
+    for d, grp in paa.groupby("d"):
+        syms = dict(zip(grp["seg"], grp["sym"]))
+        words[d] = (
+            "".join(syms.get(s, "_") for s in range(4)),
+            len(grp),
+            int(grp["n"].sum()),
+        )
+    assert got == words
+
+
+def test_theil_sen_matches_python(spark):
+    from etl_jobs_spark.queries.temporal import ts_theil_sen_trend
+
+    got = ts_theil_sen_trend(spark, SF_DIR).collect()[0].asDict()
+    daily = _daily(SF_DIR)
+    days = [
+        (pd.Timestamp(d).toordinal() - pd.Timestamp("1970-01-01").toordinal(), int(r))
+        for d, r in zip(daily["d"], daily["rev"])
+    ]
+    slopes = []
+    for i, (xa, ra) in enumerate(days):
+        for xb, rb in days[i + 1 :]:
+            mag = (abs(rb - ra) * 1000) // (xb - xa)
+            slopes.append(mag if rb >= ra else -mag)
+    slopes.sort()
+    np_ = len(slopes)
+    assert got["n_days"] == len(days)
+    assert got["n_pairs"] == np_
+    assert got["median_slope_permille"] == slopes[(np_ + 1) // 2 - 1]
+    assert got["q1_slope_permille"] == slopes[(np_ + 3) // 4 - 1]
+    assert got["q3_slope_permille"] == slopes[(3 * np_ + 1) // 4 - 1]
