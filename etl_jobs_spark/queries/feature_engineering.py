@@ -243,3 +243,103 @@ def feat_cross_hash(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.countDistinct("k").cast("long").alias("n_crosses"),
     )
+
+
+#: Vocabulary size for the top-M categorical encoder: categories
+#: outside the top VOCAB_M by (count DESC, name ASC) collapse into
+#: the OTHER bucket. Rarity is defined RELATIVELY (outside the
+#: learned vocabulary) rather than by an absolute support threshold
+#: — the scale-free convention every production encoder/tokenizer
+#: vocab uses, and the one that behaves identically at sf0.001 and
+#: at 100 TB (an absolute cutoff flips meaning as the corpus
+#: grows).
+VOCAB_M = 10
+VOCAB_OTHER = "__other__"
+
+
+@register(
+    "feat_vocab_collapse_encode",
+    oracle=f"""
+    WITH counts AS (
+      SELECT p_brand AS cat, CAST(count(*) AS BIGINT) AS n
+      FROM part GROUP BY 1),
+    ranked AS (
+      SELECT cat, n,
+             row_number() OVER (ORDER BY n DESC, cat ASC) AS rnk
+      FROM counts),
+    mapped AS (
+      SELECT CASE WHEN rnk <= {VOCAB_M} THEN cat
+                  ELSE '{VOCAB_OTHER}' END AS category,
+             n
+      FROM ranked),
+    final AS (
+      SELECT category,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_source_categories
+      FROM mapped GROUP BY category),
+    tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM final)
+    SELECT category, n_rows, n_source_categories,
+           CAST(n_rows * 1000 // t.total AS BIGINT) AS share_permille,
+           CAST(row_number() OVER (
+             ORDER BY n_rows DESC, category ASC) AS BIGINT)
+             AS category_id
+    FROM final CROSS JOIN tot t
+    """,
+)
+def feat_vocab_collapse_encode(spark, sf_dir):
+    """TOP-M VOCABULARY ENCODER with OTHER-bucket collapse: learn
+    the top-{m} part brands by (count DESC, name ASC), map every
+    other brand to '{o}', and emit the encoded category table
+    (row count, how many source categories each encoded value
+    absorbs, integer permille share, dense deterministic
+    category_id). The fit artifact of one-hot/embedding input
+    prep — the vocabulary table is what a training pipeline
+    broadcasts into the map-only transform; this query IS the fit
+    plus its audit. Rarity is vocabulary-relative (see VOCAB_M
+    note) — no absolute threshold to silently invert at corpus
+    scale. Plan: one combinable hash aggregation on the category,
+    one window over the AGGREGATED (vocabulary-sized) table, a
+    second tiny re-aggregation — the corpus is touched once;
+    share_permille is exact while n_rows < 9.2e15 (BIGINT DIV
+    bound, stated).""".format(m=VOCAB_M, o=VOCAB_OTHER)
+    from pyspark.sql import Window as W
+
+    counts = (
+        read_table(spark, sf_dir, "part")
+        .groupBy(F.col("p_brand").alias("cat"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    ranked = counts.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.orderBy(F.col("n").desc(), F.col("cat").asc())
+        ),
+    )
+    mapped = ranked.select(
+        F.when(F.col("rnk") <= VOCAB_M, F.col("cat"))
+        .otherwise(F.lit(VOCAB_OTHER))
+        .alias("category"),
+        "n",
+    )
+    final = mapped.groupBy("category").agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_source_categories"),
+    )
+    tot = final.agg(F.sum("n_rows").cast("bigint").alias("total"))
+    return (
+        final.crossJoin(F.broadcast(tot))
+        .select(
+            "category",
+            "n_rows",
+            "n_source_categories",
+            F.expr("CAST(n_rows * 1000 DIV total AS BIGINT)").alias(
+                "share_permille"
+            ),
+        )
+        .withColumn(
+            "category_id",
+            F.row_number()
+            .over(W.orderBy(F.col("n_rows").desc(), F.col("category").asc()))
+            .cast("bigint"),
+        )
+    )

@@ -1152,3 +1152,156 @@ def text_bpe_apply_learned(spark, sf_dir):
         .alias("n_merged"),
         F.size(F.array_distinct(not_fence)).cast("bigint").alias("n_vocab"),
     )
+
+
+#: Collocation tier geometry: adjacent-token bigrams, minimum
+#: corpus support, and the report size.
+COLL_MIN_COUNT = 5
+COLL_TOP_K = 25
+
+#: Association strengths from exact BIGINT counts — ONE shared
+#: float expression for the display-only lift (ranking never
+#: touches it); the permille conditionals are integer DIVs whose
+#: products stay exact while n_bigrams < 9.2e15 (stated bound —
+#: big_cnt <= n_bigrams, so big_cnt * 1000 is the larger factor's
+#: only multiplier).
+_COLL_STRENGTH = """
+    round( CAST(big_cnt AS DOUBLE) * CAST(n_bigrams AS DOUBLE)
+           / (CAST(cnt1 AS DOUBLE) * CAST(cnt2 AS DOUBLE)), 6)
+"""
+
+
+@register(
+    "text_collocation_lift",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, toks FROM {_TOK_SUB} WHERE len(toks) >= 2),
+    bigrams AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, len(toks)),
+               i -> [toks[i], toks[i + 1]])) AS bg
+      FROM toks),
+    bg AS (
+      SELECT bg[1] AS w1, bg[2] AS w2,
+             CAST(count(*) AS BIGINT) AS big_cnt
+      FROM bigrams GROUP BY 1, 2),
+    uni AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(toks) AS tok FROM toks) GROUP BY tok),
+    tot AS (
+      SELECT CAST(sum(big_cnt) AS BIGINT) AS n_bigrams FROM bg),
+    scored AS (
+      SELECT w1, w2, big_cnt, u1.cnt AS cnt1, u2.cnt AS cnt2,
+             t.n_bigrams,
+             big_cnt * 1000 // u1.cnt AS fwd_permille,
+             big_cnt * 1000 // u2.cnt AS rev_permille
+      FROM bg JOIN uni u1 ON u1.tok = bg.w1
+              JOIN uni u2 ON u2.tok = bg.w2
+              CROSS JOIN tot t
+      WHERE big_cnt >= {COLL_MIN_COUNT}),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               ORDER BY big_cnt DESC, w1 ASC, w2 ASC) AS rnk
+      FROM scored)
+    SELECT w1, w2, big_cnt, cnt1, cnt2, n_bigrams,
+           fwd_permille, rev_permille,
+           ({_COLL_STRENGTH}) AS lift,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {COLL_TOP_K}
+    """,
+)
+def text_collocation_lift(spark, sf_dir):
+    """BIGRAM COLLOCATION mining over the document corpus: the
+    top-{k} adjacent-token pairs by corpus frequency (support >=
+    {m}), each scored with exact-integer conditional strengths
+    (P(w2|w1) and P(w1|w2) in permille — big_cnt·1000 DIV cnt,
+    non-negative operands so DIV and // agree) and the classic
+    observed/expected LIFT as a display-only float from the same
+    BIGINTs (ranking is integer-count-ordered with full lexical
+    tie-break, so the float never decides the cut). The phrase-
+    detection pass of an LLM-corpus pipeline (multi-word-expression
+    vocabulary, tokenizer pre-merges). Scale: bigram expansion is
+    map-only (adjacent zip inside each doc, no joins); both count
+    tables are combinable hash aggregations keyed by the
+    bigram/token; the two unigram joins hit the AGGREGATED tables
+    (vocabulary-sized, broadcast-able); overflow bound stated at
+    the strength definition.""".format(k=COLL_TOP_K, m=COLL_MIN_COUNT)
+    from pyspark.sql import Window as W
+
+    from etl_jobs_spark.operators.hashing import norm_text, word_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.expr(word_tokens(norm_text("text", "spark"), "spark")).alias(
+            "toks"
+        )
+    ).filter(F.size("toks") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bg = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("big_cnt")
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = bg.agg(F.sum("big_cnt").cast("bigint").alias("n_bigrams"))
+    scored = (
+        bg.filter(F.col("big_cnt") >= COLL_MIN_COUNT)
+        .join(
+            F.broadcast(
+                uni.select(
+                    F.col("tok").alias("w1"), F.col("cnt").alias("cnt1")
+                )
+            ),
+            "w1",
+        )
+        .join(
+            F.broadcast(
+                uni.select(
+                    F.col("tok").alias("w2"), F.col("cnt").alias("cnt2")
+                )
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "big_cnt",
+            "cnt1",
+            "cnt2",
+            "n_bigrams",
+            F.expr("big_cnt * 1000 DIV cnt1").alias("fwd_permille"),
+            F.expr("big_cnt * 1000 DIV cnt2").alias("rev_permille"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number()
+        .over(
+            W.orderBy(
+                F.col("big_cnt").desc(), F.col("w1").asc(), F.col("w2").asc()
+            )
+        )
+        .cast("bigint"),
+    )
+    return ranked.filter(F.col("rnk") <= COLL_TOP_K).select(
+        "w1",
+        "w2",
+        "big_cnt",
+        "cnt1",
+        "cnt2",
+        "n_bigrams",
+        "fwd_permille",
+        "rev_permille",
+        F.expr(_COLL_STRENGTH).alias("lift"),
+        "rnk",
+    )

@@ -249,3 +249,88 @@ def test_theil_sen_matches_python(spark):
     assert got["median_slope_permille"] == slopes[(np_ + 1) // 2 - 1]
     assert got["q1_slope_permille"] == slopes[(np_ + 3) // 4 - 1]
     assert got["q3_slope_permille"] == slopes[(3 * np_ + 1) // 4 - 1]
+
+
+# ---------------------------------------------------------------------------
+# Collocation + vocabulary encoder: independent Python recomputation.
+# ---------------------------------------------------------------------------
+
+
+def test_collocation_matches_python(spark):
+    from collections import Counter
+
+    from etl_jobs_spark.queries.text_analysis import (
+        COLL_MIN_COUNT,
+        COLL_TOP_K,
+        text_collocation_lift,
+    )
+
+    got = [
+        r.asDict() for r in text_collocation_lift(spark, SF_DIR).collect()
+    ]
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    import re
+
+    big, uni = Counter(), Counter()
+    for t in docs["text"]:
+        toks = re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+        if len(toks) < 2:
+            continue
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    n_bi = sum(big.values())
+    cands = sorted(
+        (
+            (w1, w2, c)
+            for (w1, w2), c in big.items()
+            if c >= COLL_MIN_COUNT
+        ),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:COLL_TOP_K]
+    assert len(got) == len(cands)
+    for row, (w1, w2, c) in zip(
+        sorted(got, key=lambda r: r["rnk"]), cands
+    ):
+        assert (row["w1"], row["w2"], row["big_cnt"]) == (w1, w2, c)
+        assert row["n_bigrams"] == n_bi
+        assert row["fwd_permille"] == c * 1000 // uni[w1]
+        assert row["rev_permille"] == c * 1000 // uni[w2]
+        assert row["lift"] == pytest.approx(
+            c * n_bi / (uni[w1] * uni[w2]), abs=1e-6
+        )
+
+
+def test_vocab_collapse_matches_python(spark):
+    from collections import Counter
+
+    from etl_jobs_spark.queries.feature_engineering import (
+        VOCAB_M,
+        VOCAB_OTHER,
+        feat_vocab_collapse_encode,
+    )
+
+    got = {
+        r["category"]: r.asDict()
+        for r in feat_vocab_collapse_encode(spark, SF_DIR).collect()
+    }
+    parts = pd.read_parquet(f"{SF_DIR}/part.parquet")
+    counts = Counter(parts["p_brand"])
+    ranked = sorted(counts.items(), key=lambda t: (-t[1], t[0]))
+    vocab = {c for c, _ in ranked[:VOCAB_M]}
+    total = len(parts)
+    other_n = sum(n for c, n in counts.items() if c not in vocab)
+    assert set(got) == vocab | {VOCAB_OTHER}
+    assert got[VOCAB_OTHER]["n_rows"] == other_n
+    assert got[VOCAB_OTHER]["n_source_categories"] == len(counts) - len(
+        vocab
+    )
+    for c in vocab:
+        assert got[c]["n_rows"] == counts[c]
+        assert got[c]["n_source_categories"] == 1
+        assert got[c]["share_permille"] == counts[c] * 1000 // total
+    ids = sorted(
+        got.values(), key=lambda r: (-r["n_rows"], r["category"])
+    )
+    assert [r["category_id"] for r in ids] == list(
+        range(1, len(ids) + 1)
+    )
