@@ -315,3 +315,97 @@ def spatial_point_in_polygon(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+#: Morton (Z-order) geometry: 14 bits per axis covers the
+#: [0, GRID_WORLD) integer coordinates; tiles are Morton prefixes at
+#: depth 6 (m >> 16 — each tile is a 156x156 world square).
+MORTON_BITS = 14
+MORTON_TILE_SHIFT = 16
+
+
+def _morton_expr(x_expr: str, y_expr: str, engine: str) -> str:
+    """Bit-interleaved Morton code from pure integer arithmetic
+    (DIV/%/multiply — no dialect bitwise operators), identical in
+    both engines on the non-negative coordinate domain."""
+    div = "DIV" if engine == "spark" else "//"
+    terms = []
+    for i in range(MORTON_BITS):
+        p2, p4 = 1 << i, 1 << (2 * i)
+        terms.append(f"((({x_expr}) {div} {p2}) % 2) * {p4}")
+        terms.append(f"((({y_expr}) {div} {p2}) % 2) * {2 * p4}")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "spatial_morton_tiles",
+    oracle=f"""
+    WITH pts AS (
+      SELECT {_morton_expr(f"CAST({_X_D} AS BIGINT)",
+                           f"CAST({_Y_D} AS BIGINT)", "duckdb")} AS m,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    tiles AS (
+      SELECT m // {1 << MORTON_TILE_SHIFT} AS tile,
+             CAST(count(*) AS BIGINT) AS n_points,
+             CAST(sum(cents) AS BIGINT) AS value_cents,
+             CAST(min(m) AS BIGINT) AS min_morton,
+             CAST(max(m) AS BIGINT) AS max_morton
+      FROM pts GROUP BY 1)
+    SELECT CAST(tile AS BIGINT) AS tile, n_points, value_cents,
+           min_morton, max_morton, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+               ORDER BY n_points DESC, tile ASC) AS rk
+      FROM tiles)
+    WHERE rk <= 20
+    """,
+)
+def spatial_morton_tiles(spark, sf_dir):
+    """Z-ORDER (MORTON) SPATIAL INDEXING: interleave the 14-bit x/y
+    coordinates into a Morton code — pure integer arithmetic
+    (DIV/mod/multiply), no dialect bitwise ops — and census the
+    top-20 Morton-prefix tiles (depth-6 squares) by point count,
+    with each tile's min/max code span. The Morton code is THE
+    locality-preserving layout key for spatial data at scale: range
+    scans over a Z-curve prefix touch one contiguous key range, so
+    sorting/partitioning 100 TB of points by this code gives every
+    square tile contiguous storage (the 2-D companion of
+    zorder_layout_stats' multi-column layout audit, here with the
+    real bit-interleave). Plan: the code is a map-only projection;
+    the tile census is ONE combinable aggregation on the prefix;
+    the global top-20 compiles to TakeOrderedAndProject — no full
+    sort, no joins."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    m = _morton_expr(
+        f"CAST({_X_S} AS BIGINT)", f"CAST({_Y_S} AS BIGINT)", "spark"
+    )
+    tiles = (
+        ev.select(
+            F.expr(m).alias("m"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy(
+            F.expr(f"m DIV {1 << MORTON_TILE_SHIFT}").alias("tile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum("cents").cast("long").alias("value_cents"),
+            F.min("m").cast("long").alias("min_morton"),
+            F.max("m").cast("long").alias("max_morton"),
+        )
+    )
+    order = [F.col("n_points").desc(), F.col("tile").asc()]
+    top = tiles.orderBy(*order).limit(20)
+    return top.withColumn(
+        "rk", F.row_number().over(W.orderBy(*order)).cast("long")
+    ).select(
+        F.col("tile").cast("long").alias("tile"),
+        "n_points",
+        "value_cents",
+        "min_morton",
+        "max_morton",
+        "rk",
+    )

@@ -334,3 +334,38 @@ def test_vocab_collapse_matches_python(spark):
     assert [r["category_id"] for r in ids] == list(
         range(1, len(ids) + 1)
     )
+
+
+def test_morton_tiles_matches_python(spark):
+    import hashlib
+    from collections import Counter
+
+    from etl_jobs_spark.queries.spatial import (
+        MORTON_BITS,
+        MORTON_TILE_SHIFT,
+        spatial_morton_tiles,
+    )
+
+    got = [
+        r.asDict() for r in spatial_morton_tiles(spark, SF_DIR).collect()
+    ]
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def morton(x, y):
+        m = 0
+        for i in range(MORTON_BITS):
+            m |= ((x >> i) & 1) << (2 * i)
+            m |= ((y >> i) & 1) << (2 * i + 1)
+        return m
+
+    tiles = Counter()
+    for eid in ev["event_id"]:
+        x = h60(f"gx:{eid}") % 10000
+        y = h60(f"gy:{eid}") % 10000
+        tiles[morton(x, y) >> MORTON_TILE_SHIFT] += 1
+    want = sorted(tiles.items(), key=lambda t: (-t[1], t[0]))[:20]
+    assert [(r["tile"], r["n_points"]) for r in
+            sorted(got, key=lambda r: r["rk"])] == want
