@@ -116,4 +116,31 @@ _NEEDS_CORRECTNESS_ROW = [
     # They rotate into round 9's window front.
 ]
 
+#: Round-9 window FRONT (not promoted into the round-8 window — the
+#: 50 slots above implement VERDICT r7's backlog-first allocation and
+#: are full). Everything here was added late in round 8 AFTER the
+#: window froze; each is hash-green at sf0.001/0.01/0.1 in
+#: builder-side driver-grade sweeps (docs/SWEEP_COST*.json + the
+#: end-of-round full sweep) and carries an independent pure-Python
+#: cross-check in tests/. Round 9 must promote THESE first, then the
+#: nine r1-era deferrals listed above, then the r3-era rotation.
+_ROUND9_WINDOW_FRONT = [
+    # late round-8 wave 2 (commits d3d0045..d35bc6d)
+    "stat_spearman_rho",
+    "stat_runs_test",
+    "graph_k_core",
+    "graph_degree_assortativity",
+    "ts_sax_symbols",
+    "ts_theil_sen_trend",
+    "text_collocation_lift",
+    "feat_vocab_collapse_encode",
+    "spatial_morton_tiles",
+    # late round-8 wave 3 (continuation session)
+    "embed_sq8_topk",
+    "embed_binary_hamming_topk",
+    "stat_welch_t",
+    "stat_anova_f",
+    "stat_cramers_v",
+]
+
 registry.promote(_NEEDS_CORRECTNESS_ROW)

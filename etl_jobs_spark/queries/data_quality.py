@@ -1725,3 +1725,313 @@ def stat_runs_test(spark, sf_dir):
     return agg.select(
         "n_up", "n_down", "n_runs", F.expr(_RUNS_Z_EXPR).alias("z")
     )
+
+
+# ---------------------------------------------------------------- #
+# Effect-size / multi-group tests: Welch t, one-way ANOVA F,       #
+# Cramér's V — the companions the two-sample tier was missing      #
+# ---------------------------------------------------------------- #
+
+#: Fixed group order for the fixed-order float discipline: every
+#: double addition below is written out explicitly in this order, so
+#: neither engine's aggregate-ordering freedom can touch the result.
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _welch_expr(pfx_a: str, pfx_b: str) -> tuple[str, str]:
+    """Welch t statistic + Welch–Satterthwaite dof from the six
+    exact BIGINT moments (n, Σcents, Σcents²) of two groups — ONE
+    shared expression text, so the float ops are IEEE-identical in
+    both engines. Squares of sums are formed in DOUBLE (sum² would
+    overflow BIGINT at ~3e9 cents)."""
+
+    def var_over_n(p: str) -> str:
+        return (
+            f"((CAST({p}_ssq AS DOUBLE) - CAST({p}_sum AS DOUBLE)"
+            f" * CAST({p}_sum AS DOUBLE) / CAST({p}_n AS DOUBLE))"
+            f" / (CAST({p}_n AS DOUBLE) - 1.0)) / CAST({p}_n AS DOUBLE)"
+        )
+
+    va, vb = var_over_n(pfx_a), var_over_n(pfx_b)
+    md = (
+        f"(CAST({pfx_a}_sum AS DOUBLE) / CAST({pfx_a}_n AS DOUBLE)"
+        f" - CAST({pfx_b}_sum AS DOUBLE) / CAST({pfx_b}_n AS DOUBLE))"
+    )
+    t = f"({md} / sqrt({va} + {vb}))"
+    dof = (
+        f"(({va} + {vb}) * ({va} + {vb})"
+        f" / (({va} * {va}) / (CAST({pfx_a}_n AS DOUBLE) - 1.0)"
+        f" + ({vb} * {vb}) / (CAST({pfx_b}_n AS DOUBLE) - 1.0)))"
+    )
+    return t, dof
+
+
+_WELCH_T, _WELCH_DOF = _welch_expr("a", "b")
+
+
+@register(
+    "stat_welch_t",
+    oracle=f"""
+    WITH m AS (
+      SELECT
+        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS a_n,
+        CAST(sum(CASE WHEN event_type = 'view' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS a_sum,
+        CAST(sum(CASE WHEN event_type = 'view' THEN CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS a_ssq,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS b_n,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS b_sum,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS b_ssq
+      FROM events WHERE event_type IN ('view', 'purchase'))
+    SELECT a_n, a_sum, a_ssq, b_n, b_sum, b_ssq,
+           round({_WELCH_T}, 6) AS t_stat,
+           round({_WELCH_DOF}, 4) AS dof
+    FROM m
+    """,
+)
+def stat_welch_t(spark, sf_dir):
+    """WELCH'S UNEQUAL-VARIANCE t-TEST between 'view' and 'purchase'
+    event values — the two-sample mean test that does NOT assume
+    equal variances (the safe default the classic Student t lacks),
+    completing the two-sample tier next to stat_mann_whitney_u's
+    rank test and stat_ab_test_zscore's proportion test. All six
+    moments (n, Σcents, Σcents²) are exact BIGINTs from ONE
+    conditional-aggregation pass; t and the Welch–Satterthwaite dof
+    are one shared expression text over those integers, so every
+    double op sees identical operands in both engines. Overflow
+    bound: cents ≤ 5e4 → Σcents² ≤ 2.5e9·n — safe to n ~ 3.7e9
+    rows/group; beyond that shift to per-group DECIMAL(38) or
+    centered two-pass moments (stated, not silent). Scale shape:
+    one combinable map-side aggregation over the fact table, one
+    result row — no shuffle beyond the 6-value final combine."""
+    cents = "CAST(round(value * 100) AS BIGINT)"
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+
+    def side(p: str, t: str):
+        c = F.expr(f"CASE WHEN event_type = '{t}' THEN {cents} ELSE 0 END")
+        return [
+            F.sum(
+                F.when(F.col("event_type") == t, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"{p}_n"),
+            F.sum(c).cast("bigint").alias(f"{p}_sum"),
+            F.sum(c * c).cast("bigint").alias(f"{p}_ssq"),
+        ]
+
+    m = ev.agg(*(side("a", "view") + side("b", "purchase")))
+    return m.select(
+        "a_n",
+        "a_sum",
+        "a_ssq",
+        "b_n",
+        "b_sum",
+        "b_ssq",
+        F.round(F.expr(_WELCH_T), 6).alias("t_stat"),
+        F.round(F.expr(_WELCH_DOF), 4).alias("dof"),
+    )
+
+
+def _anova_exprs() -> tuple[str, str, str]:
+    """One-way ANOVA F from the 15 exact BIGINT group moments —
+    FIXED-ORDER float additions (the _EVENT_TYPES order, written
+    out term by term) so neither engine's aggregate ordering can
+    perturb the doubles. Returns (ssb, ssw, f) expression texts."""
+    ks = range(len(_EVENT_TYPES))
+
+    def d(x: str) -> str:
+        return f"CAST({x} AS DOUBLE)"
+
+    within = " + ".join(
+        f"({d(f'g{i}_ssq')} - {d(f'g{i}_sum')} * {d(f'g{i}_sum')}"
+        f" / {d(f'g{i}_n')})"
+        for i in ks
+    )
+    between_gsum = " + ".join(
+        f"{d(f'g{i}_sum')} * {d(f'g{i}_sum')} / {d(f'g{i}_n')}" for i in ks
+    )
+    tot_n = " + ".join(f"g{i}_n" for i in ks)
+    tot_s = " + ".join(f"g{i}_sum" for i in ks)
+    k = len(_EVENT_TYPES)
+    ssb = (
+        f"(({between_gsum}) - {d(f'({tot_s})')} * {d(f'({tot_s})')}"
+        f" / {d(f'({tot_n})')})"
+    )
+    ssw = f"({within})"
+    f_stat = (
+        f"(({ssb} / {k - 1}.0) / ({ssw} / ({d(f'({tot_n})')} - {k}.0)))"
+    )
+    return ssb, ssw, f_stat
+
+
+_ANOVA_SSB, _ANOVA_SSW, _ANOVA_F = _anova_exprs()
+
+
+def _anova_moment_cols() -> str:
+    cents = "CAST(round(value * 100) AS BIGINT)"
+    cols = []
+    for i, t in enumerate(_EVENT_TYPES):
+        cols += [
+            f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS g{i}_n",
+            f"CAST(sum(CASE WHEN event_type = '{t}' THEN {cents} ELSE 0 END) AS BIGINT) AS g{i}_sum",
+            f"CAST(sum(CASE WHEN event_type = '{t}' THEN {cents} * {cents} ELSE 0 END) AS BIGINT) AS g{i}_ssq",
+        ]
+    return ", ".join(cols)
+
+
+@register(
+    "stat_anova_f",
+    oracle=f"""
+    WITH m AS (SELECT {_anova_moment_cols()} FROM events)
+    SELECT CAST({' + '.join(f'g{i}_n' for i in range(len(_EVENT_TYPES)))} AS BIGINT) AS n,
+           CAST({len(_EVENT_TYPES)} AS BIGINT) AS k,
+           round({_ANOVA_SSB}, 4) AS ssb,
+           round({_ANOVA_SSW}, 4) AS ssw,
+           round({_ANOVA_F}, 6) AS f_stat
+    FROM m
+    """,
+)
+def stat_anova_f(spark, sf_dir):
+    """ONE-WAY ANOVA F across the five event types' values — the
+    k-group generalization of stat_welch_t (does ANY event type
+    differ in mean value?). The engine computes the 15 group
+    moments (n, Σcents, Σcents²) in ONE conditional-aggregation
+    pass with the groups as FIXED literals in _EVENT_TYPES order;
+    SSB/SSW/F are one shared expression text whose double additions
+    are written out term-by-term in that order — the
+    fixed-order float discipline, strictly stronger than relying on
+    tiny-table single-partition luck. Groups are the five fixture
+    event types; an unseen type is excluded by construction (the
+    conditional sums) — generalizing to data-driven groups means
+    sorting group moments into a deterministic order first (stated).
+    Overflow: same Σcents² ≤ 2.5e9·n bound as stat_welch_t.
+    Scale shape: one combinable map-side pass over the facts, one
+    result row."""
+    cents = "CAST(round(value * 100) AS BIGINT)"
+    moments = []
+    for i, t in enumerate(_EVENT_TYPES):
+        c = F.expr(f"CASE WHEN event_type = '{t}' THEN {cents} ELSE 0 END")
+        one = F.when(F.col("event_type") == t, 1).otherwise(0)
+        moments += [
+            F.sum(one).cast("bigint").alias(f"g{i}_n"),
+            F.sum(c).cast("bigint").alias(f"g{i}_sum"),
+            F.sum(c * c).cast("bigint").alias(f"g{i}_ssq"),
+        ]
+    m = read_table(spark, sf_dir, "events").agg(*moments)
+    n_expr = " + ".join(f"g{i}_n" for i in range(len(_EVENT_TYPES)))
+    return m.select(
+        F.expr(f"CAST({n_expr} AS BIGINT)").alias("n"),
+        F.lit(len(_EVENT_TYPES)).cast("bigint").alias("k"),
+        F.round(F.expr(_ANOVA_SSB), 4).alias("ssb"),
+        F.round(F.expr(_ANOVA_SSW), 4).alias("ssw"),
+        F.round(F.expr(_ANOVA_F), 6).alias("f_stat"),
+    )
+
+
+_CRAMER_CHI = "sum(term)"
+_CRAMER_V = (
+    "sqrt(sum(term) / (CAST(max(grand_n) AS DOUBLE)"
+    " * (CAST(least(max(dr), max(dc)) AS DOUBLE) - 1.0)))"
+)
+
+
+@register(
+    "stat_cramers_v",
+    oracle="""
+    WITH obs AS (
+      SELECT c_nationkey AS nk, c_mktsegment AS seg,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2),
+    nks AS (SELECT DISTINCT nk FROM obs),
+    segs AS (SELECT DISTINCT seg FROM obs),
+    filled AS (
+      SELECT g.nk, g.seg, CAST(coalesce(o.n, 0) AS BIGINT) AS n
+      FROM (SELECT nk, seg FROM nks CROSS JOIN segs) g
+      LEFT JOIN obs o ON g.nk = o.nk AND g.seg = o.seg),
+    dims AS (
+      SELECT CAST(count(DISTINCT nk) AS BIGINT) AS dr,
+             CAST(count(DISTINCT seg) AS BIGINT) AS dc
+      FROM obs),
+    tot AS (
+      SELECT n,
+             CAST(sum(n) OVER (PARTITION BY nk) AS BIGINT) AS row_n,
+             CAST(sum(n) OVER (PARTITION BY seg) AS BIGINT) AS col_n,
+             CAST(sum(n) OVER () AS BIGINT) AS grand_n
+      FROM filled),
+    cells AS (
+      SELECT (CAST(n AS DOUBLE)
+              - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                / CAST(grand_n AS DOUBLE))
+             * (CAST(n AS DOUBLE)
+                - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                  / CAST(grand_n AS DOUBLE))
+             / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                / CAST(grand_n AS DOUBLE)) AS term,
+             grand_n
+      FROM tot)
+    SELECT round(sum(term), 6) AS chi_square,
+           round(sqrt(sum(term) / (CAST(max(grand_n) AS DOUBLE)
+                 * (CAST(least(max(d.dr), max(d.dc)) AS DOUBLE) - 1.0))), 6)
+             AS cramers_v,
+           CAST(max(d.dr) AS BIGINT) AS r,
+           CAST(max(d.dc) AS BIGINT) AS c,
+           CAST(max(grand_n) AS BIGINT) AS n
+    FROM cells CROSS JOIN dims d
+    """,
+)
+def stat_cramers_v(spark, sf_dir):
+    """CRAMÉR'S V — the [0,1] EFFECT-SIZE companion to
+    stat_chi_square_independence (a chi-square over a huge corpus is
+    'significant' at trivial association strength; V answers 'how
+    strong?'): V = sqrt(chi² / (N·(min(r,c)−1))) over the customer
+    nation × market-segment contingency (25×5 — a different, wider
+    table than the chi-square query's 5×5, so the grid-completion
+    path is exercised with r ≠ c). Same machinery and float
+    discipline as the sibling: exact BIGINT cell counts, marginals
+    by window sums over the tiny cell table, the cell-term sum
+    shares the chi-square precedent (125 doubles summed over a
+    single-combine tiny aggregate; every operand exact). Scale
+    shape: ONE combinable fact aggregation to r·c cells; everything
+    after runs on the cells."""
+    cust = read_table(spark, sf_dir, "customer")
+    obs = cust.groupBy(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    nks = obs.select("nk").distinct()
+    segs = obs.select("seg").distinct()
+    filled = (
+        nks.crossJoin(segs)
+        .join(obs, ["nk", "seg"], "left")
+        .select("nk", "seg", F.coalesce("n", F.lit(0)).cast("bigint").alias("n"))
+    )
+    dims = obs.agg(
+        F.countDistinct("nk").cast("bigint").alias("dr"),
+        F.countDistinct("seg").cast("bigint").alias("dc"),
+    )
+    from pyspark.sql import Window as W
+
+    tot = filled.select(
+        "n",
+        F.sum("n").over(W.partitionBy("nk")).cast("bigint").alias("row_n"),
+        F.sum("n").over(W.partitionBy("seg")).cast("bigint").alias("col_n"),
+        F.sum("n").over(W.partitionBy()).cast("bigint").alias("grand_n"),
+    )
+    exp = (
+        "CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)"
+        " / CAST(grand_n AS DOUBLE)"
+    )
+    cells = tot.select(
+        F.expr(
+            f"(CAST(n AS DOUBLE) - {exp}) * (CAST(n AS DOUBLE) - {exp})"
+            f" / ({exp})"
+        ).alias("term"),
+        "grand_n",
+    ).crossJoin(F.broadcast(dims))
+    return cells.agg(
+        F.round(F.expr(_CRAMER_CHI), 6).alias("chi_square"),
+        F.round(F.expr(_CRAMER_V), 6).alias("cramers_v"),
+        F.max("dr").cast("bigint").alias("r"),
+        F.max("dc").cast("bigint").alias("c"),
+        F.max("grand_n").cast("bigint").alias("n"),
+    )

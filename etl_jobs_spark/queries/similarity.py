@@ -1221,3 +1221,307 @@ def embed_pca_power_iter(spark, sf_dir):
         F.col("v").alias("loading_scaled"),
         "w_last",
     )
+
+
+# ---------------------------------------------------------------- #
+# Quantized serving rungs: int8 scalar quantization + 1-bit binary #
+# ---------------------------------------------------------------- #
+
+_SQ_LEVELS = 127  # symmetric int8 code range [-127, 127]
+_BIN_SHORTLIST = 50  # Hamming shortlist size before exact rerank
+
+
+def _sq8_maxabs_cols(engine: str) -> str:
+    """Per-dimension max-|x| over the corpus — the scalar
+    quantizer's 64-value 'codebook' (one row)."""
+    return ", ".join(
+        f"max(abs(embedding[{i}])) AS m{i}"
+        for i in range(1, SIM.EMBED_DIM + 1)
+    )
+
+
+def _sq8_code(engine: str, vec: str, i: int) -> str:
+    """int8 code for one dimension: trunc-toward-zero of
+    x * 127 / maxabs_dim (identical double arithmetic; Spark CAST
+    truncates, DuckDB needs the explicit trunc())."""
+    q = (
+        f"CAST({vec}[{i}] AS DOUBLE) * {_SQ_LEVELS}.0 / "
+        f"(CASE WHEN mm.m{i} > 0 THEN CAST(mm.m{i} AS DOUBLE) "
+        f"ELSE 1.0 END)"
+    )
+    inner = f"trunc({q})" if engine == "duckdb" else q
+    return f"CAST({inner} AS BIGINT)"
+
+
+def _sq8_oracle() -> str:
+    mx = f"(SELECT {_sq8_maxabs_cols('duckdb')} FROM embeddings)"
+    codes = ", ".join(
+        f"{_sq8_code('duckdb', 'v.embedding', i)} AS c{i}"
+        for i in range(1, SIM.EMBED_DIM + 1)
+    )
+    qdot = " + ".join(
+        f"q.c{i} * c.c{i}" for i in range(1, SIM.EMBED_DIM + 1)
+    )
+    return f"""
+    WITH mx AS {mx},
+    codes AS (
+      SELECT v.vec_id, v.embedding, {_NRM.replace('embedding', 'v.embedding')} AS nrm, {codes}
+      FROM embeddings v, mx mm),
+    qs AS (SELECT * FROM codes WHERE vec_id IN ({_QIDS}))
+    SELECT query_id, vec_id, qdot, round(cos_raw, 6) AS cosine,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT query_id, vec_id, qdot, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY qdot DESC, vec_id ASC) AS rnk
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               CAST({qdot} AS BIGINT) AS qdot,
+               {dot_unrolled('q.embedding', 'c.embedding', SIM.EMBED_DIM, 'duckdb')} / (q.nrm * c.nrm) AS cos_raw
+        FROM qs q JOIN codes c ON c.vec_id <> q.vec_id))
+    WHERE rnk <= {SIM.DEFAULT_K}
+    """
+
+
+@register("embed_sq8_topk", oracle=_sq8_oracle())
+def embed_sq8_topk(spark, sf_dir):
+    """INT8 SCALAR-QUANTIZED ANN rung (the FAISS-SQ8 idea, public):
+    per-dimension symmetric quantization x -> trunc(x*127/maxabs_d)
+    shrinks each vector 4x (64 int8 codes vs 64 floats) and turns
+    the scoring scan into an exact INTEGER dot product — BIGINT
+    ranking, so the top-k cut is hash-stable with no float ordering
+    anywhere on the ranking path (exact cosine is carried for
+    display only). |code| <= 127 so |qdot| <= 64*127^2 ~ 1.03e6 —
+    no overflow headroom needed. Scale shape: the quantizer 'fit'
+    is ONE combinable 64-column max aggregate (a single row,
+    broadcast back); encoding is map-only zip_with; the probe scan
+    reads 64 B/vector instead of 256 B and stays whole-stage
+    codegen. At cluster scale the codes column is written alongside
+    the embedding at ingest and the probe never touches the float
+    vectors except for the final-k rerank fetch."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    mx = F.broadcast(
+        emb.agg(
+            F.array(
+                *[
+                    F.max(F.abs(F.element_at("embedding", i)))
+                    .cast("double")
+                    .alias(f"m{i}")
+                    for i in range(1, SIM.EMBED_DIM + 1)
+                ]
+            ).alias("mx")
+        )
+    )
+    code = (
+        "zip_with(embedding, mx, (x, m) -> CAST(CAST(x AS DOUBLE)"
+        f" * {_SQ_LEVELS}.0D / (CASE WHEN m > 0.0D THEN m ELSE 1.0D END)"
+        " AS BIGINT))"
+    )
+    vecs = emb.crossJoin(mx).select(
+        "vec_id",
+        "embedding",
+        F.expr(norm_unrolled("embedding", SIM.EMBED_DIM, "spark")).alias(
+            "nrm"
+        ),
+        F.expr(code).alias("codes"),
+    )
+    queries = F.broadcast(
+        vecs.filter(F.col("vec_id").isin(*SIM.QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.col("codes").alias("q_codes"),
+        )
+    )
+    qdot = (
+        "aggregate(zip_with(q_codes, codes, (a, b) -> a * b),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    cos = (
+        dot_unrolled("q_emb", "embedding", SIM.EMBED_DIM, "spark")
+        + " / (q_nrm * nrm)"
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        queries.crossJoin(vecs)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(qdot).cast("bigint").alias("qdot"),
+            F.expr(cos).alias("cos_raw"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= SIM.DEFAULT_K)
+        .select(
+            "query_id",
+            "vec_id",
+            "qdot",
+            F.round("cos_raw", 6).alias("cosine"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def _bin_pack(engine: str, vec: str, start: int) -> str:
+    """Pack 32 sign bits (dims start..start+31, 1-based) into one
+    BIGINT, MSB-first — pure additive arithmetic on the DuckDB side
+    (no dialect bitwise ops), a fold on the Spark side (same value:
+    Horner MSB-first == the weighted bit sum)."""
+    if engine == "spark":
+        return (
+            f"aggregate(slice({vec}, {start}, 32), 0L, "
+            "(acc, x) -> acc * 2 + (CASE WHEN x >= CAST(0.0 AS FLOAT)"
+            " THEN 1L ELSE 0L END))"
+        )
+    return (
+        "("
+        + " + ".join(
+            f"CASE WHEN {vec}[{start + j}] >= 0 THEN {1 << (31 - j)} ELSE 0 END"
+            for j in range(32)
+        )
+        + ")"
+    )
+
+
+def _bin_oracle() -> str:
+    from etl_jobs_spark.operators.hashing import popcount_unrolled, xor_expr
+
+    vecs = (
+        f"(SELECT vec_id, embedding, {_NRM} AS nrm, "
+        f"CAST({_bin_pack('duckdb', 'embedding', 1)} AS BIGINT) AS b_lo, "
+        f"CAST({_bin_pack('duckdb', 'embedding', 33)} AS BIGINT) AS b_hi "
+        f"FROM embeddings)"
+    )
+    ham = (
+        f"({popcount_unrolled('x_lo', 32)} + "
+        f"{popcount_unrolled('x_hi', 32)})"
+    )
+    return f"""
+    WITH vecs AS (SELECT * FROM {vecs}),
+    qs AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm,
+                  b_lo AS q_lo, b_hi AS q_hi
+           FROM vecs WHERE vec_id IN ({_QIDS})),
+    pairs AS (
+      SELECT query_id, vec_id, q_emb, q_nrm, embedding, nrm,
+             {xor_expr('q_lo', 'b_lo', 'duckdb')} AS x_lo,
+             {xor_expr('q_hi', 'b_hi', 'duckdb')} AS x_hi
+      FROM qs JOIN vecs c ON c.vec_id <> qs.query_id),
+    shortlist AS (
+      SELECT query_id, vec_id, q_emb, q_nrm, embedding, nrm,
+             CAST({ham} AS BIGINT) AS hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {ham} ASC, vec_id ASC) AS hrnk
+      FROM pairs)
+    SELECT query_id, vec_id, hamming, round(cos_raw, 6) AS cosine,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT query_id, vec_id, hamming, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, vec_id ASC) AS rnk
+      FROM (
+        SELECT query_id, vec_id, hamming,
+               {dot_unrolled('q_emb', 'embedding', SIM.EMBED_DIM, 'duckdb')} / (q_nrm * nrm) AS cos_raw
+        FROM shortlist WHERE hrnk <= {_BIN_SHORTLIST}))
+    WHERE rnk <= {SIM.DEFAULT_K}
+    """
+
+
+@register("embed_binary_hamming_topk", oracle=_bin_oracle())
+def embed_binary_hamming_topk(spark, sf_dir):
+    """1-BIT BINARY-QUANTIZED ANN rung (sign-bit compaction +
+    Hamming shortlist + exact rerank — the public binary-embedding
+    serving pattern): each 64-dim float vector collapses to TWO
+    BIGINTs of sign bits (32x smaller than the float vector), the
+    shortlist scan ranks candidates by Hamming distance (integer —
+    hash-stable cut, vec_id tiebreak), and only the top
+    {_BIN_SHORTLIST} per query are reranked by exact cosine for the
+    final k. Packing is an MSB-first fold (Spark) == weighted bit
+    sum (DuckDB, pure additive arithmetic); Hamming is
+    popcount(xor) over each 32-bit half via the dialect-neutral
+    shift-and-mask popcount. Scale shape: the Hamming scan reads
+    16 B/vector — at 100 TB of embeddings that is ~0.4 TB of packed
+    codes, a map-only broadcast-query scan with no shuffle; the
+    rerank refetches floats for shortlist x queries rows only. The
+    fixture carries the full vectors through the shortlist window
+    instead of re-fetching — at cluster scale the rerank is an
+    id-equi-join against the float table (the IVF probe's fetch
+    pattern)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(norm_unrolled("embedding", SIM.EMBED_DIM, "spark")).alias(
+            "nrm"
+        ),
+        F.expr(_bin_pack("spark", "embedding", 1)).alias("b_lo"),
+        F.expr(_bin_pack("spark", "embedding", 33)).alias("b_hi"),
+    )
+    queries = F.broadcast(
+        vecs.filter(F.col("vec_id").isin(*SIM.QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.col("b_lo").alias("q_lo"),
+            F.col("b_hi").alias("q_hi"),
+        )
+    )
+    from etl_jobs_spark.operators.hashing import (
+        popcount_unrolled,
+        xor_expr,
+    )
+    from pyspark.sql import Window as W
+
+    pairs = (
+        queries.crossJoin(vecs)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "q_emb",
+            "q_nrm",
+            "embedding",
+            "nrm",
+            F.expr(xor_expr("q_lo", "b_lo", "spark")).alias("x_lo"),
+            F.expr(xor_expr("q_hi", "b_hi", "spark")).alias("x_hi"),
+        )
+    )
+    ham = (
+        f"CAST({popcount_unrolled('x_lo', 32)} + "
+        f"{popcount_unrolled('x_hi', 32)} AS BIGINT)"
+    )
+    hw = W.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        pairs.withColumn("hamming", F.expr(ham))
+        .withColumn("hrnk", F.row_number().over(hw))
+        .filter(F.col("hrnk") <= _BIN_SHORTLIST)
+    )
+    cos = (
+        dot_unrolled("q_emb", "embedding", SIM.EMBED_DIM, "spark")
+        + " / (q_nrm * nrm)"
+    )
+    rw = W.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id").asc()
+    )
+    return (
+        shortlist.select(
+            "query_id", "vec_id", "hamming", F.expr(cos).alias("cos_raw")
+        )
+        .withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= SIM.DEFAULT_K)
+        .select(
+            "query_id",
+            "vec_id",
+            "hamming",
+            F.round("cos_raw", 6).alias("cosine"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

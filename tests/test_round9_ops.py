@@ -369,3 +369,142 @@ def test_morton_tiles_matches_python(spark):
     want = sorted(tiles.items(), key=lambda t: (-t[1], t[0]))[:20]
     assert [(r["tile"], r["n_points"]) for r in
             sorted(got, key=lambda r: r["rk"])] == want
+
+
+# ---------------------------------------------------------------------------
+# Round-8 continuation wave: effect-size stats + quantized ANN rungs —
+# independent numpy/pandas re-derivations.
+# ---------------------------------------------------------------------------
+
+
+def _cents(sf_dir, types=None) -> pd.DataFrame:
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    if types:
+        ev = ev[ev["event_type"].isin(types)]
+    return ev.assign(cents=(ev["value"] * 100).round().astype("int64"))
+
+
+def test_welch_t_matches_bruteforce(spark):
+    from etl_jobs_spark.queries.data_quality import stat_welch_t
+
+    got = stat_welch_t(spark, SF_DIR).collect()[0].asDict()
+    ev = _cents(SF_DIR, ["view", "purchase"])
+    a = ev[ev["event_type"] == "view"]["cents"]
+    b = ev[ev["event_type"] == "purchase"]["cents"]
+    assert got["a_n"] == len(a) and got["b_n"] == len(b)
+    assert got["a_sum"] == int(a.sum()) and got["b_sum"] == int(b.sum())
+    va, vb = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+    t = (a.mean() - b.mean()) / math.sqrt(va + vb)
+    dof = (va + vb) ** 2 / (
+        va**2 / (len(a) - 1) + vb**2 / (len(b) - 1)
+    )
+    assert got["t_stat"] == pytest.approx(t, abs=1e-6)
+    assert got["dof"] == pytest.approx(dof, abs=1e-3)
+
+
+def test_anova_f_matches_bruteforce(spark):
+    from etl_jobs_spark.queries.data_quality import (
+        _EVENT_TYPES,
+        stat_anova_f,
+    )
+
+    got = stat_anova_f(spark, SF_DIR).collect()[0].asDict()
+    ev = _cents(SF_DIR, list(_EVENT_TYPES))
+    groups = [
+        ev[ev["event_type"] == t]["cents"].to_numpy()
+        for t in _EVENT_TYPES
+    ]
+    n = sum(len(g) for g in groups)
+    k = len(groups)
+    grand = sum(float(g.sum()) for g in groups) / n
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert got["n"] == n and got["k"] == k
+    assert got["ssb"] == pytest.approx(ssb, rel=1e-9)
+    assert got["ssw"] == pytest.approx(ssw, rel=1e-9)
+    assert got["f_stat"] == pytest.approx(f, abs=1e-6)
+
+
+def test_cramers_v_matches_bruteforce(spark):
+    from etl_jobs_spark.queries.data_quality import stat_cramers_v
+
+    got = stat_cramers_v(spark, SF_DIR).collect()[0].asDict()
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    ct = pd.crosstab(cust["c_nationkey"], cust["c_mktsegment"])
+    obs = ct.to_numpy().astype(float)
+    n = obs.sum()
+    exp = obs.sum(1, keepdims=True) @ obs.sum(0, keepdims=True) / n
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    r, c = obs.shape
+    v = math.sqrt(chi2 / (n * (min(r, c) - 1)))
+    assert got["r"] == r and got["c"] == c and got["n"] == n
+    assert got["chi_square"] == pytest.approx(chi2, abs=1e-4)
+    assert got["cramers_v"] == pytest.approx(v, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Quantized ANN rungs: numpy re-implementation of the code paths.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+
+def _emb(sf_dir):
+    df = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    X = np.stack(df["embedding"].to_numpy())
+    return df["vec_id"].to_numpy(), X
+
+
+def test_sq8_ranking_matches_numpy(spark):
+    from etl_jobs_spark.queries.similarity import embed_sq8_topk
+
+    got = (
+        embed_sq8_topk(spark, SF_DIR)
+        .orderBy("query_id", "rnk")
+        .toPandas()
+    )
+    ids, X = _emb(SF_DIR)
+    mx = np.abs(X).max(axis=0).astype(np.float64)
+    mx[mx == 0] = 1.0
+    # trunc-toward-zero int8 codes, double arithmetic like the engine
+    C = np.trunc(X.astype(np.float64) * 127.0 / mx).astype(np.int64)
+    idx = {v: i for i, v in enumerate(ids)}
+    for qid, grp in got.groupby("query_id"):
+        q = C[idx[qid]]
+        dots = C @ q
+        order = sorted(
+            (int(-dots[i]), int(v))
+            for v, i in idx.items()
+            if v != qid
+        )[:10]
+        want = [(-d, v) for d, v in order]
+        got_pairs = list(zip(grp["qdot"].tolist(), grp["vec_id"].tolist()))
+        assert got_pairs == want
+
+
+def test_binary_hamming_matches_numpy(spark):
+    from etl_jobs_spark.queries.similarity import (
+        embed_binary_hamming_topk,
+    )
+
+    got = (
+        embed_binary_hamming_topk(spark, SF_DIR)
+        .orderBy("query_id", "rnk")
+        .toPandas()
+    )
+    ids, X = _emb(SF_DIR)
+    bits = (X >= 0).astype(np.int64)
+    idx = {v: i for i, v in enumerate(ids)}
+    for qid, grp in got.groupby("query_id"):
+        qb = bits[idx[qid]]
+        ham = (bits != qb).sum(axis=1)
+        for _, row in grp.iterrows():
+            assert ham[idx[row["vec_id"]]] == row["hamming"]
+        # every reported neighbor must sit inside the 50-candidate
+        # Hamming shortlist the query declares
+        cut = sorted(
+            (int(ham[i]), int(v)) for v, i in idx.items() if v != qid
+        )[:50]
+        shortlist = {v for _, v in cut}
+        assert set(grp["vec_id"]).issubset(shortlist)
