@@ -141,6 +141,9 @@ _ROUND9_WINDOW_FRONT = [
     "stat_welch_t",
     "stat_anova_f",
     "stat_cramers_v",
+    "ts_acf_lags",
+    "sample_systematic_every_k",
+    "graph_link_prediction_cn",
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

@@ -1702,3 +1702,104 @@ def ts_theil_sen_trend(spark, sf_dir):
         "q1_slope_permille",
         "q3_slope_permille",
     )
+
+
+_ACF_LAGS = (2, 3, 24)
+
+
+@register(
+    "ts_acf_lags",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS b,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    lags AS (SELECT * FROM (VALUES {', '.join(f'({L})' for L in _ACF_LAGS)}) t(lag)),
+    pairs AS (
+      SELECT h1.event_type, l.lag, h1.cnt AS x, h2.cnt AS y
+      FROM hourly h1
+      CROSS JOIN lags l
+      JOIN hourly h2
+        ON h2.event_type = h1.event_type AND h2.b = h1.b + l.lag),
+    stats AS (
+      SELECT event_type, lag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY 1, 2)
+    SELECT event_type, CAST(lag AS BIGINT) AS lag, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+             AS acf
+    FROM stats
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def ts_acf_lags(spark, sf_dir):
+    """MULTI-LAG AUTOCORRELATION (lags {_ACF_LAGS}) of each type's
+    hourly count series — the correlogram slice that separates
+    short-memory burstiness (lag 2-3) from daily seasonality
+    (lag 24). Unlike ts_autocorr_lag1's observed-sequence row lag,
+    pairing here is BUCKET-ALIGNED (b and b+L joined on the integer
+    hour number, epoch_us DIV 3.6e9 per the integer-bucket
+    discipline): a missing bucket yields no pair rather than
+    silently pairing non-adjacent hours — the correct ACF semantics
+    on gappy series. Moment sums are exact BIGINTs (hourly counts
+    and products — |cnt| ~ events/hour keeps n·sxx far inside
+    BIGINT); floats touch only the final Pearson combine over exact
+    integers, round 6. Scale shape: ONE map-combinable hourly
+    aggregation; the lag join runs on the TINY bucket series (hours
+    × types), never the facts; degenerate (constant) series are
+    excluded by the shared positive-variance guard."""
+    from pyspark.sql import Row
+
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias(
+            "b"
+        ),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    lags = F.broadcast(
+        spark.createDataFrame([Row(lag=L) for L in _ACF_LAGS])
+    )
+    h2 = hourly.select(
+        F.col("event_type").alias("et2"),
+        F.col("b").alias("b2"),
+        F.col("cnt").alias("y"),
+    )
+    pairs = (
+        hourly.crossJoin(lags)
+        .join(
+            h2,
+            (F.col("et2") == F.col("event_type"))
+            & (F.col("b2") == F.col("b") + F.col("lag")),
+        )
+        .select("event_type", "lag", F.col("cnt").alias("x"), "y")
+    )
+    stats = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return stats.filter((vx > 0) & (vy > 0)).select(
+        "event_type",
+        F.col("lag").cast("bigint").alias("lag"),
+        "n",
+        F.round(
+            (n * sxy - sx * sy).cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+            6,
+        ).alias("acf"),
+    )

@@ -522,3 +522,57 @@ def sample_negative_pairs(spark, sf_dir):
         )
         .alias("neg_id"),
     )
+
+
+#: Systematic sampling stride: keep every K-th document.
+_SYSTEMATIC_K = 7
+
+
+def _systematic_oracle() -> str:
+    pr = hash60("'sys:' || CAST(doc_id AS VARCHAR)", "duckdb")
+    return f"""
+    WITH pri AS (
+      SELECT doc_id, lang, source, n_chars, ({pr}) AS priority
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang, source, n_chars,
+             CAST(row_number() OVER (ORDER BY priority ASC, doc_id ASC)
+                  AS BIGINT) AS rn
+      FROM pri)
+    SELECT doc_id, lang, source, n_chars, rn
+    FROM ranked WHERE (rn - 1) % {_SYSTEMATIC_K} = 0
+    """
+
+
+@register("sample_systematic_every_k", oracle=_systematic_oracle())
+def sample_systematic_every_k(spark, sf_dir):
+    """Derandomized SYSTEMATIC sample: order the corpus by a
+    deterministic hash priority and keep every {_SYSTEMATIC_K}-th
+    row — the classic equal-interval design (exact 1/K rate with
+    zero variance in the sample SIZE, unlike Bernoulli sampling
+    whose realized rate wobbles), with the hash order standing in
+    for the random start so reruns and both engines cut the SAME
+    sample. Completes the sampling tier: stratified (per-stratum
+    rates), reservoir (fixed k per key), weighted Bernoulli
+    (per-row inclusion), negative pairs (contrastive), systematic
+    (fixed stride). Scale note: the global row_number is exact here
+    (a sort over doc ids); at 100 TB systematic sampling degrades
+    gracefully to per-partition strides over the hash-ordered
+    layout — the hash priority IS the layout key, so the stride
+    never needs a global total order, only a per-file one (stated
+    deviation: the fixture's exactness audits that path)."""
+    docs = read_table(spark, sf_dir, "documents")
+    pr = hash60("'sys:' || CAST(doc_id AS STRING)", "spark")
+    from pyspark.sql import Window as W
+
+    ranked = docs.select(
+        "doc_id", "lang", "source", "n_chars", F.expr(pr).alias("priority")
+    ).withColumn(
+        "rn",
+        F.row_number()
+        .over(W.orderBy(F.col("priority").asc(), F.col("doc_id").asc()))
+        .cast("bigint"),
+    )
+    return ranked.filter((F.col("rn") - 1) % _SYSTEMATIC_K == 0).select(
+        "doc_id", "lang", "source", "n_chars", "rn"
+    )

@@ -508,3 +508,92 @@ def test_binary_hamming_matches_numpy(spark):
         )[:50]
         shortlist = {v for _, v in cut}
         assert set(grp["vec_id"]).issubset(shortlist)
+
+
+# ---------------------------------------------------------------------------
+# Wave-3 continuation: ACF, systematic sample, link prediction.
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+
+def test_acf_lags_matches_pandas(spark):
+    from etl_jobs_spark.queries.temporal import _ACF_LAGS, ts_acf_lags
+
+    got = ts_acf_lags(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    b = (
+        ev["ts"].astype("datetime64[us]").astype("int64") // 3600000000
+    ).astype("int64")
+    hourly = (
+        ev.assign(b=b)
+        .groupby(["event_type", "b"])
+        .size()
+        .rename("cnt")
+        .reset_index()
+    )
+    for (et, lag), grp in got.groupby(["event_type", "lag"]):
+        s = hourly[hourly["event_type"] == et].set_index("b")["cnt"]
+        shifted = s.reindex(s.index + lag)
+        mask = shifted.notna().to_numpy()
+        x = s.to_numpy()[mask].astype(float)
+        y = shifted.to_numpy()[mask].astype(float)
+        assert grp["n"].iloc[0] == len(x)
+        r = np.corrcoef(x, y)[0, 1]
+        assert grp["acf"].iloc[0] == pytest.approx(r, abs=1e-6)
+    # lag-24 must be present (the daily-seasonality probe)
+    assert 24 in set(got["lag"])
+
+
+def test_systematic_sample_matches_python(spark):
+    from etl_jobs_spark.queries.training_pipeline import (
+        _SYSTEMATIC_K,
+        sample_systematic_every_k,
+    )
+
+    got = sample_systematic_every_k(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+    def h(doc_id):
+        return int(
+            hashlib.md5(f"sys:{doc_id}".encode()).hexdigest()[:15], 16
+        )
+
+    order = sorted((h(d), d) for d in docs["doc_id"])
+    want = [d for i, (_, d) in enumerate(order) if i % _SYSTEMATIC_K == 0]
+    assert sorted(got["doc_id"]) == sorted(want)
+    # exact stride: rn values are 1, 1+K, 1+2K, ...
+    assert sorted(got["rn"]) == [
+        1 + i * _SYSTEMATIC_K for i in range(len(want))
+    ]
+
+
+def test_link_prediction_matches_python_bruteforce(spark):
+    from etl_jobs_spark.queries.graph_analytics import (
+        LP_SEED_MOD,
+        LP_TOPK,
+        graph_link_prediction_cn,
+    )
+
+    got = graph_link_prediction_cn(spark, SF_DIR).toPandas()
+    edges = _copurchase_edges_py(SF_DIR)
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    for seed in [n for n in adj if n % LP_SEED_MOD == 1]:
+        scores = []
+        for cand in adj:
+            if cand == seed or cand in adj[seed]:
+                continue
+            cn = len(adj[seed] & adj[cand])
+            if cn:
+                scores.append((-cn, cand))
+        scores.sort()
+        want = scores[:LP_TOPK]
+        g = got[got["u"] == seed].sort_values("rnk")
+        assert list(zip(-g["cn"], g["v"])) == want
+        for _, row in g.iterrows():
+            du, dv, cn = len(adj[seed]), len(adj[row["v"]]), row["cn"]
+            assert row["du"] == du and row["dv"] == dv
+            assert row["jaccard_permille"] == 1000 * cn // (du + dv - cn)
