@@ -144,6 +144,9 @@ _ROUND9_WINDOW_FRONT = [
     "ts_acf_lags",
     "sample_systematic_every_k",
     "graph_link_prediction_cn",
+    "text_readability",
+    "window_sliding_distinct_users",
+    "ann_quantized_recall_eval",
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

@@ -967,3 +967,71 @@ def hll_estimate(keys):
             ).alias("err_permille"),
         )
     )
+
+
+#: Trailing window width (hours) for the sliding distinct-user count.
+_SLIDE_H = 24
+
+
+@register(
+    "window_sliding_distinct_users",
+    oracle=f"""
+    WITH uh AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS b
+      FROM events),
+    observed AS (SELECT DISTINCT b FROM uh),
+    contrib AS (
+      SELECT uh.user_id, uh.b + t.o AS tb, t.o
+      FROM uh CROSS JOIN (SELECT unnest(range({_SLIDE_H})) AS o) t),
+    counts AS (
+      SELECT tb AS b,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS users_24h,
+             CAST(count(DISTINCT CASE WHEN o = 0 THEN user_id END)
+                  AS BIGINT) AS users_1h
+      FROM contrib GROUP BY 1)
+    SELECT c.b AS hour_bucket, c.users_24h, c.users_1h
+    FROM counts c JOIN observed ob ON ob.b = c.b
+    """,
+)
+def window_sliding_distinct_users(spark, sf_dir):
+    """TRAILING-24H DISTINCT USERS per hour (the rolling-DAU curve)
+    — the sliding COUNT(DISTINCT) no window frame can express
+    (distinct over a RANGE frame is unsupported in Spark and most
+    engines): rewritten as the standard OFFSET-EXPLODE — dedup to
+    (user, hour), fan each row out to the {_SLIDE_H} target buckets
+    it covers, ONE hash aggregation per target bucket. Exact, not
+    sketched (agg_hll_mergeable is the approximate path when ×24
+    fan-out is too dear); same-hour distinct is carried alongside
+    from the o=0 slice, and output is restricted to observed
+    buckets so series edges carry no phantom hours. Integer hour
+    arithmetic per the bucket discipline. Scale shape: the fan-out
+    multiplies the DEDUPED (user, hour) table — already tiny
+    relative to raw events — and the aggregation is map-side
+    combinable on (bucket, user); no global window, no state."""
+    ev = read_table(spark, sf_dir, "events")
+    uh = (
+        ev.select(
+            "user_id",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"
+            ).alias("b"),
+        )
+        .distinct()
+    )
+    observed = uh.select("b").distinct()
+    contrib = uh.select(
+        "user_id",
+        "b",
+        F.explode(F.sequence(F.lit(0), F.lit(_SLIDE_H - 1))).alias("o"),
+    ).select("user_id", (F.col("b") + F.col("o")).alias("tb"), "o")
+    counts = contrib.groupBy(F.col("tb").alias("b")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("users_24h"),
+        F.countDistinct(
+            F.when(F.col("o") == 0, F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("users_1h"),
+    )
+    return counts.join(observed, "b").select(
+        F.col("b").alias("hour_bucket"), "users_24h", "users_1h"
+    )

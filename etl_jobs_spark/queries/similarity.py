@@ -1525,3 +1525,81 @@ def embed_binary_hamming_topk(spark, sf_dir):
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+def _quantized_recall_oracle() -> str:
+    """Recall@k of the two QUANTIZED rungs (int8 scalar, 1-bit
+    binary) against the exact baseline — same nested-oracle
+    discipline as _ann_recall_oracle: every input is a
+    driver-verified SQL restatement, and the eval arithmetic is
+    pinned end-to-end."""
+    from etl_jobs_spark.registry import _REGISTRY
+
+    sq8 = _REGISTRY["embed_sq8_topk"].oracle
+    bin_ = _REGISTRY["embed_binary_hamming_topk"].oracle
+    exact = _REGISTRY["embed_cosine_topk"].oracle
+
+    def tier(name: str, cte: str) -> str:
+        return f"""
+      SELECT '{name}' AS tier, e.query_id,
+             CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+             round(CAST(count(a.vec_id) AS DOUBLE) / {SIM.DEFAULT_K}, 4)
+               AS recall_at_k
+      FROM exact e LEFT JOIN {cte} a
+        ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+      GROUP BY e.query_id"""
+
+    return f"""
+    WITH sq8 AS ({sq8}),
+    bin AS ({bin_}),
+    exact AS ({exact})
+    {tier('sq8', 'sq8')}
+    UNION ALL
+    {tier('binary', 'bin')}
+    """
+
+
+@register("ann_quantized_recall_eval", oracle=_quantized_recall_oracle())
+def ann_quantized_recall_eval(spark, sf_dir):
+    """RECALL@k SELF-AUDIT for the two quantized serving rungs —
+    extends the ann_recall_eval discipline (every approximate tier
+    ships with its own eval against the exact anchor) to the int8
+    scalar-quantized and 1-bit binary-Hamming rungs: per (tier,
+    query), the fraction of the exact cosine top-k the quantized
+    ranking reproduces. The number that decides how much fidelity
+    the 4×/32× compression actually costs BEFORE the index serves
+    traffic. Composes three registered operators; the eval adds two
+    q·k equi-joins — negligible at any scale, recomputable on every
+    re-encode."""
+    exact = embed_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+
+    def tier(name: str, df):
+        a = df.select("query_id", "vec_id").alias("a")
+        e = exact.alias("e")
+        return (
+            e.join(
+                a,
+                (F.col("a.query_id") == F.col("e.query_id"))
+                & (F.col("a.vec_id") == F.col("e.vec_id")),
+                "left",
+            )
+            .groupBy(F.col("e.query_id").alias("query_id"))
+            .agg(
+                F.count(F.col("a.vec_id")).cast("bigint").alias("n_hits"),
+                F.round(
+                    F.count(F.col("a.vec_id")).cast("double")
+                    / SIM.DEFAULT_K,
+                    4,
+                ).alias("recall_at_k"),
+            )
+            .select(
+                F.lit(name).alias("tier"),
+                "query_id",
+                "n_hits",
+                "recall_at_k",
+            )
+        )
+
+    return tier("sq8", embed_sq8_topk(spark, sf_dir)).unionAll(
+        tier("binary", embed_binary_hamming_topk(spark, sf_dir))
+    )

@@ -597,3 +597,68 @@ def test_link_prediction_matches_python_bruteforce(spark):
             du, dv, cn = len(adj[seed]), len(adj[row["v"]]), row["cn"]
             assert row["du"] == du and row["dv"] == dv
             assert row["jaccard_permille"] == 1000 * cn // (du + dv - cn)
+
+
+# ---------------------------------------------------------------------------
+# Wave-4: readability, sliding distinct, quantized recall audit.
+# ---------------------------------------------------------------------------
+
+import re
+
+
+def test_readability_matches_python(spark):
+    from etl_jobs_spark.queries.text_analysis import text_readability
+
+    got = text_readability(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    by_id = dict(zip(docs["doc_id"], docs["text"]))
+    for _, row in got.sample(n=min(50, len(got)), random_state=7).iterrows():
+        n = re.sub(r"\s+", " ", by_id[row["doc_id"]].lower().strip())
+        words = n.split(" ")
+        syll = len(re.findall(r"[aeiouy]+", n))
+        sents = max(1, len(re.findall(r"[.!?]+", n)))
+        assert row["n_words"] == len(words)
+        assert row["n_syllables"] == syll
+        assert row["n_sentences"] == sents
+        fre = 206.835 - 1.015 * (len(words) / sents) - 84.6 * (
+            syll / len(words)
+        )
+        assert row["flesch_reading_ease"] == pytest.approx(fre, abs=1e-4)
+
+
+def test_sliding_distinct_matches_python(spark):
+    from etl_jobs_spark.queries.analytics_ext import (
+        _SLIDE_H,
+        window_sliding_distinct_users,
+    )
+
+    got = window_sliding_distinct_users(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    b = ev["ts"].astype("datetime64[us]").astype("int64") // 3600000000
+    uh = set(zip(ev["user_id"], b))
+    observed = sorted({h for _, h in uh})
+    per_hour = {}
+    for u, h in uh:
+        per_hour.setdefault(h, set()).add(u)
+    for _, row in got.iterrows():
+        h = row["hour_bucket"]
+        assert h in observed
+        users = set()
+        for back in range(_SLIDE_H):
+            users |= per_hour.get(h - back, set())
+        assert row["users_24h"] == len(users)
+        assert row["users_1h"] == len(per_hour[h])
+    assert len(got) == len(observed)
+
+
+def test_quantized_recall_bounds(spark):
+    from etl_jobs_spark.queries.similarity import (
+        ann_quantized_recall_eval,
+    )
+
+    got = ann_quantized_recall_eval(spark, SF_DIR).toPandas()
+    assert set(got["tier"]) == {"sq8", "binary"}
+    assert len(got) == 10  # 2 tiers x 5 probe queries
+    assert ((got["n_hits"] >= 0) & (got["n_hits"] <= 10)).all()
+    # the int8 rung must stay a high-fidelity approximation
+    assert got[got["tier"] == "sq8"]["recall_at_k"].mean() >= 0.6
