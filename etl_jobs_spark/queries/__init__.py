@@ -147,6 +147,10 @@ _ROUND9_WINDOW_FRONT = [
     "text_readability",
     "window_sliding_distinct_users",
     "ann_quantized_recall_eval",
+    "agg_time_decay_topk",
+    "ts_seasonal_naive_error",
+    "pack_efficiency_audit",
+    "seq_len_histogram",
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

@@ -1047,3 +1047,85 @@ def agg_cohort_ltv(spark, sf_dir):
             ).alias("ltv_cents_per_user"),
         )
     )
+
+
+#: Exponential time-decay: score halves every _DECAY_HALFLIFE_H
+#: hours of age; shift capped so the power-of-two divisor stays an
+#: exact double (2^40) and a BIGINT.
+_DECAY_HALFLIFE_H = 72
+_DECAY_MAX_K = 40
+_DECAY_TOPK = 20
+
+
+@register(
+    "agg_time_decay_topk",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) // 3600000000 AS b
+      FROM events),
+    wm AS (SELECT max(b) AS wm_b FROM ev),
+    decayed AS (
+      SELECT user_id,
+             cents // CAST(pow(2.0, least((wm_b - b) // {_DECAY_HALFLIFE_H},
+                                          {_DECAY_MAX_K})) AS BIGINT)
+               AS dscore
+      FROM ev, wm),
+    scores AS (
+      SELECT user_id,
+             CAST(sum(dscore) AS BIGINT) AS decay_score_cents,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM decayed GROUP BY 1)
+    SELECT user_id, decay_score_cents, n_events,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT user_id, decay_score_cents, n_events,
+             row_number() OVER (ORDER BY decay_score_cents DESC,
+                                user_id ASC) AS rnk
+      FROM scores)
+    WHERE rnk <= {_DECAY_TOPK}
+    """,
+)
+def agg_time_decay_topk(spark, sf_dir):
+    """TIME-DECAYED ENGAGEMENT SCORE, top users: each event
+    contributes its cents HALVED for every _DECAY_HALFLIFE_H hours
+    of age relative to the corpus watermark — the recency-weighted
+    ranking every feed/recommender scoring job runs nightly,
+    expressed in EXACT INTEGERS: age bucket k = age_hours DIV
+    halflife, divisor 2^k as an exact power-of-two (k capped at
+    _DECAY_MAX_K so the double 2^k is exact and BIGINT-safe;
+    contributions at the cap are already 0 for any cents < 2^40),
+    truncating division in both engines. No float exp() anywhere —
+    the decay curve is the geometric staircase, and the ranking cut
+    (score desc, user_id) is hash-stable. Scale shape: watermark is
+    ONE scalar aggregate broadcast back; scoring is map-only; the
+    per-user sum is a combinable hash aggregation; top-k is
+    TakeOrderedAndProject, never a global sort."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias(
+            "b"
+        ),
+    )
+    wm = ev.agg(F.max("b").alias("wm_b"))
+    decayed = ev.crossJoin(F.broadcast(wm)).select(
+        "user_id",
+        F.expr(
+            f"cents DIV CAST(pow(2.0, least((wm_b - b) DIV {_DECAY_HALFLIFE_H},"
+            f" {_DECAY_MAX_K})) AS BIGINT)"
+        ).alias("dscore"),
+    )
+    scores = decayed.groupBy("user_id").agg(
+        F.sum("dscore").cast("bigint").alias("decay_score_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("decay_score_cents").desc(), F.col("user_id").asc())
+    return (
+        scores.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _DECAY_TOPK)
+        .select("user_id", "decay_score_cents", "n_events", "rnk")
+    )

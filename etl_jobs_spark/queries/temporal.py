@@ -1803,3 +1803,88 @@ def ts_acf_lags(spark, sf_dir):
             6,
         ).alias("acf"),
     )
+
+
+#: Seasonal-naive backtest: forecast(t) = observed(t - _SNAIVE_LAG_H).
+_SNAIVE_LAG_H = 24
+
+
+@register(
+    "ts_seasonal_naive_error",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS b,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    pairs AS (
+      SELECT h1.event_type, h1.cnt AS actual, h0.cnt AS forecast
+      FROM hourly h1
+      JOIN hourly h0
+        ON h0.event_type = h1.event_type
+           AND h0.b = h1.b - {_SNAIVE_LAG_H}),
+    err AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_forecasts,
+             CAST(sum(abs(actual - forecast)) AS BIGINT) AS sum_abs_err,
+             CAST(sum(actual + forecast) AS BIGINT) AS sum_scale
+      FROM pairs GROUP BY 1)
+    SELECT event_type, n_forecasts, sum_abs_err,
+           CAST(100 * sum_abs_err // n_forecasts AS BIGINT)
+             AS mae_centi,
+           CAST(1000 * sum_abs_err // sum_scale AS BIGINT)
+             AS smape_permille
+    FROM err
+    """,
+)
+def ts_seasonal_naive_error(spark, sf_dir):
+    """SEASONAL-NAIVE FORECAST BACKTEST per event type: forecast
+    each hour's count with the count _SNAIVE_LAG_H hours earlier
+    (yesterday-same-hour — the baseline every forecasting system
+    must beat; MASE literature normalizes BY this model's error)
+    and report MAE (centi-events) and the symmetric MAPE
+    (permille) — ALL INTEGER: absolute errors of BIGINT counts,
+    scaled truncating division, no float anywhere. Pairing is
+    bucket-aligned on the integer hour number (a missing yesterday
+    bucket yields no forecast rather than a misaligned one — the
+    ts_acf_lags discipline). Scale shape: one map-combinable hourly
+    rollup; the lag join and the per-type error rollup run on the
+    tiny bucket series. Together with ts_holt_level_trend this
+    gives the backtest pair: candidate model vs the baseline it
+    must beat."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias(
+            "b"
+        ),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    h0 = hourly.select(
+        F.col("event_type").alias("et0"),
+        F.col("b").alias("b0"),
+        F.col("cnt").alias("forecast"),
+    )
+    pairs = hourly.join(
+        h0,
+        (F.col("et0") == F.col("event_type"))
+        & (F.col("b0") == F.col("b") - _SNAIVE_LAG_H),
+    ).select("event_type", F.col("cnt").alias("actual"), "forecast")
+    err = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_forecasts"),
+        F.sum(F.abs(F.col("actual") - F.col("forecast")))
+        .cast("bigint")
+        .alias("sum_abs_err"),
+        F.sum(F.col("actual") + F.col("forecast"))
+        .cast("bigint")
+        .alias("sum_scale"),
+    )
+    return err.select(
+        "event_type",
+        "n_forecasts",
+        "sum_abs_err",
+        F.expr("CAST(100 * sum_abs_err DIV n_forecasts AS BIGINT)").alias(
+            "mae_centi"
+        ),
+        F.expr("CAST(1000 * sum_abs_err DIV sum_scale AS BIGINT)").alias(
+            "smape_permille"
+        ),
+    )

@@ -576,3 +576,106 @@ def sample_systematic_every_k(spark, sf_dir):
     return ranked.filter((F.col("rn") - 1) % _SYSTEMATIC_K == 0).select(
         "doc_id", "lang", "source", "n_chars", "rn"
     )
+
+
+def _pack_audit_oracle() -> str:
+    return f"""
+    WITH bins AS ({_pack_oracle()})
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(total_tokens) AS BIGINT) AS total_tokens,
+           CAST(1000 * sum(total_tokens)
+                // (count(*) * {TR.PACK_BUDGET}) AS BIGINT)
+             AS fill_permille,
+           CAST(sum(CASE WHEN total_tokens > {TR.PACK_BUDGET}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow_bins,
+           CAST(max(total_tokens) AS BIGINT) AS max_bin_tokens,
+           CAST(min(total_tokens) AS BIGINT) AS min_bin_tokens
+    FROM bins GROUP BY 1
+    """
+
+
+@register("pack_efficiency_audit", oracle=_pack_audit_oracle())
+def pack_efficiency_audit(spark, sf_dir):
+    """PACKING-EFFICIENCY AUDIT over pack_sequences' bins — the
+    utilization metric a training-batch builder watches (padding
+    waste = 1000 − fill_permille directly prices wasted FLOPs):
+    per language, bin count, total tokens, fill rate in permille of
+    the PACK_BUDGET capacity (truncating integer division), bins
+    overflowing budget (next-fit lets a straddling doc overflow —
+    counted, not hidden), and the min/max bin loads. Nests the
+    REGISTERED pack oracle, so the audit is pinned end-to-end
+    against the same SQL the driver verifies for pack_sequences.
+    Scale shape: runs entirely on the bins table (already one row
+    per ~budget tokens — corpus-size/2048), one keyed aggregate."""
+    bins = pack_sequences(spark, sf_dir)
+    return bins.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum("total_tokens").cast("bigint").alias("total_tokens"),
+        F.expr(
+            f"CAST(1000 * sum(total_tokens)"
+            f" DIV (count(*) * {TR.PACK_BUDGET}) AS BIGINT)"
+        ).alias("fill_permille"),
+        F.sum(
+            F.when(F.col("total_tokens") > TR.PACK_BUDGET, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_overflow_bins"),
+        F.max("total_tokens").cast("bigint").alias("max_bin_tokens"),
+        F.min("total_tokens").cast("bigint").alias("min_bin_tokens"),
+    )
+
+
+def _log2_bucket(x: str, max_p: int = 20) -> str:
+    """floor(log2(x)) for x >= 1 as a PURE-INTEGER comparison ladder
+    (no float log whose boundary at exact powers of two differs by
+    one ulp between engines) — dialect-neutral text."""
+    cases = " ".join(
+        f"WHEN {x} >= {1 << p} THEN {p}"
+        for p in range(max_p, 0, -1)
+    )
+    return f"(CASE {cases} ELSE 0 END)"
+
+
+@register(
+    "seq_len_histogram",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(len({word_tokens('n', 'duckdb')}) AS BIGINT) AS n_tokens,
+             lang
+      FROM (SELECT lang, {norm_text('text', 'duckdb')} AS n FROM documents)),
+    b AS (
+      SELECT lang, {_log2_bucket('n_tokens')} AS log2_bucket, n_tokens
+      FROM t WHERE n_tokens >= 1)
+    SELECT lang, CAST(log2_bucket AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM b GROUP BY 1, 2
+    """,
+)
+def seq_len_histogram(spark, sf_dir):
+    """SEQUENCE-LENGTH HISTOGRAM in log2 buckets per language — the
+    distribution every packing/batching design starts from (bucket
+    edges at powers of two mirror context-length tiers). The bucket
+    is floor(log2(n_tokens)) computed as a PURE-INTEGER comparison
+    ladder — float log(2, x) at exact powers of two is one ulp from
+    flipping the bucket between engines, the same boundary class the
+    repo's DIV discipline exists for. Scale shape: map-only token
+    count fused into the scan, one combinable two-key aggregate;
+    the histogram is ≤ 21 rows per language at any corpus size."""
+    n = norm_text("text", "spark")
+    t = read_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.expr(f"CAST(size(split({n}, ' ')) AS BIGINT)").alias("n_tokens"),
+    )
+    b = t.filter(F.col("n_tokens") >= 1).select(
+        "lang", F.expr(_log2_bucket("n_tokens")).alias("log2_bucket"), "n_tokens"
+    )
+    return b.groupBy("lang", F.col("log2_bucket").cast("bigint").alias("log2_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    )

@@ -662,3 +662,113 @@ def test_quantized_recall_bounds(spark):
     assert ((got["n_hits"] >= 0) & (got["n_hits"] <= 10)).all()
     # the int8 rung must stay a high-fidelity approximation
     assert got[got["tier"] == "sq8"]["recall_at_k"].mean() >= 0.6
+
+
+# ---------------------------------------------------------------------------
+# Wave-5: decay scoring, seasonal-naive backtest, packing audit, histogram.
+# ---------------------------------------------------------------------------
+
+
+def test_time_decay_matches_python(spark):
+    from etl_jobs_spark.queries.product_analytics import (
+        _DECAY_HALFLIFE_H,
+        _DECAY_MAX_K,
+        agg_time_decay_topk,
+    )
+
+    got = agg_time_decay_topk(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    b = ev["ts"].astype("datetime64[us]").astype("int64") // 3600000000
+    cents = (ev["value"] * 100).round().astype("int64")
+    wm = b.max()
+    scores = {}
+    for u, bb, c in zip(ev["user_id"], b, cents):
+        k = min((wm - bb) // _DECAY_HALFLIFE_H, _DECAY_MAX_K)
+        scores[u] = scores.get(u, 0) + int(c) // (1 << k)
+    order = sorted((-s, u) for u, s in scores.items())[: len(got)]
+    want = [(u, -s) for s, u in order]
+    assert (
+        list(zip(got["user_id"], got["decay_score_cents"])) == want
+    )
+
+
+def test_seasonal_naive_matches_python(spark):
+    from etl_jobs_spark.queries.temporal import (
+        _SNAIVE_LAG_H,
+        ts_seasonal_naive_error,
+    )
+
+    got = ts_seasonal_naive_error(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    b = ev["ts"].astype("datetime64[us]").astype("int64") // 3600000000
+    hourly = (
+        ev.assign(b=b).groupby(["event_type", "b"]).size().to_dict()
+    )
+    for _, row in got.iterrows():
+        et = row["event_type"]
+        errs = [
+            (abs(c - hourly[(et, bb - _SNAIVE_LAG_H)]),
+             c + hourly[(et, bb - _SNAIVE_LAG_H)])
+            for (t, bb), c in hourly.items()
+            if t == et and (et, bb - _SNAIVE_LAG_H) in hourly
+        ]
+        sae = sum(e for e, _ in errs)
+        ssc = sum(s for _, s in errs)
+        assert row["n_forecasts"] == len(errs)
+        assert row["sum_abs_err"] == sae
+        assert row["mae_centi"] == 100 * sae // len(errs)
+        assert row["smape_permille"] == 1000 * sae // ssc
+
+
+def test_pack_audit_consistent_with_bins(spark):
+    from etl_jobs_spark.operators.training import PACK_BUDGET
+    from etl_jobs_spark.queries.training_pipeline import (
+        pack_efficiency_audit,
+        pack_sequences,
+    )
+
+    bins = pack_sequences(spark, SF_DIR).toPandas()
+    audit = pack_efficiency_audit(spark, SF_DIR).toPandas()
+    for _, row in audit.iterrows():
+        sub = bins[bins["lang"] == row["lang"]]
+        assert row["n_bins"] == len(sub)
+        assert row["total_tokens"] == sub["total_tokens"].sum()
+        assert row["fill_permille"] == (
+            1000 * int(sub["total_tokens"].sum())
+            // (len(sub) * PACK_BUDGET)
+        )
+        assert row["n_overflow_bins"] == int(
+            (sub["total_tokens"] > PACK_BUDGET).sum()
+        )
+    # fill rate must be a meaningful utilization, not degenerate
+    assert (audit["fill_permille"] > 0).all()
+
+
+def test_seq_len_histogram_matches_python(spark):
+    from etl_jobs_spark.queries.training_pipeline import (
+        seq_len_histogram,
+    )
+
+    got = seq_len_histogram(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    hist = {}
+    for lang, text in zip(docs["lang"], docs["text"]):
+        n = re.sub(r"\s+", " ", text.lower().strip())
+        nt = len(n.split(" "))
+        if nt < 1:
+            continue
+        bucket = max(0, nt.bit_length() - 1)
+        key = (lang, bucket)
+        cur = hist.get(key, [0, 0, 10**9, 0])
+        hist[key] = [
+            cur[0] + 1,
+            cur[1] + nt,
+            min(cur[2], nt),
+            max(cur[3], nt),
+        ]
+    assert len(got) == len(hist)
+    for _, row in got.iterrows():
+        n_docs, tot, mn, mx = hist[(row["lang"], row["log2_bucket"])]
+        assert row["n_docs"] == n_docs
+        assert row["total_tokens"] == tot
+        assert row["min_tokens"] == mn and row["max_tokens"] == mx
