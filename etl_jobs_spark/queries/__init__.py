@@ -151,6 +151,9 @@ _ROUND9_WINDOW_FRONT = [
     "ts_seasonal_naive_error",
     "pack_efficiency_audit",
     "seq_len_histogram",
+    "stat_permutation_test",
+    "stat_cohens_d",
+    "dedup_cross_source_matrix",
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

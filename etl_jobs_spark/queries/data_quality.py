@@ -2035,3 +2035,203 @@ def stat_cramers_v(spark, sf_dir):
         F.max("dc").cast("bigint").alias("c"),
         F.max("grand_n").cast("bigint").alias("n"),
     )
+
+
+#: Randomization-test resamples (same derandomized-hash discipline
+#: as BOOT_B).
+PERM_B = 32
+
+
+def _perm_oracle() -> str:
+    from etl_jobs_spark.operators.hashing import hash60
+
+    h = hash60(
+        "(CAST(event_id AS VARCHAR) || ':' || CAST(bb.b AS VARCHAR))",
+        "duckdb",
+    )
+    return f"""
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('view', 'purchase')),
+    obs AS (
+      SELECT CAST(sum(CASE WHEN event_type = 'view' THEN cents END)
+                  // sum(CASE WHEN event_type = 'view' THEN 1 END)
+                - sum(CASE WHEN event_type = 'purchase' THEN cents END)
+                  // sum(CASE WHEN event_type = 'purchase' THEN 1 END)
+                  AS BIGINT) AS diff_obs,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b
+      FROM base),
+    relabeled AS (
+      SELECT bb.b, base.cents, ({h}) % 2 AS g
+      FROM base CROSS JOIN range(0, {PERM_B}) bb(b)),
+    diffs AS (
+      SELECT b,
+             CAST(sum(CASE WHEN g = 0 THEN cents END)
+                  // sum(CASE WHEN g = 0 THEN 1 END)
+                - sum(CASE WHEN g = 1 THEN cents END)
+                  // sum(CASE WHEN g = 1 THEN 1 END) AS BIGINT) AS d
+      FROM relabeled GROUP BY b)
+    SELECT o.n_a, o.n_b, o.diff_obs,
+           CAST({PERM_B} AS BIGINT) AS n_resamples,
+           CAST((SELECT count(*) FROM diffs
+                 WHERE abs(d) >= abs(o.diff_obs)) AS BIGINT) AS n_exceed,
+           CAST(1000 * (SELECT count(*) FROM diffs
+                        WHERE abs(d) >= abs(o.diff_obs))
+                // {PERM_B} AS BIGINT) AS p_permille
+    FROM obs o
+    """
+
+
+@register("stat_permutation_test", oracle=_perm_oracle())
+def stat_permutation_test(spark, sf_dir):
+    """RANDOMIZATION TEST for the view-vs-purchase mean difference:
+    PERM_B derandomized relabelings (each row's group in resample b
+    is one md5-hash bit — random REASSIGNMENT rather than a
+    size-preserving permutation, stated: group sizes are binomial
+    around n/2, the standard large-n approximation), p estimated as
+    the fraction of resamples whose |mean gap| reaches the observed
+    gap. The distribution-free companion to stat_welch_t — same
+    question, no normality assumption. All arithmetic is integer
+    (cent sums, truncating mean DIV, exceedance counts; p reported
+    in permille) so the row is hash-stable by construction. Scale
+    shape: the ×PERM_B explode is map-only and collapses inside
+    each task via partial aggregation to PERM_B groups — the
+    bootstrap plan; the exceedance count runs over PERM_B rows."""
+    from etl_jobs_spark.operators.hashing import hash60
+
+    base = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_id",
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    obs = base.agg(
+        F.expr(
+            "CAST(sum(CASE WHEN event_type = 'view' THEN cents END)"
+            " DIV sum(CASE WHEN event_type = 'view' THEN 1 END)"
+            " - sum(CASE WHEN event_type = 'purchase' THEN cents END)"
+            " DIV sum(CASE WHEN event_type = 'purchase' THEN 1 END)"
+            " AS BIGINT)"
+        ).alias("diff_obs"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    h = hash60(
+        "(CAST(event_id AS STRING) || ':' || CAST(b AS STRING))", "spark"
+    )
+    relabeled = base.select(
+        "cents",
+        "event_id",
+        F.explode(F.expr(f"sequence(0, {PERM_B - 1})")).alias("b"),
+    ).select("b", "cents", F.expr(f"({h}) % 2").alias("g"))
+    diffs = relabeled.groupBy("b").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN g = 0 THEN cents END)"
+            " DIV sum(CASE WHEN g = 0 THEN 1 END)"
+            " - sum(CASE WHEN g = 1 THEN cents END)"
+            " DIV sum(CASE WHEN g = 1 THEN 1 END) AS BIGINT)"
+        ).alias("d")
+    )
+    exceed = diffs.crossJoin(F.broadcast(obs.select("diff_obs"))).agg(
+        F.sum(
+            F.when(F.abs(F.col("d")) >= F.abs(F.col("diff_obs")), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_exceed")
+    )
+    return obs.crossJoin(F.broadcast(exceed)).select(
+        "n_a",
+        "n_b",
+        "diff_obs",
+        F.lit(PERM_B).cast("bigint").alias("n_resamples"),
+        "n_exceed",
+        F.expr(f"CAST(1000 * n_exceed DIV {PERM_B} AS BIGINT)").alias(
+            "p_permille"
+        ),
+    )
+
+
+def _cohens_d_exprs() -> str:
+    """Cohen's d from the six Welch moments — pooled-SD effect size,
+    ONE shared expression text (same operands as _WELCH_T)."""
+
+    def var(p: str) -> str:
+        return (
+            f"((CAST({p}_ssq AS DOUBLE) - CAST({p}_sum AS DOUBLE)"
+            f" * CAST({p}_sum AS DOUBLE) / CAST({p}_n AS DOUBLE))"
+            f" / (CAST({p}_n AS DOUBLE) - 1.0))"
+        )
+
+    md = (
+        "(CAST(a_sum AS DOUBLE) / CAST(a_n AS DOUBLE)"
+        " - CAST(b_sum AS DOUBLE) / CAST(b_n AS DOUBLE))"
+    )
+    pooled = (
+        f"sqrt(((CAST(a_n AS DOUBLE) - 1.0) * {var('a')}"
+        f" + (CAST(b_n AS DOUBLE) - 1.0) * {var('b')})"
+        " / (CAST(a_n AS DOUBLE) + CAST(b_n AS DOUBLE) - 2.0))"
+    )
+    return f"({md} / {pooled})"
+
+
+_COHENS_D = _cohens_d_exprs()
+
+
+@register(
+    "stat_cohens_d",
+    oracle=f"""
+    WITH m AS (
+      SELECT
+        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS a_n,
+        CAST(sum(CASE WHEN event_type = 'view' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS a_sum,
+        CAST(sum(CASE WHEN event_type = 'view' THEN CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS a_ssq,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS b_n,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS b_sum,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS b_ssq
+      FROM events WHERE event_type IN ('view', 'purchase'))
+    SELECT a_n, b_n, round({_COHENS_D}, 6) AS cohens_d
+    FROM m
+    """,
+)
+def stat_cohens_d(spark, sf_dir):
+    """COHEN'S d — the standardized effect size that turns
+    stat_welch_t's 'is there a difference' into 'how big, in
+    pooled-SD units' (the number meta-analyses and power
+    calculations consume; pairs with stat_cramers_v on the
+    categorical side). Same six exact BIGINT moments as
+    stat_welch_t, one shared float expression (pooled SD, not
+    Welch's unpooled — stated; with near-equal fixture group sizes
+    the distinction is cosmetic but the formula is the textbook
+    one). Scale: one combinable conditional-aggregation pass."""
+    cents = "CAST(round(value * 100) AS BIGINT)"
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+
+    def side(p: str, t: str):
+        c = F.expr(f"CASE WHEN event_type = '{t}' THEN {cents} ELSE 0 END")
+        return [
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{p}_n"),
+            F.sum(c).cast("bigint").alias(f"{p}_sum"),
+            F.sum(c * c).cast("bigint").alias(f"{p}_ssq"),
+        ]
+
+    m = ev.agg(*(side("a", "view") + side("b", "purchase")))
+    return m.select(
+        "a_n", "b_n", F.round(F.expr(_COHENS_D), 6).alias("cohens_d")
+    )

@@ -1079,3 +1079,78 @@ def dedup_substring_drop_audit(spark, sf_dir):
             read_table(spark, sf_dir, "documents"), mutate=True
         )
     )
+
+
+#: Near-dup threshold for the cross-source overlap census (applied
+#: to the rounded est_sim, identical in both engines).
+_XSRC_SIM = 0.5
+
+
+def _cross_source_oracle() -> str:
+    from etl_jobs_spark.registry import _REGISTRY
+
+    pairs = _REGISTRY["dedup_minhash_lsh"].oracle
+    return f"""
+    WITH pairs AS ({pairs}),
+    src AS (SELECT doc_id, source FROM documents),
+    labeled AS (
+      SELECT least(sa.source, sb.source) AS source_a,
+             greatest(sa.source, sb.source) AS source_b,
+             p.est_sim
+      FROM pairs p
+      JOIN src sa ON p.doc_a % {DD.PLANT_OFFSET} = sa.doc_id
+      JOIN src sb ON p.doc_b % {DD.PLANT_OFFSET} = sb.doc_id)
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(sum(CASE WHEN est_sim >= {_XSRC_SIM} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_near_dups,
+           CAST(1000 * sum(CASE WHEN est_sim >= {_XSRC_SIM}
+                                THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS near_dup_permille
+    FROM labeled GROUP BY 1, 2
+    """
+
+
+@register("dedup_cross_source_matrix", oracle=_cross_source_oracle())
+def dedup_cross_source_matrix(spark, sf_dir):
+    """CROSS-SOURCE OVERLAP MATRIX — 'how much of source A is also
+    in source B', the question every corpus-mixing decision starts
+    from (double-counting between crawls silently re-weights the
+    mix): MinHash candidate pairs (the REGISTERED dedup_minhash_lsh
+    memo — nested oracle, pinned end-to-end) with each endpoint
+    mapped to its ORIGIN document's source (planted replicas map
+    back via doc_id mod PLANT_OFFSET), censused per unordered
+    source pair with the near-dup rate in permille (threshold on
+    the 4-dp-rounded estimate, identical in both engines). Scale
+    shape: pairs come from the banded LSH join (never all-pairs);
+    the census adds two broadcast-able id-joins and one tiny keyed
+    aggregate over source pairs."""
+    pairs = _minhash_pairs(spark, sf_dir)
+    src = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("oa"), F.col("source").alias("src_a")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("ob"), F.col("source").alias("src_b")
+    )
+    labeled = (
+        pairs.withColumn("oa", F.col("doc_a") % DD.PLANT_OFFSET)
+        .withColumn("ob", F.col("doc_b") % DD.PLANT_OFFSET)
+        .join(F.broadcast(sa), "oa")
+        .join(F.broadcast(sb), "ob")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            "est_sim",
+        )
+    )
+    return labeled.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+        F.sum(F.when(F.col("est_sim") >= _XSRC_SIM, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_near_dups"),
+        F.expr(
+            f"CAST(1000 * sum(CASE WHEN est_sim >= {_XSRC_SIM}"
+            " THEN 1 ELSE 0 END) DIV count(*) AS BIGINT)"
+        ).alias("near_dup_permille"),
+    )

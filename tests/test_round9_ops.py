@@ -772,3 +772,88 @@ def test_seq_len_histogram_matches_python(spark):
         assert row["n_docs"] == n_docs
         assert row["total_tokens"] == tot
         assert row["min_tokens"] == mn and row["max_tokens"] == mx
+
+
+# ---------------------------------------------------------------------------
+# Wave-6: randomization test, Cohen's d, cross-source overlap matrix.
+# ---------------------------------------------------------------------------
+
+
+def test_permutation_test_matches_python(spark):
+    from etl_jobs_spark.queries.data_quality import (
+        PERM_B,
+        stat_permutation_test,
+    )
+
+    got = stat_permutation_test(spark, SF_DIR).collect()[0].asDict()
+    ev = _cents(SF_DIR, ["view", "purchase"])
+    a = ev[ev["event_type"] == "view"]
+    b = ev[ev["event_type"] == "purchase"]
+    diff_obs = int(a["cents"].sum()) // len(a) - int(
+        b["cents"].sum()
+    ) // len(b)
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert got["diff_obs"] == diff_obs
+    n_exceed = 0
+    ids = ev["event_id"].tolist()
+    cents = ev["cents"].tolist()
+    for bb in range(PERM_B):
+        s = [0, 0]
+        n = [0, 0]
+        for eid, c in zip(ids, cents):
+            g = _hash60_py_local(f"{eid}:{bb}") % 2
+            s[g] += c
+            n[g] += 1
+        d = s[0] // n[0] - s[1] // n[1]
+        if abs(d) >= abs(diff_obs):
+            n_exceed += 1
+    assert got["n_exceed"] == n_exceed
+    assert got["p_permille"] == 1000 * n_exceed // PERM_B
+
+
+def _hash60_py_local(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_cohens_d_matches_python(spark):
+    from etl_jobs_spark.queries.data_quality import stat_cohens_d
+
+    got = stat_cohens_d(spark, SF_DIR).collect()[0].asDict()
+    ev = _cents(SF_DIR, ["view", "purchase"])
+    a = ev[ev["event_type"] == "view"]["cents"]
+    b = ev[ev["event_type"] == "purchase"]["cents"]
+    sp = math.sqrt(
+        ((len(a) - 1) * a.var(ddof=1) + (len(b) - 1) * b.var(ddof=1))
+        / (len(a) + len(b) - 2)
+    )
+    d = (a.mean() - b.mean()) / sp
+    assert got["cohens_d"] == pytest.approx(d, abs=1e-6)
+
+
+def test_cross_source_matrix_consistent_with_pairs(spark):
+    from etl_jobs_spark.operators.dedup import PLANT_OFFSET
+    from etl_jobs_spark.queries.dedup import (
+        _XSRC_SIM,
+        dedup_cross_source_matrix,
+        dedup_minhash_lsh,
+    )
+
+    got = dedup_cross_source_matrix(spark, SF_DIR).toPandas()
+    pairs = dedup_minhash_lsh(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    src = dict(zip(docs["doc_id"], docs["source"]))
+    census = {}
+    for _, p in pairs.iterrows():
+        a = src[p["doc_a"] % PLANT_OFFSET]
+        b = src[p["doc_b"] % PLANT_OFFSET]
+        key = (min(a, b), max(a, b))
+        tot, hi = census.get(key, (0, 0))
+        census[key] = (tot + 1, hi + (1 if p["est_sim"] >= _XSRC_SIM else 0))
+    assert len(got) == len(census)
+    for _, row in got.iterrows():
+        tot, hi = census[(row["source_a"], row["source_b"])]
+        assert row["n_candidate_pairs"] == tot
+        assert row["n_near_dups"] == hi
+        assert row["near_dup_permille"] == 1000 * hi // tot
+    # the planted replicas guarantee at least one high-sim pair
+    assert got["n_near_dups"].sum() > 0
