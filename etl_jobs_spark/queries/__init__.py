@@ -154,6 +154,7 @@ _ROUND9_WINDOW_FRONT = [
     "stat_permutation_test",
     "stat_cohens_d",
     "dedup_cross_source_matrix",
+    "embed_mmr_diversified_topk",
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

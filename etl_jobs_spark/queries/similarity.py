@@ -1603,3 +1603,214 @@ def ann_quantized_recall_eval(spark, sf_dir):
     return tier("sq8", embed_sq8_topk(spark, sf_dir)).unionAll(
         tier("binary", embed_binary_hamming_topk(spark, sf_dir))
     )
+
+
+# ---------------------------------------------------------------- #
+# MMR diversified retrieval: greedy re-rank, unrolled iterations   #
+# ---------------------------------------------------------------- #
+
+_MMR_C = 20  # candidate pool per query (by exact cosine)
+_MMR_K = 5  # diversified picks per query
+_MMR_SCALE = 1_000_000  # micro-unit cosine quantization
+_MMR_L_REL = 7  # lambda = 0.7 as integer weights: 7*rel - 3*div
+_MMR_L_DIV = 3
+
+
+def _mmr_quant(cos_expr: str) -> str:
+    """Micro-unit quantized cosine (floor(x*1e6 + 0.5) — the
+    _DRIFT_SCALE discipline), so every MMR score is an exact
+    BIGINT."""
+    return f"CAST(floor(({cos_expr}) * {_MMR_SCALE} + 0.5) AS BIGINT)"
+
+
+def _mmr_oracle() -> str:
+    nrm = _NRM
+    dotqc = dot_unrolled("q.q_emb", "c.embedding", SIM.EMBED_DIM, "duckdb")
+    dotab = dot_unrolled("a.emb", "b.emb", SIM.EMBED_DIM, "duckdb")
+    parts = [
+        f"vecs AS MATERIALIZED (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings)",
+        f"""qs AS MATERIALIZED (
+      SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+      FROM vecs WHERE vec_id IN ({_QIDS}))""",
+        f"""cand AS MATERIALIZED (
+      SELECT query_id, vec_id, emb, rel FROM (
+        SELECT q.query_id, c.vec_id, c.embedding AS emb,
+               {_mmr_quant(f'{dotqc} / (q.q_nrm * c.nrm)')} AS rel,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {dotqc} / (q.q_nrm * c.nrm) DESC,
+                          c.vec_id ASC) AS rn
+        FROM qs q JOIN vecs c ON c.vec_id <> q.query_id)
+      WHERE rn <= {_MMR_C})""",
+        f"""sims AS MATERIALIZED (
+      SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+             {_mmr_quant(
+                 f'{dotab} / (sqrt({dot_unrolled("a.emb", "a.emb", SIM.EMBED_DIM, "duckdb")})'
+                 f' * sqrt({dot_unrolled("b.emb", "b.emb", SIM.EMBED_DIM, "duckdb")}))'
+             )} AS sim
+      FROM cand a JOIN cand b
+        ON a.query_id = b.query_id AND a.vec_id <> b.vec_id)""",
+        f"""sel1 AS MATERIALIZED (
+      SELECT query_id, vec_id, rel, CAST(1 AS BIGINT) AS sel_round
+      FROM (
+        SELECT query_id, vec_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, vec_id ASC) AS rn
+        FROM cand)
+      WHERE rn = 1)""",
+    ]
+    prev = "sel1"
+    for r in range(2, _MMR_K + 1):
+        parts.append(
+            f"""pick{r} AS MATERIALIZED (
+      SELECT query_id, vec_id, rel, CAST({r} AS BIGINT) AS sel_round
+      FROM (
+        SELECT c.query_id, c.vec_id, c.rel,
+               row_number() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY {_MMR_L_REL} * c.rel - {_MMR_L_DIV} * mx.maxsim DESC,
+                          c.vec_id ASC) AS rn
+        FROM cand c
+        JOIN (
+          SELECT s.query_id, s.va AS vec_id, max(s.sim) AS maxsim
+          FROM sims s
+          JOIN {prev} p ON p.query_id = s.query_id AND p.vec_id = s.vb
+          GROUP BY 1, 2) mx
+          ON mx.query_id = c.query_id AND mx.vec_id = c.vec_id
+        WHERE NOT EXISTS (
+          SELECT 1 FROM {prev} p2
+          WHERE p2.query_id = c.query_id AND p2.vec_id = c.vec_id))
+      WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""sel{r} AS MATERIALIZED (
+      SELECT * FROM {prev} UNION ALL SELECT * FROM pick{r})"""
+        )
+        prev = f"sel{r}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT query_id, vec_id, rel AS rel_micro, sel_round"
+        f" FROM {prev}"
+    )
+
+
+@register("embed_mmr_diversified_topk", oracle=_mmr_oracle())
+def embed_mmr_diversified_topk(spark, sf_dir):
+    """MAXIMAL MARGINAL RELEVANCE diversified retrieval: from each
+    probe query's top-{_MMR_C} exact-cosine candidates, greedily
+    pick {_MMR_K} results maximizing 7·relevance − 3·max-similarity-
+    to-already-picked (λ=0.7 as integer weights) — the re-ranking
+    that keeps a RAG context window from filling with five copies
+    of the same paragraph. EXACT-INTEGER selection: relevance and
+    pairwise similarities are micro-unit quantized BIGINTs
+    (floor(x·1e6+0.5), the _DRIFT_SCALE discipline), so every
+    greedy argmax — and therefore the whole selection SEQUENCE — is
+    hash-stable with vec_id tiebreaks; the oracle RE-RUNS all
+    {_MMR_K} unrolled rounds (the embed_pca_power_iter discipline
+    applied to re-ranking). Scale shape: the candidate cut is the
+    existing broadcast-query scan; everything after runs on
+    q·{_MMR_C} rows and their q·{_MMR_C}² pairwise sims — driver-
+    independent, loop-free on the data plane, each round two joins
+    on tiny keyed tables."""
+    from pyspark.sql import Window as W
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(norm_unrolled("embedding", SIM.EMBED_DIM, "spark")).alias(
+            "nrm"
+        ),
+    )
+    queries = F.broadcast(
+        vecs.filter(F.col("vec_id").isin(*SIM.QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    dotqc = dot_unrolled("q_emb", "embedding", SIM.EMBED_DIM, "spark")
+    cw = W.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id").asc()
+    )
+    cand = cache.track(
+        queries.crossJoin(vecs)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("embedding").alias("emb"),
+            F.expr(f"{dotqc} / (q_nrm * nrm)").alias("cos_raw"),
+        )
+        .withColumn("rn", F.row_number().over(cw))
+        .filter(F.col("rn") <= _MMR_C)
+        .select(
+            "query_id",
+            "vec_id",
+            "emb",
+            F.expr(_mmr_quant("cos_raw")).alias("rel"),
+        )
+    )
+    a = cand.select(
+        "query_id", F.col("vec_id").alias("va"), F.col("emb").alias("ea")
+    )
+    b = cand.select(
+        F.col("query_id").alias("qb"),
+        F.col("vec_id").alias("vb"),
+        F.col("emb").alias("eb"),
+    )
+    dotab = dot_unrolled("ea", "eb", SIM.EMBED_DIM, "spark")
+    na = norm_unrolled("ea", SIM.EMBED_DIM, "spark")
+    nb = norm_unrolled("eb", SIM.EMBED_DIM, "spark")
+    sims = cache.track(
+        a.join(
+            b,
+            (F.col("qb") == F.col("query_id"))
+            & (F.col("vb") != F.col("va")),
+        ).select(
+            "query_id",
+            "va",
+            "vb",
+            F.expr(_mmr_quant(f"{dotab} / ({na} * {nb})")).alias("sim"),
+        )
+    )
+    # Greedy selection runs on the COLLECTED integer tables — a
+    # bounded driver-coordinated fit exactly like the Lloyd/BPE
+    # precedents: q*C rel rows + q*C*(C-1) sim rows of BIGINTs
+    # (~2.1k integers at C=20, INDEPENDENT of corpus size — the
+    # candidate cut fixed the cardinality), and the greedy argmax
+    # over them is pure integer arithmetic, so the selection is
+    # bit-identical to the oracle's unrolled SQL rounds.
+    rel_rows = cand.select("query_id", "vec_id", "rel").collect()
+    sim_rows = sims.collect()
+    rel = {(r.query_id, r.vec_id): r.rel for r in rel_rows}
+    sim = {(r.query_id, r.va, r.vb): r.sim for r in sim_rows}
+    by_q = {}
+    for (q, v), rl in rel.items():
+        by_q.setdefault(q, []).append((v, rl))
+    picks = []
+    for q, cands in sorted(by_q.items()):
+        first = max(cands, key=lambda t: (t[1], -t[0]))
+        chosen = [first[0]]
+        picks.append((q, first[0], 1))
+        for r in range(2, _MMR_K + 1):
+            best = None
+            for v, rl in cands:
+                if v in chosen:
+                    continue
+                mx = max(sim[(q, v, c)] for c in chosen)
+                score = _MMR_L_REL * rl - _MMR_L_DIV * mx
+                key = (score, -v)
+                if best is None or key > best[0]:
+                    best = (key, v)
+            picks.append((q, best[1], r))
+            chosen.append(best[1])
+    lit = F.broadcast(
+        emb.sparkSession.createDataFrame(
+            picks, "query_id long, vec_id long, sel_round long"
+        )
+    )
+    return cand.join(lit, ["query_id", "vec_id"]).select(
+        "query_id", "vec_id", F.col("rel").alias("rel_micro"), "sel_round"
+    )

@@ -857,3 +857,69 @@ def test_cross_source_matrix_consistent_with_pairs(spark):
         assert row["near_dup_permille"] == 1000 * hi // tot
     # the planted replicas guarantee at least one high-sim pair
     assert got["n_near_dups"].sum() > 0
+
+
+# ---------------------------------------------------------------------------
+# Wave-7: MMR diversified retrieval.
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_matches_python_greedy(spark):
+    from etl_jobs_spark.queries.similarity import (
+        _MMR_C,
+        _MMR_K,
+        _MMR_L_DIV,
+        _MMR_L_REL,
+        _MMR_SCALE,
+        embed_mmr_diversified_topk,
+    )
+    from etl_jobs_spark.operators.similarity import QUERY_IDS
+
+    got = (
+        embed_mmr_diversified_topk(spark, SF_DIR)
+        .orderBy("query_id", "sel_round")
+        .toPandas()
+    )
+    ids, X = _emb(SF_DIR)
+    Xn = X.astype(np.float64)
+    norms = np.sqrt((Xn * Xn).sum(axis=1))
+    idx = {v: i for i, v in enumerate(ids)}
+
+    def q_cos(a, b):
+        c = float(Xn[a] @ Xn[b]) / (norms[a] * norms[b])
+        return math.floor(c * _MMR_SCALE + 0.5)
+
+    for qid in QUERY_IDS:
+        qi = idx[qid]
+        scored = sorted(
+            ((float(Xn[qi] @ Xn[idx[v]]) / (norms[qi] * norms[idx[v]]), v)
+             for v in ids if v != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:_MMR_C]
+        cands = [(v, q_cos(qi, idx[v])) for _, v in scored]
+        chosen = [max(cands, key=lambda t: (t[1], -t[0]))[0]]
+        for _ in range(_MMR_K - 1):
+            best = None
+            for v, rl in cands:
+                if v in chosen:
+                    continue
+                mx = max(q_cos(idx[v], idx[c]) for c in chosen)
+                key = (_MMR_L_REL * rl - _MMR_L_DIV * mx, -v)
+                if best is None or key > best[0]:
+                    best = (key, v)
+            chosen.append(best[1])
+        g = got[got["query_id"] == qid].sort_values("sel_round")
+        assert list(g["vec_id"]) == chosen
+    # diversification must actually reorder vs pure relevance for
+    # at least one query (else lambda is a no-op on this fixture)
+    pure = {
+        qid: [v for v, _ in sorted(
+            ((v, q_cos(idx[qid], idx[v])) for v in ids if v != qid),
+            key=lambda t: (-t[1], t[0]))[: _MMR_K]]
+        for qid in QUERY_IDS
+    }
+    assert any(
+        list(got[got["query_id"] == q].sort_values("sel_round")["vec_id"])
+        != pure[q]
+        for q in QUERY_IDS
+    )
