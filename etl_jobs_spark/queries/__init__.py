@@ -155,6 +155,7 @@ _ROUND9_WINDOW_FRONT = [
     "stat_cohens_d",
     "dedup_cross_source_matrix",
     "embed_mmr_diversified_topk",
+    "graph_local_clustering_topk",
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

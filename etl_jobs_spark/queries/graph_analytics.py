@@ -831,3 +831,129 @@ def graph_link_prediction_cn(spark, sf_dir):
         .filter(F.col("rnk") <= LP_TOPK)
         .select("u", "v", "cn", "du", "dv", "jaccard_permille", "rnk")
     )
+
+
+#: Local-clustering census: the LCC_TOPN highest-degree nodes.
+LCC_TOPN = 20
+
+
+@register(
+    "graph_local_clustering_topk",
+    oracle=f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS MATERIALIZED (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u FROM edges UNION ALL SELECT v FROM edges) t(u)
+      GROUP BY 1),
+    tri AS MATERIALIZED (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+    tcount AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) r
+      GROUP BY 1),
+    top AS (
+      SELECT node, d,
+             row_number() OVER (ORDER BY d DESC, node ASC) AS rnk
+      FROM deg)
+    SELECT t.node, t.d, coalesce(tc.n_triangles, 0) AS n_triangles,
+           CAST(2000 * coalesce(tc.n_triangles, 0)
+                // (t.d * (t.d - 1)) AS BIGINT) AS lcc_permille,
+           CAST(t.rnk AS BIGINT) AS rnk
+    FROM top t LEFT JOIN tcount tc ON tc.node = t.node
+    WHERE t.rnk <= {LCC_TOPN}
+    """,
+)
+def graph_local_clustering_topk(spark, sf_dir):
+    """LOCAL CLUSTERING COEFFICIENT for the {LCC_TOPN}
+    highest-degree co-purchase nodes: per node, the fraction of its
+    neighbor pairs that are themselves connected (2·triangles /
+    d·(d−1), reported in permille by truncating integer division) —
+    the node-level community diagnostic next to
+    graph_triangle_count's GLOBAL coefficient (a hub with high
+    degree but low LCC is a bridge; high LCC is a clique core —
+    different recommendation semantics). Per-node triangle counts
+    are orientation-INVARIANT, so the engine reuses the
+    degree-oriented enumeration (each triangle found exactly once,
+    O(sqrt m) wedge bounds) and explodes the three roles into one
+    integer aggregation; edge table and degree map come from the
+    shared session memos. Top-N selection is by (degree desc, node
+    id) — exact integers end to end."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = _copurchase_degrees(spark, sf_dir)
+    du = F.broadcast(
+        deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    )
+    dv = F.broadcast(
+        deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    )
+    lower_first = F.col("du") <= F.col("dv")
+    oriented = cache.track(
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("u"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("v"),
+        )
+    )
+    e1, e2, e3 = (
+        oriented.alias("e1"),
+        oriented.alias("e2"),
+        oriented.alias("e3"),
+    )
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    # one explode, ONE evaluation of the triangle join (a 3-way
+    # union would recompute it three times)
+    roles = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    )
+    tcount = roles.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    from pyspark.sql import Window as W
+
+    top = (
+        deg.withColumn(
+            "rnk",
+            F.row_number().over(
+                W.orderBy(F.col("d").desc(), F.col("node").asc())
+            ),
+        )
+        .filter(F.col("rnk") <= LCC_TOPN)
+    )
+    return (
+        top.join(tcount, "node", "left")
+        .select(
+            "node",
+            "d",
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+            F.expr(
+                "CAST(2000 * coalesce(n_triangles, 0)"
+                " DIV (d * (d - 1)) AS BIGINT)"
+            ).alias("lcc_permille"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

@@ -923,3 +923,38 @@ def test_mmr_matches_python_greedy(spark):
         != pure[q]
         for q in QUERY_IDS
     )
+
+
+def test_local_clustering_matches_python(spark):
+    from etl_jobs_spark.queries.graph_analytics import (
+        LCC_TOPN,
+        graph_local_clustering_topk,
+    )
+
+    got = (
+        graph_local_clustering_topk(spark, SF_DIR)
+        .orderBy("rnk")
+        .toPandas()
+    )
+    edges = _copurchase_edges_py(SF_DIR)
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want_top = sorted(adj, key=lambda n: (-len(adj[n]), n))[:LCC_TOPN]
+    assert list(got["node"]) == want_top
+    for _, row in got.iterrows():
+        nbrs = adj[row["node"]]
+        tri = sum(
+            1
+            for a in nbrs
+            for b in adj[a]
+            if b in nbrs and a < b
+        )
+        d = len(nbrs)
+        assert row["d"] == d
+        assert row["n_triangles"] == tri
+        assert row["lcc_permille"] == 2000 * tri // (d * (d - 1))
+    # the census must contain real community structure (some
+    # triangles at the hubs), else the fixture degenerated
+    assert got["n_triangles"].sum() > 0
