@@ -156,6 +156,9 @@ _ROUND9_WINDOW_FRONT = [
     "dedup_cross_source_matrix",
     "embed_mmr_diversified_topk",
     "graph_local_clustering_topk",
+    "stat_proportion_ci_wilson",
+    "feat_robust_scale",
+    "agg_session_bounce_rate",
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

@@ -2235,3 +2235,76 @@ def stat_cohens_d(spark, sf_dir):
     return m.select(
         "a_n", "b_n", F.round(F.expr(_COHENS_D), 6).alias("cohens_d")
     )
+
+
+#: Wilson CI z-score (95%): carried as an exact decimal literal in
+#: the shared expression text.
+_WILSON_Z = "1.96"
+
+
+def _wilson_exprs() -> tuple[str, str]:
+    """Wilson score interval bounds from the two exact BIGINTs
+    (x successes, n trials) — one shared expression text."""
+    x = "CAST(x AS DOUBLE)"
+    n = "CAST(n AS DOUBLE)"
+    z = _WILSON_Z
+    p = f"({x} / {n})"
+    center = f"({p} + {z} * {z} / (2.0 * {n}))"
+    half = (
+        f"({z} * sqrt({p} * (1.0 - {p}) / {n}"
+        f" + {z} * {z} / (4.0 * {n} * {n})))"
+    )
+    denom = f"(1.0 + {z} * {z} / {n})"
+    return (
+        f"(({center} - {half}) / {denom})",
+        f"(({center} + {half}) / {denom})",
+    )
+
+
+_WILSON_LO, _WILSON_HI = _wilson_exprs()
+
+
+@register(
+    "stat_proportion_ci_wilson",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_type IN ('view', 'purchase'))
+    SELECT x, n,
+           CAST(1000 * x // n AS BIGINT) AS p_permille,
+           round({_WILSON_LO}, 6) AS ci_lo,
+           round({_WILSON_HI}, 6) AS ci_hi
+    FROM m
+    """,
+)
+def stat_proportion_ci_wilson(spark, sf_dir):
+    """WILSON SCORE INTERVAL for the view→purchase conversion rate —
+    the binomial-proportion CI that stays inside [0,1] and behaves
+    at small n or extreme rates, where the naive Wald interval
+    (stat_ab_test_zscore's asymptotic regime) collapses; the number
+    a dashboard should put around every conversion-rate tile. Two
+    exact BIGINTs (successes, trials) from one conditional
+    aggregation; both bounds are one shared expression text over
+    those integers (z = 1.96 as a literal), round 6. Scale: one
+    combinable pass, one row."""
+    m = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    return m.select(
+        "x",
+        "n",
+        F.expr("CAST(1000 * x DIV n AS BIGINT)").alias("p_permille"),
+        F.round(F.expr(_WILSON_LO), 6).alias("ci_lo"),
+        F.round(F.expr(_WILSON_HI), 6).alias("ci_hi"),
+    )

@@ -1129,3 +1129,53 @@ def agg_time_decay_topk(spark, sf_dir):
         .filter(F.col("rnk") <= _DECAY_TOPK)
         .select("user_id", "decay_score_cents", "n_events", "rnk")
     )
+
+
+def _bounce_oracle() -> str:
+    from etl_jobs_spark.queries.streaming import SESSION_ORACLE
+
+    return f"""
+    WITH sessions AS ({SESSION_ORACLE})
+    SELECT CAST(extract(hour FROM session_start) AS BIGINT) AS hour_of_day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(1000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS bounce_permille,
+           CAST(sum(n_events) // count(*) AS BIGINT)
+             AS events_per_session
+    FROM sessions GROUP BY 1
+    """
+
+
+@register("agg_session_bounce_rate", oracle=_bounce_oracle())
+def agg_session_bounce_rate(spark, sf_dir):
+    """SESSION BOUNCE RATE by hour of day: the fraction of
+    single-event sessions (permille, truncating division) over the
+    SAME sessionization the batch/stream pair already verifies
+    (sessionize_batch / stream_session_windows — the oracle NESTS
+    that registered SESSION_ORACLE, so session identity is pinned
+    end-to-end, not re-derived slightly differently). Bounce rate by
+    arrival hour is the engagement-quality curve product teams
+    read next to the rolling-DAU curve
+    (window_sliding_distinct_users). Scale shape: sessionization is
+    the one keyed window the family already pays; the bounce census
+    is a 24-row aggregate on top."""
+    from etl_jobs_spark.queries.streaming import sessionize_batch
+
+    sessions = sessionize_batch(spark, sf_dir)
+    return sessions.groupBy(
+        F.hour("session_start").cast("bigint").alias("hour_of_day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounces"),
+        F.expr(
+            "CAST(1000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)"
+            " DIV count(*) AS BIGINT)"
+        ).alias("bounce_permille"),
+        F.expr("CAST(sum(n_events) DIV count(*) AS BIGINT)").alias(
+            "events_per_session"
+        ),
+    )

@@ -958,3 +958,82 @@ def test_local_clustering_matches_python(spark):
     # the census must contain real community structure (some
     # triangles at the hubs), else the fixture degenerated
     assert got["n_triangles"].sum() > 0
+
+
+# ---------------------------------------------------------------------------
+# Wave-9: Wilson CI, robust scaler, bounce rate.
+# ---------------------------------------------------------------------------
+
+
+def test_wilson_ci_matches_python(spark):
+    from etl_jobs_spark.queries.data_quality import (
+        stat_proportion_ci_wilson,
+    )
+
+    got = stat_proportion_ci_wilson(spark, SF_DIR).collect()[0].asDict()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    sub = ev[ev["event_type"].isin(["view", "purchase"])]
+    x = int((sub["event_type"] == "purchase").sum())
+    n = len(sub)
+    z = 1.96
+    p = x / n
+    center = p + z * z / (2 * n)
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    denom = 1 + z * z / n
+    assert got["x"] == x and got["n"] == n
+    assert got["p_permille"] == 1000 * x // n
+    assert got["ci_lo"] == pytest.approx((center - half) / denom, abs=1e-6)
+    assert got["ci_hi"] == pytest.approx((center + half) / denom, abs=1e-6)
+    assert 0.0 <= got["ci_lo"] <= got["ci_hi"] <= 1.0
+
+
+def test_robust_scale_matches_python(spark):
+    from etl_jobs_spark.queries.feature_engineering import (
+        RS_SCALE,
+        feat_robust_scale,
+    )
+
+    got = feat_robust_scale(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = ev.assign(c=(ev["value"] * 100).round().astype("int64"))
+    for _, row in got.iterrows():
+        sub = ev[ev["event_type"] == row["event_type"]].sort_values(
+            ["c", "event_id"], ignore_index=True
+        )
+        n = len(sub)
+        q1 = sub["c"].iloc[(1 * n + 3) // 4 - 1]
+        med = sub["c"].iloc[(2 * n + 3) // 4 - 1]
+        q3 = sub["c"].iloc[(3 * n + 3) // 4 - 1]
+        assert row["n"] == n
+        assert row["median_cents"] == med
+        assert row["iqr_cents"] == q3 - q1
+        iqr = max(q3 - q1, 1)
+
+        # engines' DIV truncates toward zero; python // floors —
+        # re-derive with truncation to match
+        def trunc_div(a, b):
+            q = abs(a) // b
+            return q if a >= 0 else -q
+
+        s = sub["c"].map(lambda c: trunc_div((c - med) * RS_SCALE, iqr))
+        assert row["min_scaled"] == s.min()
+        assert row["max_scaled"] == s.max()
+        assert row["mean_scaled"] == trunc_div(int(s.sum()), n)
+
+
+def test_bounce_rate_consistent_with_sessions(spark):
+    from etl_jobs_spark.queries.product_analytics import (
+        agg_session_bounce_rate,
+    )
+    from etl_jobs_spark.queries.streaming import sessionize_batch
+
+    got = agg_session_bounce_rate(spark, SF_DIR).toPandas()
+    sess = sessionize_batch(spark, SF_DIR).toPandas()
+    sess["h"] = pd.to_datetime(sess["session_start"]).dt.hour
+    for _, row in got.iterrows():
+        sub = sess[sess["h"] == row["hour_of_day"]]
+        assert row["n_sessions"] == len(sub)
+        nb = int((sub["n_events"] == 1).sum())
+        assert row["n_bounces"] == nb
+        assert row["bounce_permille"] == 1000 * nb // len(sub)
+    assert got["n_sessions"].sum() == len(sess)
