@@ -159,6 +159,7 @@ _ROUND9_WINDOW_FRONT = [
     "stat_proportion_ci_wilson",
     "feat_robust_scale",
     "agg_session_bounce_rate",
+    "pipeline_rag_retrieval_end_to_end",
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

@@ -1623,11 +1623,20 @@ def _mmr_quant(cos_expr: str) -> str:
     return f"CAST(floor(({cos_expr}) * {_MMR_SCALE} + 0.5) AS BIGINT)"
 
 
-def _mmr_oracle() -> str:
+def _mmr_oracle(keep_cte: str = "") -> str:
+    """Unrolled-round MMR oracle. ``keep_cte``, when given, is a CTE
+    body selecting the doc_id set the CANDIDATE corpus is restricted
+    to (probe queries always come from the full table — the serving
+    shape: user query vs curated index)."""
     nrm = _NRM
     dotqc = dot_unrolled("q.q_emb", "c.embedding", SIM.EMBED_DIM, "duckdb")
     dotab = dot_unrolled("a.emb", "b.emb", SIM.EMBED_DIM, "duckdb")
-    parts = [
+    cand_join = "JOIN vecs c ON c.vec_id <> q.query_id"
+    keep_parts = []
+    if keep_cte:
+        keep_parts = [f"keep AS MATERIALIZED ({keep_cte})"]
+        cand_join += " JOIN keep k ON k.doc_id = c.vec_id"
+    parts = keep_parts + [
         f"vecs AS MATERIALIZED (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings)",
         f"""qs AS MATERIALIZED (
       SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
@@ -1640,7 +1649,7 @@ def _mmr_oracle() -> str:
                  PARTITION BY q.query_id
                  ORDER BY {dotqc} / (q.q_nrm * c.nrm) DESC,
                           c.vec_id ASC) AS rn
-        FROM qs q JOIN vecs c ON c.vec_id <> q.query_id)
+        FROM qs q {cand_join})
       WHERE rn <= {_MMR_C})""",
         f"""sims AS MATERIALIZED (
       SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
@@ -1695,27 +1704,12 @@ def _mmr_oracle() -> str:
     )
 
 
-@register("embed_mmr_diversified_topk", oracle=_mmr_oracle())
-def embed_mmr_diversified_topk(spark, sf_dir):
-    """MAXIMAL MARGINAL RELEVANCE diversified retrieval: from each
-    probe query's top-{_MMR_C} exact-cosine candidates, greedily
-    pick {_MMR_K} results maximizing 7·relevance − 3·max-similarity-
-    to-already-picked (λ=0.7 as integer weights) — the re-ranking
-    that keeps a RAG context window from filling with five copies
-    of the same paragraph. EXACT-INTEGER selection: relevance and
-    pairwise similarities are micro-unit quantized BIGINTs
-    (floor(x·1e6+0.5), the _DRIFT_SCALE discipline), so every
-    greedy argmax — and therefore the whole selection SEQUENCE — is
-    hash-stable with vec_id tiebreaks; the oracle RE-RUNS all
-    {_MMR_K} unrolled rounds (the embed_pca_power_iter discipline
-    applied to re-ranking). Scale shape: the candidate cut is the
-    existing broadcast-query scan; everything after runs on
-    q·{_MMR_C} rows and their q·{_MMR_C}² pairwise sims — driver-
-    independent, loop-free on the data plane, each round two joins
-    on tiny keyed tables."""
+def _mmr_select(spark, emb, keep=None):
+    """Distributed candidate cut + pairwise sims, driver-coordinated
+    greedy (see embed_mmr_diversified_topk). ``keep``: optional
+    DataFrame of doc_id the CANDIDATE corpus is restricted to."""
     from pyspark.sql import Window as W
 
-    emb = read_table(spark, sf_dir, "embeddings")
     vecs = emb.select(
         "vec_id",
         "embedding",
@@ -1730,12 +1724,17 @@ def embed_mmr_diversified_topk(spark, sf_dir):
             F.col("nrm").alias("q_nrm"),
         )
     )
+    cands_src = vecs
+    if keep is not None:
+        cands_src = vecs.join(
+            keep.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+        )
     dotqc = dot_unrolled("q_emb", "embedding", SIM.EMBED_DIM, "spark")
     cw = W.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("vec_id").asc()
     )
     cand = cache.track(
-        queries.crossJoin(vecs)
+        queries.crossJoin(cands_src)
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -1775,13 +1774,6 @@ def embed_mmr_diversified_topk(spark, sf_dir):
             F.expr(_mmr_quant(f"{dotab} / ({na} * {nb})")).alias("sim"),
         )
     )
-    # Greedy selection runs on the COLLECTED integer tables — a
-    # bounded driver-coordinated fit exactly like the Lloyd/BPE
-    # precedents: q*C rel rows + q*C*(C-1) sim rows of BIGINTs
-    # (~2.1k integers at C=20, INDEPENDENT of corpus size — the
-    # candidate cut fixed the cardinality), and the greedy argmax
-    # over them is pure integer arithmetic, so the selection is
-    # bit-identical to the oracle's unrolled SQL rounds.
     rel_rows = cand.select("query_id", "vec_id", "rel").collect()
     sim_rows = sims.collect()
     rel = {(r.query_id, r.vec_id): r.rel for r in rel_rows}
@@ -1814,3 +1806,25 @@ def embed_mmr_diversified_topk(spark, sf_dir):
     return cand.join(lit, ["query_id", "vec_id"]).select(
         "query_id", "vec_id", F.col("rel").alias("rel_micro"), "sel_round"
     )
+
+
+@register("embed_mmr_diversified_topk", oracle=_mmr_oracle())
+def embed_mmr_diversified_topk(spark, sf_dir):
+    """MAXIMAL MARGINAL RELEVANCE diversified retrieval: from each
+    probe query's top-{_MMR_C} exact-cosine candidates, greedily
+    pick {_MMR_K} results maximizing 7·relevance − 3·max-similarity-
+    to-already-picked (λ=0.7 as integer weights) — the re-ranking
+    that keeps a RAG context window from filling with five copies
+    of the same paragraph. EXACT-INTEGER selection: relevance and
+    pairwise similarities are micro-unit quantized BIGINTs
+    (floor(x·1e6+0.5), the _DRIFT_SCALE discipline), so every
+    greedy argmax — and therefore the whole selection SEQUENCE — is
+    hash-stable with vec_id tiebreaks; the oracle RE-RUNS all
+    {_MMR_K} unrolled rounds (the embed_pca_power_iter discipline
+    applied to re-ranking). Scale shape: the candidate cut is the
+    existing broadcast-query scan; everything after runs on
+    q·{_MMR_C} rows and their q·{_MMR_C}² pairwise sims — driver-
+    independent, loop-free on the data plane, each round two joins
+    on tiny keyed tables."""
+    return _mmr_select(spark, read_table(spark, sf_dir, "embeddings"))
+

@@ -679,3 +679,37 @@ def seq_len_histogram(spark, sf_dir):
         F.min("n_tokens").cast("bigint").alias("min_tokens"),
         F.max("n_tokens").cast("bigint").alias("max_tokens"),
     )
+
+
+def _rag_oracle() -> str:
+    from etl_jobs_spark.queries.similarity import _mmr_oracle
+    from etl_jobs_spark.registry import _REGISTRY
+
+    keep = (
+        "SELECT doc_id FROM ("
+        + _REGISTRY["quality_filter_top_half"].oracle
+        + ") q"
+    )
+    return _mmr_oracle(keep_cte=keep)
+
+
+@register("pipeline_rag_retrieval_end_to_end", oracle=_rag_oracle())
+def pipeline_rag_retrieval_end_to_end(spark, sf_dir):
+    """RAG SERVING PIPELINE, composed end-to-end from REGISTERED
+    stages: curate the index corpus with the quality gate
+    (quality_filter_top_half — each language's better half), then
+    run MMR-diversified retrieval for the probe queries against the
+    CURATED index only (probes come from the full table — the
+    serving shape: user query vs curated index; a probe document
+    the gate would drop is still a valid query). Both stages'
+    oracles are nested verbatim, so the composition — gate cut,
+    candidate restriction, greedy selection sequence — is pinned
+    end-to-end exactly like pipeline_llm_corpus_end_to_end's
+    stage-composed oracle. Scale shape: the gate is one keyed
+    ntile window over doc quality; retrieval adds the MMR plan
+    (broadcast-query scan + q·C² sims + bounded driver greedy)."""
+    from etl_jobs_spark.queries.similarity import _mmr_select
+
+    keep = quality_filter_top_half(spark, sf_dir).select("doc_id")
+    emb = read_table(spark, sf_dir, "embeddings")
+    return _mmr_select(spark, emb, keep=keep)

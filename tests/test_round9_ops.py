@@ -1037,3 +1037,24 @@ def test_bounce_rate_consistent_with_sessions(spark):
         assert row["n_bounces"] == nb
         assert row["bounce_permille"] == 1000 * nb // len(sub)
     assert got["n_sessions"].sum() == len(sess)
+
+
+def test_rag_pipeline_composition(spark):
+    from etl_jobs_spark.queries.similarity import (
+        embed_mmr_diversified_topk,
+    )
+    from etl_jobs_spark.queries.training_pipeline import (
+        pipeline_rag_retrieval_end_to_end,
+        quality_filter_top_half,
+    )
+
+    got = pipeline_rag_retrieval_end_to_end(spark, SF_DIR).toPandas()
+    kept = set(
+        quality_filter_top_half(spark, SF_DIR).toPandas()["doc_id"]
+    )
+    # every served result must come from the curated index
+    assert set(got["vec_id"]).issubset(kept)
+    assert len(got) == 25  # 5 probes x 5 picks, probes never dropped
+    # the gate must actually restrict: some unfiltered pick is absent
+    full = embed_mmr_diversified_topk(spark, SF_DIR).toPandas()
+    assert not set(full["vec_id"]).issubset(kept)
