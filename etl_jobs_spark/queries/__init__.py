@@ -160,6 +160,8 @@ _ROUND9_WINDOW_FRONT = [
     "feat_robust_scale",
     "agg_session_bounce_rate",
     "pipeline_rag_retrieval_end_to_end",
+    "agg_markov_transitions",
+    "dedup_gram_novelty_by_source",
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

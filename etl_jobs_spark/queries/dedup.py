@@ -1154,3 +1154,86 @@ def dedup_cross_source_matrix(spark, sf_dir):
             " THEN 1 ELSE 0 END) DIV count(*) AS BIGINT)"
         ).alias("near_dup_permille"),
     )
+
+
+def _novelty_oracle() -> str:
+    from etl_jobs_spark.operators.hashing import (
+        char_shingles,
+        hash60,
+        norm_text,
+    )
+
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, source, {norm_text('text', 'duckdb')} AS n
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, source,
+             {hash60('s', 'duckdb')} AS gh
+      FROM (SELECT doc_id, source,
+                   unnest({char_shingles('n', 'duckdb')}) AS s
+            FROM corpus)),
+    firsts AS (
+      SELECT gh, min(doc_id) AS first_doc FROM grams GROUP BY 1)
+    SELECT g.source,
+           CAST(count(*) AS BIGINT) AS n_gram_slots,
+           CAST(sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(1000 * sum(CASE WHEN g.doc_id = f.first_doc
+                                THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS novelty_permille
+    FROM grams g JOIN firsts f ON f.gh = g.gh
+    GROUP BY 1
+    """
+
+
+@register("dedup_gram_novelty_by_source", oracle=_novelty_oracle())
+def dedup_gram_novelty_by_source(spark, sf_dir):
+    """GRAM-NOVELTY CENSUS per source: for every (doc, distinct
+    5-gram shingle) slot, is this doc the gram's FIRST appearance
+    in doc_id order? — the content-growth diagnostic behind crawl
+    scheduling (a source whose novelty permille collapses is
+    re-serving text the corpus already has; the incremental-crawl
+    anti-join family tells you WHICH docs, this tells you how much
+    NEW text each source contributes). First-appearance is an
+    exact-integer min-per-gram; novelty is counted over distinct
+    (doc, gram) slots so a doc repeating its own gram doesn't
+    inflate either side. Scale shape: the gram groupBy is the same
+    16-byte-key shuffle the MinHash/dedup tier pays (hashes cross
+    the wire, never text); the census is one keyed rollup per
+    source."""
+    from etl_jobs_spark.operators.hashing import (
+        char_shingles,
+        hash60,
+        norm_text,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(norm_text("text", "spark")).alias("n"),
+    )
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.expr(char_shingles("n", "spark"))).alias("s"),
+    ).select(
+        "doc_id", "source", F.expr(hash60("s", "spark")).alias("gh")
+    ).distinct()
+    firsts = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(firsts, "gh")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gram_slots"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+            F.expr(
+                "CAST(1000 * sum(CASE WHEN doc_id = first_doc"
+                " THEN 1 ELSE 0 END) DIV count(*) AS BIGINT)"
+            ).alias("novelty_permille"),
+        )
+    )

@@ -1179,3 +1179,56 @@ def agg_session_bounce_rate(spark, sf_dir):
             "events_per_session"
         ),
     )
+
+
+@register(
+    "agg_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    trans AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           CAST(1000 * n // sum(n) OVER (PARTITION BY from_type)
+                AS BIGINT) AS p_permille
+    FROM trans
+    """,
+)
+def agg_markov_transitions(spark, sf_dir):
+    """FIRST-ORDER MARKOV TRANSITION MATRIX of user event types:
+    for every consecutive event pair within a user's (ts, event_id)
+    timeline, the (from → to) count and the row-normalized
+    transition probability in permille (truncating division over
+    exact BIGINT counts) — the behavioral model behind
+    path_top_sequences' raw paths (the matrix is what a simulator
+    or a next-event predictor actually consumes). Scale shape: ONE
+    keyed window (lag per user — the sessionization shuffle the
+    family already pays), one combinable count aggregation to a
+    k² cell table, one window sum over those 25 cells."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("prev_type").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr(
+            "CAST(1000 * n DIV sum(n) OVER (PARTITION BY from_type)"
+            " AS BIGINT)"
+        ).alias("p_permille"),
+    )

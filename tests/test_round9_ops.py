@@ -1058,3 +1058,66 @@ def test_rag_pipeline_composition(spark):
     # the gate must actually restrict: some unfiltered pick is absent
     full = embed_mmr_diversified_topk(spark, SF_DIR).toPandas()
     assert not set(full["vec_id"]).issubset(kept)
+
+
+# ---------------------------------------------------------------------------
+# Wave-10: Markov transitions, gram novelty.
+# ---------------------------------------------------------------------------
+
+
+def test_markov_transitions_match_python(spark):
+    from etl_jobs_spark.queries.product_analytics import (
+        agg_markov_transitions,
+    )
+
+    got = agg_markov_transitions(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    counts = {}
+    for _, grp in ev.groupby("user_id"):
+        types = grp["event_type"].tolist()
+        for a, b in zip(types, types[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    assert len(got) == len(counts)
+    row_tot = {}
+    for (a, _), n in counts.items():
+        row_tot[a] = row_tot.get(a, 0) + n
+    for _, row in got.iterrows():
+        n = counts[(row["from_type"], row["to_type"])]
+        assert row["n"] == n
+        assert row["p_permille"] == 1000 * n // row_tot[row["from_type"]]
+    # each row of the matrix sums to ~1000 permille (truncation slack < k)
+    sums = got.groupby("from_type")["p_permille"].sum()
+    assert ((sums > 995) & (sums <= 1000)).all()
+
+
+def test_gram_novelty_matches_python(spark):
+    from etl_jobs_spark.queries.dedup import (
+        dedup_gram_novelty_by_source,
+    )
+
+    got = dedup_gram_novelty_by_source(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    firsts = {}
+    slots = []
+    for _, r in docs.sort_values("doc_id").iterrows():
+        n = re.sub(r"\s+", " ", r["text"].lower().strip())
+        grams = (
+            {n}
+            if len(n) < 5
+            else {n[i : i + 5] for i in range(len(n) - 4)}
+        )
+        for g in grams:
+            firsts.setdefault(g, r["doc_id"])
+            slots.append((r["source"], r["doc_id"], g))
+    census = {}
+    for src, d, g in slots:
+        tot, nov = census.get(src, (0, 0))
+        census[src] = (tot + 1, nov + (1 if firsts[g] == d else 0))
+    assert len(got) == len(census)
+    for _, row in got.iterrows():
+        tot, nov = census[row["source"]]
+        assert row["n_gram_slots"] == tot
+        assert row["n_novel"] == nov
+        assert row["novelty_permille"] == 1000 * nov // tot
