@@ -162,6 +162,9 @@ _ROUND9_WINDOW_FRONT = [
     "pipeline_rag_retrieval_end_to_end",
     "agg_markov_transitions",
     "dedup_gram_novelty_by_source",
+    "embed_cell_label_purity",
+    "stat_pettitt_changepoint",
+    "agg_rfm_segments",
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

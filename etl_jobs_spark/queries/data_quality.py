@@ -2308,3 +2308,109 @@ def stat_proportion_ci_wilson(spark, sf_dir):
         F.round(F.expr(_WILSON_LO), 6).alias("ci_lo"),
         F.round(F.expr(_WILSON_HI), 6).alias("ci_hi"),
     )
+
+
+_PETTITT_P = (
+    "round(2.0 * exp(-6.0 * CAST(k_stat AS DOUBLE)"
+    " * CAST(k_stat AS DOUBLE)"
+    " / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)"
+    " * CAST(n_days AS DOUBLE)"
+    " + CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE))), 6)"
+)
+
+
+@register(
+    "stat_pettitt_changepoint",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    s AS (
+      SELECT a.d,
+             CAST(sum(CASE WHEN b.rev > a.rev THEN 1
+                           WHEN b.rev < a.rev THEN -1
+                           ELSE 0 END) AS BIGINT) AS st
+      FROM daily a JOIN daily b ON b.d <> a.d
+      GROUP BY a.d),
+    u AS (
+      SELECT d, CAST(sum(st) OVER (ORDER BY d
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ut
+      FROM s),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                  max(d) AS last_d FROM daily),
+    best AS (
+      SELECT u.d AS cp_day, u.ut AS u_at_cp, abs(u.ut) AS k_stat,
+             row_number() OVER (ORDER BY abs(u.ut) DESC, u.d ASC) AS rn
+      FROM u, nn WHERE u.d < nn.last_d)
+    SELECT nn.n_days, b.cp_day, b.u_at_cp,
+           CAST(b.k_stat AS BIGINT) AS k_stat,
+           {_PETTITT_P} AS p_approx
+    FROM best b, nn WHERE b.rn = 1
+    """,
+)
+def stat_pettitt_changepoint(spark, sf_dir):
+    """PETTITT CHANGEPOINT TEST on the daily-revenue series — the
+    rank-based (distribution-free) changepoint detector next to
+    ts_cusum_changepoint's mean-shift CUSUM: U_t counts
+    sign-agreements across every (before, after) split, K = max|U_t|
+    marks the most probable break day. Exact integers end-to-end via
+    the O(k²)-pairs identity U_t = U_{t-1} + Σ_j sgn(x_j − x_t)
+    (one pairwise join over the CALENDAR-bounded daily table — the
+    ts_theil_sen_trend cost envelope, never the fact table — then
+    ONE running-sum window); the split-day argmax ties to the
+    earliest day. The approximate significance 2·exp(−6K²/(n³+n²))
+    is one shared float expression over the exact integers, round 6.
+    Scale shape: one combinable daily rollup from the facts;
+    everything pairwise runs on k days."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    b = daily.select(F.col("d").alias("bd"), F.col("rev").alias("brev"))
+    s = (
+        daily.join(b, F.col("bd") != F.col("d"))
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.when(F.col("brev") > F.col("rev"), 1)
+                .when(F.col("brev") < F.col("rev"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("st")
+        )
+    )
+    u = s.select(
+        "d",
+        F.sum("st")
+        .over(W.orderBy("d").rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("ut"),
+    )
+    nn = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max("d").alias("last_d"),
+    )
+    best = (
+        u.crossJoin(F.broadcast(nn))
+        .filter(F.col("d") < F.col("last_d"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.orderBy(F.abs(F.col("ut")).desc(), F.col("d").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return best.select(
+        "n_days",
+        F.col("d").alias("cp_day"),
+        F.col("ut").alias("u_at_cp"),
+        F.abs(F.col("ut")).cast("bigint").alias("k_stat"),
+        F.expr(_PETTITT_P).alias("p_approx"),
+    )

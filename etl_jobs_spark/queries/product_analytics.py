@@ -1232,3 +1232,77 @@ def agg_markov_transitions(spark, sf_dir):
             " AS BIGINT)"
         ).alias("p_permille"),
     )
+
+
+@register(
+    "agg_rfm_segments",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             max(CAST(ts AS DATE)) AS last_d,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1),
+    scored AS (
+      SELECT user_id, cents,
+             CAST(ntile(4) OVER (ORDER BY last_d DESC, user_id ASC)
+                  AS BIGINT) AS r,
+             CAST(ntile(4) OVER (ORDER BY freq DESC, user_id ASC)
+                  AS BIGINT) AS f,
+             CAST(ntile(4) OVER (ORDER BY cents DESC, user_id ASC)
+                  AS BIGINT) AS m
+      FROM per_user)
+    SELECT r, f, m,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(sum(cents) // count(*) AS BIGINT) AS cents_per_user
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def agg_rfm_segments(spark, sf_dir):
+    """RFM SEGMENTATION census — recency/frequency/monetary quartile
+    scores per user (1 = best quartile on each axis, ntile over the
+    fully tie-broken order (metric, user_id) so the cut is
+    deterministic in both engines — the ts_sax_symbols ntile
+    discipline), rolled up to the 4x4x4 segment grid with user count
+    and monetary density. The classic lifecycle-marketing
+    segmentation (champions = 111, at-risk = high r with low f/m)
+    that sits one query above agg_retention_cohorts. Scale shape:
+    one combinable per-user rollup from the facts; the three ntile
+    windows run on the per-user table (global sort-windows on users,
+    not events — the documented exact-quartile audit of an
+    approx_percentile fit, per the feat_quantile_binning
+    precedent); the census is at most 64 rows."""
+    from pyspark.sql import Window as W
+
+    per_user = read_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.max(F.col("ts").cast("date")).alias("last_d"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    scored = per_user.select(
+        "user_id",
+        "cents",
+        F.ntile(4)
+        .over(W.orderBy(F.col("last_d").desc(), F.col("user_id").asc()))
+        .cast("bigint")
+        .alias("r"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("freq").desc(), F.col("user_id").asc()))
+        .cast("bigint")
+        .alias("f"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("cents").desc(), F.col("user_id").asc()))
+        .cast("bigint")
+        .alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.expr("CAST(sum(cents) DIV count(*) AS BIGINT)").alias(
+            "cents_per_user"
+        ),
+    )

@@ -1828,3 +1828,117 @@ def embed_mmr_diversified_topk(spark, sf_dir):
     on tiny keyed tables."""
     return _mmr_select(spark, read_table(spark, sf_dir, "embeddings"))
 
+
+
+def _cent_cte(base_only: bool = False) -> str:
+    """The centroid-literal VALUES table + corpus dispatch used by
+    the IVF oracles, as a reusable CTE body (same construction as
+    _ivf_oracle's `cent`)."""
+    import os
+
+    rows = []
+    cases = []
+    for ci, d in enumerate(_ORACLE_SF_DIRS):
+        if not os.path.isdir(d):
+            continue
+        cent = SIM.fit_quantizer_file(d, base_only=base_only)
+        n, chk = _corpus_signature(d)
+        cases.append(f"WHEN n = {n} AND chk = {chk} THEN {ci}")
+        for cell, c in enumerate(cent):
+            arr = ", ".join(SIM._lit_double(x) for x in c)
+            rows.append(f"({ci}, {cell}, [{arr}])")
+    return f"""
+      SELECT cell, centroid
+      FROM (VALUES {", ".join(rows)}) AS t(corpus, cell, centroid)
+      WHERE corpus = (
+        SELECT CASE {" ".join(cases)} ELSE -1 END FROM (
+          SELECT count(*) AS n,
+                 CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE)
+                                     * 1000000) AS BIGINT)) AS BIGINT) AS chk
+          FROM embeddings))"""
+
+
+def _purity_oracle() -> str:
+    d_e = SIM.cell_dist_expr("e.embedding", "c.centroid", "duckdb")
+    return f"""
+    WITH cent AS ({_cent_cte()}),
+    assign AS (
+      SELECT vec_id, label, cell FROM (
+        SELECT e.vec_id, e.label, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d_e} ASC, c.cell ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c)
+      WHERE rn = 1),
+    counts AS (
+      SELECT cell, label, CAST(count(*) AS BIGINT) AS n
+      FROM assign GROUP BY 1, 2),
+    maj AS (
+      SELECT cell, label AS top_label, n AS top_n,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY n DESC, label ASC) AS rn
+      FROM counts),
+    tot AS (
+      SELECT cell, CAST(sum(n) AS BIGINT) AS n_vecs,
+             CAST(count(*) AS BIGINT) AS n_labels
+      FROM counts GROUP BY 1)
+    SELECT t.cell, t.n_vecs, t.n_labels,
+           CAST(m.top_label AS BIGINT) AS top_label,
+           m.top_n,
+           CAST(1000 * m.top_n // t.n_vecs AS BIGINT) AS purity_permille
+    FROM tot t JOIN maj m ON m.cell = t.cell AND m.rn = 1
+    """
+
+
+@register("embed_cell_label_purity", oracle=_purity_oracle())
+def embed_cell_label_purity(spark, sf_dir):
+    """CLUSTER-PURITY EVALUATION of the IVF coarse quantizer against
+    the fixture's ground-truth label column: per cell, the majority
+    label's share in permille — the standard external clustering
+    metric (purity), and the eval that tells you whether the ANN
+    index's cells respect the corpus's semantic grouping (pure
+    cells → a probe rarely needs extra nprobe to find same-label
+    neighbors). Assignment reuses the ORACLE-PARITY codegen
+    projection (centroid literals, |c|²−2·x·c, ties to the lowest
+    cell) against the same deterministically-fitted quantizer every
+    IVF rung serves from; the census is exact-integer with
+    (count desc, label) majority tiebreak. Scale shape: one map-only
+    assignment pass + one combinable (cell, label) rollup; the
+    purity table is n_cells rows."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = ivf_quantizer(spark, sf_dir)
+    assigned = SIM.assign_cells_expr(centroids, emb, keep=["vec_id", "label"])
+    counts = assigned.groupBy("cell", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    from pyspark.sql import Window as W
+
+    maj = (
+        counts.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("cell").orderBy(
+                    F.col("n").desc(), F.col("label").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cell",
+            F.col("label").cast("bigint").alias("top_label"),
+            F.col("n").alias("top_n"),
+        )
+    )
+    tot = counts.groupBy("cell").agg(
+        F.sum("n").cast("bigint").alias("n_vecs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_labels"),
+    )
+    return tot.join(maj, "cell").select(
+        "cell",
+        "n_vecs",
+        "n_labels",
+        "top_label",
+        "top_n",
+        F.expr("CAST(1000 * top_n DIV n_vecs AS BIGINT)").alias(
+            "purity_permille"
+        ),
+    )

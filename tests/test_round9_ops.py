@@ -1121,3 +1121,99 @@ def test_gram_novelty_matches_python(spark):
         assert row["n_gram_slots"] == tot
         assert row["n_novel"] == nov
         assert row["novelty_permille"] == 1000 * nov // tot
+
+
+# ---------------------------------------------------------------------------
+# Wave-11: cell purity, Pettitt changepoint, RFM segments.
+# ---------------------------------------------------------------------------
+
+
+def test_cell_purity_matches_numpy(spark):
+    from etl_jobs_spark.operators.similarity import fit_quantizer_file
+    from etl_jobs_spark.queries.similarity import (
+        embed_cell_label_purity,
+    )
+
+    got = embed_cell_label_purity(spark, SF_DIR).toPandas()
+    df = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    cents = np.array(fit_quantizer_file(SF_DIR), dtype=np.float64)
+    d = (cents * cents).sum(1)[None, :] - 2.0 * (X @ cents.T)
+    cell = d.argmin(1)  # numpy argmin ties to lowest index, same rule
+    lab = df["label"].to_numpy()
+    for _, row in got.iterrows():
+        mask = cell == row["cell"]
+        assert row["n_vecs"] == int(mask.sum())
+        vals, counts = np.unique(lab[mask], return_counts=True)
+        top = min(zip(-counts, vals))  # count desc, label asc
+        assert row["top_label"] == top[1]
+        assert row["top_n"] == -top[0]
+        assert row["purity_permille"] == 1000 * -top[0] // mask.sum()
+    assert got["n_vecs"].sum() == len(df)
+
+
+def test_pettitt_matches_python(spark):
+    from etl_jobs_spark.queries.data_quality import (
+        stat_pettitt_changepoint,
+    )
+
+    got = stat_pettitt_changepoint(spark, SF_DIR).collect()[0].asDict()
+    daily = _daily(SF_DIR).reset_index(drop=True)
+    x = daily["rev"].tolist()
+    n = len(x)
+    best = None
+    for t in range(n - 1):
+        u = sum(
+            (0 if x[j] == x[i] else (1 if x[j] > x[i] else -1))
+            for i in range(t + 1)
+            for j in range(t + 1, n)
+        )
+        key = (-abs(u), daily["d"][t])
+        if best is None or key < best[0]:
+            best = (key, daily["d"][t], u)
+    assert got["n_days"] == n
+    assert got["cp_day"] == best[1]
+    assert got["u_at_cp"] == best[2]
+    assert got["k_stat"] == abs(best[2])
+    p = 2.0 * math.exp(-6.0 * best[2] ** 2 / (n**3 + n**2))
+    assert got["p_approx"] == pytest.approx(p, abs=1e-6)
+
+
+def test_rfm_segments_match_pandas(spark):
+    from etl_jobs_spark.queries.product_analytics import agg_rfm_segments
+
+    got = agg_rfm_segments(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    per = (
+        ev.assign(
+            d=pd.to_datetime(ev["ts"]).dt.date,
+            cents=(ev["value"] * 100).round().astype("int64"),
+        )
+        .groupby("user_id")
+        .agg(last_d=("d", "max"), freq=("d", "size"), cents=("cents", "sum"))
+        .reset_index()
+    )
+    n = len(per)
+
+    def ntile4(order_cols, ascending):
+        s = per.sort_values(order_cols, ascending=ascending, ignore_index=True)
+        base, extra = divmod(n, 4)
+        tile = []
+        for q in range(4):
+            tile += [q + 1] * (base + (1 if q < extra else 0))
+        return dict(zip(s["user_id"], tile))
+
+    r = ntile4(["last_d", "user_id"], [False, True])
+    f = ntile4(["freq", "user_id"], [False, True])
+    m = ntile4(["cents", "user_id"], [False, True])
+    census = {}
+    for _, row in per.iterrows():
+        key = (r[row["user_id"]], f[row["user_id"]], m[row["user_id"]])
+        cnt, tot = census.get(key, (0, 0))
+        census[key] = (cnt + 1, tot + int(row["cents"]))
+    assert len(got) == len(census)
+    for _, row in got.iterrows():
+        cnt, tot = census[(row["r"], row["f"], row["m"])]
+        assert row["n_users"] == cnt
+        assert row["total_cents"] == tot
+        assert row["cents_per_user"] == tot // cnt
