@@ -165,6 +165,9 @@ _ROUND9_WINDOW_FRONT = [
     "embed_cell_label_purity",
     "stat_pettitt_changepoint",
     "agg_rfm_segments",
+    "stat_levene_bf",
+    "dedup_threshold_sensitivity",
+    "agg_new_vs_returning",
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

@@ -1885,8 +1885,8 @@ def _anova_moment_cols() -> str:
     WITH m AS (SELECT {_anova_moment_cols()} FROM events)
     SELECT CAST({' + '.join(f'g{i}_n' for i in range(len(_EVENT_TYPES)))} AS BIGINT) AS n,
            CAST({len(_EVENT_TYPES)} AS BIGINT) AS k,
-           round({_ANOVA_SSB}, 4) AS ssb,
-           round({_ANOVA_SSW}, 4) AS ssw,
+           CAST({' + '.join(f'g{i}_sum' for i in range(len(_EVENT_TYPES)))} AS BIGINT) AS sum_cents,
+           CAST({' + '.join(f'g{i}_ssq' for i in range(len(_EVENT_TYPES)))} AS BIGINT) AS ssq_cents,
            round({_ANOVA_F}, 6) AS f_stat
     FROM m
     """,
@@ -1897,10 +1897,14 @@ def stat_anova_f(spark, sf_dir):
     differ in mean value?). The engine computes the 15 group
     moments (n, Σcents, Σcents²) in ONE conditional-aggregation
     pass with the groups as FIXED literals in _EVENT_TYPES order;
-    SSB/SSW/F are one shared expression text whose double additions
-    are written out term-by-term in that order — the
-    fixed-order float discipline, strictly stronger than relying on
-    tiny-table single-partition luck. Groups are the five fixture
+    F is one shared expression text whose double additions are
+    written out term-by-term in that order — the fixed-order float
+    discipline. The AUDIT columns are the exact BIGINT moment
+    totals, NOT rounded SSB/SSW floats: round(x, 4) of a ~1e11
+    double is cross-engine UNSTABLE (Spark rounds via exact
+    BigDecimal, DuckDB via double multiply — 3-ulp divergence
+    observed at sf0.01), so only the small-magnitude statistic is
+    rounded. Groups are the five fixture
     event types; an unseen type is excluded by construction (the
     conditional sums) — generalizing to data-driven groups means
     sorting group moments into a deterministic order first (stated).
@@ -1919,11 +1923,13 @@ def stat_anova_f(spark, sf_dir):
         ]
     m = read_table(spark, sf_dir, "events").agg(*moments)
     n_expr = " + ".join(f"g{i}_n" for i in range(len(_EVENT_TYPES)))
+    s_expr = " + ".join(f"g{i}_sum" for i in range(len(_EVENT_TYPES)))
+    q_expr = " + ".join(f"g{i}_ssq" for i in range(len(_EVENT_TYPES)))
     return m.select(
         F.expr(f"CAST({n_expr} AS BIGINT)").alias("n"),
         F.lit(len(_EVENT_TYPES)).cast("bigint").alias("k"),
-        F.round(F.expr(_ANOVA_SSB), 4).alias("ssb"),
-        F.round(F.expr(_ANOVA_SSW), 4).alias("ssw"),
+        F.expr(f"CAST({s_expr} AS BIGINT)").alias("sum_cents"),
+        F.expr(f"CAST({q_expr} AS BIGINT)").alias("ssq_cents"),
         F.round(F.expr(_ANOVA_F), 6).alias("f_stat"),
     )
 
@@ -2413,4 +2419,105 @@ def stat_pettitt_changepoint(spark, sf_dir):
         F.col("ut").alias("u_at_cp"),
         F.abs(F.col("ut")).cast("bigint").alias("k_stat"),
         F.expr(_PETTITT_P).alias("p_approx"),
+    )
+
+
+def _bf_moment_cols() -> str:
+    """Conditional-aggregation moments of z = |cents − group median|
+    per fixed group (the ANOVA fixed-order discipline); the median
+    itself is the type-1 order statistic (value at row
+    ceil(n/2)) under the total order (cents, event_id)."""
+    cols = []
+    for i, t in enumerate(_EVENT_TYPES):
+        cols += [
+            f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS g{i}_n",
+            f"CAST(sum(CASE WHEN event_type = '{t}' THEN z ELSE 0 END) AS BIGINT) AS g{i}_sum",
+            f"CAST(sum(CASE WHEN event_type = '{t}' THEN z * z ELSE 0 END) AS BIGINT) AS g{i}_ssq",
+        ]
+    return ", ".join(cols)
+
+
+@register(
+    "stat_levene_bf",
+    oracle=f"""
+    WITH cents AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    ranked AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY c ASC, event_id ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM cents),
+    med AS (
+      SELECT event_type,
+             max(CASE WHEN rn = (2 * n + 3) // 4 THEN c END) AS med
+      FROM ranked GROUP BY 1),
+    z AS (
+      SELECT c.event_type, abs(c.c - m.med) AS z
+      FROM cents c JOIN med m ON m.event_type = c.event_type),
+    m AS (SELECT {_bf_moment_cols()} FROM z)
+    SELECT CAST({' + '.join(f'g{i}_n' for i in range(len(_EVENT_TYPES)))} AS BIGINT) AS n,
+           CAST({len(_EVENT_TYPES)} AS BIGINT) AS k,
+           CAST({' + '.join(f'g{i}_sum' for i in range(len(_EVENT_TYPES)))} AS BIGINT) AS sum_z,
+           CAST({' + '.join(f'g{i}_ssq' for i in range(len(_EVENT_TYPES)))} AS BIGINT) AS ssq_z,
+           round({_ANOVA_F}, 6) AS w_stat
+    FROM m
+    """,
+)
+def stat_levene_bf(spark, sf_dir):
+    """BROWN–FORSYTHE TEST (Levene with the median center) for
+    variance homogeneity across the five event types — the check
+    that should run BEFORE anyone trusts a pooled-variance statistic
+    (stat_cohens_d's pooled SD, classic ANOVA): W is the one-way
+    ANOVA F computed on z = |x − group median|. Group medians are
+    the same pure-integer type-1 order statistics as
+    feat_robust_scale (no quantile interpolation float); z values
+    are exact BIGINTs; W reuses stat_anova_f's fixed-order moment
+    expressions verbatim. Scale shape: one keyed rank window for the
+    medians (the documented exact-audit trade), then one combinable
+    conditional-aggregation pass."""
+    from pyspark.sql import Window as W
+
+    cents = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+    )
+    ranked = cents.select(
+        "event_type",
+        "c",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("c", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(2 * n + 3) DIV 4"), F.col("c"))
+        ).alias("med")
+    )
+    z = cents.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("c") - F.col("med")).alias("z")
+    )
+    moments = []
+    for i, t in enumerate(_EVENT_TYPES):
+        zc = F.expr(f"CASE WHEN event_type = '{t}' THEN z ELSE 0 END")
+        one = F.when(F.col("event_type") == t, 1).otherwise(0)
+        moments += [
+            F.sum(one).cast("bigint").alias(f"g{i}_n"),
+            F.sum(zc).cast("bigint").alias(f"g{i}_sum"),
+            F.sum(zc * zc).cast("bigint").alias(f"g{i}_ssq"),
+        ]
+    m = z.agg(*moments)
+    n_expr = " + ".join(f"g{i}_n" for i in range(len(_EVENT_TYPES)))
+    s_expr = " + ".join(f"g{i}_sum" for i in range(len(_EVENT_TYPES)))
+    q_expr = " + ".join(f"g{i}_ssq" for i in range(len(_EVENT_TYPES)))
+    return m.select(
+        F.expr(f"CAST({n_expr} AS BIGINT)").alias("n"),
+        F.lit(len(_EVENT_TYPES)).cast("bigint").alias("k"),
+        F.expr(f"CAST({s_expr} AS BIGINT)").alias("sum_z"),
+        F.expr(f"CAST({q_expr} AS BIGINT)").alias("ssq_z"),
+        F.round(F.expr(_ANOVA_F), 6).alias("w_stat"),
     )

@@ -1237,3 +1237,53 @@ def dedup_gram_novelty_by_source(spark, sf_dir):
             ).alias("novelty_permille"),
         )
     )
+
+
+#: Similarity thresholds for the dedup sensitivity curve (applied to
+#: the 4-dp-rounded MinHash estimate, identical in both engines).
+_SENS_TAUS = (0.25, 0.5, 0.75, 1.0)
+
+
+def _sensitivity_oracle() -> str:
+    from etl_jobs_spark.registry import _REGISTRY
+
+    pairs = _REGISTRY["dedup_minhash_lsh"].oracle
+    taus = ", ".join(f"({t})" for t in _SENS_TAUS)
+    return f"""
+    WITH pairs AS ({pairs}),
+    taus AS (SELECT * FROM (VALUES {taus}) t(tau)),
+    hits AS (
+      SELECT t.tau, p.doc_a, p.doc_b
+      FROM pairs p JOIN taus t ON p.est_sim >= t.tau)
+    SELECT tau,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_dropped
+    FROM hits GROUP BY 1
+    """
+
+
+@register("dedup_threshold_sensitivity", oracle=_sensitivity_oracle())
+def dedup_threshold_sensitivity(spark, sf_dir):
+    """DEDUP THRESHOLD SENSITIVITY CURVE: candidate-pair count and
+    keep-first drop count at each similarity cutoff — the curve an
+    operator reads BEFORE picking the near-dup threshold (too low
+    deletes paraphrases, too high keeps boilerplate; the knee is a
+    data property, not a constant). Runs entirely off the shared
+    MinHash pair memo (nested registered oracle); docs_dropped
+    counts DISTINCT higher-id pair members — the keep-lowest-id
+    survivor rule's drop set, so the curve states actual corpus
+    shrinkage per tau, not just pair volume. Thresholds compare the
+    4-dp-rounded estimate, identical in both engines. Scale shape:
+    a |taus|-way fan-out of the (already banded-LSH-bounded) pair
+    table, one combinable rollup."""
+    from pyspark.sql import Row
+
+    pairs = _minhash_pairs(spark, sf_dir)
+    taus = F.broadcast(
+        spark.createDataFrame([Row(tau=t) for t in _SENS_TAUS])
+    )
+    hits = pairs.crossJoin(taus).filter(F.col("est_sim") >= F.col("tau"))
+    return hits.groupBy("tau").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.countDistinct("doc_b").cast("bigint").alias("n_docs_dropped"),
+    )

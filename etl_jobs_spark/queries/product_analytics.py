@@ -1306,3 +1306,63 @@ def agg_rfm_segments(spark, sf_dir):
             "cents_per_user"
         ),
     )
+
+
+@register(
+    "agg_new_vs_returning",
+    oracle="""
+    WITH weekly AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7
+               AS wk
+      FROM events),
+    firsts AS (
+      SELECT user_id, min(wk) AS first_wk FROM weekly GROUP BY 1)
+    SELECT w.wk,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(CASE WHEN w.wk = f.first_wk THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN w.wk > f.first_wk THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returning,
+           CAST(1000 * sum(CASE WHEN w.wk > f.first_wk THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS returning_permille
+    FROM weekly w JOIN firsts f ON f.user_id = w.user_id
+    GROUP BY 1
+    """,
+)
+def agg_new_vs_returning(spark, sf_dir):
+    """NEW vs RETURNING users per week — the growth-accounting split
+    every product dashboard leads with (acquisition vs retention in
+    one curve; agg_retention_cohorts shows the decay surface, this
+    shows the weekly mix). Weeks are integer Monday-epoch buckets
+    (days since 1970-01-05, a Monday, DIV 7 — pure integer, no
+    dialect week() semantics to reconcile); first-week per user is
+    one min aggregation over the DEDUPED (user, week) table.
+    Scale shape: dedup shuffle on (user, week), a user-keyed min,
+    one broadcast-able re-join, one combinable rollup — the
+    incremental version keeps firsts as the running dimension."""
+    ev = read_table(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id",
+        F.expr(
+            "datediff(CAST(ts AS DATE), DATE '1970-01-05') DIV 7"
+        ).alias("wk"),
+    ).distinct()
+    firsts = weekly.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    return (
+        weekly.join(firsts, "user_id")
+        .groupBy("wk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+            F.sum(F.when(F.col("wk") == F.col("first_wk"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(F.col("wk") > F.col("first_wk"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_returning"),
+            F.expr(
+                "CAST(1000 * sum(CASE WHEN wk > first_wk THEN 1 ELSE 0 END)"
+                " DIV count(*) AS BIGINT)"
+            ).alias("returning_permille"),
+        )
+    )

@@ -421,8 +421,8 @@ def test_anova_f_matches_bruteforce(spark):
     ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
     f = (ssb / (k - 1)) / (ssw / (n - k))
     assert got["n"] == n and got["k"] == k
-    assert got["ssb"] == pytest.approx(ssb, rel=1e-9)
-    assert got["ssw"] == pytest.approx(ssw, rel=1e-9)
+    assert got["sum_cents"] == sum(int(g.sum()) for g in groups)
+    assert got["ssq_cents"] == sum(int((g * g).sum()) for g in groups)
     assert got["f_stat"] == pytest.approx(f, abs=1e-6)
 
 
@@ -1217,3 +1217,97 @@ def test_rfm_segments_match_pandas(spark):
         assert row["n_users"] == cnt
         assert row["total_cents"] == tot
         assert row["cents_per_user"] == tot // cnt
+
+
+# ---------------------------------------------------------------------------
+# Wave-12: Brown-Forsythe, threshold sensitivity, new-vs-returning.
+# ---------------------------------------------------------------------------
+
+
+def test_levene_bf_matches_python(spark):
+    from etl_jobs_spark.queries.data_quality import (
+        _EVENT_TYPES,
+        stat_levene_bf,
+    )
+
+    got = stat_levene_bf(spark, SF_DIR).collect()[0].asDict()
+    ev = _cents(SF_DIR, list(_EVENT_TYPES))
+    zs = []
+    for t in _EVENT_TYPES:
+        sub = ev[ev["event_type"] == t].sort_values(
+            ["cents", "event_id"], ignore_index=True
+        )
+        n = len(sub)
+        med = sub["cents"].iloc[(2 * n + 3) // 4 - 1]
+        zs.append((sub["cents"] - med).abs().to_numpy())
+    n = sum(len(z) for z in zs)
+    k = len(zs)
+    grand = sum(float(z.sum()) for z in zs) / n
+    ssb = sum(len(z) * (z.mean() - grand) ** 2 for z in zs)
+    ssw = sum(((z - z.mean()) ** 2).sum() for z in zs)
+    w = (ssb / (k - 1)) / (ssw / (n - k))
+    assert got["n"] == n and got["k"] == k
+    assert got["sum_z"] == sum(int(z.sum()) for z in zs)
+    assert got["ssq_z"] == sum(int((z * z).sum()) for z in zs)
+    assert got["w_stat"] == pytest.approx(w, abs=1e-6)
+
+
+def test_threshold_sensitivity_monotone(spark):
+    from etl_jobs_spark.queries.dedup import (
+        _SENS_TAUS,
+        dedup_minhash_lsh,
+        dedup_threshold_sensitivity,
+    )
+
+    got = (
+        dedup_threshold_sensitivity(spark, SF_DIR)
+        .orderBy("tau")
+        .toPandas()
+    )
+    pairs = dedup_minhash_lsh(spark, SF_DIR).toPandas()
+    for _, row in got.iterrows():
+        hit = pairs[pairs["est_sim"] >= row["tau"]]
+        assert row["n_pairs"] == len(hit)
+        assert row["n_docs_dropped"] == hit["doc_b"].nunique()
+    # the curve must be monotone non-increasing in tau
+    assert (got["n_pairs"].diff().dropna() <= 0).all()
+    # the planted verbatim-ish duplicates guarantee hits at tau=1.0 or
+    # at least at 0.75 (mutated replicas)
+    assert got["n_pairs"].iloc[-2] > 0
+
+
+def test_new_vs_returning_matches_python(spark):
+    from etl_jobs_spark.queries.product_analytics import (
+        agg_new_vs_returning,
+    )
+
+    got = agg_new_vs_returning(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    days = (
+        pd.to_datetime(ev["ts"]).dt.normalize()
+        - pd.Timestamp("1970-01-05")
+    ).dt.days
+    wk = days // 7
+    weekly = set(zip(ev["user_id"], wk))
+    firsts = {}
+    for u, w in weekly:
+        firsts[u] = min(firsts.get(u, w), w)
+    census = {}
+    for u, w in weekly:
+        a, nn, r = census.get(w, (0, 0, 0))
+        census[w] = (
+            a + 1,
+            nn + (1 if firsts[u] == w else 0),
+            r + (1 if w > firsts[u] else 0),
+        )
+    assert len(got) == len(census)
+    for _, row in got.iterrows():
+        a, nn, r = census[row["wk"]]
+        assert row["n_active"] == a
+        assert row["n_new"] == nn
+        assert row["n_returning"] == r
+        assert row["returning_permille"] == 1000 * r // a
+    # sanity: the first observed week is all-new
+    first_wk = got["wk"].min()
+    fr = got[got["wk"] == first_wk].iloc[0]
+    assert fr["n_new"] == fr["n_active"]
