@@ -168,6 +168,9 @@ _ROUND9_WINDOW_FRONT = [
     "stat_levene_bf",
     "dedup_threshold_sensitivity",
     "agg_new_vs_returning",
+    "embed_dim_variance_topk",
+    "text_hapax_ratio",
+    "stat_mann_kendall_trend",
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

@@ -2521,3 +2521,102 @@ def stat_levene_bf(spark, sf_dir):
         F.expr(f"CAST({q_expr} AS BIGINT)").alias("ssq_z"),
         F.round(F.expr(_ANOVA_F), 6).alias("w_stat"),
     )
+
+
+_MK_Z = """
+    CASE WHEN var18 <= 0 THEN NULL
+         WHEN s_stat > 0 THEN round((CAST(s_stat AS DOUBLE) - 1.0)
+              / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)
+         WHEN s_stat < 0 THEN round((CAST(s_stat AS DOUBLE) + 1.0)
+              / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)
+         ELSE 0.0 END
+"""
+
+
+@register(
+    "stat_mann_kendall_trend",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    s AS (
+      SELECT CAST(sum(CASE WHEN b.rev > a.rev THEN 1
+                           WHEN b.rev < a.rev THEN -1
+                           ELSE 0 END) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b ON b.d > a.d),
+    ties AS (
+      SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+                  AS BIGINT) AS tie18
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t
+            FROM daily GROUP BY rev)),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+    agg AS (
+      SELECT nn.n_days, s.s_stat,
+             CAST(nn.n_days * (nn.n_days - 1) * (2 * nn.n_days + 5)
+                  - t.tie18 AS BIGINT) AS var18
+      FROM nn, s, ties t)
+    SELECT n_days, s_stat, var18, {_MK_Z} AS z
+    FROM agg
+    """,
+)
+def stat_mann_kendall_trend(spark, sf_dir):
+    """MANN–KENDALL TREND TEST on the daily-revenue series — the
+    rank-based monotone-trend detector that pairs with
+    ts_theil_sen_trend's slope (MK answers 'is there a trend',
+    Theil–Sen 'how steep'), on the SAME daily base as the
+    kendall/spearman/pettitt family. S = Σ_{i<j} sgn(x_j − x_i) is
+    one pairwise integer join over the CALENDAR-bounded daily
+    table; the tie-corrected variance n(n−1)(2n+5) − Σt(t−1)(2t+5)
+    is carried ×18 as an exact BIGINT (bound: n³ — safe beyond a
+    century of days); the continuity-corrected z is one shared
+    float expression over the exact integers, round 6, NULL on the
+    degenerate all-tied series in both engines. Scale: one
+    combinable daily rollup from the facts, k² pairwork on days."""
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    b = daily.select(F.col("d").alias("bd"), F.col("rev").alias("brev"))
+    s = (
+        daily.join(b, F.col("bd") > F.col("d"))
+        .agg(
+            F.sum(
+                F.when(F.col("brev") > F.col("rev"), 1)
+                .when(F.col("brev") < F.col("rev"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("rev")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie18")
+        )
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    agg = (
+        nn.crossJoin(s)
+        .crossJoin(ties)
+        .select(
+            "n_days",
+            "s_stat",
+            F.expr(
+                "CAST(n_days * (n_days - 1) * (2 * n_days + 5)"
+                " - tie18 AS BIGINT)"
+            ).alias("var18"),
+        )
+    )
+    return agg.select("n_days", "s_stat", "var18", F.expr(_MK_Z).alias("z"))

@@ -1942,3 +1942,80 @@ def embed_cell_label_purity(spark, sf_dir):
             "purity_permille"
         ),
     )
+
+
+_DIMVAR_TOPN = 8
+
+
+@register(
+    "embed_dim_variance_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT generate_subscripts(embedding, 1) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                        * {_DRIFT_SCALE} + 0.5) AS BIGINT) AS qv
+      FROM embeddings),
+    m AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(qv) AS BIGINT) AS s,
+             CAST(sum(qv * qv) AS BIGINT) AS sq
+      FROM q GROUP BY 1),
+    v AS (
+      SELECT d, n,
+             CAST(sq // n - (s // n) * (s // n) AS BIGINT)
+               AS var_micro2
+      FROM m)
+    SELECT CAST(d AS INT) AS d, n, var_micro2,
+           CAST(row_number() OVER (ORDER BY var_micro2 DESC, d ASC)
+                AS BIGINT) AS rnk
+    FROM v
+    ORDER BY rnk LIMIT {_DIMVAR_TOPN}
+    """,
+)
+def embed_dim_variance_topk(spark, sf_dir):
+    """PER-DIMENSION VARIANCE RANKING of the embedding corpus (top
+    {_DIMVAR_TOPN} dims) — the sanity profile behind every
+    truncation decision (matryoshka prefix serving, PCA loading
+    checks: if variance is flat across dims, prefix truncation is
+    lossy; if concentrated, it is nearly free). Integer end-to-end
+    via the micro-unit grid (_DRIFT_SCALE discipline) and the
+    DIV-moment identity sq/n − (s/n)² with TRUNCATING division —
+    a stated, engine-identical estimator (the exact-rational
+    variance times 1±1e-6 grid error); overflow bound: Σq² ≤
+    n·1e12, safe to n ~ 9e6 vectors, and the per-dim moments are
+    combinable so the cluster-scale fix is a pre-shift, not a plan
+    change. One posexplode + one (dim)-keyed aggregation — the
+    embed_pca_power_iter long-form shape without the iterations."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.posexplode(
+            F.expr(
+                f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+                f" * {_DRIFT_SCALE} + 0.5) AS BIGINT))"
+            )
+        ).alias("d0", "qv")
+    )
+    m = q.groupBy((F.col("d0") + 1).alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qv").cast("bigint").alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).cast("bigint").alias("sq"),
+    )
+    v = m.select(
+        F.col("d").cast("int").alias("d"),
+        "n",
+        F.expr("CAST(sq DIV n - (s DIV n) * (s DIV n) AS BIGINT)").alias(
+            "var_micro2"
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    return (
+        v.withColumn(
+            "rnk",
+            F.row_number()
+            .over(W.orderBy(F.col("var_micro2").desc(), F.col("d").asc()))
+            .cast("bigint"),
+        )
+        .filter(F.col("rnk") <= _DIMVAR_TOPN)
+        .select("d", "n", "var_micro2", "rnk")
+    )

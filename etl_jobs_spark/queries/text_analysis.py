@@ -1392,3 +1392,80 @@ def text_readability(spark, sf_dir):
         F.round(F.expr(_FRE_EXPR), 4).alias("flesch_reading_ease"),
         F.round(F.expr(_FK_EXPR), 4).alias("fk_grade"),
     )
+
+
+@register(
+    "text_hapax_ratio",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({word_tokens('n', 'duckdb')}) AS tok
+      FROM (SELECT source, {norm_text('text', 'duckdb')} AS n
+            FROM documents)),
+    vocab AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS corpus_freq
+      FROM toks GROUP BY 1),
+    per_source AS (
+      SELECT t.source,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT t.tok) AS BIGINT) AS n_types,
+             CAST(count(DISTINCT CASE WHEN v.corpus_freq = 1
+                                      THEN t.tok END) AS BIGINT)
+               AS n_hapax
+      FROM toks t JOIN vocab v ON v.tok = t.tok
+      GROUP BY 1)
+    SELECT source, n_tokens, n_types, n_hapax,
+           CAST(1000 * n_hapax // n_types AS BIGINT)
+             AS hapax_permille,
+           CAST(1000 * n_types // n_tokens AS BIGINT)
+             AS ttr_permille
+    FROM per_source
+    """,
+)
+def text_hapax_ratio(spark, sf_dir):
+    """LEXICAL-RICHNESS census per source: hapax legomena (tokens
+    occurring EXACTLY ONCE corpus-wide) as a share of each source's
+    type inventory, next to the type-token ratio — the
+    vocabulary-quality diagnostics corpus linguists and tokenizer
+    trainers read together (hapax-heavy sources are noisy/OCR-ish;
+    hapax-starved sources are templated — both distort a BPE fit).
+    Corpus frequency is ONE token-keyed aggregation (the BPE/tf-idf
+    shuffle the text tier already pays, hashes-not-text applies via
+    dictionary encoding at the shuffle); the per-source census
+    re-joins it and counts distinct types. All-integer permille
+    outputs. Scale: both aggregations are combinable; the vocab
+    table is vocabulary-sized, not corpus-sized."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source", F.expr(norm_text("text", "spark")).alias("n")
+    )
+    toks = docs.select(
+        "source",
+        F.explode(F.expr(word_tokens("n", "spark"))).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("corpus_freq")
+    )
+    per_source = (
+        toks.join(vocab, "tok")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.countDistinct("tok").cast("bigint").alias("n_types"),
+            F.countDistinct(
+                F.when(F.col("corpus_freq") == 1, F.col("tok"))
+            )
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+    )
+    return per_source.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.expr("CAST(1000 * n_hapax DIV n_types AS BIGINT)").alias(
+            "hapax_permille"
+        ),
+        F.expr("CAST(1000 * n_types DIV n_tokens AS BIGINT)").alias(
+            "ttr_permille"
+        ),
+    )

@@ -1311,3 +1311,85 @@ def test_new_vs_returning_matches_python(spark):
     first_wk = got["wk"].min()
     fr = got[got["wk"] == first_wk].iloc[0]
     assert fr["n_new"] == fr["n_active"]
+
+
+# ---------------------------------------------------------------------------
+# Wave-13: dim variance, hapax ratio, Mann-Kendall.
+# ---------------------------------------------------------------------------
+
+
+def test_dim_variance_matches_numpy(spark):
+    from etl_jobs_spark.queries.similarity import (
+        _DIMVAR_TOPN,
+        embed_dim_variance_topk,
+    )
+
+    got = embed_dim_variance_topk(spark, SF_DIR).orderBy("rnk").toPandas()
+    ids, X = _emb(SF_DIR)
+    Q = np.floor(X.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
+    n = len(Q)
+
+    def tdiv(a, b):  # engines' DIV truncates toward zero; numpy floors
+        return np.sign(a) * (np.abs(a) // b)
+
+    var = tdiv((Q * Q).sum(0), n) - tdiv(Q.sum(0), n) ** 2
+    order = sorted(range(64), key=lambda d: (-var[d], d))[:_DIMVAR_TOPN]
+    assert list(got["d"]) == [d + 1 for d in order]
+    for _, row in got.iterrows():
+        assert row["var_micro2"] == var[row["d"] - 1]
+        assert row["n"] == n
+
+
+def test_hapax_ratio_matches_python(spark):
+    from etl_jobs_spark.queries.text_analysis import text_hapax_ratio
+
+    got = text_hapax_ratio(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    freq = {}
+    per_src = {}
+    for _, r in docs.iterrows():
+        n = re.sub(r"\s+", " ", r["text"].lower().strip())
+        toks = n.split(" ")
+        per_src.setdefault(r["source"], []).extend(toks)
+        for t in toks:
+            freq[t] = freq.get(t, 0) + 1
+    for _, row in got.iterrows():
+        toks = per_src[row["source"]]
+        types = set(toks)
+        hapax = {t for t in types if freq[t] == 1}
+        assert row["n_tokens"] == len(toks)
+        assert row["n_types"] == len(types)
+        assert row["n_hapax"] == len(hapax)
+        assert row["hapax_permille"] == 1000 * len(hapax) // len(types)
+        assert row["ttr_permille"] == 1000 * len(types) // len(toks)
+
+
+def test_mann_kendall_matches_python(spark):
+    from etl_jobs_spark.queries.data_quality import (
+        stat_mann_kendall_trend,
+    )
+
+    got = stat_mann_kendall_trend(spark, SF_DIR).collect()[0].asDict()
+    x = _daily(SF_DIR)["rev"].tolist()
+    n = len(x)
+    s = sum(
+        (0 if x[j] == x[i] else (1 if x[j] > x[i] else -1))
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie18 = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(x).values()
+    )
+    var18 = n * (n - 1) * (2 * n + 5) - tie18
+    assert got["n_days"] == n
+    assert got["s_stat"] == s
+    assert got["var18"] == var18
+    if s > 0:
+        z = (s - 1) / math.sqrt(var18 / 18.0)
+    elif s < 0:
+        z = (s + 1) / math.sqrt(var18 / 18.0)
+    else:
+        z = 0.0
+    assert got["z"] == pytest.approx(z, abs=1e-6)
