@@ -171,6 +171,7 @@ _ROUND9_WINDOW_FRONT = [
     "embed_dim_variance_topk",
     "text_hapax_ratio",
     "stat_mann_kendall_trend",
+    "agg_lorenz_deciles",
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

@@ -1366,3 +1366,78 @@ def agg_new_vs_returning(spark, sf_dir):
             ).alias("returning_permille"),
         )
     )
+
+
+@register(
+    "agg_lorenz_deciles",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1),
+    tiled AS (
+      SELECT cents,
+             CAST(ntile(10) OVER (ORDER BY cents ASC, user_id ASC)
+                  AS BIGINT) AS decile
+      FROM per_user),
+    per_decile AS (
+      SELECT decile,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(cents) AS BIGINT) AS decile_cents
+      FROM tiled GROUP BY 1)
+    SELECT decile, n_users, decile_cents,
+           CAST(sum(decile_cents) OVER (ORDER BY decile
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+           CAST(1000 * sum(decile_cents) OVER (ORDER BY decile
+                ROWS UNBOUNDED PRECEDING)
+                // sum(decile_cents) OVER () AS BIGINT)
+             AS cum_share_permille
+    FROM per_decile
+    """,
+)
+def agg_lorenz_deciles(spark, sf_dir):
+    """LORENZ CURVE by user-revenue decile: cumulative revenue share
+    (permille) of the poorest k/10 of users — the distribution
+    curve agg_gini_revenue's single coefficient summarizes (the
+    decile table is what actually goes on the dashboard, and the
+    [decile 10 share] is the whale-concentration number). Deciles
+    are deterministic ntile over the fully tie-broken (cents,
+    user_id) order; shares are truncating integer division over
+    exact cent sums. Scale: one combinable per-user rollup; the
+    ntile's global sort-window runs on USERS (the documented
+    exact-quartile audit trade); the curve is 10 rows."""
+    from pyspark.sql import Window as W
+
+    per_user = read_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    tiled = per_user.select(
+        "cents",
+        F.ntile(10)
+        .over(W.orderBy(F.col("cents").asc(), F.col("user_id").asc()))
+        .cast("bigint")
+        .alias("decile"),
+    )
+    per_decile = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("cents").cast("bigint").alias("decile_cents"),
+    )
+    cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    tot = W.orderBy("decile").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return per_decile.select(
+        "decile",
+        "n_users",
+        "decile_cents",
+        F.sum("decile_cents").over(cum).cast("bigint").alias("cum_cents"),
+        F.expr(
+            "CAST(1000 * sum(decile_cents) OVER (ORDER BY decile"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " DIV sum(decile_cents) OVER (ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT)"
+        ).alias("cum_share_permille"),
+    )
