@@ -172,6 +172,9 @@ _ROUND9_WINDOW_FRONT = [
     "text_hapax_ratio",
     "stat_mann_kendall_trend",
     "agg_lorenz_deciles",
+    "ts_anomaly_seasonal_mad",
+    "embed_exact_dup_audit",
+    "governance_retention_ttl_audit",
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

@@ -2620,3 +2620,80 @@ def stat_mann_kendall_trend(spark, sf_dir):
         )
     )
     return agg.select("n_days", "s_stat", "var18", F.expr(_MK_Z).alias("z"))
+
+
+#: Retention TTL (days) for the deletion-backlog audit.
+_TTL_DAYS = 20
+
+
+@register(
+    "governance_retention_ttl_audit",
+    oracle=f"""
+    WITH wm AS (
+      SELECT max(CAST(ts AS DATE)) AS wm_d FROM events),
+    ev AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN CAST(ts AS DATE)
+                              < wm.wm_d - {_TTL_DAYS} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_expired
+      FROM events, wm),
+    ord AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN CAST(o_orderdate AS DATE)
+                              < wm.wm_d - {_TTL_DAYS} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_expired
+      FROM orders, wm)
+    SELECT 'events' AS table_name, n_rows, n_expired,
+           CAST(1000 * n_expired // n_rows AS BIGINT)
+             AS expired_permille
+    FROM ev
+    UNION ALL
+    SELECT 'orders', n_rows, n_expired,
+           CAST(1000 * n_expired // n_rows AS BIGINT)
+    FROM ord
+    """,
+)
+def governance_retention_ttl_audit(spark, sf_dir):
+    """RETENTION-TTL DELETION BACKLOG audit: per time-bearing table,
+    how many rows are older than the {_TTL_DAYS}-day retention
+    window measured from the corpus watermark — the number a
+    GDPR/retention policy owner needs BEFORE scheduling the purge
+    (governance_erasure_cascade deletes per-subject; this sizes the
+    age-based sweep, and a fixed wall-clock 'now' would make the
+    row unreproducible, so the watermark anchors it). Exact-integer
+    date arithmetic; one combinable conditional-count pass per
+    table with the 1-row watermark broadcast. Scale: at 100 TB the
+    same predicate is the partition-pruning filter — date-
+    partitioned layout makes the expired count a metadata read."""
+    ev = read_table(spark, sf_dir, "events")
+    orders = read_table(spark, sf_dir, "orders")
+    wm = ev.agg(F.max(F.col("ts").cast("date")).alias("wm_d"))
+
+    def audit(df, name, datecol):
+        return (
+            df.crossJoin(F.broadcast(wm))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.when(
+                        F.col(datecol).cast("date")
+                        < F.date_sub(F.col("wm_d"), _TTL_DAYS),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_expired"),
+            )
+            .select(
+                F.lit(name).alias("table_name"),
+                "n_rows",
+                "n_expired",
+                F.expr(
+                    "CAST(1000 * n_expired DIV n_rows AS BIGINT)"
+                ).alias("expired_permille"),
+            )
+        )
+
+    return audit(ev, "events", "ts").unionAll(
+        audit(orders, "orders", "o_orderdate")
+    )

@@ -2019,3 +2019,69 @@ def embed_dim_variance_topk(spark, sf_dir):
         .filter(F.col("rnk") <= _DIMVAR_TOPN)
         .select("d", "n", "var_micro2", "rnk")
     )
+
+
+@register(
+    "embed_exact_dup_audit",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             md5(array_to_string(list_transform(embedding,
+               x -> CAST(CAST(floor(CAST(x AS DOUBLE) * {_DRIFT_SCALE}
+                               + 0.5) AS BIGINT) AS VARCHAR)), ',')) AS h
+      FROM embeddings),
+    groups AS (
+      SELECT h, CAST(count(*) AS BIGINT) AS n_copies,
+             CAST(min(vec_id) AS BIGINT) AS keep_vec_id
+      FROM q GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n_copies) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN n_copies >= 2 THEN n_copies - 1
+                         ELSE 0 END) AS BIGINT) AS n_redundant,
+           CAST(coalesce(max(CASE WHEN n_copies >= 2 THEN n_copies END),
+                         0) AS BIGINT) AS max_group
+    FROM groups
+    """,
+)
+def embed_exact_dup_audit(spark, sf_dir):
+    """EXACT-DUPLICATE VECTOR AUDIT — the vector-modality rung of
+    the exact-dedup family (text md5, image dHash, audio
+    fingerprint, and now embeddings): vectors are keyed by the md5
+    of their micro-unit quantized integer string (the _DRIFT_SCALE
+    grid, so float noise below 1e-6 does not split a group and the
+    key is engine-identical), grouped, and summarized as redundancy
+    counts — the audit a feature-store runs before paying to index
+    the same vector twice (common after re-embedding retries or
+    replayed ingestion). Scale shape: the md5 is computed map-side
+    and ONLY the 16-byte key crosses the groupBy shuffle — never
+    the 256-byte vector; the audit is one combinable rollup."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            f"md5(array_join(transform(embedding, x -> "
+            f"CAST(CAST(floor(CAST(x AS DOUBLE) * {_DRIFT_SCALE} + 0.5)"
+            f" AS BIGINT) AS STRING)), ','))"
+        ).alias("h"),
+    )
+    groups = q.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.min("vec_id").cast("bigint").alias("keep_vec_id"),
+    )
+    return groups.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("n_copies").cast("bigint").alias("n_vecs"),
+        F.sum(
+            F.when(F.col("n_copies") >= 2, F.col("n_copies") - 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_redundant"),
+        F.coalesce(
+            F.max(F.when(F.col("n_copies") >= 2, F.col("n_copies"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("max_group"),
+    )

@@ -1888,3 +1888,137 @@ def ts_seasonal_naive_error(spark, sf_dir):
             "smape_permille"
         ),
     )
+
+
+@register(
+    "ts_anomaly_seasonal_mad",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS b,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    keyed AS (
+      SELECT event_type, b, cnt,
+             CAST((b // 24 + 4) % 7 AS BIGINT) AS dow,
+             CAST(b % 24 AS BIGINT) AS hod
+      FROM hourly),
+    profile AS (
+      SELECT event_type, dow, hod,
+             CAST(sum(cnt) // count(*) AS BIGINT) AS expected
+      FROM keyed GROUP BY 1, 2, 3),
+    resid AS (
+      SELECT k.event_type, k.b, k.cnt, p.expected,
+             k.cnt - p.expected AS r
+      FROM keyed k
+      JOIN profile p ON p.event_type = k.event_type
+                    AND p.dow = k.dow AND p.hod = k.hod),
+    med AS (
+      SELECT event_type, r,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY r ASC, b ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM resid),
+    m1 AS (
+      SELECT event_type,
+             max(CASE WHEN rn = (n + 1) // 2 THEN r END) AS med_r
+      FROM med GROUP BY 1),
+    adev AS (
+      SELECT r.event_type, abs(r.r - m.med_r) AS a, r.b
+      FROM resid r JOIN m1 m ON m.event_type = r.event_type),
+    madr AS (
+      SELECT event_type,
+             max(CASE WHEN rn = (n + 1) // 2 THEN a END) AS mad
+      FROM (
+        SELECT event_type, a,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY a ASC, b ASC) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM adev) GROUP BY 1)
+    SELECT r.event_type, r.b AS hour_bucket, r.cnt, r.expected,
+           r.r AS residual,
+           CAST(m.med_r AS BIGINT) AS med_residual,
+           CAST(d.mad AS BIGINT) AS mad
+    FROM resid r
+    JOIN m1 m ON m.event_type = r.event_type
+    JOIN madr d ON d.event_type = r.event_type
+    WHERE abs(r.r - m.med_r) > 3 * greatest(d.mad, 1)
+    """,
+)
+def ts_anomaly_seasonal_mad(spark, sf_dir):
+    """SEASONALLY-ADJUSTED anomaly detection: hourly counts per type
+    minus the (day-of-week, hour-of-day) profile mean, then the
+    3×MAD rule on the RESIDUALS — the detector that doesn't page on
+    every Monday morning (ts_anomaly_mad's raw-value MAD flags
+    normal seasonality as anomalies; this flags departures FROM the
+    seasonality). All-integer: profile means are truncating DIV,
+    dow/hod from pure bucket arithmetic ((b DIV 24 + 4) mod 7 —
+    epoch day 0 was a Thursday), medians are the type-1 order
+    statistics with full (value, bucket) tiebreaks, MAD floored at 1
+    so the threshold never divides by a degenerate scale. Scale
+    shape: one combinable hourly rollup from the facts; profile,
+    medians, and the flag predicate all run on the bucket-sized
+    series."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias(
+            "b"
+        ),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    keyed = hourly.select(
+        "event_type",
+        "b",
+        "cnt",
+        F.expr("CAST((b DIV 24 + 4) % 7 AS BIGINT)").alias("dow"),
+        F.expr("CAST(b % 24 AS BIGINT)").alias("hod"),
+    )
+    profile = keyed.groupBy("event_type", "dow", "hod").agg(
+        F.expr("CAST(sum(cnt) DIV count(*) AS BIGINT)").alias("expected")
+    )
+    resid = keyed.join(profile, ["event_type", "dow", "hod"]).select(
+        "event_type",
+        "b",
+        "cnt",
+        "expected",
+        (F.col("cnt") - F.col("expected")).alias("r"),
+    )
+
+    def median_of(df, col, out):
+        w = W.partitionBy("event_type").orderBy(F.col(col).asc(), "b")
+        ranked = df.select(
+            "event_type",
+            col,
+            "b",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+        )
+        return ranked.groupBy("event_type").agg(
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col(col))
+            ).alias(out)
+        )
+
+    m1 = median_of(resid, "r", "med_r")
+    adev = resid.join(F.broadcast(m1), "event_type").select(
+        "event_type", F.abs(F.col("r") - F.col("med_r")).alias("a"), "b"
+    )
+    madr = median_of(adev, "a", "mad")
+    return (
+        resid.join(F.broadcast(m1), "event_type")
+        .join(F.broadcast(madr), "event_type")
+        .filter(
+            F.abs(F.col("r") - F.col("med_r"))
+            > 3 * F.greatest(F.col("mad"), F.lit(1))
+        )
+        .select(
+            "event_type",
+            F.col("b").alias("hour_bucket"),
+            "cnt",
+            "expected",
+            F.col("r").alias("residual"),
+            F.col("med_r").cast("bigint").alias("med_residual"),
+            F.col("mad").cast("bigint").alias("mad"),
+        )
+    )

@@ -1468,3 +1468,86 @@ def test_lorenz_deciles_match_python(spark):
     # Lorenz curve properties: monotone, ends at 1000 permille
     assert got["cum_share_permille"].iloc[-1] == 1000
     assert (got["cum_share_permille"].diff().dropna() >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Wave-15: seasonal anomalies, exact vector dups, retention TTL.
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_anomaly_matches_python(spark):
+    from etl_jobs_spark.queries.temporal import ts_anomaly_seasonal_mad
+
+    got = ts_anomaly_seasonal_mad(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    b = ev["ts"].astype("datetime64[us]").astype("int64") // 3600000000
+    hourly = (
+        ev.assign(b=b).groupby(["event_type", "b"]).size().reset_index(name="cnt")
+    )
+    hourly["dow"] = (hourly["b"] // 24 + 4) % 7
+    hourly["hod"] = hourly["b"] % 24
+    prof = (
+        hourly.groupby(["event_type", "dow", "hod"])["cnt"]
+        .agg(["sum", "size"])
+        .reset_index()
+    )
+    prof["expected"] = prof["sum"] // prof["size"]
+    m = hourly.merge(prof, on=["event_type", "dow", "hod"])
+    m["r"] = m["cnt"] - m["expected"]
+    want = []
+    for et, grp in m.groupby("event_type"):
+        g = grp.sort_values(["r", "b"], ignore_index=True)
+        med = g["r"].iloc[(len(g) + 1) // 2 - 1]
+        a = (grp["r"] - med).abs()
+        g2 = grp.assign(a=a).sort_values(["a", "b"], ignore_index=True)
+        mad = g2["a"].iloc[(len(g2) + 1) // 2 - 1]
+        hit = grp[(grp["r"] - med).abs() > 3 * max(mad, 1)]
+        for _, h in hit.iterrows():
+            want.append((et, h["b"], h["cnt"], h["expected"], h["r"]))
+    got_set = set(
+        zip(got["event_type"], got["hour_bucket"], got["cnt"],
+            got["expected"], got["residual"])
+    )
+    assert got_set == set(want)
+
+
+def test_exact_dup_audit_consistent(spark):
+    from etl_jobs_spark.queries.similarity import embed_exact_dup_audit
+
+    got = embed_exact_dup_audit(spark, SF_DIR).collect()[0].asDict()
+    ids, X = _emb(SF_DIR)
+    Q = np.floor(X.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
+    keys = {}
+    for i in range(len(Q)):
+        keys.setdefault(Q[i].tobytes(), []).append(ids[i])
+    sizes = [len(v) for v in keys.values()]
+    assert got["n_vecs"] == len(ids)
+    assert got["n_groups"] == len(sizes)
+    assert got["n_redundant"] == sum(s - 1 for s in sizes if s >= 2)
+    assert got["max_group"] == (
+        max((s for s in sizes if s >= 2), default=0)
+    )
+
+
+def test_retention_ttl_matches_python(spark):
+    from etl_jobs_spark.queries.data_quality import (
+        _TTL_DAYS,
+        governance_retention_ttl_audit,
+    )
+
+    got = governance_retention_ttl_audit(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    wm = pd.to_datetime(ev["ts"]).dt.normalize().max()
+    cutoff = wm - pd.Timedelta(days=_TTL_DAYS)
+    want = {
+        "events": int((pd.to_datetime(ev["ts"]).dt.normalize() < cutoff).sum()),
+        "orders": int(
+            (pd.to_datetime(orders["o_orderdate"]).dt.normalize() < cutoff).sum()
+        ),
+    }
+    for _, row in got.iterrows():
+        assert row["n_expired"] == want[row["table_name"]]
+        n = len(ev) if row["table_name"] == "events" else len(orders)
+        assert row["n_rows"] == n
+        assert row["expired_permille"] == 1000 * row["n_expired"] // n
