@@ -175,6 +175,8 @@ _ROUND9_WINDOW_FRONT = [
     "ts_anomaly_seasonal_mad",
     "embed_exact_dup_audit",
     "governance_retention_ttl_audit",
+    "attr_u_shaped_touch",
+    "dq_pk_uniqueness_suite",
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

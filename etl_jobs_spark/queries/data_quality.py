@@ -2697,3 +2697,115 @@ def governance_retention_ttl_audit(spark, sf_dir):
     return audit(ev, "events", "ts").unionAll(
         audit(orders, "orders", "o_orderdate")
     )
+
+
+#: Primary keys of every fixture table (the dbt `unique` test set).
+_PK_COLS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def _uniq_oracle() -> str:
+    rows = []
+    for t, pk in _PK_COLS.items():
+        rows.append(f"""
+    SELECT '{t}' AS table_name, '{pk}' AS pk_col,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT {pk}) AS BIGINT) AS n_distinct,
+           CAST(count(*) FILTER (WHERE {pk} IS NULL) AS BIGINT)
+             AS n_null,
+           CAST(count(*) - count(DISTINCT {pk}) AS BIGINT) AS n_dups
+    FROM {t}""")
+    li = """
+    SELECT 'lineitem' AS table_name,
+           'l_orderkey+l_linenumber' AS pk_col,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT l_orderkey * 128 + l_linenumber)
+                AS BIGINT) AS n_distinct,
+           CAST(count(*) FILTER (WHERE l_orderkey IS NULL
+                                    OR l_linenumber IS NULL)
+                AS BIGINT) AS n_null,
+           CAST(count(*) - count(DISTINCT l_orderkey * 128
+                                 + l_linenumber) AS BIGINT) AS n_dups
+    FROM lineitem"""
+    return "\n    UNION ALL\n".join(rows + [li])
+
+
+@register("dq_pk_uniqueness_suite", oracle=_uniq_oracle())
+def dq_pk_uniqueness_suite(spark, sf_dir):
+    """PRIMARY-KEY UNIQUENESS + NOT-NULL suite over ALL TEN fixture
+    tables in one report — the dbt `unique`/`not_null` test pair,
+    batch-run (the two checks every contract starts with, and the
+    ones whose silent failure corrupts every downstream join
+    cardinality). Lineitem's composite key is folded to one BIGINT
+    (orderkey·128 + linenumber — linenumber < 128 per TPC-H, bound
+    stated) so the distinct-count shuffles one integer — and it
+    FINDS a real violation: the synthetic fixture's lineitem
+    composite key is NOT unique (~23% duplicate key pairs at every
+    SF), which downstream joins on (orderkey, linenumber) would
+    silently fan out on; the test suite locks this finding. Scale
+    shape: each table contributes ONE combinable
+    count/count-distinct pass; at 100 TB count(DISTINCT pk) swaps
+    to the HLL/KMV tier for a first pass and exact only on
+    suspects (stated: this is the exact audit)."""
+    dfs = []
+    for t, pk in _PK_COLS.items():
+        df = read_table(spark, sf_dir, t).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct(pk).cast("bigint").alias("n_distinct"),
+            F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null"),
+        ).select(
+            F.lit(t).alias("table_name"),
+            F.lit(pk).alias("pk_col"),
+            "n_rows",
+            "n_distinct",
+            "n_null",
+            (F.col("n_rows") - F.col("n_distinct"))
+            .cast("bigint")
+            .alias("n_dups"),
+        )
+        dfs.append(df)
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct(
+                F.expr("l_orderkey * 128 + l_linenumber")
+            )
+            .cast("bigint")
+            .alias("n_distinct"),
+            F.sum(
+                F.when(
+                    F.col("l_orderkey").isNull()
+                    | F.col("l_linenumber").isNull(),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_null"),
+        )
+        .select(
+            F.lit("lineitem").alias("table_name"),
+            F.lit("l_orderkey+l_linenumber").alias("pk_col"),
+            "n_rows",
+            "n_distinct",
+            "n_null",
+            (F.col("n_rows") - F.col("n_distinct"))
+            .cast("bigint")
+            .alias("n_dups"),
+        )
+    )
+    out = dfs[0]
+    for df in dfs[1:] + [li]:
+        out = out.unionAll(df)
+    return out

@@ -1441,3 +1441,102 @@ def agg_lorenz_deciles(spark, sf_dir):
             " PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT)"
         ).alias("cum_share_permille"),
     )
+
+
+@register(
+    "attr_u_shaped_touch",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'),
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click'),
+    touches AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             CAST(round(p.value * 100) AS BIGINT) AS cents,
+             count(*) OVER (PARTITION BY p.event_id) AS n_touches,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts ASC, c.event_id ASC)
+               AS pos_first,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC)
+               AS pos_last
+      FROM purchases p JOIN clicks c
+        ON p.user_id = c.user_id
+       AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts),
+    credited AS (
+      SELECT click_id,
+             cents * (CASE WHEN n_touches = 1 THEN 1000
+                           WHEN n_touches = 2 THEN 500
+                           WHEN pos_first = 1 THEN 400
+                           WHEN pos_last = 1 THEN 400
+                           ELSE 200 // (n_touches - 2) END) // 1000
+               AS credit
+      FROM touches)
+    SELECT click_id,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(sum(credit) AS BIGINT) AS credit_cents
+    FROM credited GROUP BY click_id
+    """,
+)
+def attr_u_shaped_touch(spark, sf_dir):
+    """U-SHAPED (position-based) ATTRIBUTION: 40% of conversion
+    value to the FIRST touch, 40% to the LAST, the middle 20%
+    split evenly — the position-based model marketers run next to
+    attr_linear_touch's equal split (first/last touches carry the
+    discovery/closing signal a linear model dilutes). Same
+    touch-window join as the linear sibling (preceding-hour clicks);
+    positions are row_numbers under the fully tie-broken
+    (ts, click_id) order from both ends; every credit is truncating
+    integer permille of exact cents (n=1 → 1000, n=2 → 500/500,
+    middles share 200 DIV (n−2)). Scale: one interval join keyed on
+    user (the attribution family's shuffle), two windows per
+    purchase group, one combinable rollup per click."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    touches = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    wp = W.partitionBy("purchase_id")
+    touches = touches.select(
+        "purchase_id",
+        "click_id",
+        "cents",
+        F.count(F.lit(1)).over(wp).alias("n_touches"),
+        F.row_number()
+        .over(wp.orderBy(F.col("c_ts").asc(), F.col("click_id").asc()))
+        .alias("pos_first"),
+        F.row_number()
+        .over(wp.orderBy(F.col("c_ts").desc(), F.col("click_id").desc()))
+        .alias("pos_last"),
+    )
+    credited = touches.select(
+        "click_id",
+        F.expr(
+            "cents * (CASE WHEN n_touches = 1 THEN 1000"
+            " WHEN n_touches = 2 THEN 500"
+            " WHEN pos_first = 1 THEN 400"
+            " WHEN pos_last = 1 THEN 400"
+            " ELSE 200 DIV (n_touches - 2) END) DIV 1000"
+        ).alias("credit"),
+    )
+    return credited.groupBy("click_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.sum("credit").cast("bigint").alias("credit_cents"),
+    )
