@@ -177,6 +177,8 @@ _ROUND9_WINDOW_FRONT = [
     "governance_retention_ttl_audit",
     "attr_u_shaped_touch",
     "dq_pk_uniqueness_suite",
+    "agg_stickiness_dau_mau",
+    "ts_seasonality_strength",
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

@@ -1540,3 +1540,69 @@ def attr_u_shaped_touch(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
         F.sum("credit").cast("bigint").alias("credit_cents"),
     )
+
+
+@register(
+    "agg_stickiness_dau_mau",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
+             CAST(extract(year FROM ts) * 100
+                  + extract(month FROM ts) AS BIGINT) AS ym
+      FROM events),
+    dau AS (
+      SELECT ym, d, CAST(count(*) AS BIGINT) AS dau
+      FROM days GROUP BY 1, 2),
+    mau AS (
+      SELECT ym, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      FROM days GROUP BY 1),
+    davg AS (
+      SELECT ym, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(dau) AS BIGINT) AS dau_total,
+             CAST(sum(dau) // count(*) AS BIGINT) AS avg_dau
+      FROM dau GROUP BY 1)
+    SELECT d.ym, d.n_days, d.avg_dau, m.mau,
+           CAST(1000 * d.dau_total // (d.n_days * m.mau) AS BIGINT)
+             AS stickiness_permille
+    FROM davg d JOIN mau m ON m.ym = d.ym
+    """,
+)
+def agg_stickiness_dau_mau(spark, sf_dir):
+    """STICKINESS (DAU/MAU) per calendar month — the engagement
+    ratio product teams quote daily (1000 permille = every monthly
+    user active every day; ~200 is a typical good consumer app),
+    composing the rolling-DAU curve (window_sliding_distinct_users)
+    and the weekly growth split (agg_new_vs_returning) into the
+    monthly headline. All-integer: the month key is year·100+month,
+    average DAU is a truncating mean over the month's observed
+    days, and the ratio is 1000·ΣDAU DIV (days·MAU) — one division,
+    exact operands. Scale shape: one dedup shuffle to (user, day),
+    then strictly shrinking keyed rollups."""
+    ev = read_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.expr(
+            "CAST(year(ts) * 100 + month(ts) AS BIGINT)"
+        ).alias("ym"),
+    ).distinct()
+    dau = days.groupBy("ym", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    mau = days.groupBy("ym").agg(
+        F.countDistinct("user_id").cast("bigint").alias("mau")
+    )
+    davg = dau.groupBy("ym").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("dau").cast("bigint").alias("dau_total"),
+        F.expr("CAST(sum(dau) DIV count(*) AS BIGINT)").alias("avg_dau"),
+    )
+    return davg.join(mau, "ym").select(
+        "ym",
+        "n_days",
+        "avg_dau",
+        "mau",
+        F.expr(
+            "CAST(1000 * dau_total DIV (n_days * mau) AS BIGINT)"
+        ).alias("stickiness_permille"),
+    )

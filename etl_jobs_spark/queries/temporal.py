@@ -2022,3 +2022,105 @@ def ts_anomaly_seasonal_mad(spark, sf_dir):
             F.col("mad").cast("bigint").alias("mad"),
         )
     )
+
+
+@register(
+    "ts_seasonality_strength",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS b,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    keyed AS (
+      SELECT event_type, b, cnt,
+             CAST((b // 24 + 4) % 7 AS BIGINT) AS dow,
+             CAST(b % 24 AS BIGINT) AS hod
+      FROM hourly),
+    profile AS (
+      SELECT event_type, dow, hod,
+             CAST(sum(cnt) // count(*) AS BIGINT) AS expected
+      FROM keyed GROUP BY 1, 2, 3),
+    resid AS (
+      SELECT k.event_type, k.cnt, k.cnt - p.expected AS r
+      FROM keyed k
+      JOIN profile p ON p.event_type = k.event_type
+                    AND p.dow = k.dow AND p.hod = k.hod),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cnt) AS BIGINT) AS s_x,
+             CAST(sum(cnt * cnt) AS BIGINT) AS sq_x,
+             CAST(sum(r) AS BIGINT) AS s_r,
+             CAST(sum(r * r) AS BIGINT) AS sq_r
+      FROM resid GROUP BY 1),
+    v AS (
+      SELECT event_type, n,
+             CAST(sq_x // n - (s_x // n) * (s_x // n) AS BIGINT)
+               AS var_x,
+             CAST(sq_r // n - (s_r // n) * (s_r // n) AS BIGINT)
+               AS var_r
+      FROM m)
+    SELECT event_type, n, var_x, var_r,
+           CAST(greatest(0, 1000 - 1000 * var_r
+                // greatest(var_x, 1)) AS BIGINT)
+             AS strength_permille
+    FROM v
+    """,
+)
+def ts_seasonality_strength(spark, sf_dir):
+    """SEASONALITY STRENGTH per event type: 1 − var(residual)/var
+    (series) after removing the (dow, hour) profile — the [0,1000]
+    permille score that tells a forecaster whether the seasonal-
+    naive baseline (ts_seasonal_naive_error) is even worth running
+    (≈0: profile explains nothing; →1000: pure seasonality), the
+    STL-strength measure over the same integer profile machinery as
+    ts_anomaly_seasonal_mad. Variances use the DIV-moment identity
+    on exact BIGINTs (stated truncating estimator, engine-
+    identical), clamped at 0 so the truncated means can't produce a
+    negative strength. Scale shape: one combinable hourly rollup;
+    profile and moments on the bucket-sized series."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias(
+            "b"
+        ),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    keyed = hourly.select(
+        "event_type",
+        "b",
+        "cnt",
+        F.expr("CAST((b DIV 24 + 4) % 7 AS BIGINT)").alias("dow"),
+        F.expr("CAST(b % 24 AS BIGINT)").alias("hod"),
+    )
+    profile = keyed.groupBy("event_type", "dow", "hod").agg(
+        F.expr("CAST(sum(cnt) DIV count(*) AS BIGINT)").alias("expected")
+    )
+    resid = keyed.join(profile, ["event_type", "dow", "hod"]).select(
+        "event_type", "cnt", (F.col("cnt") - F.col("expected")).alias("r")
+    )
+    m = resid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cnt").cast("bigint").alias("s_x"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sq_x"),
+        F.sum("r").cast("bigint").alias("s_r"),
+        F.sum(F.col("r") * F.col("r")).cast("bigint").alias("sq_r"),
+    )
+    v = m.select(
+        "event_type",
+        "n",
+        F.expr("CAST(sq_x DIV n - (s_x DIV n) * (s_x DIV n) AS BIGINT)")
+        .alias("var_x"),
+        F.expr("CAST(sq_r DIV n - (s_r DIV n) * (s_r DIV n) AS BIGINT)")
+        .alias("var_r"),
+    )
+    return v.select(
+        "event_type",
+        "n",
+        "var_x",
+        "var_r",
+        F.expr(
+            "CAST(greatest(0, 1000 - 1000 * var_r"
+            " DIV greatest(var_x, 1)) AS BIGINT)"
+        ).alias("strength_permille"),
+    )

@@ -1624,3 +1624,74 @@ def test_pk_uniqueness_all_tables(spark):
             assert row["n_distinct"] == t[row["pk_col"]].nunique()
             assert row["n_dups"] == 0
         assert row["n_null"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Wave-17: stickiness, seasonality strength.
+# ---------------------------------------------------------------------------
+
+
+def test_stickiness_matches_python(spark):
+    from etl_jobs_spark.queries.product_analytics import (
+        agg_stickiness_dau_mau,
+    )
+
+    got = agg_stickiness_dau_mau(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ts = pd.to_datetime(ev["ts"])
+    days = set(zip(ev["user_id"], ts.dt.date))
+    by_m = {}
+    for u, d in days:
+        ym = d.year * 100 + d.month
+        by_m.setdefault(ym, []).append((u, d))
+    assert len(got) == len(by_m)
+    for _, row in got.iterrows():
+        pairs = by_m[row["ym"]]
+        dau = {}
+        users = set()
+        for u, d in pairs:
+            dau[d] = dau.get(d, 0) + 1
+            users.add(u)
+        n_days = len(dau)
+        total = sum(dau.values())
+        assert row["n_days"] == n_days
+        assert row["avg_dau"] == total // n_days
+        assert row["mau"] == len(users)
+        assert row["stickiness_permille"] == (
+            1000 * total // (n_days * len(users))
+        )
+        # DAU/MAU is a ratio <= 1 by construction
+        assert 0 < row["stickiness_permille"] <= 1000
+
+
+def test_seasonality_strength_bounds_and_moments(spark):
+    from etl_jobs_spark.queries.temporal import ts_seasonality_strength
+
+    got = ts_seasonality_strength(spark, SF_DIR).toPandas()
+    assert len(got) == 5
+    assert ((got["strength_permille"] >= 0)
+            & (got["strength_permille"] <= 1000)).all()
+    # residual variance can't exceed raw variance by more than the
+    # truncation slack of the DIV-moment estimator
+    assert (got["var_r"] <= got["var_x"] + 2).all()
+    # cross-check one type's moments in pandas
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    b = ev["ts"].astype("datetime64[us]").astype("int64") // 3600000000
+    h = (
+        ev[ev["event_type"] == "click"]
+        .assign(b=b[ev["event_type"] == "click"])
+        .groupby("b")
+        .size()
+        .reset_index(name="cnt")
+    )
+    h["dow"] = (h["b"] // 24 + 4) % 7
+    h["hod"] = h["b"] % 24
+    prof = h.groupby(["dow", "hod"])["cnt"].agg(["sum", "size"])
+    prof["expected"] = prof["sum"] // prof["size"]
+    m = h.merge(prof.reset_index(), on=["dow", "hod"])
+    m["r"] = m["cnt"] - m["expected"]
+    n = len(m)
+    row = got[got["event_type"] == "click"].iloc[0]
+    assert row["n"] == n
+    sx, sqx = int(m["cnt"].sum()), int((m["cnt"] ** 2).sum())
+    assert row["var_x"] == sqx // n - (sx // n) ** 2
