@@ -89,6 +89,13 @@ AUDIT = {
     "recursive_cte_hierarchy": "WITH RECURSIVE as iterative frontier joins; depth O(log n)",
     "agg_weighted_median": "one sort-window per group; crossing row via integer cumulative compare",
     "agg_funnel_time_bound": "two user-keyed stages share one shuffle family",
+    "embed_sq8_topk": "broadcast probe set; codes computed map-side (no UDF); integer-dot scan stays codegen",
+    "embed_binary_hamming_topk": "16 B/vector packed scan; Hamming shortlist then exact rerank on the shortlist only",
+    "graph_link_prediction_cn": "seeds broadcast into the 2-hop equi-join; degree map broadcast twice",
+    "window_sliding_distinct_users": "offset-explode of the DEDUPED (user,hour) table; combinable rollup",
+    "agg_time_decay_topk": "1-row watermark broadcast; top-k compiles to TakeOrderedAndProject",
+    "dedup_gram_novelty_by_source": "gram hash keys (16 B) cross the shuffle, never text",
+    "pipeline_rag_retrieval_end_to_end": "quality keep-set as LEFT SEMI on the candidate side only",
 }
 
 INTERESTING = re.compile(
