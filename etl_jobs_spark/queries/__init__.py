@@ -179,6 +179,8 @@ _ROUND9_WINDOW_FRONT = [
     "dq_pk_uniqueness_suite",
     "agg_stickiness_dau_mau",
     "ts_seasonality_strength",
+    "text_simpson_diversity",
+    "agg_user_overlap_stability",
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

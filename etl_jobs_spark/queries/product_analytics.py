@@ -1606,3 +1606,84 @@ def agg_stickiness_dau_mau(spark, sf_dir):
             "CAST(1000 * dau_total DIV (n_days * mau) AS BIGINT)"
         ).alias("stickiness_permille"),
     )
+
+
+@register(
+    "agg_user_overlap_stability",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      FROM events),
+    labeled AS (
+      SELECT DISTINCT user_id,
+             CAST(ts AS DATE) <= b.d0
+               + CAST(date_diff('day', b.d0, b.d1) // 2 AS INTEGER)
+               AS first_half
+      FROM events, bounds b),
+    sets AS (
+      SELECT CAST(count(DISTINCT CASE WHEN first_half
+                                      THEN user_id END) AS BIGINT) AS n_a,
+             CAST(count(DISTINCT CASE WHEN NOT first_half
+                                      THEN user_id END) AS BIGINT) AS n_b,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_union
+      FROM labeled)
+    SELECT n_a, n_b, n_union,
+           CAST(n_a + n_b - n_union AS BIGINT) AS n_both,
+           CAST(1000 * (n_a + n_b - n_union) // n_union AS BIGINT)
+             AS jaccard_permille,
+           CAST(1000 * (n_a + n_b - n_union)
+                // least(n_a, n_b) AS BIGINT) AS containment_permille
+    FROM sets
+    """,
+)
+def agg_user_overlap_stability(spark, sf_dir):
+    """AUDIENCE STABILITY across the observation window's two
+    halves: Jaccard and smaller-side containment of the active-user
+    sets (split at the midpoint day, derived from the data's own
+    bounds so the row is reproducible) — the one-number answer to
+    'is this the same audience month over month, or churn-through?'
+    that sits upstream of agg_retention_cohorts' full matrix.
+    Set sizes via conditional count-distinct in ONE pass;
+    intersection by inclusion-exclusion (n_a + n_b − n_union), so
+    nothing ever materializes the pair of sets. All-integer
+    permille. Scale: one dedup-style distinct aggregation."""
+    ev = read_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    labeled = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            (
+                F.col("ts").cast("date")
+                <= F.expr(
+                    "date_add(d0, CAST(datediff(d1, d0) DIV 2 AS INT))"
+                )
+            ).alias("first_half"),
+        )
+        .distinct()
+    )
+    sets = labeled.agg(
+        F.countDistinct(F.when(F.col("first_half"), F.col("user_id")))
+        .cast("bigint")
+        .alias("n_a"),
+        F.countDistinct(F.when(~F.col("first_half"), F.col("user_id")))
+        .cast("bigint")
+        .alias("n_b"),
+        F.countDistinct("user_id").cast("bigint").alias("n_union"),
+    )
+    return sets.select(
+        "n_a",
+        "n_b",
+        "n_union",
+        F.expr("CAST(n_a + n_b - n_union AS BIGINT)").alias("n_both"),
+        F.expr(
+            "CAST(1000 * (n_a + n_b - n_union) DIV n_union AS BIGINT)"
+        ).alias("jaccard_permille"),
+        F.expr(
+            "CAST(1000 * (n_a + n_b - n_union) DIV least(n_a, n_b)"
+            " AS BIGINT)"
+        ).alias("containment_permille"),
+    )

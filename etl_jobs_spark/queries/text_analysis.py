@@ -1469,3 +1469,76 @@ def text_hapax_ratio(spark, sf_dir):
             "ttr_permille"
         ),
     )
+
+
+@register(
+    "text_simpson_diversity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({word_tokens('n', 'duckdb')}) AS tok
+      FROM (SELECT source, {norm_text('text', 'duckdb')} AS n
+            FROM documents)),
+    freq AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS f
+      FROM toks GROUP BY 1, 2),
+    agg AS (
+      SELECT source,
+             CAST(sum(f) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(f * (f - 1)) AS BIGINT) AS sum_ff1
+      FROM freq GROUP BY 1)
+    SELECT source, n_tokens, n_types, sum_ff1,
+           CAST(1000000 * sum_ff1
+                // (n_tokens * (n_tokens - 1)) AS BIGINT)
+             AS simpson_ppm,
+           CAST(1000000 - 1000000 * sum_ff1
+                // (n_tokens * (n_tokens - 1)) AS BIGINT)
+             AS diversity_ppm
+    FROM agg WHERE n_tokens > 1
+    """,
+)
+def text_simpson_diversity(spark, sf_dir):
+    """SIMPSON CONCENTRATION / GINI-SIMPSON DIVERSITY of each
+    source's token distribution — the probability two random tokens
+    from the source are the SAME type (Σf(f−1)/N(N−1), exact
+    integers, parts-per-million by truncating division) and its
+    complement. The third lexical lens next to text_hapax_ratio's
+    rare-word share and text_zipf_slope's tail shape: Simpson is
+    dominance-sensitive (one boilerplate token repeating drives it
+    up long before type counts move) — the earliest template-
+    collapse alarm. Overflow bound: Σf(f−1) ≤ N² — BIGINT-safe to
+    N ~ 3e9 tokens/source; past that, pre-aggregate per shard and
+    combine the exact (N, Σf(f−1)) pairs (stated). Scale: one
+    token-keyed count (the text tier's vocab shuffle), one
+    combinable rollup per source."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source", F.expr(norm_text("text", "spark")).alias("n")
+    )
+    toks = docs.select(
+        "source",
+        F.explode(F.expr(word_tokens("n", "spark"))).alias("tok"),
+    )
+    freq = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    agg = freq.groupBy("source").agg(
+        F.sum("f").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.col("f") * (F.col("f") - 1))
+        .cast("bigint")
+        .alias("sum_ff1"),
+    )
+    return agg.filter(F.col("n_tokens") > 1).select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "sum_ff1",
+        F.expr(
+            "CAST(1000000 * sum_ff1 DIV (n_tokens * (n_tokens - 1))"
+            " AS BIGINT)"
+        ).alias("simpson_ppm"),
+        F.expr(
+            "CAST(1000000 - 1000000 * sum_ff1"
+            " DIV (n_tokens * (n_tokens - 1)) AS BIGINT)"
+        ).alias("diversity_ppm"),
+    )

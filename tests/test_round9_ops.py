@@ -1695,3 +1695,54 @@ def test_seasonality_strength_bounds_and_moments(spark):
     assert row["n"] == n
     sx, sqx = int(m["cnt"].sum()), int((m["cnt"] ** 2).sum())
     assert row["var_x"] == sqx // n - (sx // n) ** 2
+
+
+# ---------------------------------------------------------------------------
+# Wave-18: Simpson diversity, audience stability.
+# ---------------------------------------------------------------------------
+
+
+def test_simpson_diversity_matches_python(spark):
+    from etl_jobs_spark.queries.text_analysis import (
+        text_simpson_diversity,
+    )
+
+    got = text_simpson_diversity(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    per = {}
+    for _, r in docs.iterrows():
+        n = re.sub(r"\s+", " ", r["text"].lower().strip())
+        f = per.setdefault(r["source"], {})
+        for t in n.split(" "):
+            f[t] = f.get(t, 0) + 1
+    for _, row in got.iterrows():
+        f = per[row["source"]]
+        N = sum(f.values())
+        ff1 = sum(v * (v - 1) for v in f.values())
+        assert row["n_tokens"] == N
+        assert row["n_types"] == len(f)
+        assert row["sum_ff1"] == ff1
+        assert row["simpson_ppm"] == 10**6 * ff1 // (N * (N - 1))
+        assert row["diversity_ppm"] == 10**6 - row["simpson_ppm"]
+
+
+def test_user_overlap_matches_python(spark):
+    from etl_jobs_spark.queries.product_analytics import (
+        agg_user_overlap_stability,
+    )
+
+    got = agg_user_overlap_stability(spark, SF_DIR).collect()[0].asDict()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    d = pd.to_datetime(ev["ts"]).dt.normalize()
+    d0, d1 = d.min(), d.max()
+    mid = d0 + pd.Timedelta(days=int((d1 - d0).days // 2))
+    a = set(ev.loc[d <= mid, "user_id"])
+    b = set(ev.loc[d > mid, "user_id"])
+    assert got["n_a"] == len(a)
+    assert got["n_b"] == len(b)
+    assert got["n_union"] == len(a | b)
+    assert got["n_both"] == len(a & b)
+    assert got["jaccard_permille"] == 1000 * len(a & b) // len(a | b)
+    assert got["containment_permille"] == (
+        1000 * len(a & b) // min(len(a), len(b))
+    )
