@@ -181,6 +181,8 @@ _ROUND9_WINDOW_FRONT = [
     "ts_seasonality_strength",
     "text_simpson_diversity",
     "agg_user_overlap_stability",
+    "ts_burstiness_fano",
+    "stat_chi_square_residuals",
 ]
 
 registry.promote(_NEEDS_CORRECTNESS_ROW)

@@ -2809,3 +2809,101 @@ def dq_pk_uniqueness_suite(spark, sf_dir):
     for df in dfs[1:] + [li]:
         out = out.unionAll(df)
     return out
+
+
+@register(
+    "stat_chi_square_residuals",
+    oracle="""
+    WITH obs AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    segs AS (SELECT DISTINCT seg FROM obs),
+    pris AS (SELECT DISTINCT pri FROM obs),
+    filled AS (
+      SELECT g.seg, g.pri, CAST(coalesce(o.n, 0) AS BIGINT) AS n
+      FROM (SELECT seg, pri FROM segs CROSS JOIN pris) g
+      LEFT JOIN obs o ON g.seg = o.seg AND g.pri = o.pri),
+    tot AS (
+      SELECT seg, pri, n,
+             CAST(sum(n) OVER (PARTITION BY seg) AS BIGINT) AS row_n,
+             CAST(sum(n) OVER (PARTITION BY pri) AS BIGINT) AS col_n,
+             CAST(sum(n) OVER () AS BIGINT) AS grand_n
+      FROM filled)
+    SELECT seg, pri, n,
+           round(CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                 / CAST(grand_n AS DOUBLE), 4) AS expected,
+           round((CAST(n AS DOUBLE)
+                  - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                    / CAST(grand_n AS DOUBLE))
+                 / sqrt(CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                        / CAST(grand_n AS DOUBLE)
+                        * (1.0 - CAST(row_n AS DOUBLE)
+                                 / CAST(grand_n AS DOUBLE))
+                        * (1.0 - CAST(col_n AS DOUBLE)
+                                 / CAST(grand_n AS DOUBLE))), 4)
+             AS std_residual
+    FROM tot
+    """,
+)
+def stat_chi_square_residuals(spark, sf_dir):
+    """STANDARDIZED (adjusted) RESIDUALS of the segment × priority
+    contingency — the cell-level drill-down behind
+    stat_chi_square_independence's single number (WHICH cells drive
+    the association: |residual| > 2 is the conventional callout),
+    using Haberman's adjusted residual (obs−exp)/√(exp·(1−row/N)·
+    (1−col/N)). Same grid-completed integer cell counts and window
+    marginals as the sibling; expected and residual are per-cell
+    float expressions over exact BIGINTs (magnitudes ~1e3 and ~units
+    — both far inside the round-stability bound recorded in
+    FLOAT_ORDER_AUDIT.md). Scale: one fact aggregation to r·c
+    cells; everything else runs on the cells."""
+    from pyspark.sql import Window as W
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    obs = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    segs = obs.select("seg").distinct()
+    pris = obs.select("pri").distinct()
+    filled = (
+        segs.crossJoin(pris)
+        .join(obs, ["seg", "pri"], "left")
+        .select(
+            "seg", "pri", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+        )
+    )
+    tot = filled.select(
+        "seg",
+        "pri",
+        "n",
+        F.sum("n").over(W.partitionBy("seg")).cast("bigint").alias("row_n"),
+        F.sum("n").over(W.partitionBy("pri")).cast("bigint").alias("col_n"),
+        F.sum("n").over(W.partitionBy()).cast("bigint").alias("grand_n"),
+    )
+    exp = (
+        "CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)"
+        " / CAST(grand_n AS DOUBLE)"
+    )
+    resid = (
+        f"(CAST(n AS DOUBLE) - {exp}) / sqrt({exp}"
+        " * (1.0 - CAST(row_n AS DOUBLE) / CAST(grand_n AS DOUBLE))"
+        " * (1.0 - CAST(col_n AS DOUBLE) / CAST(grand_n AS DOUBLE)))"
+    )
+    return tot.select(
+        "seg",
+        "pri",
+        "n",
+        F.round(F.expr(exp), 4).alias("expected"),
+        F.round(F.expr(resid), 4).alias("std_residual"),
+    )

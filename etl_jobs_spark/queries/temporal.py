@@ -2124,3 +2124,61 @@ def ts_seasonality_strength(spark, sf_dir):
             " DIV greatest(var_x, 1)) AS BIGINT)"
         ).alias("strength_permille"),
     )
+
+
+@register(
+    "ts_burstiness_fano",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS b,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cnt) AS BIGINT) AS s,
+             CAST(sum(cnt * cnt) AS BIGINT) AS sq
+      FROM hourly GROUP BY 1)
+    SELECT event_type, n, s AS total_events,
+           CAST(s // n AS BIGINT) AS mean_cnt,
+           CAST(sq // n - (s // n) * (s // n) AS BIGINT) AS var_cnt,
+           CAST(1000 * (sq // n - (s // n) * (s // n))
+                // greatest(s // n, 1) AS BIGINT) AS fano_milli
+    FROM m
+    """,
+)
+def ts_burstiness_fano(spark, sf_dir):
+    """FANO FACTOR (variance-to-mean ratio, milli-units) of each
+    type's hourly arrival counts — the burstiness index that
+    separates Poisson-like traffic (fano ≈ 1000) from bursty load
+    (≫1000) and quota-throttled/clockwork feeds (≪1000); the
+    capacity-planning companion to ts_autocorr_lag1's memory
+    diagnostic. DIV-moment integer variance (stated truncating
+    estimator, engine-identical; mean floored at 1 in the divisor
+    so an empty-ish series can't divide by zero). Scale: one
+    combinable hourly rollup, one 5-row aggregate."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias(
+            "b"
+        ),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    m = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cnt").cast("bigint").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sq"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.col("s").alias("total_events"),
+        F.expr("CAST(s DIV n AS BIGINT)").alias("mean_cnt"),
+        F.expr("CAST(sq DIV n - (s DIV n) * (s DIV n) AS BIGINT)").alias(
+            "var_cnt"
+        ),
+        F.expr(
+            "CAST(1000 * (sq DIV n - (s DIV n) * (s DIV n))"
+            " DIV greatest(s DIV n, 1) AS BIGINT)"
+        ).alias("fano_milli"),
+    )

@@ -1746,3 +1746,62 @@ def test_user_overlap_matches_python(spark):
     assert got["containment_permille"] == (
         1000 * len(a & b) // min(len(a), len(b))
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave-19: Fano burstiness, chi-square residuals.
+# ---------------------------------------------------------------------------
+
+
+def test_fano_matches_python(spark):
+    from etl_jobs_spark.queries.temporal import ts_burstiness_fano
+
+    got = ts_burstiness_fano(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    b = ev["ts"].astype("datetime64[us]").astype("int64") // 3600000000
+    h = ev.assign(b=b).groupby(["event_type", "b"]).size()
+    for _, row in got.iterrows():
+        cnts = h[row["event_type"]]
+        n = len(cnts)
+        s, sq = int(cnts.sum()), int((cnts**2).sum())
+        mean = s // n
+        var = sq // n - mean * mean
+        assert row["n"] == n
+        assert row["total_events"] == s
+        assert row["mean_cnt"] == mean
+        assert row["var_cnt"] == var
+        assert row["fano_milli"] == 1000 * var // max(mean, 1)
+
+
+def test_chi_residuals_match_python(spark):
+    from etl_jobs_spark.queries.data_quality import (
+        stat_chi_square_residuals,
+    )
+
+    got = stat_chi_square_residuals(spark, SF_DIR).toPandas()
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    m = orders.merge(
+        cust[["c_custkey", "c_mktsegment"]],
+        left_on="o_custkey",
+        right_on="c_custkey",
+    )
+    ct = pd.crosstab(m["c_mktsegment"], m["o_orderpriority"])
+    N = ct.to_numpy().sum()
+    assert len(got) == ct.shape[0] * ct.shape[1]
+    for _, row in got.iterrows():
+        n = ct.loc[row["seg"], row["pri"]]
+        rn = ct.loc[row["seg"]].sum()
+        cn = ct[row["pri"]].sum()
+        exp = rn * cn / N
+        resid = (n - exp) / math.sqrt(
+            exp * (1 - rn / N) * (1 - cn / N)
+        )
+        assert row["n"] == n
+        assert row["expected"] == pytest.approx(exp, abs=1e-4)
+        assert row["std_residual"] == pytest.approx(resid, abs=1e-4)
+    # adjusted residuals of a full table are ~standard normal: the
+    # grid must contain both signs
+    assert (got["std_residual"] > 0).any() and (
+        got["std_residual"] < 0
+    ).any()
