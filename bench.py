@@ -15,10 +15,12 @@ that buffer — per-query timings restricted to the curated HEADLINE
 subset, 2-decimal seconds — while the FULL per-query record (raw +
 normalized, every benched query) is written to
 docs/BENCH_FULL_LATEST.json and appended to docs/bench_history.jsonl.
-The history also powers `ratio_vs_prev_norm`: the common-subset
-normalized total of this run divided by the previous recorded round's,
-the cross-round engine-vs-engine number judges previously had to
-reconstruct by hand.
+The history also powers `ratio_vs_prev_norm`: the RAW common-subset
+total of this run divided by the previous recorded round's — the
+cross-round engine-vs-engine number judges previously had to
+reconstruct by hand (VERDICT r8 item 2). Host-speed drift between the
+two runs is emitted separately as `calib_vs_prev_pct`, never folded
+into the ratio.
 """
 
 from __future__ import annotations
@@ -429,12 +431,22 @@ def main() -> None:
     # deltas compare code not VMs.
     norm = {k: round(v * scale, 3) for k, v in timings.items()}
 
-    cur_tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "r08")
+    cur_tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "r09")
     docs = Path(__file__).resolve().parent / "docs"
     history = docs / "bench_history.jsonl"
-    # cross-round comparison: common-subset normalized total vs the
-    # most recent recorded round at the same sf.
-    ratio = prev_tag = None
+    # Cross-round comparison (VERDICT r8 item 2): the headline
+    # `ratio_vs_prev_norm` is now the RAW common-subset total of this
+    # run divided by the previous round's — the like-for-like number
+    # PERF_r08.md computed by hand (r8's artifact printed 1.179 for a
+    # round whose raw common-subset was 0.833x because the old field
+    # divided calibrated totals over MISMATCHED query sets and let a
+    # -16% calibration-probe drift masquerade as engine time). Host
+    # speed drift is emitted ALONGSIDE as `calib_vs_prev_pct` (this
+    # run's start probe vs the previous round's) so a reader on a
+    # different-speed host can adjust explicitly instead of the
+    # artifact doing it implicitly.
+    ratio = prev_tag = calib_vs_prev_pct = None
+    n_common = 0
     if history.exists():
         records = [
             json.loads(line)
@@ -452,16 +464,25 @@ def main() -> None:
         ]
         if prior:
             prev = prior[-1]
-            common = sorted(set(prev["queries_norm"]) & set(norm))
-            prev_sum = sum(prev["queries_norm"][q] for q in common)
-            cur_sum = sum(norm[q] for q in common)
+            common = sorted(set(prev["queries"]) & set(timings))
+            n_common = len(common)
+            prev_sum = sum(prev["queries"][q] for q in common)
+            cur_sum = sum(timings[q] for q in common)
             if common and prev_sum > 0:
                 ratio = round(cur_sum / prev_sum, 3)
                 prev_tag = prev.get("tag", "prev")
+                prev_calib = prev.get("calib_start_sec") or prev.get(
+                    "calib_sec"
+                )
+                if prev_calib:
+                    calib_vs_prev_pct = round(
+                        100.0 * (calib - prev_calib) / prev_calib, 1
+                    )
                 print(
-                    f"# vs {prev_tag}: {len(common)} common queries, "
-                    f"{prev_sum:.1f}s -> {cur_sum:.1f}s norm "
-                    f"(ratio {ratio})",
+                    f"# vs {prev_tag}: {n_common} common queries, "
+                    f"{prev_sum:.1f}s -> {cur_sum:.1f}s RAW "
+                    f"(ratio {ratio}; host calib drift "
+                    f"{calib_vs_prev_pct}%)",
                     file=sys.stderr,
                 )
 
@@ -480,6 +501,9 @@ def main() -> None:
         "calib_drift_flag": calib_drift_flag,
         "calib_ref_sec": CALIB_REF_SEC,
         "ratio_vs_prev_norm": ratio,
+        "ratio_basis": "raw_common_subset",
+        "ratio_n_common": n_common,
+        "calib_vs_prev_pct": calib_vs_prev_pct,
         "ratio_prev_tag": prev_tag,
         "sf": sf_val,
     }
@@ -508,6 +532,9 @@ def main() -> None:
                 "calib_drift_pct": drift_pct,
                 "calib_ref_sec": CALIB_REF_SEC,
                 "ratio_vs_prev_norm": ratio,
+                "ratio_basis": "raw_common_subset",
+                "ratio_n_common": n_common,
+                "calib_vs_prev_pct": calib_vs_prev_pct,
                 "full": "docs/BENCH_FULL_LATEST.json",
                 "sf": sf_val,
             },

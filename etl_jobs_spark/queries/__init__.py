@@ -34,98 +34,24 @@ from etl_jobs_spark.queries import (  # noqa: F401
     feature_engineering,
 )
 
-# Round-8 sweep window (50 queries, registration order), per VERDICT
-# r7 item 1 ("clear the driver-row backlog before anything else"):
-# (a) round-8 additions, inserted at the front as they land — each
-# one displaces a slot from the tail's r1-era deferral block, so the
-# 20 never-checked r7 queries and the full r2-era rotation always
-# keep their slots; (b) the 20 round-7 queries that have NEVER been
-# through the driver's oracle (the hard-signal gap the r7 verdict
-# called out); (c) the entire r2-era rotation displaced from the
-# round-7 window (scan_/sink_ family, the exact-baseline embed
-# anchors per VERDICT item 7, the text block); (d) r1-era rows
-# deferred from round 7, lowest-information last so new additions
-# displace them first.
+# Round-9 sweep window (50 queries, registration order), per VERDICT
+# r8 item 1: "Freeze the registry and promote all 56 never-driver-
+# checked late-round-8 queries (the _ROUND9_WINDOW_FRONT order)
+# through the round-9 correctness window — no new operators until it
+# clears." The registry is FROZEN this round: zero new queries; the
+# whole window budget goes to the hard-signal backlog.
+#
+# Window arithmetic: backlog = 56 never-checked (below) + 9 r1-era
+# deferrals = 65 > 50, so the first 50 of _ROUND9_WINDOW_FRONT fill
+# this round's window and the remaining 6 + the 9 r1-era deferrals
+# form _ROUND10_WINDOW_FRONT (the recorded deferral rationale VERDICT
+# r8 item 7 asks for — their r1 rows are green, they are the lowest-
+# information re-checks, and backlog-first wins the slots again).
 _NEEDS_CORRECTNESS_ROW = [
-    # (a) round-8 additions
-    "dedup_substring_drop_audit",
-    "multimodal_decode_jpeg",
-    "q8_national_market_share",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q16_supplier_part_count",
-    "q19_discounted_revenue",
-    "q20_potential_promotion",
-    "stat_kendall_tau",
-    "stat_bootstrap_ci_mean",
-    # (b) never driver-checked round-7 queries
-    "pipeline_entity_resolution",
-    "stream_pii_redact",
-    "multimodal_image_dhash_dedup",
-    "multimodal_audio_fingerprint_dedup",
-    "multimodal_image_patches",
-    "dq_drift_ks",
-    "agg_cohort_ltv",
-    "agg_funnel_time_bound",
-    "ts_bollinger_breakouts",
-    "ts_holt_level_trend",
-    "embed_pca_power_iter",
-    "stat_mann_whitney_u",
-    "pipeline_pit_training_set",
-    "graph_bfs_hops",
-    "fn_try_suite",
-    "sample_negative_pairs",
-    "feat_quantile_binning",
-    "feat_minmax_scale",
-    "feat_target_encode",
-    "feat_cross_hash",
-    # (c) r2-era rotation (newest driver evidence = r2)
-    "scan_csv_single",
-    "scan_csv_pandas",
-    "scan_glob_union",
-    "scan_binary_files",
-    "scan_csv_corrupt_quarantine",
-    "scan_incremental_watermark",
-    "scan_orc_roundtrip",
-    "scan_schema_evolution",
-    "sink_jdbc_append",
-    "sink_json_report",
-    "sink_partition_overwrite",
-    "sink_s3",
-    "source_s3",
-    "embed_cosine_topk",
-    "embed_lsh_topk",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    "text_tfidf",
-    "text_token_stats",
-    # (d) r1-era rows deferred from round 7: ALL NINE are displaced
-    # by the nine round-8 additions above (the window caps at 50 and
-    # backlog-first means the 20 never-checked r7 rows + the full
-    # r2-era rotation keep their slots). Each displaced row HOLDS a
-    # green r1 driver row and is a low-information re-check by its
-    # round-7 deferral rationale: agg_approx_sketches (rows-only by
-    # design), filter_valid_rows (complement of the fresh
-    # filter_rejected_rows), agg_success_rate (alias of
-    # agg_completion_rate's implementation), agg_record_count /
-    # agg_events_by_type (bare counts), setop_intersect /
-    # setop_except (family fresh from four directions),
-    # fillna_const (sibling of the fresh fillna_mean),
-    # window_running_sum (cumulative-window path fresh via M4/STL).
-    # They rotate into round 9's window front.
-]
-
-#: Round-9 window FRONT (not promoted into the round-8 window — the
-#: 50 slots above implement VERDICT r7's backlog-first allocation and
-#: are full). Everything here was added late in round 8 AFTER the
-#: window froze; each is hash-green at sf0.001/0.01/0.1 in
-#: builder-side driver-grade sweeps (docs/SWEEP_COST*.json + the
-#: end-of-round full sweep) and carries an independent pure-Python
-#: cross-check in tests/. Round 9 must promote THESE first, then the
-#: nine r1-era deferrals listed above, then the r3-era rotation.
-_ROUND9_WINDOW_FRONT = [
-    # late round-8 wave 2 (commits d3d0045..d35bc6d)
+    # late round-8 wave 2 (never driver-checked; each hash-green at
+    # sf0.001/0.01/0.1 in builder-side driver-grade sweeps with a
+    # pure-Python cross-check in tests/ — soft evidence until the
+    # driver row lands)
     "stat_spearman_rho",
     "stat_runs_test",
     "graph_k_core",
@@ -135,7 +61,7 @@ _ROUND9_WINDOW_FRONT = [
     "text_collocation_lift",
     "feat_vocab_collapse_encode",
     "spatial_morton_tiles",
-    # late round-8 wave 3 (continuation session)
+    # late round-8 wave 3 (continuation session; same evidence tier)
     "embed_sq8_topk",
     "embed_binary_hamming_topk",
     "stat_welch_t",
@@ -177,12 +103,43 @@ _ROUND9_WINDOW_FRONT = [
     "governance_retention_ttl_audit",
     "attr_u_shaped_touch",
     "dq_pk_uniqueness_suite",
+    # ---- 50-slot window boundary: everything below spills to the
+    # ---- round-10 front (see _ROUND10_WINDOW_FRONT).
+]
+
+#: Round-10 window FRONT (slots 51+ this round — the driver's window
+#: caps at 50, so these carry over): (a) the last 6 never-checked
+#: late-round-8 queries displaced by the 50-slot cap above, then
+#: (b) the 9 r1-era deferrals. The r1-era rows each HOLD a green r1
+#: driver row and are low-information re-checks (rationale recorded
+#: in round 7/8: agg_approx_sketches is rows-only by design;
+#: filter_valid_rows complements the fresh filter_rejected_rows;
+#: agg_success_rate aliases agg_completion_rate's implementation;
+#: agg_record_count / agg_events_by_type are bare counts;
+#: setop_intersect / setop_except have the family fresh from four
+#: directions; fillna_const is the sibling of the fresh fillna_mean;
+#: window_running_sum's cumulative-window path is fresh via M4/STL).
+#: Backlog-first allocation (never-checked > stale-green) wins them
+#: out of this round's window for the third time — that is the
+#: explicit deferral record VERDICT r8 item 7 asks for.
+_ROUND10_WINDOW_FRONT = [
+    # (a) never-driver-checked spill from the 56-query backlog
     "agg_stickiness_dau_mau",
     "ts_seasonality_strength",
     "text_simpson_diversity",
     "agg_user_overlap_stability",
     "ts_burstiness_fano",
     "stat_chi_square_residuals",
+    # (b) r1-era deferrals (green r1 rows; rotation re-checks)
+    "filter_valid_rows",
+    "fillna_const",
+    "agg_record_count",
+    "agg_success_rate",
+    "agg_events_by_type",
+    "setop_intersect",
+    "setop_except",
+    "window_running_sum",
+    "agg_approx_sketches",
 ]
 
-registry.promote(_NEEDS_CORRECTNESS_ROW)
+registry.promote(_NEEDS_CORRECTNESS_ROW + _ROUND10_WINDOW_FRONT)

@@ -37,3 +37,10 @@ def test_promotion_list_within_sweep_window():
     assert len(_NEEDS_CORRECTNESS_ROW) <= 50
     first = set(names[: len(_NEEDS_CORRECTNESS_ROW)])
     assert set(_NEEDS_CORRECTNESS_ROW) == first
+    # the round-10 carry-over front must hold the slots right after
+    # the window so next round's promotion is a list swap, not a hunt
+    from etl_jobs_spark.queries import _ROUND10_WINDOW_FRONT
+
+    lo = len(_NEEDS_CORRECTNESS_ROW)
+    hi = lo + len(_ROUND10_WINDOW_FRONT)
+    assert names[lo:hi] == _ROUND10_WINDOW_FRONT
