@@ -1805,3 +1805,80 @@ def test_chi_residuals_match_python(spark):
     assert (got["std_residual"] > 0).any() and (
         got["std_residual"] < 0
     ).any()
+
+
+# ---------------------------------------------------------------
+# block_cap default-on for entity resolution (VERDICT r8 item 3)
+# ---------------------------------------------------------------
+
+
+def test_er_block_cap_is_invisible_on_honest_fixture(spark):
+    """With block_cap=ER_BLOCK_CAP (the pipeline default), the capped
+    plan returns EXACTLY the uncapped pair set on the honest fixture,
+    and block_cap_audit reads all-zero on the capped side — the
+    'oracle unchanged' half of the default-on contract."""
+    from etl_jobs_spark.operators.matching import (
+        ER_BLOCK_CAP,
+        block_cap_audit,
+        fuzzy_pairs,
+    )
+    from etl_jobs_spark.sources.readers import read_table
+
+    cust = read_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    kw = dict(block_cols=["c_nationkey", "c_mktsegment"])
+    capped = {
+        (r["key_a"], r["key_b"])
+        for r in fuzzy_pairs(
+            cust, "c_custkey", "c_name", block_cap=ER_BLOCK_CAP, **kw
+        ).collect()
+    }
+    exact = {
+        (r["key_a"], r["key_b"])
+        for r in fuzzy_pairs(
+            cust, "c_custkey", "c_name", block_cap=None, **kw
+        ).collect()
+    }
+    assert capped == exact
+    audit = block_cap_audit(
+        cust, "c_custkey", "c_name", block_cap=ER_BLOCK_CAP, **kw
+    ).collect()[0]
+    assert audit["capped_blocks"] == 0
+    assert audit["dropped_occurrences"] == 0
+    assert audit["capped_pairs"] == 0
+    assert audit["kept_blocks"] > 0
+
+
+def test_block_cap_binds_and_audit_discloses_on_skew(spark):
+    """Adversarial skew: one composed block holds > cap rows. The cap
+    must drop that block's candidates (bounded fan-out) and the audit
+    must disclose the C(n,2) exposure — the no-silent-caps half."""
+    from etl_jobs_spark.operators.matching import (
+        block_cap_audit,
+        fuzzy_pairs,
+    )
+
+    # 40 identical hot names in one attr block (quadratic in-block
+    # pair volume: C(40,2)=780), plus two honest near-dup rows in
+    # another block that must SURVIVE the cap.
+    rows = [(i, "aaaa", 7) for i in range(40)]
+    rows += [(100, "zzzz", 8), (101, "zzzz", 8)]
+    df = spark.createDataFrame(rows, "id BIGINT, name STRING, grp INT")
+    capped = {
+        (r["key_a"], r["key_b"])
+        for r in fuzzy_pairs(
+            df, "id", "name", block_cols=["grp"], block_cap=10
+        ).collect()
+    }
+    assert capped == {(100, 101)}  # hot block dropped, honest kept
+    audit = block_cap_audit(
+        df, "id", "name", block_cols=["grp"], block_cap=10
+    ).collect()[0]
+    # the hot name 'aaaa' contributes 2 over-cap variant blocks —
+    # itself plus 'aaa' (all four single-deletions collapse to the
+    # same string and array_union dedups) — each with 40 rows
+    assert audit["capped_blocks"] == 2
+    assert audit["dropped_occurrences"] == 2 * 40
+    assert audit["capped_pairs"] == 2 * (40 * 39 // 2)
+    assert audit["kept_blocks"] > 0
