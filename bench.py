@@ -345,6 +345,10 @@ def main() -> None:
     t0 = time.perf_counter()
     GQ._copurchase_edges(spark, sf_dir).count()
     GQ._copurchase_degrees(spark, sf_dir).count()
+    # round-9: the degree-oriented edges + out-adjacency joined the
+    # shared memo set (triangle census and LCC read them)
+    GQ._copurchase_oriented(spark, sf_dir).count()
+    GQ._copurchase_out_adjacency(spark, sf_dir).count()
     print(
         f"# shared co-purchase edge memo: {time.perf_counter() - t0:.3f}s",
         file=sys.stderr,
