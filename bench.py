@@ -317,6 +317,20 @@ def main() -> None:
         f"# shared minhash pair memo: {time.perf_counter() - t0:.3f}s",
         file=sys.stderr,
     )
+    # round-9 (VERDICT r8 item 6): the rest of the dedup memo set —
+    # the exact-gram table (Jaccard/containment truth side, read by
+    # dedup_lsh_recall_eval) and the LSH component labels (read by
+    # dedup_cross_source_matrix / cluster histograms) — so the
+    # recall-eval family stops paying first-consumer staging in
+    # whatever order the sweep visits it.
+    t0 = time.perf_counter()
+    DQ._doc_grams(spark, sf_dir).count()
+    DQ._lsh_components(spark, sf_dir).count()
+    print(
+        f"# shared doc-gram + LSH-component memos: "
+        f"{time.perf_counter() - t0:.3f}s",
+        file=sys.stderr,
+    )
     # same policy for the round-7 shared artifacts: the substring
     # span table (reported by dedup_substring_spans, consumed by
     # dedup_substring_coverage) and the learned BPE merge table
