@@ -73,7 +73,7 @@ AUDIT = {
     "window_share_of_total": "fact agg is the only big shuffle; share+rank windows share the region partition",
     "stat_chi_square_independence": "one fact aggregation to r x c cells; marginals are windows over 25 rows",
     "agg_bitmap_rollup_weekly": "weekly uniques from stored daily bitmaps via bitmap_or_agg, no raw re-scan",
-    "graph_triangle_count": "edge build is ONE groupBy shuffle; oriented edge table persisted once, reused by both close joins + degree agg",
+    "graph_triangle_count": "census = two equi-joins attaching the memoized out-adjacency to each oriented edge + map-side array_intersect (no wedge materialization); Exchange count is inflated by the cached memo lineage explain repeats under each InMemoryTableScan",
     # round 7
     "dedup_substring_spans": "stop-gram window + ONE gram equi-join; diagonal chaining is one window family",
     "join_spatial_grid": "9-offset broadcast explode; the only big join is the cell-key equi-join",
