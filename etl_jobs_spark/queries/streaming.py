@@ -812,13 +812,6 @@ def stream_interval_join_full(spark, sf_dir):
     return _interval_join_matrix(spark, sf_dir)
 
 
-#: The drained interval-join matrix, memoized per (sf_dir): one
-#: micro-batch drain feeds all three join-matrix cells. Memory-sink
-#: tables live for the session and are not touched by
-#: cache.release_all(), so the memo survives the bench/sweep loops.
-_IVJ_MATRIX: dict[str, DataFrame] = {}
-
-
 def _interval_join_matrix(spark, sf_dir: str) -> DataFrame:
     """ONE streaming drain for the interval-join trio (VERDICT r8
     item 4). The FULL OUTER interval join is a strict superset of
@@ -830,9 +823,20 @@ def _interval_join_matrix(spark, sf_dir: str) -> DataFrame:
     once per (session, sf); each query's own semantics stay those of
     its oracle, and the per-mode STREAMING join paths (inner /
     left_outer execution, not just their algebra) remain exercised
-    by tests/test_streaming_join_modes.py."""
-    if sf_dir in _IVJ_MATRIX:
-        return _IVJ_MATRIX[sf_dir]
+    by tests/test_streaming_join_modes.py.
+
+    Memoized per (SparkSession, sf_dir) via session_memo — memory-
+    sink tables live for the session and are untouched by
+    cache.release_all(), so the drain happens once per bench/sweep
+    loop and never leaks across sessions."""
+    from etl_jobs_spark.queries._shared import session_memo
+
+    return session_memo(
+        spark, "ivj_matrix", sf_dir, lambda: _drain_matrix(spark, sf_dir)
+    )
+
+
+def _drain_matrix(spark, sf_dir: str) -> DataFrame:
     key = (sf_dir, "ivjo", 3)
     if key not in _STAGED:
         d = scratch_dir("etl_ivjo")
@@ -889,9 +893,7 @@ def _interval_join_matrix(spark, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("user_id"), F.col("c_user")).alias("user_id"),
         )
     )
-    out = S.run_to_memory(joined, str(wk / "ck"), "append", state_partitions=4)
-    _IVJ_MATRIX[sf_dir] = out
-    return out
+    return S.run_to_memory(joined, str(wk / "ck"), "append", state_partitions=4)
 
 
 @register(
