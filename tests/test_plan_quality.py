@@ -177,3 +177,40 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_triangle_census_is_intersect_not_wedge_join(spark):
+    """Round-9 census lock: triangle counting must attach the
+    memoized out-adjacency to each oriented edge and intersect
+    map-side — NOT materialize wedges through an e1⋈e2⋈e3
+    self-join (the shape that cost ~6s/round at sf0.1). The plan
+    must contain array_intersect and must NOT join the edge table
+    to itself on v=u (the wedge-producing condition)."""
+    from etl_jobs_spark.queries.graph_analytics import (
+        graph_triangle_count,
+    )
+
+    df = graph_triangle_count(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_intersect" in plan, plan[:2000]
+    # two adjacency joins, zero edge-edge wedge joins: every join in
+    # the census has an array-typed build side (the nbrs column)
+    assert "nbrs" in plan
+    df.count()  # and it still executes
+
+
+def test_gram_novelty_uses_single_slot_pass(spark):
+    """Round-9 novelty lock: first-appearance comes from a window
+    MIN over the gram key — ONE evaluation of the
+    normalize→explode→distinct slot lineage. The old groupBy +
+    self-join shape evaluated it twice; its signature was a join on
+    gh between two Aggregate subtrees. The optimized plan must
+    contain a Window node and no Join at all."""
+    from etl_jobs_spark.queries.dedup import (
+        dedup_gram_novelty_by_source,
+    )
+
+    df = dedup_gram_novelty_by_source(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
