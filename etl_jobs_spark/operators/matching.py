@@ -205,22 +205,17 @@ def block_cap_audit(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     over = F.col("n") > F.lit(block_cap)
+
+    def _s(expr, name):  # empty corpus → 0, not NULL
+        return F.coalesce(F.sum(expr), F.lit(0)).cast("long").alias(name)
+
     return freq.agg(
-        F.sum(F.when(~over, 1).otherwise(0)).cast("long").alias(
-            "kept_blocks"
+        _s(F.when(~over, 1).otherwise(0), "kept_blocks"),
+        _s(F.when(over, 1).otherwise(0), "capped_blocks"),
+        _s(F.when(~over, F.col("n")).otherwise(0), "kept_occurrences"),
+        _s(F.when(over, F.col("n")).otherwise(0), "dropped_occurrences"),
+        _s(
+            F.when(over, F.col("n") * (F.col("n") - 1) / 2).otherwise(0),
+            "capped_pairs",
         ),
-        F.sum(F.when(over, 1).otherwise(0)).cast("long").alias(
-            "capped_blocks"
-        ),
-        F.sum(F.when(~over, F.col("n")).otherwise(0)).cast("long").alias(
-            "kept_occurrences"
-        ),
-        F.sum(F.when(over, F.col("n")).otherwise(0)).cast("long").alias(
-            "dropped_occurrences"
-        ),
-        F.sum(
-            F.when(over, F.col("n") * (F.col("n") - 1) / 2).otherwise(0)
-        )
-        .cast("long")
-        .alias("capped_pairs"),
     )

@@ -114,3 +114,21 @@ def test_kmv_fewer_keys_than_sketch(spark, tmp_path):
     df.write.parquet(str(tmp_path / "events.parquet"))
     row = approx_distinct_kmv(spark, str(tmp_path)).collect()[0]
     assert row["k"] == 3
+
+
+def test_block_cap_audit_empty_is_all_zero(spark):
+    """Empty corpus -> one all-zero disclosure row (a NULL row would
+    read as 'audit broken', not 'nothing capped')."""
+    from etl_jobs_spark.operators import matching as MT
+
+    empty = _empty(spark, "c_custkey BIGINT, c_name STRING, g INT")
+    row = MT.block_cap_audit(
+        empty, "c_custkey", "c_name", block_cols=["g"], block_cap=5
+    ).collect()[0]
+    assert row.asDict() == {
+        "kept_blocks": 0,
+        "capped_blocks": 0,
+        "kept_occurrences": 0,
+        "dropped_occurrences": 0,
+        "capped_pairs": 0,
+    }
