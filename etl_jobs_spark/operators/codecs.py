@@ -12,11 +12,13 @@ DECODED back inside Arrow-batched ``mapInPandas`` stages — a bug on
 either side breaks the value-level oracle match.
 
 Scope is deliberate: 8-bit PNG color types 0/2/6 (gray/RGB/RGBA),
-no interlacing; 24-bit uncompressed BMP; single-frame global-palette
-GIF (no interlace); 16-bit mono PCM WAV. JPEG, compressed BMP, MP3
-and video stay behind NotImplementedError — those
-require codecs the container does not have (operators/multimodal.py
-keeps the honest stub for them).
+sequential or Adam7 interlaced (round 9 — the progressive-render
+layout real crawls contain); 24-bit uncompressed BMP; single-frame
+global-palette GIF (no interlace); 16-bit mono PCM WAV; baseline
+JFIF JPEG (from-scratch Huffman+DCT below). Progressive JPEG,
+compressed BMP, MP3 and video stay behind NotImplementedError —
+those require codecs the container does not have
+(operators/multimodal.py keeps the honest stub for them).
 
 These are fixture-scale codecs (tens-of-KB blobs, Python row loops
 over scanlines); on a real cluster the decode body would be pillow /
@@ -50,19 +52,28 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def encode_png(img: np.ndarray, filter_per_row: bool = True) -> bytes:
-    """Encode an (h, w) or (h, w, ch) uint8 array as a real PNG.
+#: Adam7 interlace passes as (x_start, y_start, x_step, y_step) —
+#: the public PNG spec's pixel-extraction lattice; pass k's
+#: sub-image is img[y0::ys, x0::xs].
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    ``filter_per_row=True`` cycles through all five scanline filters
-    (row index mod 5) so a decode round-trip exercises every
-    reconstruction branch, not just filter 0.
-    """
-    if img.ndim == 2:
-        img = img[:, :, None]
+
+def _png_filter_scanlines(
+    img: np.ndarray, filter_per_row: bool
+) -> bytearray:
+    """Filter one (sub-)image's scanlines per the PNG spec: each
+    reduced image in an interlaced stream is filtered independently
+    (prev resets), which is why this is a helper both the sequential
+    and the Adam7 encoder paths call."""
     h, w, ch = img.shape
-    color_type = {1: 0, 3: 2, 4: 6}[ch]
-    img = np.ascontiguousarray(img, dtype=np.uint8)
-
     raw = bytearray()
     prev = np.zeros(w * ch, dtype=np.int16)
     for y in range(h):
@@ -88,6 +99,34 @@ def encode_png(img: np.ndarray, filter_per_row: bool = True) -> bytes:
         raw.append(ft)
         raw.extend(filt.astype(np.uint8).tobytes())
         prev = row
+    return raw
+
+
+def encode_png(
+    img: np.ndarray, filter_per_row: bool = True, interlace: bool = False
+) -> bytes:
+    """Encode an (h, w) or (h, w, ch) uint8 array as a real PNG.
+
+    ``filter_per_row=True`` cycles through all five scanline filters
+    (row index mod 5) so a decode round-trip exercises every
+    reconstruction branch, not just filter 0. ``interlace=True``
+    writes an Adam7 stream (the seven reduced images, each filtered
+    independently) — the progressive-render layout real crawled
+    corpora contain."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+
+    raw = bytearray()
+    if interlace:
+        for x0, y0, xs, ys in _ADAM7:
+            sub = img[y0::ys, x0::xs]
+            if sub.shape[0] and sub.shape[1]:
+                raw.extend(_png_filter_scanlines(sub, filter_per_row))
+    else:
+        raw.extend(_png_filter_scanlines(img, filter_per_row))
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -97,7 +136,9 @@ def encode_png(img: np.ndarray, filter_per_row: bool = True) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     return (
         PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -106,43 +147,23 @@ def encode_png(img: np.ndarray, filter_per_row: bool = True) -> bytes:
     )
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG (gray/RGB/RGBA) to
-    (h, w, ch) uint8, reconstructing all five scanline filters."""
-    if data[:8] != PNG_SIG:
-        raise ValueError("not a PNG")
-    pos, w = 8, 0
-    h = bit_depth = color_type = interlace = 0
-    idat = bytearray()
-    while pos < len(data):
-        (length,) = struct.unpack_from(">I", data, pos)
-        ctype = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if ctype == b"IHDR":
-            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-        elif ctype == b"IDAT":
-            idat.extend(body)
-        elif ctype == b"IEND":
-            break
-    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace:
-        raise NotImplementedError(
-            f"PNG bit_depth={bit_depth} color_type={color_type} "
-            f"interlace={interlace} unsupported (8-bit 0/2/6 only)"
-        )
-    ch = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+def _png_unfilter_scanlines(
+    raw: bytes, off: int, h: int, w: int, ch: int
+) -> tuple[np.ndarray, int]:
+    """Reconstruct one (sub-)image's scanlines starting at ``off``
+    in the decompressed stream; returns (h, w, ch) pixels and the
+    offset just past the consumed bytes. Shared by the sequential
+    path (one call) and the Adam7 path (one call per reduced
+    image — each resets the prev-row state per the spec)."""
     stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG scanline payload size mismatch")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int16)
     for y in range(h):
-        off = y * (stride + 1)
+        if off >= len(raw):
+            raise ValueError("PNG scanline payload truncated")
         ft = raw[off]
         filt = np.frombuffer(raw, np.uint8, stride, off + 1).astype(np.int16)
+        off += 1 + stride
         if ft == 0:
             recon = filt
         elif ft == 2:
@@ -164,7 +185,58 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {ft}")
         out[y] = recon.astype(np.uint8)
         prev = recon
-    return out.reshape(h, w, ch)
+    return out.reshape(h, w, ch), off
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit PNG (gray/RGB/RGBA; sequential or Adam7
+    interlaced) to (h, w, ch) uint8, reconstructing all five
+    scanline filters. Interlaced streams carry seven independently
+    filtered reduced images that scatter back onto the
+    img[y0::ys, x0::xs] lattice."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, 0
+    h = bit_depth = color_type = interlace = 0
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace > 1:
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth} color_type={color_type} "
+            f"interlace={interlace} unsupported (8-bit 0/2/6, "
+            "sequential or Adam7 only)"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    if not interlace:
+        if len(raw) != h * (w * ch + 1):
+            raise ValueError("PNG scanline payload size mismatch")
+        img, _ = _png_unfilter_scanlines(raw, 0, h, w, ch)
+        return img
+    out = np.empty((h, w, ch), dtype=np.uint8)
+    off = 0
+    for x0, y0, xs, ys in _ADAM7:
+        hp = len(range(y0, h, ys))
+        wp = len(range(x0, w, xs))
+        if hp == 0 or wp == 0:
+            continue  # empty pass for small images, nothing encoded
+        sub, off = _png_unfilter_scanlines(raw, off, hp, wp, ch)
+        out[y0::ys, x0::xs] = sub
+    if off != len(raw):
+        raise ValueError("PNG interlaced payload size mismatch")
+    return out
 
 
 def encode_bmp(img: np.ndarray) -> bytes:

@@ -228,12 +228,16 @@ def _grid_audio(doc_id: int):
 
 def generate_media(docs: DataFrame) -> DataFrame:
     """Encode the fixture grid into REAL containers per doc: PNG for
-    odd doc_ids (cycling all five scanline filters), 24-bit BMP for
-    even, plus a baseline JPEG of the same grid (color for odd ids,
-    grayscale channel-0 for even — both JPEG component layouts) and
-    a PCM WAV of the fixture waveform — an Arrow-batched generation
-    stage (each executor encodes its own partition; no driver-side
-    loop)."""
+    odd doc_ids (cycling all five scanline filters; every other PNG
+    — doc_id % 4 == 1 — written Adam7 INTERLACED so the registered
+    decode queries exercise both stream layouts end-to-end), 24-bit
+    BMP for even, plus a baseline JPEG of the same grid (color for
+    odd ids, grayscale channel-0 for even — both JPEG component
+    layouts) and a PCM WAV of the fixture waveform — an
+    Arrow-batched generation stage (each executor encodes its own
+    partition; no driver-side loop). Interlacing is layout, not
+    content: decoded pixels are identical, so every pixel-derived
+    oracle is unchanged."""
     from etl_jobs_spark.operators import codecs as C
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -243,7 +247,9 @@ def generate_media(docs: DataFrame) -> DataFrame:
                 d = int(doc_id)
                 img = _grid_image(d)
                 media = (
-                    C.encode_png(img) if d % 2 == 1 else C.encode_bmp(img)
+                    C.encode_png(img, interlace=(d % 4 == 1))
+                    if d % 2 == 1
+                    else C.encode_bmp(img)
                 )
                 jpeg = C.encode_jpeg(
                     img if d % 2 == 1 else img[:, :, :1]
