@@ -335,11 +335,25 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 GIF_SIG = b"GIF89a"
 
 
-def encode_gif(img: np.ndarray) -> bytes:
+def _gif_interlace_rows(h: int) -> list[int]:
+    """GIF's four-pass row lattice (rows 0,8,16…; 4,12…; 2,6,10…;
+    odd rows) — the order interlaced frames store scanlines in. A
+    permutation of range(h) for every h (asserted in tests)."""
+    return [
+        *range(0, h, 8),
+        *range(4, h, 8),
+        *range(2, h, 4),
+        *range(1, h, 2),
+    ]
+
+
+def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
     """GIF89a encoder: single frame, global color table, LZW
-    (variable-code-width, per the spec), no interlace. Palette is
-    built from the frame's unique colors in first-appearance scan
-    order (≤256 — fixture grids are few-color by construction)."""
+    (variable-code-width, per the spec); ``interlace=True`` stores
+    scanlines in the spec's four-pass order with the image
+    descriptor's interlace flag set. Palette is built from the
+    frame's unique colors in first-appearance scan order (≤256 —
+    fixture grids are few-color by construction)."""
     if img.ndim != 3 or img.shape[2] != 3:
         raise NotImplementedError("GIF encoder is RGB only")
     h, w = img.shape[:2]
@@ -362,9 +376,13 @@ def encode_gif(img: np.ndarray) -> bytes:
     out += GIF_SIG
     out += struct.pack("<HHBBB", w, h, 0xF0 | (n - 1), 0, 0)
     out += b"".join(bytes(c) for c in table)
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )
     min_code = max(2, n)
     out.append(min_code)
+    if interlace:
+        idx = idx.reshape(h, w)[_gif_interlace_rows(h)].reshape(-1)
     out += _lzw_compress(idx.tolist(), min_code)
     out += b"\x00\x3b"  # block terminator + trailer
     return bytes(out)
@@ -424,9 +442,9 @@ def _lzw_compress(indices: list[int], min_code: int) -> bytes:
 
 def decode_gif(data: bytes) -> np.ndarray:
     """GIF decoder: first frame, global color table, LZW inflate
-    with variable code width; interlace and local color tables are
-    out of scope (NotImplementedError, same honesty rule as the
-    other codecs)."""
+    with variable code width, sequential or four-pass interlaced
+    (round 9); local color tables stay out of scope
+    (NotImplementedError, same honesty rule as the other codecs)."""
     b = bytes(data)
     if b[:6] not in (GIF_SIG, b"GIF87a"):
         raise NotImplementedError("not a GIF container")
@@ -449,10 +467,8 @@ def decode_gif(data: bytes) -> np.ndarray:
         raise NotImplementedError("no image descriptor found")
     _l, _t, iw, ih, iflags = struct.unpack("<HHHHB", b[pos + 1 : pos + 10])
     pos += 10
-    if iflags & 0xC0:
-        raise NotImplementedError(
-            "interlaced / local-color-table GIFs unsupported"
-        )
+    if iflags & 0x80:
+        raise NotImplementedError("local-color-table GIFs unsupported")
     min_code = b[pos]
     pos += 1
     stream = bytearray()
@@ -461,7 +477,12 @@ def decode_gif(data: bytes) -> np.ndarray:
         stream += b[pos + 1 : pos + 1 + ln]
         pos += 1 + ln
     indices = _lzw_decompress(bytes(stream), min_code, iw * ih)
-    return table[np.array(indices, dtype=np.int32)].reshape(ih, iw, 3)
+    img = table[np.array(indices, dtype=np.int32)].reshape(ih, iw, 3)
+    if iflags & 0x40:  # stored in four-pass order → scatter back
+        out = np.empty_like(img)
+        out[_gif_interlace_rows(ih)] = img
+        return out
+    return img
 
 
 def _lzw_decompress(data: bytes, min_code: int, n_pixels: int) -> list[int]:

@@ -392,8 +392,18 @@ def _stage_media_gif(spark, sf_dir: str) -> str:
 
     def batches(it):
         for pdf in it:
+            # every other GIF stored four-pass interlaced (round 9)
+            # so the decode query covers both scanline layouts;
+            # pixels — and every oracle — are identical
             rows = [
-                (int(doc_id), "gif", C.encode_gif(MM._grid_image(int(doc_id))))
+                (
+                    int(doc_id),
+                    "gif",
+                    C.encode_gif(
+                        MM._grid_image(int(doc_id)),
+                        interlace=(int(doc_id) % 2 == 0),
+                    ),
+                )
                 for doc_id in pdf["doc_id"]
             ]
             yield pd.DataFrame(rows, columns=["doc_id", "container", "media"])

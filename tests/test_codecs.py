@@ -308,3 +308,28 @@ def test_png_interlaced_matches_sequential_decode():
     seq = decode_png(encode_png(img))
     adam = decode_png(encode_png(img, interlace=True))
     assert np.array_equal(seq, adam)
+
+
+def test_gif_interlace_rows_is_permutation():
+    """Four-pass row order must be a permutation of range(h) for
+    every height — the spec guard independent of round-tripping."""
+    from etl_jobs_spark.operators.codecs import _gif_interlace_rows
+
+    for h in range(1, 40):
+        assert sorted(_gif_interlace_rows(h)) == list(range(h)), h
+
+
+def test_gif_interlaced_roundtrip_and_matches_sequential():
+    import numpy as np
+
+    from etl_jobs_spark.operators.codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(17)
+    for h, w in [(1, 1), (3, 4), (8, 8), (9, 5), (23, 11)]:
+        # few-color frame (palette <= 256 by construction)
+        img = (
+            rng.integers(0, 6, size=(h, w, 3), dtype=np.uint8) * 40
+        ).astype(np.uint8)
+        adam = decode_gif(encode_gif(img, interlace=True))
+        assert np.array_equal(adam, img), (h, w)
+        assert np.array_equal(adam, decode_gif(encode_gif(img)))
