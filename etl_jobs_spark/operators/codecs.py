@@ -14,11 +14,13 @@ either side breaks the value-level oracle match.
 Scope is deliberate: 8-bit PNG color types 0/2/6 (gray/RGB/RGBA),
 sequential or Adam7 interlaced (round 9 — the progressive-render
 layout real crawls contain); 24-bit uncompressed BMP; single-frame
-global-palette GIF (no interlace); 16-bit mono PCM WAV; baseline
-JFIF JPEG (from-scratch Huffman+DCT below). Progressive JPEG,
-compressed BMP, MP3 and video stay behind NotImplementedError —
-those require codecs the container does not have
-(operators/multimodal.py keeps the honest stub for them).
+global-palette GIF, sequential or four-pass interlaced (round 9);
+16-bit mono PCM WAV; JFIF JPEG — baseline SOF0 AND progressive SOF2
+(round 9: spectral selection + successive approximation, DC/AC
+first and refinement scans, EOB runs). Compressed BMP, MP3,
+arithmetic-coded/lossless JPEG and video stay behind
+NotImplementedError — those require codecs the container does not
+have (operators/multimodal.py keeps the honest stub for them).
 
 These are fixture-scale codecs (tens-of-KB blobs, Python row loops
 over scanlines); on a real cluster the decode body would be pillow /
@@ -675,10 +677,119 @@ def _ycbcr_to_rgb(img: np.ndarray) -> np.ndarray:
     ).astype(np.uint8)
 
 
-def encode_jpeg(img: np.ndarray) -> bytes:
-    """Encode an (h, w) or (h, w, 1|3) uint8 array as a baseline
-    JFIF JPEG (SOF0, 1x1 sampling, all-ones quant tables — maximum-
-    fidelity; decode error bounded by JPEG_MAX_ABS_ERR)."""
+def _enc_ac_run(bw, ac_codes, zz, lo, hi):
+    """Baseline AC run-length coding of zigzag positions lo..hi."""
+    run = 0
+    emitted_last = False
+    for i in range(lo, hi + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            emitted_last = False
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.put(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        bw.put(code, length)
+        bw.put(bits, size)
+        run = 0
+        emitted_last = i == hi
+    if not emitted_last:
+        code, length = ac_codes[0x00]  # EOB
+        bw.put(code, length)
+
+
+def _enc_ac_first(bw, ac_codes, blocks, ss, se, al):
+    """Progressive AC first scan: band Ss..Se at precision >>Al
+    (point transform divides magnitudes toward zero). EOB runs are
+    deliberately kept at length 1 (plain EOB per block) so the
+    standard Annex-K Huffman table suffices — legal output, and the
+    decoder still implements general EOB runs for foreign files."""
+    for zz in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t = (abs(v) >> al) * (1 if v >= 0 else -1)
+            if t == 0:
+                r += 1
+                continue
+            while r > 15:
+                code, length = ac_codes[0xF0]
+                bw.put(code, length)
+                r -= 16
+            size, bits = _magnitude(t)
+            code, length = ac_codes[(r << 4) | size]
+            bw.put(code, length)
+            bw.put(bits, size)
+            r = 0
+        if r > 0:  # trailing zeros (or an all-zero band) → EOB
+            code, length = ac_codes[0x00]  # EOB (run of 1)
+            bw.put(code, length)
+
+
+def _enc_ac_refine(bw, ac_codes, blocks, ss, se, al):
+    """Progressive AC refinement scan (encoder side of
+    _decode_scan_ac_refine, mirroring the reference encode order):
+    newly-significant coefficients code (run<<4)|1 + sign, history
+    coefficients contribute buffered correction bits flushed after
+    each emitted symbol; leftovers flush after a block-ending EOB."""
+    for zz in blocks:
+        pending: list[int] = []
+        r = 0
+        # last newly-significant position: ZRLs are only emitted up
+        # to here — beyond it, zero runs (and the history correction
+        # bits inside them) fold into the block-ending EOB, whose
+        # decoder-side sweep reads those bits in position order.
+        eob = 0
+        for k in range(ss, se + 1):
+            if (abs(int(zz[k])) >> al) == 1:
+                eob = k
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            # ZRL BEFORE buffering this position's bit: the decoder
+            # reads correction bits strictly in position order while
+            # advancing, so a run crossing 16 zeros must flush the
+            # bits gathered BEFORE the 16-zero boundary first.
+            while r > 15 and k <= eob:
+                code, length = ac_codes[0xF0]
+                bw.put(code, length)
+                r -= 16
+                for b in pending:
+                    bw.put(b, 1)
+                pending = []
+            if t > 1:  # history-nonzero: one correction bit
+                pending.append(t & 1)
+                continue
+            code, length = ac_codes[(r << 4) | 1]
+            bw.put(code, length)
+            bw.put(1 if v > 0 else 0, 1)
+            for b in pending:
+                bw.put(b, 1)
+            pending = []
+            r = 0
+        if r > 0 or pending:
+            code, length = ac_codes[0x00]  # EOB, run of 1
+            bw.put(code, length)
+            for b in pending:
+                bw.put(b, 1)
+
+
+def encode_jpeg(img: np.ndarray, progressive: bool = False) -> bytes:
+    """Encode an (h, w) or (h, w, 1|3) uint8 array as a JFIF JPEG
+    (1x1 sampling, all-ones quant tables — maximum-fidelity; decode
+    error bounded by JPEG_MAX_ABS_ERR). ``progressive=True`` writes
+    SOF2 with a successive-approximation script — DC first (Al=1),
+    DC refine, then per component AC 1-5 / 6-63 first passes (Al=1)
+    and their refinement passes — exercising every progressive
+    decode path (spectral selection, DC/AC refinement, spec bit
+    order) with the standard Huffman tables."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
@@ -694,60 +805,63 @@ def encode_jpeg(img: np.ndarray) -> bytes:
         planes, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge"
     ).astype(np.float64)
 
-    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
-    bw = _BitWriter()
-    prev_dc = [0] * ch
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for c in range(ch):  # 1x1 sampling: one block per comp/MCU
-                block = padded[by:by + 8, bx:bx + 8, c] - 128.0
+    # quantized zigzag coefficients, one (nby*nbx, 64) table per comp
+    nby, nbx = ph // 8, pw // 8
+    coefs = [np.empty((nby * nbx, 64), dtype=np.int64) for _ in range(ch)]
+    for by in range(nby):
+        for bx in range(nbx):
+            for c in range(ch):
+                block = (
+                    padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8, c] - 128.0
+                )
                 coef = _DCT_M @ block @ _DCT_M.T
                 q = np.round(coef).astype(np.int64)
-                zz = q.flatten()[_ZIGZAG]
-                # DC difference
-                diff = int(zz[0]) - prev_dc[c]
-                prev_dc[c] = int(zz[0])
-                size, bits = _magnitude(diff)
-                code, length = dc_codes[size]
-                bw.put(code, length)
-                if size:
-                    bw.put(bits, size)
-                # AC run-length
-                run = 0
-                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-                for i in range(1, 64):
-                    v = int(zz[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_codes[0xF0]  # ZRL
-                        bw.put(code, length)
-                        run -= 16
-                    size, bits = _magnitude(v)
-                    code, length = ac_codes[(run << 4) | size]
-                    bw.put(code, length)
-                    bw.put(bits, size)
-                    run = 0
-                if last_nz < 63:
-                    code, length = ac_codes[0x00]  # EOB
-                    bw.put(code, length)
-    bw.flush()
+                coefs[c][by * nbx + bx] = q.flatten()[_ZIGZAG]
+
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        scomp = b"".join(bytes([cid + 1, 0x00]) for cid in comp_ids)
+        return seg(
+            0xFFDA,
+            bytes([len(comp_ids)]) + scomp + bytes([ss, se, (ah << 4) | al]),
+        )
+
+    def dc_scan(ah: int, al: int) -> bytes:
+        bw = _BitWriter()
+        prev = [0] * ch
+        for b in range(nby * nbx):
+            for c in range(ch):
+                v = int(coefs[c][b, 0])
+                if ah == 0:
+                    t = v >> al  # arithmetic shift per spec (DC)
+                    diff = t - prev[c]
+                    prev[c] = t
+                    size, bits = _magnitude(diff)
+                    code, length = dc_codes[size]
+                    bw.put(code, length)
+                    if size:
+                        bw.put(bits, size)
+                else:
+                    bw.put((v >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.out)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(
         0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     )  # APP0
     out += seg(0xFFDB, b"\x00" + bytes([1] * 64))  # DQT id 0, all ones
-    # SOF0: 8-bit, h, w, components with 1x1 sampling, quant table 0
-    comp = b"".join(
-        bytes([i + 1, 0x11, 0]) for i in range(ch)
+    # SOF0 baseline / SOF2 progressive: 8-bit, 1x1 sampling, table 0
+    comp = b"".join(bytes([i + 1, 0x11, 0]) for i in range(ch))
+    out += seg(
+        0xFFC2 if progressive else 0xFFC0,
+        struct.pack(">BHHB", 8, h, w, ch) + comp,
     )
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ch) + comp)
     # DHT: DC table 0 + AC table 0 (both classes, id 0 — shared by
     # every component; legal and compact)
     out += seg(
@@ -755,10 +869,42 @@ def encode_jpeg(img: np.ndarray) -> bytes:
         b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
         + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS),
     )
-    # SOS: every component uses DC table 0 / AC table 0
-    scomp = b"".join(bytes([i + 1, 0x00]) for i in range(ch))
-    out += seg(0xFFDA, bytes([ch]) + scomp + b"\x00\x3f\x00")
-    out += bw.out
+    if not progressive:
+        bw = _BitWriter()
+        prev = [0] * ch
+        for b in range(nby * nbx):
+            for c in range(ch):
+                zz = coefs[c][b]
+                diff = int(zz[0]) - prev[c]
+                prev[c] = int(zz[0])
+                size, bits = _magnitude(diff)
+                code, length = dc_codes[size]
+                bw.put(code, length)
+                if size:
+                    bw.put(bits, size)
+                _enc_ac_run(bw, ac_codes, zz, 1, 63)
+        bw.flush()
+        out += sos(list(range(ch)), 0, 63, 0, 0)
+        out += bw.out
+    else:
+        out += sos(list(range(ch)), 0, 0, 0, 1)
+        out += dc_scan(0, 1)
+        out += sos(list(range(ch)), 0, 0, 1, 0)
+        out += dc_scan(1, 0)
+        for band in ((1, 5), (6, 63)):
+            for c in range(ch):
+                bw = _BitWriter()
+                _enc_ac_first(bw, ac_codes, coefs[c], band[0], band[1], 1)
+                bw.flush()
+                out += sos([c], band[0], band[1], 0, 1)
+                out += bytes(bw.out)
+        for band in ((1, 5), (6, 63)):
+            for c in range(ch):
+                bw = _BitWriter()
+                _enc_ac_refine(bw, ac_codes, coefs[c], band[0], band[1], 0)
+                bw.flush()
+                out += sos([c], band[0], band[1], 1, 0)
+                out += bytes(bw.out)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -838,18 +984,165 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
+def _scan_end(data: bytes, pos: int) -> int:
+    """Index just past an entropy-coded segment starting at ``pos``:
+    the next 0xFF byte that is a real marker (not 0x00 byte stuffing,
+    not a 0xD0-D7 restart)."""
+    i = pos
+    n = len(data)
+    while i < n - 1:
+        if data[i] == 0xFF and data[i + 1] != 0x00:
+            if 0xD0 <= data[i + 1] <= 0xD7:
+                raise NotImplementedError(
+                    "JPEG restart markers unsupported"
+                )
+            return i
+        i += 1
+    return n
+
+
+def _decode_scan_baseline(br, huff, scan, coefs, nbx, nby):
+    """Sequential scan: full 0..63 band, interleaved MCU order."""
+    prev_dc = [0] * len(coefs)
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci, tdc, tac in scan:
+                size = _huff_decode(br, huff[(0, tdc)])
+                diff = _extend(br.bits(size), size)
+                prev_dc[ci] += diff
+                zz = coefs[ci][by, bx]
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    rs = _huff_decode(br, huff[(1, tac)])
+                    r, s = rs >> 4, rs & 0x0F
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC index overflow")
+                    zz[k] = _extend(br.bits(s), s)
+                    k += 1
+
+
+def _decode_scan_dc(br, huff, scan, coefs, nbx, nby, ah, al):
+    """Progressive DC scan (Ss=Se=0): first pass decodes the DC
+    difference chain at reduced precision (coef = diff-sum << Al);
+    refinement passes (Ah>0) append one raw bit per block."""
+    prev_dc = [0] * len(coefs)
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci, tdc, _tac in scan:
+                if ah == 0:
+                    size = _huff_decode(br, huff[(0, tdc)])
+                    prev_dc[ci] += _extend(br.bits(size), size)
+                    coefs[ci][by, bx, 0] = prev_dc[ci] << al
+                elif br.bit():
+                    coefs[ci][by, bx, 0] |= 1 << al
+
+
+def _decode_scan_ac_first(br, huff, ci, tac, coefs, ss, se, al):
+    """Progressive AC first scan (Ah=0): one component,
+    non-interleaved block order, spectral band Ss..Se at reduced
+    precision, with EOB-run codes (s=0, r<15 → EOBRUN =
+    2^r + next r bits) spanning whole blocks."""
+    blocks = coefs[ci].reshape(-1, 64)
+    eobrun = 0
+    for zz in blocks:
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            rs = _huff_decode(br, huff[(1, tac)])
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC band overflow")
+            zz[k] = _extend(br.bits(s), s) << al
+            k += 1
+
+
+def _decode_scan_ac_refine(br, huff, ci, tac, coefs, ss, se, al):
+    """Progressive AC refinement scan (Ah=Al+1): adds one bit of
+    precision per coefficient in the band — correction bits for
+    already-nonzero coefficients (read for EVERY nonzero passed,
+    including inside zero runs and EOB runs), new ±(1<<Al)
+    coefficients positioned by runs of still-zero history. The
+    control flow mirrors the reference implementation's
+    decode_mcu_AC_refine (public ITU T.81 G.2 / libjpeg jdphuff)."""
+    p1, m1 = 1 << al, -1 << al
+    blocks = coefs[ci].reshape(-1, 64)
+    eobrun = 0
+    for zz in blocks:
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _huff_decode(br, huff[(1, tac)])
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    val = 0  # ZRL: skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("bad refinement symbol")
+                    val = p1 if br.bit() else m1
+                while k <= se:
+                    if zz[k] != 0:
+                        if br.bit() and (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if val and k <= se:
+                    zz[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:  # EOB run still corrects nonzero history
+                if zz[k] != 0 and br.bit() and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline JFIF JPEG (SOF0, 8-bit, 1x1 sampling, no
-    restart intervals) to (h, w, ch) uint8. Quant and Huffman tables
-    are read from the FILE (DQT/DHT), not assumed."""
+    """Decode a JFIF JPEG — baseline sequential (SOF0) or
+    progressive (SOF2: spectral selection + successive
+    approximation, DC and AC first/refinement scans, EOB runs) — to
+    (h, w, ch) uint8. 8-bit, 1x1 sampling, no restart intervals.
+    Quant and Huffman tables are read from the FILE (DQT/DHT, with
+    progressive streams re-defining DHT between scans), never
+    assumed. All scans accumulate into per-component coefficient
+    arrays; dequantization + IDCT happen once at EOI — the
+    coefficient-domain model progressive decoding requires."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     h = w = 0
+    progressive = False
     comps: list[tuple[int, int, int]] = []  # (id, sampling, tq)
-    scan: list[tuple[int, int, int]] = []  # (comp idx, dc table, ac table)
+    coefs: list[np.ndarray] = []  # per comp: (nby, nbx, 64) zigzag
+    nbx = nby = 0
+    saw_scan = False
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -873,7 +1166,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             while p < len(body):
                 tc, th, table, p = _read_huff_table(body, p)
                 huff[(tc, th)] = table
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("JPEG precision != 8")
@@ -884,58 +1178,68 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         "chroma subsampling unsupported (1x1 only)"
                     )
                 comps.append((cid, samp, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+            nbx, nby = -(-w // 8), -(-h // 8)
+            coefs = [
+                np.zeros((nby, nbx, 64), dtype=np.int64) for _ in comps
+            ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF 0x{marker:02X} (progressive/extended) "
-                "unsupported — baseline SOF0 only"
+                f"JPEG SOF 0x{marker:02X} (extended/lossless/"
+                "arithmetic) unsupported — SOF0/SOF2 only"
             )
         elif marker == 0xDD:
             raise NotImplementedError("JPEG restart intervals unsupported")
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS — entropy segment follows
             ns = body[0]
+            scan = []
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
                 idx = next(
                     j for j, (cid, _, _) in enumerate(comps) if cid == cs
                 )
                 scan.append((idx, tt >> 4, tt & 0x0F))
-            entropy = data[pos:]
-            br = _BitReader(entropy)
-            ch = len(comps)
-            ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-            planes = np.empty((ph, pw, ch), dtype=np.float64)
-            prev_dc = [0] * ch
-            inv_zz = np.argsort(np.array(_ZIGZAG))
-            for by in range(0, ph, 8):
-                for bx in range(0, pw, 8):
-                    for ci, tdc, tac in scan:
-                        size = _huff_decode(br, huff[(0, tdc)])
-                        diff = _extend(br.bits(size), size)
-                        prev_dc[ci] += diff
-                        zz = np.zeros(64, dtype=np.int64)
-                        zz[0] = prev_dc[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(br, huff[(1, tac)])
-                            r, s = rs >> 4, rs & 0x0F
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC index overflow")
-                            zz[k] = _extend(br.bits(s), s)
-                            k += 1
-                        deq = (zz * qt[comps[ci][2]])[inv_zz].reshape(8, 8)
-                        block = _DCT_M.T @ deq.astype(np.float64) @ _DCT_M
-                        planes[by:by + 8, bx:bx + 8, ci] = block + 128.0
-            out = np.clip(np.round(planes[:h, :w, :]), 0, 255).astype(
-                np.uint8
-            )
-            if ch == 3:
-                return _ycbcr_to_rgb(out)
-            return out
-    raise ValueError("JPEG has no SOS scan")
+            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            end = _scan_end(data, pos)
+            br = _BitReader(data[pos:end])
+            if not progressive:
+                _decode_scan_baseline(br, huff, scan, coefs, nbx, nby)
+            elif ss == 0:
+                if se != 0:
+                    raise ValueError("progressive DC scan needs Se=0")
+                _decode_scan_dc(br, huff, scan, coefs, nbx, nby, ah, al)
+            else:
+                if ns != 1:
+                    raise ValueError(
+                        "progressive AC scans are single-component"
+                    )
+                ci, _tdc, tac = scan[0]
+                if ah == 0:
+                    _decode_scan_ac_first(
+                        br, huff, ci, tac, coefs, ss, se, al
+                    )
+                else:
+                    _decode_scan_ac_refine(
+                        br, huff, ci, tac, coefs, ss, se, al
+                    )
+            saw_scan = True
+            pos = end
+    if not saw_scan:
+        raise ValueError("JPEG has no SOS scan")
+    ch = len(comps)
+    planes = np.empty((nby * 8, nbx * 8, ch), dtype=np.float64)
+    inv_zz = np.argsort(np.array(_ZIGZAG))
+    for ci in range(ch):
+        q = qt[comps[ci][2]]
+        for by in range(nby):
+            for bx in range(nbx):
+                deq = (coefs[ci][by, bx] * q)[inv_zz].reshape(8, 8)
+                block = _DCT_M.T @ deq.astype(np.float64) @ _DCT_M
+                planes[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8, ci] = (
+                    block + 128.0
+                )
+    out = np.clip(np.round(planes[:h, :w, :]), 0, 255).astype(np.uint8)
+    if ch == 3:
+        return _ycbcr_to_rgb(out)
+    return out

@@ -251,8 +251,14 @@ def generate_media(docs: DataFrame) -> DataFrame:
                     if d % 2 == 1
                     else C.encode_bmp(img)
                 )
+                # progressive for d % 4 in {0, 1} → all four
+                # (layout × scan-type) cells appear across ids:
+                # odd/color × prog+seq, even/gray × prog+seq.
+                # Progressive recomposes exact coefficients, so
+                # decoded pixels — and every oracle — are unchanged.
                 jpeg = C.encode_jpeg(
-                    img if d % 2 == 1 else img[:, :, :1]
+                    img if d % 2 == 1 else img[:, :, :1],
+                    progressive=(d % 4 < 2),
                 )
                 rows.append(
                     (

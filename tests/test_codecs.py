@@ -223,9 +223,15 @@ def test_jpeg_scope_guards():
     data = bytearray(C.encode_jpeg(img))
     with pytest.raises(ValueError):
         C.decode_jpeg(b"\x00\x01" + bytes(data[2:]))
-    # flip SOF0 -> SOF2 (progressive): honest NotImplementedError.
+    # flip SOF0 -> SOF2 (progressive): now DECODED — but a baseline
+    # scan header (Ss=0, Se=63) is an illegal progressive script, so
+    # this malformed hybrid raises ValueError, not silence.
     sof = data.find(b"\xff\xc0")
     data[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
+        C.decode_jpeg(bytes(data))
+    # SOF3 (lossless) keeps the honest NotImplementedError.
+    data[sof + 1] = 0xC3
     with pytest.raises(NotImplementedError):
         C.decode_jpeg(bytes(data))
     with pytest.raises(ValueError):
@@ -333,3 +339,118 @@ def test_gif_interlaced_roundtrip_and_matches_sequential():
         adam = decode_gif(encode_gif(img, interlace=True))
         assert np.array_equal(adam, img), (h, w)
         assert np.array_equal(adam, decode_gif(encode_gif(img)))
+
+
+# ---------------------------------------------------------------
+# Progressive JPEG (round 9)
+# ---------------------------------------------------------------
+
+
+def test_jpeg_progressive_decodes_identical_to_baseline():
+    """The progressive script (DC first/refine + spectral AC
+    first/refine) recomposes the exact coefficients, so progressive
+    and baseline decodes of the same image are bit-identical."""
+    rng = np.random.default_rng(41)
+    for h, w, ch in [(8, 8, 1), (3, 5, 3), (16, 24, 3), (31, 17, 1)]:
+        base = np.linspace(0, 255, w)[None, :, None]
+        img = np.clip(
+            base + rng.normal(0, 40, size=(h, w, ch)), 0, 255
+        ).astype(np.uint8)
+        src = img[:, :, 0] if ch == 1 else img
+        seq = C.decode_jpeg(C.encode_jpeg(src))
+        prog = C.decode_jpeg(C.encode_jpeg(src, progressive=True))
+        assert np.array_equal(seq, prog), (h, w, ch)
+        err = np.abs(prog.astype(int) - img.astype(int)).max()
+        assert err <= C.JPEG_MAX_ABS_ERR
+
+
+def test_jpeg_progressive_refine_coefficient_adversarial():
+    """Coefficient-level lock on the successive-approximation bit
+    order (the part a full-image roundtrip can under-exercise):
+    sparse large history values interleaved with ±1 newcomers and
+    long zero runs, first (Al=1) + refine (Al=0) scans must
+    reproduce every coefficient exactly."""
+    ac = C._huff_codes(C._AC_BITS, C._AC_VALS)
+    _, _, actable, _ = C._read_huff_table(
+        bytes([0x10]) + bytes(C._AC_BITS) + bytes(C._AC_VALS), 0
+    )
+    rng = np.random.default_rng(43)
+    for _ in range(200):
+        n = int(rng.integers(1, 5))
+        blocks = np.zeros((n, 64), dtype=np.int64)
+        for b in range(n):
+            npos = int(rng.integers(0, 14))
+            if npos:
+                for p in rng.choice(
+                    np.arange(1, 64), size=npos, replace=False
+                ):
+                    blocks[b, p] = int(
+                        rng.choice([-1, 1, 2, -2, 3, -5, 100, -255])
+                    )
+        bw = C._BitWriter()
+        C._enc_ac_first(bw, ac, blocks, 1, 63, 1)
+        bw.flush()
+        fb = bytes(bw.out)
+        bw = C._BitWriter()
+        C._enc_ac_refine(bw, ac, blocks, 1, 63, 0)
+        bw.flush()
+        rb = bytes(bw.out)
+        coefs = [np.zeros((n, 1, 64), dtype=np.int64)]
+        C._decode_scan_ac_first(
+            C._BitReader(fb), {(1, 0): actable}, 0, 0, coefs, 1, 63, 1
+        )
+        C._decode_scan_ac_refine(
+            C._BitReader(rb), {(1, 0): actable}, 0, 0, coefs, 1, 63, 0
+        )
+        assert np.array_equal(
+            coefs[0].reshape(n, 64)[:, 1:], blocks[:, 1:]
+        )
+
+
+def test_jpeg_progressive_general_eob_runs_decode():
+    """Our encoder keeps EOB runs at 1, but REAL progressive files
+    use EOB_n codes spanning many blocks — hand-build a stream with
+    a custom Huffman table containing EOB_2 (symbol 0x20: run = 4 +
+    2 extra bits) and check the decoder skips whole blocks."""
+    # canonical 2-bit codes for symbols 0x01, 0x20, 0xF0, 0x00
+    bits = [0] * 16
+    bits[1] = 4  # four 2-bit codes
+    vals = [0x01, 0x20, 0xF0, 0x00]
+    enc = C._huff_codes(bits, vals)
+    _, _, table, _ = C._read_huff_table(
+        bytes([0x10]) + bytes(bits) + bytes(vals), 0
+    )
+    bw = C._BitWriter()
+    # block 0: coef[1] = +1 (symbol 0x01, 0 run, sign bit 1), then
+    # EOB_2 with extra bits 0b01 -> eobrun = (1<<2)-1 + 1 = 4: the
+    # rest of block 0 plus blocks 1-4 are all-zero.
+    code, ln = enc[0x01]
+    bw.put(code, ln)
+    bw.put(1, 1)  # positive
+    code, ln = enc[0x20]
+    bw.put(code, ln)
+    bw.put(0b01, 2)
+    bw.flush()
+    coefs = [np.zeros((5, 1, 64), dtype=np.int64)]
+    C._decode_scan_ac_first(
+        C._BitReader(bytes(bw.out)), {(1, 0): table}, 0, 0, coefs, 1, 63, 0
+    )
+    got = coefs[0].reshape(5, 64)
+    assert got[0, 1] == 1 and got[0, 2:].sum() == 0
+    assert np.all(got[1:] == 0)
+    # refinement flavor: history +2 at k=3 of every block; stream =
+    # EOB_2 (eobrun = 4 + extra bits 0b11 = 7 >= 5 blocks) followed
+    # by one correction bit per nonzero-history coef, position order
+    bw = C._BitWriter()
+    code, ln = enc[0x20]
+    bw.put(code, ln)
+    bw.put(0b11, 2)
+    for bit in (1, 0, 1, 0, 1):  # per-block correction bits
+        bw.put(bit, 1)
+    bw.flush()
+    coefs = [np.zeros((5, 1, 64), dtype=np.int64)]
+    coefs[0][:, 0, 3] = 2  # history from a prior (Al=1) scan
+    C._decode_scan_ac_refine(
+        C._BitReader(bytes(bw.out)), {(1, 0): table}, 0, 0, coefs, 1, 63, 0
+    )
+    assert list(coefs[0][:, 0, 3]) == [3, 2, 3, 2, 3]
