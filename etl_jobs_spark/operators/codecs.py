@@ -17,7 +17,9 @@ layout real crawls contain); 24-bit uncompressed BMP; single-frame
 global-palette GIF, sequential or four-pass interlaced (round 9);
 16-bit mono PCM WAV; JFIF JPEG — baseline SOF0 AND progressive SOF2
 (round 9: spectral selection + successive approximation, DC/AC
-first and refinement scans, EOB runs). Compressed BMP, MP3,
+first and refinement scans, EOB runs) with chroma subsampling
+(4:2:0 / 4:2:2 box down/up-sampling — the layouts cameras and
+crawls actually emit). Compressed BMP, MP3, restart intervals,
 arithmetic-coded/lossless JPEG and video stay behind
 NotImplementedError — those require codecs the container does not
 have (operators/multimodal.py keeps the honest stub for them).
@@ -781,15 +783,22 @@ def _enc_ac_refine(bw, ac_codes, blocks, ss, se, al):
                 bw.put(b, 1)
 
 
-def encode_jpeg(img: np.ndarray, progressive: bool = False) -> bytes:
+def encode_jpeg(
+    img: np.ndarray,
+    progressive: bool = False,
+    subsampling: tuple[int, int] = (1, 1),
+) -> bytes:
     """Encode an (h, w) or (h, w, 1|3) uint8 array as a JFIF JPEG
-    (1x1 sampling, all-ones quant tables — maximum-fidelity; decode
-    error bounded by JPEG_MAX_ABS_ERR). ``progressive=True`` writes
-    SOF2 with a successive-approximation script — DC first (Al=1),
-    DC refine, then per component AC 1-5 / 6-63 first passes (Al=1)
-    and their refinement passes — exercising every progressive
-    decode path (spectral selection, DC/AC refinement, spec bit
-    order) with the standard Huffman tables."""
+    (all-ones quant tables — maximum-fidelity; decode error bounded
+    by JPEG_MAX_ABS_ERR at 1x1 sampling). ``progressive=True``
+    writes SOF2 with a successive-approximation script — DC first
+    (Al=1), DC refine, then per component AC 1-5 / 6-63 first passes
+    (Al=1) and their refinement passes — exercising every
+    progressive decode path (spectral selection, DC/AC refinement,
+    spec bit order) with the standard Huffman tables.
+    ``subsampling=(2, 2)`` emits 4:2:0 ((2, 1) → 4:2:2): luma keeps
+    the full grid, chroma planes are box-averaged down — the layout
+    real cameras and crawls emit; lossy on chroma by construction."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
@@ -797,26 +806,52 @@ def encode_jpeg(img: np.ndarray, progressive: bool = False) -> bytes:
         raise NotImplementedError("JPEG encoder takes 1 or 3 channels")
     if h == 0 or w == 0 or h > 65535 or w > 65535:
         raise ValueError("bad JPEG dimensions")
+    sh, sv = subsampling
+    if sh not in (1, 2) or sv not in (1, 2):
+        raise NotImplementedError("subsampling factors must be 1 or 2")
+    if ch == 1:
+        sh = sv = 1  # grayscale has no chroma to subsample
     planes = _rgb_to_ycbcr(img) if ch == 3 else img
 
-    # pad to 8x8 block multiples by edge replication
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.pad(
-        planes, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge"
-    ).astype(np.float64)
+    # per-component sampling factors: luma (sh, sv), chroma (1, 1)
+    samp = [(sh, sv)] + [(1, 1)] * (ch - 1)
+    mcux, mcuy = -(-w // (8 * sh)), -(-h // (8 * sv))
 
-    # quantized zigzag coefficients, one (nby*nbx, 64) table per comp
-    nby, nbx = ph // 8, pw // 8
-    coefs = [np.empty((nby * nbx, 64), dtype=np.int64) for _ in range(ch)]
-    for by in range(nby):
-        for bx in range(nbx):
-            for c in range(ch):
-                block = (
-                    padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8, c] - 128.0
-                )
+    def comp_plane(c: int) -> np.ndarray:
+        """Component plane at its own resolution, padded to its
+        MCU-aligned block grid by edge replication."""
+        p = planes[:, :, c].astype(np.float64)
+        hi, vi = samp[c]
+        if (hi, vi) != (sh, sv):  # chroma: box-average down
+            fy, fx = sv // vi, sh // hi
+            ch_h, ch_w = -(-h // fy), -(-w // fx)
+            p = np.pad(
+                p, ((0, ch_h * fy - h), (0, ch_w * fx - w)), mode="edge"
+            )
+            p = p.reshape(ch_h, fy, ch_w, fx).mean(axis=(1, 3))
+        th, tw = mcuy * vi * 8, mcux * hi * 8
+        return np.pad(
+            p,
+            ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+            mode="edge",
+        )
+
+    # quantized zigzag coefficients per comp, MCU-padded block grids
+    coefs = []
+    dims = []  # (nby_c, nbx_c)
+    for c in range(ch):
+        p = comp_plane(c)
+        nby_c, nbx_c = p.shape[0] // 8, p.shape[1] // 8
+        tab = np.empty((nby_c, nbx_c, 64), dtype=np.int64)
+        for by in range(nby_c):
+            for bx in range(nbx_c):
+                block = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
                 coef = _DCT_M @ block @ _DCT_M.T
-                q = np.round(coef).astype(np.int64)
-                coefs[c][by * nbx + bx] = q.flatten()[_ZIGZAG]
+                tab[by, bx] = np.round(coef).astype(np.int64).flatten()[
+                    _ZIGZAG
+                ]
+        coefs.append(tab)
+        dims.append((nby_c, nbx_c))
 
     dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
     ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
@@ -831,23 +866,42 @@ def encode_jpeg(img: np.ndarray, progressive: bool = False) -> bytes:
             bytes([len(comp_ids)]) + scomp + bytes([ss, se, (ah << 4) | al]),
         )
 
+    def mcu_blocks():
+        """(comp, zigzag-block) views in interleaved MCU order —
+        hi*vi luma blocks then one block per chroma comp per MCU."""
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c in range(ch):
+                    hi, vi = samp[c]
+                    for v in range(vi):
+                        for u in range(hi):
+                            yield c, coefs[c][my * vi + v, mx * hi + u]
+
+    def used_blocks(c: int) -> list:
+        """Component c's non-interleaved (T.81 used-grid) blocks."""
+        hi, vi = samp[c]
+        uby = -(-(-(-h * vi // sv)) // 8)
+        ubx = -(-(-(-w * hi // sh)) // 8)
+        return [
+            coefs[c][by, bx] for by in range(uby) for bx in range(ubx)
+        ]
+
     def dc_scan(ah: int, al: int) -> bytes:
         bw = _BitWriter()
         prev = [0] * ch
-        for b in range(nby * nbx):
-            for c in range(ch):
-                v = int(coefs[c][b, 0])
-                if ah == 0:
-                    t = v >> al  # arithmetic shift per spec (DC)
-                    diff = t - prev[c]
-                    prev[c] = t
-                    size, bits = _magnitude(diff)
-                    code, length = dc_codes[size]
-                    bw.put(code, length)
-                    if size:
-                        bw.put(bits, size)
-                else:
-                    bw.put((v >> al) & 1, 1)
+        for c, zz in mcu_blocks():
+            v = int(zz[0])
+            if ah == 0:
+                t = v >> al  # arithmetic shift per spec (DC)
+                diff = t - prev[c]
+                prev[c] = t
+                size, bits = _magnitude(diff)
+                code, length = dc_codes[size]
+                bw.put(code, length)
+                if size:
+                    bw.put(bits, size)
+            else:
+                bw.put((v >> al) & 1, 1)
         bw.flush()
         return bytes(bw.out)
 
@@ -856,8 +910,11 @@ def encode_jpeg(img: np.ndarray, progressive: bool = False) -> bytes:
         0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     )  # APP0
     out += seg(0xFFDB, b"\x00" + bytes([1] * 64))  # DQT id 0, all ones
-    # SOF0 baseline / SOF2 progressive: 8-bit, 1x1 sampling, table 0
-    comp = b"".join(bytes([i + 1, 0x11, 0]) for i in range(ch))
+    # SOF0 baseline / SOF2 progressive: 8-bit, per-comp sampling
+    comp = b"".join(
+        bytes([i + 1, (samp[i][0] << 4) | samp[i][1], 0])
+        for i in range(ch)
+    )
     out += seg(
         0xFFC2 if progressive else 0xFFC0,
         struct.pack(">BHHB", 8, h, w, ch) + comp,
@@ -872,17 +929,15 @@ def encode_jpeg(img: np.ndarray, progressive: bool = False) -> bytes:
     if not progressive:
         bw = _BitWriter()
         prev = [0] * ch
-        for b in range(nby * nbx):
-            for c in range(ch):
-                zz = coefs[c][b]
-                diff = int(zz[0]) - prev[c]
-                prev[c] = int(zz[0])
-                size, bits = _magnitude(diff)
-                code, length = dc_codes[size]
-                bw.put(code, length)
-                if size:
-                    bw.put(bits, size)
-                _enc_ac_run(bw, ac_codes, zz, 1, 63)
+        for c, zz in mcu_blocks():
+            diff = int(zz[0]) - prev[c]
+            prev[c] = int(zz[0])
+            size, bits = _magnitude(diff)
+            code, length = dc_codes[size]
+            bw.put(code, length)
+            if size:
+                bw.put(bits, size)
+            _enc_ac_run(bw, ac_codes, zz, 1, 63)
         bw.flush()
         out += sos(list(range(ch)), 0, 63, 0, 0)
         out += bw.out
@@ -894,14 +949,18 @@ def encode_jpeg(img: np.ndarray, progressive: bool = False) -> bytes:
         for band in ((1, 5), (6, 63)):
             for c in range(ch):
                 bw = _BitWriter()
-                _enc_ac_first(bw, ac_codes, coefs[c], band[0], band[1], 1)
+                _enc_ac_first(
+                    bw, ac_codes, used_blocks(c), band[0], band[1], 1
+                )
                 bw.flush()
                 out += sos([c], band[0], band[1], 0, 1)
                 out += bytes(bw.out)
         for band in ((1, 5), (6, 63)):
             for c in range(ch):
                 bw = _BitWriter()
-                _enc_ac_refine(bw, ac_codes, coefs[c], band[0], band[1], 0)
+                _enc_ac_refine(
+                    bw, ac_codes, used_blocks(c), band[0], band[1], 0
+                )
                 bw.flush()
                 out += sos([c], band[0], band[1], 1, 0)
                 out += bytes(bw.out)
@@ -1001,55 +1060,90 @@ def _scan_end(data: bytes, pos: int) -> int:
     return n
 
 
-def _decode_scan_baseline(br, huff, scan, coefs, nbx, nby):
-    """Sequential scan: full 0..63 band, interleaved MCU order."""
+def _scan_blocks(scan, coefs, geom):
+    """Yield (ci, tdc, tac, block) in entropy-stream order.
+
+    Interleaved scans (ns > 1) walk MCUs, each containing hi*vi
+    blocks per component (raster within the component's sub-grid);
+    non-interleaved scans (ns == 1) walk that component's USED block
+    grid (ceil(comp_dim/8)), which for subsampled components is
+    smaller than the MCU-padded array — the T.81 distinction that
+    makes progressive scans of 4:2:0 files line up."""
+    if len(scan) > 1:
+        mcux, mcuy = geom["mcux"], geom["mcuy"]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, tdc, tac in scan:
+                    hi, vi = geom["samp"][ci]
+                    for v in range(vi):
+                        for u in range(hi):
+                            yield ci, tdc, tac, coefs[ci][
+                                my * vi + v, mx * hi + u
+                            ]
+    else:
+        ci, tdc, tac = scan[0]
+        uby, ubx = geom["used"][ci]
+        for by in range(uby):
+            for bx in range(ubx):
+                yield ci, tdc, tac, coefs[ci][by, bx]
+
+
+def _decode_scan_baseline(br, huff, scan, coefs, geom):
+    """Sequential scan: full 0..63 band, MCU (or raster) order."""
     prev_dc = [0] * len(coefs)
-    for by in range(nby):
-        for bx in range(nbx):
-            for ci, tdc, tac in scan:
-                size = _huff_decode(br, huff[(0, tdc)])
-                diff = _extend(br.bits(size), size)
-                prev_dc[ci] += diff
-                zz = coefs[ci][by, bx]
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    rs = _huff_decode(br, huff[(1, tac)])
-                    r, s = rs >> 4, rs & 0x0F
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += r
-                    if k > 63:
-                        raise ValueError("JPEG AC index overflow")
-                    zz[k] = _extend(br.bits(s), s)
-                    k += 1
+    for ci, tdc, tac, zz in _scan_blocks(scan, coefs, geom):
+        size = _huff_decode(br, huff[(0, tdc)])
+        diff = _extend(br.bits(size), size)
+        prev_dc[ci] += diff
+        zz[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            rs = _huff_decode(br, huff[(1, tac)])
+            r, s = rs >> 4, rs & 0x0F
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC index overflow")
+            zz[k] = _extend(br.bits(s), s)
+            k += 1
 
 
-def _decode_scan_dc(br, huff, scan, coefs, nbx, nby, ah, al):
+def _decode_scan_dc(br, huff, scan, coefs, geom, ah, al):
     """Progressive DC scan (Ss=Se=0): first pass decodes the DC
     difference chain at reduced precision (coef = diff-sum << Al);
     refinement passes (Ah>0) append one raw bit per block."""
     prev_dc = [0] * len(coefs)
-    for by in range(nby):
-        for bx in range(nbx):
-            for ci, tdc, _tac in scan:
-                if ah == 0:
-                    size = _huff_decode(br, huff[(0, tdc)])
-                    prev_dc[ci] += _extend(br.bits(size), size)
-                    coefs[ci][by, bx, 0] = prev_dc[ci] << al
-                elif br.bit():
-                    coefs[ci][by, bx, 0] |= 1 << al
+    for ci, tdc, _tac, zz in _scan_blocks(scan, coefs, geom):
+        if ah == 0:
+            size = _huff_decode(br, huff[(0, tdc)])
+            prev_dc[ci] += _extend(br.bits(size), size)
+            zz[0] = prev_dc[ci] << al
+        elif br.bit():
+            zz[0] |= 1 << al
 
 
-def _decode_scan_ac_first(br, huff, ci, tac, coefs, ss, se, al):
+def _used_blocks(coefs, ci, geom):
+    """The non-interleaved block list for one component: mutable
+    views over the USED grid (ceil(comp_dim/8)) — MCU-padding
+    blocks excluded. Views, not a reshaped slice: a sliced reshape
+    copies, and scan decoding mutates in place."""
+    arr = coefs[ci]
+    uby, ubx = (
+        (arr.shape[0], arr.shape[1]) if geom is None else geom["used"][ci]
+    )
+    return [arr[by, bx] for by in range(uby) for bx in range(ubx)]
+
+
+def _decode_scan_ac_first(br, huff, ci, tac, coefs, ss, se, al, geom=None):
     """Progressive AC first scan (Ah=0): one component,
     non-interleaved block order, spectral band Ss..Se at reduced
     precision, with EOB-run codes (s=0, r<15 → EOBRUN =
     2^r + next r bits) spanning whole blocks."""
-    blocks = coefs[ci].reshape(-1, 64)
+    blocks = _used_blocks(coefs, ci, geom)
     eobrun = 0
     for zz in blocks:
         if eobrun > 0:
@@ -1074,7 +1168,7 @@ def _decode_scan_ac_first(br, huff, ci, tac, coefs, ss, se, al):
             k += 1
 
 
-def _decode_scan_ac_refine(br, huff, ci, tac, coefs, ss, se, al):
+def _decode_scan_ac_refine(br, huff, ci, tac, coefs, ss, se, al, geom=None):
     """Progressive AC refinement scan (Ah=Al+1): adds one bit of
     precision per coefficient in the band — correction bits for
     already-nonzero coefficients (read for EVERY nonzero passed,
@@ -1083,7 +1177,7 @@ def _decode_scan_ac_refine(br, huff, ci, tac, coefs, ss, se, al):
     control flow mirrors the reference implementation's
     decode_mcu_AC_refine (public ITU T.81 G.2 / libjpeg jdphuff)."""
     p1, m1 = 1 << al, -1 << al
-    blocks = coefs[ci].reshape(-1, 64)
+    blocks = _used_blocks(coefs, ci, geom)
     eobrun = 0
     for zz in blocks:
         k = ss
@@ -1126,12 +1220,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a JFIF JPEG — baseline sequential (SOF0) or
     progressive (SOF2: spectral selection + successive
     approximation, DC and AC first/refinement scans, EOB runs) — to
-    (h, w, ch) uint8. 8-bit, 1x1 sampling, no restart intervals.
-    Quant and Huffman tables are read from the FILE (DQT/DHT, with
-    progressive streams re-defining DHT between scans), never
-    assumed. All scans accumulate into per-component coefficient
-    arrays; dequantization + IDCT happen once at EOI — the
-    coefficient-domain model progressive decoding requires."""
+    (h, w, ch) uint8. 8-bit, chroma subsampling up to 4x4 sampling
+    factors (4:2:0 / 4:2:2 / 4:4:4 — the layouts cameras and crawls
+    actually emit; subsampled planes are box-upsampled on
+    reconstruction), no restart intervals. Quant and Huffman tables
+    are read from the FILE (DQT/DHT, with progressive streams
+    re-defining DHT between scans), never assumed. All scans
+    accumulate into per-component coefficient arrays (MCU-padded for
+    interleaved scans, the T.81 used-grid for non-interleaved ones);
+    dequantization + IDCT happen once at EOI — the coefficient-
+    domain model progressive decoding requires."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -1139,9 +1237,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     h = w = 0
     progressive = False
-    comps: list[tuple[int, int, int]] = []  # (id, sampling, tq)
+    comps: list[tuple[int, int, int, int]] = []  # (id, hi, vi, tq)
     coefs: list[np.ndarray] = []  # per comp: (nby, nbx, 64) zigzag
-    nbx = nby = 0
+    geom: dict = {}
     saw_scan = False
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -1173,14 +1271,36 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise NotImplementedError("JPEG precision != 8")
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i:9 + 3 * i]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "chroma subsampling unsupported (1x1 only)"
+                hi, vi = samp >> 4, samp & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError("bad JPEG sampling factors")
+                comps.append((cid, hi, vi, tq))
+            max_h = max(c[1] for c in comps)
+            max_v = max(c[2] for c in comps)
+            if any(max_h % c[1] or max_v % c[2] for c in comps):
+                raise NotImplementedError(
+                    "non-divisor sampling factors unsupported"
+                )
+            mcux = -(-w // (8 * max_h))
+            mcuy = -(-h // (8 * max_v))
+            geom = {
+                "mcux": mcux,
+                "mcuy": mcuy,
+                "max": (max_h, max_v),
+                "samp": [(c[1], c[2]) for c in comps],
+                # non-interleaved "used" grid: ceil(comp_dim / 8)
+                # where comp_dim = ceil(img_dim * fac / max_fac)
+                "used": [
+                    (
+                        -(-(-(-h * c[2] // max_v)) // 8),
+                        -(-(-(-w * c[1] // max_h)) // 8),
                     )
-                comps.append((cid, samp, tq))
-            nbx, nby = -(-w // 8), -(-h // 8)
+                    for c in comps
+                ],
+            }
             coefs = [
-                np.zeros((nby, nbx, 64), dtype=np.int64) for _ in comps
+                np.zeros((mcuy * c[2], mcux * c[1], 64), dtype=np.int64)
+                for c in comps
             ]
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -1196,7 +1316,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
                 idx = next(
-                    j for j, (cid, _, _) in enumerate(comps) if cid == cs
+                    j for j, c in enumerate(comps) if c[0] == cs
                 )
                 scan.append((idx, tt >> 4, tt & 0x0F))
             ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
@@ -1204,11 +1324,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             end = _scan_end(data, pos)
             br = _BitReader(data[pos:end])
             if not progressive:
-                _decode_scan_baseline(br, huff, scan, coefs, nbx, nby)
+                _decode_scan_baseline(br, huff, scan, coefs, geom)
             elif ss == 0:
                 if se != 0:
                     raise ValueError("progressive DC scan needs Se=0")
-                _decode_scan_dc(br, huff, scan, coefs, nbx, nby, ah, al)
+                _decode_scan_dc(br, huff, scan, coefs, geom, ah, al)
             else:
                 if ns != 1:
                     raise ValueError(
@@ -1217,28 +1337,37 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 ci, _tdc, tac = scan[0]
                 if ah == 0:
                     _decode_scan_ac_first(
-                        br, huff, ci, tac, coefs, ss, se, al
+                        br, huff, ci, tac, coefs, ss, se, al, geom
                     )
                 else:
                     _decode_scan_ac_refine(
-                        br, huff, ci, tac, coefs, ss, se, al
+                        br, huff, ci, tac, coefs, ss, se, al, geom
                     )
             saw_scan = True
             pos = end
     if not saw_scan:
         raise ValueError("JPEG has no SOS scan")
     ch = len(comps)
-    planes = np.empty((nby * 8, nbx * 8, ch), dtype=np.float64)
+    max_h, max_v = geom["max"]
+    ph, pw = geom["mcuy"] * max_v * 8, geom["mcux"] * max_h * 8
+    planes = np.empty((ph, pw, ch), dtype=np.float64)
     inv_zz = np.argsort(np.array(_ZIGZAG))
     for ci in range(ch):
-        q = qt[comps[ci][2]]
-        for by in range(nby):
-            for bx in range(nbx):
+        q = qt[comps[ci][3]]
+        hi, vi = geom["samp"][ci]
+        nby_c, nbx_c = coefs[ci].shape[:2]
+        plane = np.empty((nby_c * 8, nbx_c * 8), dtype=np.float64)
+        for by in range(nby_c):
+            for bx in range(nbx_c):
                 deq = (coefs[ci][by, bx] * q)[inv_zz].reshape(8, 8)
                 block = _DCT_M.T @ deq.astype(np.float64) @ _DCT_M
-                planes[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8, ci] = (
-                    block + 128.0
-                )
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block + 128.0
+        # box-upsample subsampled planes back to full resolution
+        if hi != max_h or vi != max_v:
+            plane = np.repeat(
+                np.repeat(plane, max_v // vi, axis=0), max_h // hi, axis=1
+            )
+        planes[:, :, ci] = plane[:ph, :pw]
     out = np.clip(np.round(planes[:h, :w, :]), 0, 255).astype(np.uint8)
     if ch == 3:
         return _ycbcr_to_rgb(out)

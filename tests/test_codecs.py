@@ -454,3 +454,41 @@ def test_jpeg_progressive_general_eob_runs_decode():
         C._BitReader(bytes(bw.out)), {(1, 0): table}, 0, 0, coefs, 1, 63, 0
     )
     assert list(coefs[0][:, 0, 3]) == [3, 2, 3, 2, 3]
+
+
+def test_jpeg_chroma_subsampling_matches_reference_pipeline():
+    """4:2:0 / 4:2:2 decode (sequential AND progressive) must match
+    an independently-computed reference of the lossy pipeline —
+    ycbcr → box-average chroma down → box-upsample → rgb — within
+    the DCT rounding bound. Odd sizes exercise the padded-MCU vs
+    T.81 used-grid distinction in non-interleaved progressive
+    scans."""
+    rng = np.random.default_rng(51)
+
+    def expected(img, fy, fx):
+        ycc = C._rgb_to_ycbcr(img).astype(np.float64)
+        h, w, _ = ycc.shape
+        out = ycc.copy()
+        for c in (1, 2):
+            p = ycc[:, :, c]
+            ch_h, ch_w = -(-h // fy), -(-w // fx)
+            pp = np.pad(
+                p, ((0, ch_h * fy - h), (0, ch_w * fx - w)), mode="edge"
+            )
+            ds = pp.reshape(ch_h, fy, ch_w, fx).mean(axis=(1, 3))
+            out[:, :, c] = np.repeat(np.repeat(ds, fy, 0), fx, 1)[:h, :w]
+        return C._ycbcr_to_rgb(
+            np.clip(np.round(out), 0, 255).astype(np.uint8)
+        )
+
+    for h, w in [(8, 8), (16, 24), (9, 10), (31, 17), (3, 5)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for prog in (False, True):
+            for ssp, f in [((2, 2), (2, 2)), ((2, 1), (1, 2))]:
+                dec = C.decode_jpeg(
+                    C.encode_jpeg(img, progressive=prog, subsampling=ssp)
+                )
+                err = np.abs(
+                    dec.astype(int) - expected(img, *f).astype(int)
+                ).max()
+                assert err <= C.JPEG_MAX_ABS_ERR, (h, w, prog, ssp, err)
