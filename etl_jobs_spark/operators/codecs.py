@@ -18,11 +18,12 @@ global-palette GIF, sequential or four-pass interlaced (round 9);
 16-bit mono PCM WAV; JFIF JPEG — baseline SOF0 AND progressive SOF2
 (round 9: spectral selection + successive approximation, DC/AC
 first and refinement scans, EOB runs) with chroma subsampling
-(4:2:0 / 4:2:2 box down/up-sampling — the layouts cameras and
-crawls actually emit). Compressed BMP, MP3, restart intervals,
-arithmetic-coded/lossless JPEG and video stay behind
-NotImplementedError — those require codecs the container does not
-have (operators/multimodal.py keeps the honest stub for them).
+(4:2:0 / 4:2:2 box down/up-sampling) and DRI/RSTn restart
+intervals — the layouts camera firmware and crawls actually emit.
+Compressed BMP, MP3, arithmetic-coded/lossless JPEG and video stay
+behind NotImplementedError — those require codecs the container
+does not have (operators/multimodal.py keeps the honest stub for
+them).
 
 These are fixture-scale codecs (tens-of-KB blobs, Python row loops
 over scanlines); on a real cluster the decode body would be pillow /
@@ -704,13 +705,16 @@ def _enc_ac_run(bw, ac_codes, zz, lo, hi):
         bw.put(code, length)
 
 
-def _enc_ac_first(bw, ac_codes, blocks, ss, se, al):
+def _enc_ac_first(bw, ac_codes, blocks, ss, se, al, ri=0, rst=None):
     """Progressive AC first scan: band Ss..Se at precision >>Al
     (point transform divides magnitudes toward zero). EOB runs are
     deliberately kept at length 1 (plain EOB per block) so the
     standard Annex-K Huffman table suffices — legal output, and the
-    decoder still implements general EOB runs for foreign files."""
-    for zz in blocks:
+    decoder still implements general EOB runs for foreign files.
+    ``rst(bw)`` is called every ``ri`` blocks (restart marker)."""
+    for i, zz in enumerate(blocks):
+        if ri and i and i % ri == 0:
+            rst(bw)
         r = 0
         for k in range(ss, se + 1):
             v = int(zz[k])
@@ -732,13 +736,16 @@ def _enc_ac_first(bw, ac_codes, blocks, ss, se, al):
             bw.put(code, length)
 
 
-def _enc_ac_refine(bw, ac_codes, blocks, ss, se, al):
+def _enc_ac_refine(bw, ac_codes, blocks, ss, se, al, ri=0, rst=None):
     """Progressive AC refinement scan (encoder side of
     _decode_scan_ac_refine, mirroring the reference encode order):
     newly-significant coefficients code (run<<4)|1 + sign, history
     coefficients contribute buffered correction bits flushed after
-    each emitted symbol; leftovers flush after a block-ending EOB."""
-    for zz in blocks:
+    each emitted symbol; leftovers flush after a block-ending EOB.
+    ``rst(bw)`` is called every ``ri`` blocks (restart marker)."""
+    for i, zz in enumerate(blocks):
+        if ri and i and i % ri == 0:
+            rst(bw)
         pending: list[int] = []
         r = 0
         # last newly-significant position: ZRLs are only emitted up
@@ -787,6 +794,7 @@ def encode_jpeg(
     img: np.ndarray,
     progressive: bool = False,
     subsampling: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an (h, w) or (h, w, 1|3) uint8 array as a JFIF JPEG
     (all-ones quant tables — maximum-fidelity; decode error bounded
@@ -798,7 +806,11 @@ def encode_jpeg(
     spec bit order) with the standard Huffman tables.
     ``subsampling=(2, 2)`` emits 4:2:0 ((2, 1) → 4:2:2): luma keeps
     the full grid, chroma planes are box-averaged down — the layout
-    real cameras and crawls emit; lossy on chroma by construction."""
+    real cameras and crawls emit; lossy on chroma by construction.
+    ``restart_interval=N`` writes DRI and an RSTn marker every N
+    MCUs (or blocks, in non-interleaved progressive scans) with DC
+    predictors and EOB runs reset — the error-resilience layout
+    camera firmware emits."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
@@ -866,16 +878,31 @@ def encode_jpeg(
             bytes([len(comp_ids)]) + scomp + bytes([ss, se, (ah << 4) | al]),
         )
 
-    def mcu_blocks():
-        """(comp, zigzag-block) views in interleaved MCU order —
-        hi*vi luma blocks then one block per chroma comp per MCU."""
+    ri = restart_interval
+
+    def mcu_units():
+        """Per-MCU lists of (comp, zigzag-block) views in
+        interleaved order — hi*vi luma blocks then one block per
+        chroma comp; restart intervals count these units."""
         for my in range(mcuy):
             for mx in range(mcux):
+                unit = []
                 for c in range(ch):
                     hi, vi = samp[c]
                     for v in range(vi):
                         for u in range(hi):
-                            yield c, coefs[c][my * vi + v, mx * hi + u]
+                            unit.append(
+                                (c, coefs[c][my * vi + v, mx * hi + u])
+                            )
+                yield unit
+
+    rst_count = [0]
+
+    def emit_rst(bw: _BitWriter) -> None:
+        """Byte-align (1-padding, stuffed if 0xFF) + RSTn marker."""
+        bw.flush()
+        bw.out += bytes([0xFF, 0xD0 + (rst_count[0] & 7)])
+        rst_count[0] += 1
 
     def used_blocks(c: int) -> list:
         """Component c's non-interleaved (T.81 used-grid) blocks."""
@@ -888,20 +915,25 @@ def encode_jpeg(
 
     def dc_scan(ah: int, al: int) -> bytes:
         bw = _BitWriter()
+        rst_count[0] = 0
         prev = [0] * ch
-        for c, zz in mcu_blocks():
-            v = int(zz[0])
-            if ah == 0:
-                t = v >> al  # arithmetic shift per spec (DC)
-                diff = t - prev[c]
-                prev[c] = t
-                size, bits = _magnitude(diff)
-                code, length = dc_codes[size]
-                bw.put(code, length)
-                if size:
-                    bw.put(bits, size)
-            else:
-                bw.put((v >> al) & 1, 1)
+        for i, unit in enumerate(mcu_units()):
+            if ri and i and i % ri == 0:
+                emit_rst(bw)
+                prev = [0] * ch
+            for c, zz in unit:
+                v = int(zz[0])
+                if ah == 0:
+                    t = v >> al  # arithmetic shift per spec (DC)
+                    diff = t - prev[c]
+                    prev[c] = t
+                    size, bits = _magnitude(diff)
+                    code, length = dc_codes[size]
+                    bw.put(code, length)
+                    if size:
+                        bw.put(bits, size)
+                else:
+                    bw.put((v >> al) & 1, 1)
         bw.flush()
         return bytes(bw.out)
 
@@ -926,18 +958,25 @@ def encode_jpeg(
         b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
         + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS),
     )
+    if ri:
+        out += seg(0xFFDD, struct.pack(">H", ri))  # DRI
     if not progressive:
         bw = _BitWriter()
+        rst_count[0] = 0
         prev = [0] * ch
-        for c, zz in mcu_blocks():
-            diff = int(zz[0]) - prev[c]
-            prev[c] = int(zz[0])
-            size, bits = _magnitude(diff)
-            code, length = dc_codes[size]
-            bw.put(code, length)
-            if size:
-                bw.put(bits, size)
-            _enc_ac_run(bw, ac_codes, zz, 1, 63)
+        for i, unit in enumerate(mcu_units()):
+            if ri and i and i % ri == 0:
+                emit_rst(bw)
+                prev = [0] * ch
+            for c, zz in unit:
+                diff = int(zz[0]) - prev[c]
+                prev[c] = int(zz[0])
+                size, bits = _magnitude(diff)
+                code, length = dc_codes[size]
+                bw.put(code, length)
+                if size:
+                    bw.put(bits, size)
+                _enc_ac_run(bw, ac_codes, zz, 1, 63)
         bw.flush()
         out += sos(list(range(ch)), 0, 63, 0, 0)
         out += bw.out
@@ -949,8 +988,10 @@ def encode_jpeg(
         for band in ((1, 5), (6, 63)):
             for c in range(ch):
                 bw = _BitWriter()
+                rst_count[0] = 0
                 _enc_ac_first(
-                    bw, ac_codes, used_blocks(c), band[0], band[1], 1
+                    bw, ac_codes, used_blocks(c), band[0], band[1], 1,
+                    ri, emit_rst,
                 )
                 bw.flush()
                 out += sos([c], band[0], band[1], 0, 1)
@@ -958,8 +999,10 @@ def encode_jpeg(
         for band in ((1, 5), (6, 63)):
             for c in range(ch):
                 bw = _BitWriter()
+                rst_count[0] = 0
                 _enc_ac_refine(
-                    bw, ac_codes, used_blocks(c), band[0], band[1], 0
+                    bw, ac_codes, used_blocks(c), band[0], band[1], 0,
+                    ri, emit_rst,
                 )
                 bw.flush()
                 out += sos([c], band[0], band[1], 1, 0)
@@ -989,9 +1032,8 @@ class _BitReader:
             elif nxt == 0xD9:  # EOI reached while padding — zeros
                 b = 0
             else:
-                raise NotImplementedError(
-                    f"JPEG marker 0xFF{nxt:02X} inside scan unsupported "
-                    "(restart intervals / progressive)"
+                raise ValueError(
+                    f"JPEG marker 0xFF{nxt:02X} inside entropy data"
                 )
         self.acc = (self.acc << 8) | b
         self.n += 8
@@ -1007,6 +1049,28 @@ class _BitReader:
         for _ in range(k):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self) -> None:
+        """Consume an RSTn marker at a restart-interval boundary:
+        discard padding bits to the byte boundary (skipping a
+        stuffed 0xFF00 the 1-padding may have produced), then the
+        FF Dn pair. Decoder state resets (DC predictors, EOB run)
+        are the CALLER's job — this only realigns the stream."""
+        self.acc = 0
+        self.n = 0
+        while (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0x00
+        ):
+            self.pos += 2  # stuffed padding byte before the marker
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected JPEG restart marker")
+        self.pos += 2
 
 
 def _read_huff_table(body: bytes, pos: int):
@@ -1051,79 +1115,96 @@ def _scan_end(data: bytes, pos: int) -> int:
     n = len(data)
     while i < n - 1:
         if data[i] == 0xFF and data[i + 1] != 0x00:
-            if 0xD0 <= data[i + 1] <= 0xD7:
-                raise NotImplementedError(
-                    "JPEG restart markers unsupported"
-                )
+            if 0xD0 <= data[i + 1] <= 0xD7:  # restart: stay in scan
+                i += 2
+                continue
             return i
         i += 1
     return n
 
 
-def _scan_blocks(scan, coefs, geom):
-    """Yield (ci, tdc, tac, block) in entropy-stream order.
-
-    Interleaved scans (ns > 1) walk MCUs, each containing hi*vi
-    blocks per component (raster within the component's sub-grid);
-    non-interleaved scans (ns == 1) walk that component's USED block
-    grid (ceil(comp_dim/8)), which for subsampled components is
-    smaller than the MCU-padded array — the T.81 distinction that
-    makes progressive scans of 4:2:0 files line up."""
+def _scan_units(scan, coefs, geom):
+    """Yield restart UNITS — lists of (ci, tdc, tac, block) — in
+    entropy-stream order. A unit is one MCU for interleaved scans
+    (ns > 1: hi*vi blocks per component, raster within each
+    component's sub-grid) and one block for non-interleaved scans
+    (ns == 1: that component's USED grid, ceil(comp_dim/8) — for
+    subsampled components smaller than the MCU-padded array, the
+    T.81 distinction that makes progressive 4:2:0 scans line up).
+    Restart intervals count these units."""
     if len(scan) > 1:
         mcux, mcuy = geom["mcux"], geom["mcuy"]
         for my in range(mcuy):
             for mx in range(mcux):
+                unit = []
                 for ci, tdc, tac in scan:
                     hi, vi = geom["samp"][ci]
                     for v in range(vi):
                         for u in range(hi):
-                            yield ci, tdc, tac, coefs[ci][
-                                my * vi + v, mx * hi + u
-                            ]
+                            unit.append(
+                                (
+                                    ci,
+                                    tdc,
+                                    tac,
+                                    coefs[ci][my * vi + v, mx * hi + u],
+                                )
+                            )
+                yield unit
     else:
         ci, tdc, tac = scan[0]
         uby, ubx = geom["used"][ci]
         for by in range(uby):
             for bx in range(ubx):
-                yield ci, tdc, tac, coefs[ci][by, bx]
+                yield [(ci, tdc, tac, coefs[ci][by, bx])]
 
 
-def _decode_scan_baseline(br, huff, scan, coefs, geom):
-    """Sequential scan: full 0..63 band, MCU (or raster) order."""
+def _decode_scan_baseline(br, huff, scan, coefs, geom, ri=0):
+    """Sequential scan: full 0..63 band, MCU (or raster) order; at
+    every ``ri`` units the stream byte-aligns on an RSTn marker and
+    DC predictors reset."""
     prev_dc = [0] * len(coefs)
-    for ci, tdc, tac, zz in _scan_blocks(scan, coefs, geom):
-        size = _huff_decode(br, huff[(0, tdc)])
-        diff = _extend(br.bits(size), size)
-        prev_dc[ci] += diff
-        zz[0] = prev_dc[ci]
-        k = 1
-        while k < 64:
-            rs = _huff_decode(br, huff[(1, tac)])
-            r, s = rs >> 4, rs & 0x0F
-            if rs == 0x00:  # EOB
-                break
-            if rs == 0xF0:  # ZRL
-                k += 16
-                continue
-            k += r
-            if k > 63:
-                raise ValueError("JPEG AC index overflow")
-            zz[k] = _extend(br.bits(s), s)
-            k += 1
+    for i, unit in enumerate(_scan_units(scan, coefs, geom)):
+        if ri and i and i % ri == 0:
+            br.restart()
+            prev_dc = [0] * len(coefs)
+        for ci, tdc, tac, zz in unit:
+            size = _huff_decode(br, huff[(0, tdc)])
+            diff = _extend(br.bits(size), size)
+            prev_dc[ci] += diff
+            zz[0] = prev_dc[ci]
+            k = 1
+            while k < 64:
+                rs = _huff_decode(br, huff[(1, tac)])
+                r, s = rs >> 4, rs & 0x0F
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += r
+                if k > 63:
+                    raise ValueError("JPEG AC index overflow")
+                zz[k] = _extend(br.bits(s), s)
+                k += 1
 
 
-def _decode_scan_dc(br, huff, scan, coefs, geom, ah, al):
+def _decode_scan_dc(br, huff, scan, coefs, geom, ah, al, ri=0):
     """Progressive DC scan (Ss=Se=0): first pass decodes the DC
     difference chain at reduced precision (coef = diff-sum << Al);
-    refinement passes (Ah>0) append one raw bit per block."""
+    refinement passes (Ah>0) append one raw bit per block. Restart
+    intervals reset the predictors every ``ri`` units."""
     prev_dc = [0] * len(coefs)
-    for ci, tdc, _tac, zz in _scan_blocks(scan, coefs, geom):
-        if ah == 0:
-            size = _huff_decode(br, huff[(0, tdc)])
-            prev_dc[ci] += _extend(br.bits(size), size)
-            zz[0] = prev_dc[ci] << al
-        elif br.bit():
-            zz[0] |= 1 << al
+    for i, unit in enumerate(_scan_units(scan, coefs, geom)):
+        if ri and i and i % ri == 0:
+            br.restart()
+            prev_dc = [0] * len(coefs)
+        for ci, tdc, _tac, zz in unit:
+            if ah == 0:
+                size = _huff_decode(br, huff[(0, tdc)])
+                prev_dc[ci] += _extend(br.bits(size), size)
+                zz[0] = prev_dc[ci] << al
+            elif br.bit():
+                zz[0] |= 1 << al
 
 
 def _used_blocks(coefs, ci, geom):
@@ -1138,14 +1219,20 @@ def _used_blocks(coefs, ci, geom):
     return [arr[by, bx] for by in range(uby) for bx in range(ubx)]
 
 
-def _decode_scan_ac_first(br, huff, ci, tac, coefs, ss, se, al, geom=None):
+def _decode_scan_ac_first(
+    br, huff, ci, tac, coefs, ss, se, al, geom=None, ri=0
+):
     """Progressive AC first scan (Ah=0): one component,
     non-interleaved block order, spectral band Ss..Se at reduced
     precision, with EOB-run codes (s=0, r<15 → EOBRUN =
-    2^r + next r bits) spanning whole blocks."""
+    2^r + next r bits) spanning whole blocks (but never a restart
+    boundary — ``ri`` resets the run)."""
     blocks = _used_blocks(coefs, ci, geom)
     eobrun = 0
-    for zz in blocks:
+    for i, zz in enumerate(blocks):
+        if ri and i and i % ri == 0:
+            br.restart()
+            eobrun = 0
         if eobrun > 0:
             eobrun -= 1
             continue
@@ -1168,18 +1255,24 @@ def _decode_scan_ac_first(br, huff, ci, tac, coefs, ss, se, al, geom=None):
             k += 1
 
 
-def _decode_scan_ac_refine(br, huff, ci, tac, coefs, ss, se, al, geom=None):
+def _decode_scan_ac_refine(
+    br, huff, ci, tac, coefs, ss, se, al, geom=None, ri=0
+):
     """Progressive AC refinement scan (Ah=Al+1): adds one bit of
     precision per coefficient in the band — correction bits for
     already-nonzero coefficients (read for EVERY nonzero passed,
     including inside zero runs and EOB runs), new ±(1<<Al)
     coefficients positioned by runs of still-zero history. The
     control flow mirrors the reference implementation's
-    decode_mcu_AC_refine (public ITU T.81 G.2 / libjpeg jdphuff)."""
+    decode_mcu_AC_refine (public ITU T.81 G.2 / libjpeg jdphuff).
+    ``ri`` realigns on RSTn and resets the EOB run."""
     p1, m1 = 1 << al, -1 << al
     blocks = _used_blocks(coefs, ci, geom)
     eobrun = 0
-    for zz in blocks:
+    for i, zz in enumerate(blocks):
+        if ri and i and i % ri == 0:
+            br.restart()
+            eobrun = 0
         k = ss
         if eobrun == 0:
             while k <= se:
@@ -1240,6 +1333,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps: list[tuple[int, int, int, int]] = []  # (id, hi, vi, tq)
     coefs: list[np.ndarray] = []  # per comp: (nby, nbx, 64) zigzag
     geom: dict = {}
+    ri = 0  # restart interval (DRI), in scan units
     saw_scan = False
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -1308,8 +1402,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 f"JPEG SOF 0x{marker:02X} (extended/lossless/"
                 "arithmetic) unsupported — SOF0/SOF2 only"
             )
-        elif marker == 0xDD:
-            raise NotImplementedError("JPEG restart intervals unsupported")
+        elif marker == 0xDD:  # DRI: restart every ri MCUs/blocks
+            (ri,) = struct.unpack(">H", body)
         elif marker == 0xDA:  # SOS — entropy segment follows
             ns = body[0]
             scan = []
@@ -1324,11 +1418,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             end = _scan_end(data, pos)
             br = _BitReader(data[pos:end])
             if not progressive:
-                _decode_scan_baseline(br, huff, scan, coefs, geom)
+                _decode_scan_baseline(br, huff, scan, coefs, geom, ri)
             elif ss == 0:
                 if se != 0:
                     raise ValueError("progressive DC scan needs Se=0")
-                _decode_scan_dc(br, huff, scan, coefs, geom, ah, al)
+                _decode_scan_dc(br, huff, scan, coefs, geom, ah, al, ri)
             else:
                 if ns != 1:
                     raise ValueError(
@@ -1337,11 +1431,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 ci, _tdc, tac = scan[0]
                 if ah == 0:
                     _decode_scan_ac_first(
-                        br, huff, ci, tac, coefs, ss, se, al, geom
+                        br, huff, ci, tac, coefs, ss, se, al, geom, ri
                     )
                 else:
                     _decode_scan_ac_refine(
-                        br, huff, ci, tac, coefs, ss, se, al, geom
+                        br, huff, ci, tac, coefs, ss, se, al, geom, ri
                     )
             saw_scan = True
             pos = end

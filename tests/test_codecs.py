@@ -492,3 +492,32 @@ def test_jpeg_chroma_subsampling_matches_reference_pipeline():
                     dec.astype(int) - expected(img, *f).astype(int)
                 ).max()
                 assert err <= C.JPEG_MAX_ABS_ERR, (h, w, prog, ssp, err)
+
+
+def test_jpeg_restart_intervals_all_modes():
+    """DRI/RSTn support: a stream with restart markers (including
+    the pathological every-MCU interval) must decode identically to
+    the same image without restarts, across baseline/progressive ×
+    1x1/4:2:0 — DC predictors and EOB runs reset per interval, and
+    padding-then-marker byte alignment survives stuffed 0xFF."""
+    rng = np.random.default_rng(61)
+    for h, w, ch in [(8, 8, 1), (16, 24, 3), (9, 10, 1), (31, 17, 3)]:
+        img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        src = img[:, :, 0] if ch == 1 else img
+        for prog in (False, True):
+            for ssp in [(1, 1), (2, 2)]:
+                if ch == 1 and ssp != (1, 1):
+                    continue
+                ref = C.decode_jpeg(
+                    C.encode_jpeg(src, progressive=prog, subsampling=ssp)
+                )
+                for ridx in (1, 3):
+                    got = C.decode_jpeg(
+                        C.encode_jpeg(
+                            src,
+                            progressive=prog,
+                            subsampling=ssp,
+                            restart_interval=ridx,
+                        )
+                    )
+                    assert np.array_equal(got, ref), (h, w, ch, prog, ssp)
