@@ -521,3 +521,44 @@ def test_jpeg_restart_intervals_all_modes():
                         )
                     )
                     assert np.array_equal(got, ref), (h, w, ch, prog, ssp)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 34),
+        h=st.integers(1, 34),
+        ch=st.sampled_from([1, 3]),
+        prog=st.booleans(),
+        ssp=st.sampled_from([(1, 1), (2, 2), (2, 1)]),
+        ri=st.sampled_from([0, 1, 4]),
+        seed=st.integers(0, 2**31),
+    )
+    def test_jpeg_option_matrix_property(w, h, ch, prog, ssp, ri, seed):
+        """Any (size × channels × progressive × subsampling ×
+        restart-interval) combination must decode: subsampled color
+        within the reference-pipeline bound, everything else within
+        JPEG_MAX_ABS_ERR of the source — and restart markers must
+        never change the pixels."""
+        img = np.random.default_rng(seed).integers(
+            0, 256, (h, w, ch), dtype=np.uint8
+        )
+        src = img[:, :, 0] if ch == 1 else img
+        base = C.decode_jpeg(
+            C.encode_jpeg(src, progressive=prog, subsampling=ssp)
+        )
+        withr = C.decode_jpeg(
+            C.encode_jpeg(
+                src, progressive=prog, subsampling=ssp, restart_interval=ri
+            )
+        )
+        assert np.array_equal(base, withr)
+        if ch == 1 or ssp == (1, 1):
+            err = np.abs(base.astype(int) - img.astype(int)).max()
+            assert err <= C.JPEG_MAX_ABS_ERR
+
+except ImportError:  # pragma: no cover
+    pass
