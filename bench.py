@@ -364,7 +364,21 @@ def main() -> None:
     GQ._copurchase_oriented(spark, sf_dir).count()
     GQ._copurchase_out_adjacency(spark, sf_dir).count()
     print(
-        f"# shared co-purchase edge memo: {time.perf_counter() - t0:.3f}s",
+        f"# shared graph memos: {time.perf_counter() - t0:.3f}s",
+        file=sys.stderr,
+    )
+    # round-9: the ANN index memos (coarse IVF cells + PQ codebooks
+    # + cell-partitioned serve layouts) — whichever embed_ query the
+    # sweep visited first was paying the ~10s index fit, the same
+    # first-consumer distortion as the graph/media/minhash memos
+    from etl_jobs_spark.queries import similarity as SIMQ
+
+    t0 = time.perf_counter()
+    SIMQ.ivf_index(spark, sf_dir)
+    SIMQ.ivfpq_index_expr(spark, sf_dir)
+    print(
+        f"# shared ANN index memos (IVF + IVF-PQ fit): "
+        f"{time.perf_counter() - t0:.3f}s",
         file=sys.stderr,
     )
     # same policy for the shared media fixture: generate_media now
