@@ -326,8 +326,9 @@ def main() -> None:
     t0 = time.perf_counter()
     DQ._doc_grams(spark, sf_dir).count()
     DQ._lsh_components(spark, sf_dir).count()
+    DQ._jaccard_pairs(spark, sf_dir).count()
     print(
-        f"# shared doc-gram + LSH-component memos: "
+        f"# shared doc-gram + LSH-component + jaccard-pair memos: "
         f"{time.perf_counter() - t0:.3f}s",
         file=sys.stderr,
     )

@@ -213,13 +213,31 @@ def _doc_grams(spark, sf_dir):
     )
 
 
+def _jaccard_pairs(spark, sf_dir):
+    """Exact-Jaccard pair table, memoized per (session, sf): the
+    gram self-join is the expensive stage and BOTH
+    dedup_ngram_jaccard (reports it) and dedup_lsh_recall_eval (uses
+    it as ground truth) consume the identical result — same memo
+    policy as _minhash_pairs/_doc_grams."""
+    from etl_jobs_spark.queries._shared import session_memo
+
+    return session_memo(
+        spark,
+        "jaccard_pairs",
+        sf_dir,
+        lambda: DD.ngram_jaccard_pairs(
+            DD.planted_corpus(
+                read_table(spark, sf_dir, "documents"), mutate=True
+            ),
+            grams=_doc_grams(spark, sf_dir),
+        ).persist(),
+    )
+
+
 @register("dedup_ngram_jaccard", oracle=_ngram_jaccard_oracle())
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard pairs, language-blocked."""
-    return DD.ngram_jaccard_pairs(
-        DD.planted_corpus(read_table(spark, sf_dir, "documents"), mutate=True),
-        grams=_doc_grams(spark, sf_dir),
-    )
+    return _jaccard_pairs(spark, sf_dir)
 
 
 CAND_EST_SIM = 0.25  # stage-1 cut: 4 of 16 signature positions
