@@ -376,7 +376,9 @@ def main() -> None:
 
     t0 = time.perf_counter()
     SIMQ.ivf_index(spark, sf_dir)
+    SIMQ.pq_index_expr(spark, sf_dir)
     SIMQ.ivfpq_index_expr(spark, sf_dir)
+    SIMQ.ivf_append_index(spark, sf_dir)
     print(
         f"# shared ANN index memos (IVF + IVF-PQ fit): "
         f"{time.perf_counter() - t0:.3f}s",
