@@ -15,7 +15,7 @@ that buffer — per-query timings restricted to the curated HEADLINE
 subset, 2-decimal seconds — while the FULL per-query record (raw +
 normalized, every benched query) is written to
 docs/BENCH_FULL_LATEST.json and appended to docs/bench_history.jsonl.
-The history also powers `ratio_vs_prev_norm`: the RAW common-subset
+The history also powers `ratio_vs_prev_raw`: the RAW common-subset
 total of this run divided by the previous recorded round's — the
 cross-round engine-vs-engine number judges previously had to
 reconstruct by hand (VERDICT r8 item 2). Host-speed drift between the
@@ -476,12 +476,14 @@ def main() -> None:
     # deltas compare code not VMs.
     norm = {k: round(v * scale, 3) for k, v in timings.items()}
 
-    cur_tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "r09")
+    cur_tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "r10")
     docs = Path(__file__).resolve().parent / "docs"
     history = docs / "bench_history.jsonl"
     # Cross-round comparison (VERDICT r8 item 2): the headline
-    # `ratio_vs_prev_norm` is now the RAW common-subset total of this
-    # run divided by the previous round's — the like-for-like number
+    # `ratio_vs_prev_raw` (named `ratio_vs_prev_norm` in the r09
+    # record only — ADVICE r9 renamed it) is the RAW common-subset
+    # total of this run divided by the previous round's — the
+    # like-for-like number
     # PERF_r08.md computed by hand (r8's artifact printed 1.179 for a
     # round whose raw common-subset was 0.833x because the old field
     # divided calibrated totals over MISMATCHED query sets and let a
@@ -502,10 +504,14 @@ def main() -> None:
         # differs from the current run's tag — a re-run within the
         # same round must not compare against its own earlier run,
         # or the cross-round ratio silently drifts toward 1.0.
+        # require per-query RAW timings: the legacy r03-partial record
+        # carries only queries_norm and can't join a raw common subset
         prior = [
             r
             for r in records
-            if r.get("sf") == sf_val and r.get("tag") != cur_tag
+            if r.get("sf") == sf_val
+            and r.get("tag") != cur_tag
+            and r.get("queries")
         ]
         if prior:
             prev = prior[-1]
@@ -523,11 +529,16 @@ def main() -> None:
                     calib_vs_prev_pct = round(
                         100.0 * (calib - prev_calib) / prev_calib, 1
                     )
+                drift_str = (
+                    f"{calib_vs_prev_pct}%"
+                    if calib_vs_prev_pct is not None
+                    else "n/a"
+                )
                 print(
                     f"# vs {prev_tag}: {n_common} common queries, "
                     f"{prev_sum:.1f}s -> {cur_sum:.1f}s RAW "
                     f"(ratio {ratio}; host calib drift "
-                    f"{calib_vs_prev_pct}%)",
+                    f"{drift_str})",
                     file=sys.stderr,
                 )
 
@@ -545,7 +556,11 @@ def main() -> None:
         "calib_drift_pct": drift_pct,
         "calib_drift_flag": calib_drift_flag,
         "calib_ref_sec": CALIB_REF_SEC,
-        "ratio_vs_prev_norm": ratio,
+        # r10 (ADVICE r9): the raw common-subset ratio moves to an
+        # honestly-named key; `ratio_vs_prev_norm` is RETIRED (r09's
+        # record was the only one carrying a raw value under the old
+        # name — readers of the history must check `ratio_basis`).
+        "ratio_vs_prev_raw": ratio,
         "ratio_basis": "raw_common_subset",
         "ratio_n_common": n_common,
         "calib_vs_prev_pct": calib_vs_prev_pct,
@@ -576,7 +591,7 @@ def main() -> None:
                 "calib_sec": round(calib, 3),
                 "calib_drift_pct": drift_pct,
                 "calib_ref_sec": CALIB_REF_SEC,
-                "ratio_vs_prev_norm": ratio,
+                "ratio_vs_prev_raw": ratio,
                 "ratio_basis": "raw_common_subset",
                 "ratio_n_common": n_common,
                 "calib_vs_prev_pct": calib_vs_prev_pct,

@@ -539,10 +539,13 @@ def _lzw_decompress(data: bytes, min_code: int, n_pixels: int) -> list[int]:
 # baseline sequential DCT process (ITU-T T.81): 8x8 blocks, level
 # shift, 2-D DCT, uniform quantization, zigzag, DC-difference +
 # run-length AC Huffman entropy coding with 0xFF byte stuffing — and
-# the full inverse. Scope guards (honest NotImplementedError, same
-# policy as the other codecs): baseline SOF0 only, 8-bit samples,
-# 1x1 sampling (no chroma subsampling), no restart intervals, 1
-# (grayscale) or 3 (YCbCr 4:4:4) components. The encoder uses
+# the full inverse — plus progressive SOF2 (spectral selection +
+# successive approximation), 4:2:0 / 4:2:2 chroma subsampling, and
+# DRI/RSTn restart intervals on both encode and decode. Scope
+# guards (honest NotImplementedError, same policy as the other
+# codecs): 8-bit samples, sampling factors 1 or 2, 1 (grayscale) or
+# 3 (YCbCr) components; arithmetic-coded, lossless, and
+# hierarchical processes stay out of scope. The encoder uses
 # all-ones quantization tables, so a decode of our own fixture
 # differs from the source grid only by DCT-rounding + color-space
 # error — a tight, testable bound (JPEG_MAX_ABS_ERR).
@@ -1316,7 +1319,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     (h, w, ch) uint8. 8-bit, chroma subsampling up to 4x4 sampling
     factors (4:2:0 / 4:2:2 / 4:4:4 — the layouts cameras and crawls
     actually emit; subsampled planes are box-upsampled on
-    reconstruction), no restart intervals. Quant and Huffman tables
+    reconstruction), and DRI/RSTn restart intervals (the interval is
+    parsed and honored — byte-realign with stuffed-padding
+    tolerance, DC-predictor and EOB-run resets — in every scan
+    type). Quant and Huffman tables
     are read from the FILE (DQT/DHT, with progressive streams
     re-defining DHT between scans), never assumed. All scans
     accumulate into per-component coefficient arrays (MCU-padded for

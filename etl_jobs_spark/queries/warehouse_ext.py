@@ -731,9 +731,59 @@ def scan_txn_log_snapshot(spark, sf_dir):
     return census(1).unionAll(census(2))
 
 
+def _er_audit_ctes() -> str:
+    """DuckDB CTE text mirroring ``operators.matching.block_cap_audit``
+    over the ER pipeline's blocking config (customer names, nation +
+    segment conjuncts composed into the key, cap = ER_BLOCK_CAP).
+
+    Dialect mapping, clause by clause: the Spark side explodes
+    ``array_union(array(name), transform(sequence(1, len), i ->
+    delete_i(name)))`` — array_union DEDUPS within a row (repeated
+    characters make identical deletions), hence the DISTINCT over
+    (custkey, block attrs, variant); Spark then groups on
+    ``xxhash64(variant, nation, segment)`` while the oracle groups on
+    the raw tuple — identical up to 64-bit hash collisions (~1e-7 at
+    sf0.1 block counts, and a collision could only MERGE two blocks,
+    which the correctness sweep would catch loudly). ``capped_pairs``
+    uses integer ``//`` here vs double-divide-then-truncate Spark-side;
+    n*(n-1) is even so both are exact."""
+    cap = MT.ER_BLOCK_CAP
+    return f"""
+    variants AS (
+      SELECT DISTINCT c_custkey, c_nationkey, c_mktsegment, variant
+      FROM (
+        SELECT c_custkey, c_nationkey, c_mktsegment, c_name AS variant
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               substr(c_name, 1, i - 1) || substr(c_name, i + 1)
+                 AS variant
+        FROM (SELECT c_custkey, c_nationkey, c_mktsegment, c_name,
+                     unnest(range(1, length(c_name) + 1)) AS i
+              FROM customer))),
+    blocks AS (
+      SELECT variant, c_nationkey, c_mktsegment, count(*) AS n
+      FROM variants GROUP BY 1, 2, 3),
+    audit AS (
+      SELECT
+        CAST(COALESCE(SUM(CASE WHEN n <= {cap} THEN 1 END), 0)
+             AS BIGINT) AS kept_blocks,
+        CAST(COALESCE(SUM(CASE WHEN n > {cap} THEN 1 END), 0)
+             AS BIGINT) AS capped_blocks,
+        CAST(COALESCE(SUM(CASE WHEN n <= {cap} THEN n END), 0)
+             AS BIGINT) AS kept_occurrences,
+        CAST(COALESCE(SUM(CASE WHEN n > {cap} THEN n END), 0)
+             AS BIGINT) AS dropped_occurrences,
+        CAST(COALESCE(SUM(CASE WHEN n > {cap}
+                          THEN n * (n - 1) // 2 END), 0)
+             AS BIGINT) AS capped_pairs
+      FROM blocks)"""
+
+
 def _er_oracle() -> str:
-    return """
+    return f"""
     WITH RECURSIVE
+    {_er_audit_ctes()},
     p0 AS (
       SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
       FROM customer a JOIN customer b
@@ -770,9 +820,16 @@ def _er_oracle() -> str:
            CAST(count(*) AS BIGINT) AS n_records,
            CAST(sum(m.bal_cents) AS BIGINT) AS merged_bal_cents,
            max(g.golden_key) AS golden_key,
-           max(g.golden_name) AS golden_name
+           max(g.golden_name) AS golden_name,
+           max(a.capped_blocks) AS capped_blocks,
+           max(a.capped_pairs) AS capped_pairs
     FROM members m JOIN golden g ON g.entity_id = m.entity_id
+    CROSS JOIN audit a
     GROUP BY m.entity_id
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(-1 AS BIGINT), '', a.capped_blocks, a.capped_pairs
+    FROM audit a
     """
 
 
@@ -794,7 +851,13 @@ def pipeline_entity_resolution(spark, sf_dir):
     RECORD per entity: highest-balance member wins (custkey
     tiebreak), with the merged balance and record census — the
     survivorship rule every MDM pipeline configures. Only clustered
-    entities (>= 2 records) report. Scale: blocking bounds pair
+    entities (>= 2 records) report; (4) IN-BAND CAP DISCLOSURE:
+    every row carries the blocking cap's ``capped_blocks`` /
+    ``capped_pairs`` audit (zero ⇔ the capped plan equals the exact
+    one), and a sentinel row (``entity_id = -1``, zero counts)
+    carries the same so an EMPTY entity set — the adversarial-skew
+    outcome when every block exceeds the cap — still explains
+    itself. Scale: blocking bounds pair
     generation, components run on the (tiny) pair graph, and the
     golden-record pass is one window over cluster members."""
     from etl_jobs_spark.operators import dedup as DD
@@ -817,7 +880,12 @@ def pipeline_entity_resolution(spark, sf_dir):
     # here). On an adversarial corpus (>12 records on one
     # name-variant+nation+segment key) the cap bounds the quadratic
     # in-block pair blow-up and the recall trade is DISCLOSED by
-    # operators.matching.block_cap_audit's capped_pairs column.
+    # operators.matching.block_cap_audit's capped_pairs column —
+    # IN-BAND (VERDICT r9 item 3): every result row carries the
+    # audit's capped_blocks/capped_pairs, so an empty or reduced
+    # entity set explains itself without running the audit
+    # separately (the standalone `er_block_cap_audit` query carries
+    # the full five-column breakdown).
     pairs = MT.fuzzy_pairs(
         cust.select("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
         "c_custkey",
@@ -856,18 +924,81 @@ def pipeline_entity_resolution(spark, sf_dir):
             F.col("c_name").alias("golden_name"),
         )
     )
-    return (
+    # In-band cap disclosure (VERDICT r9 item 3): one cheap audit
+    # pass (variant explode + groupBy count + single-row aggregate —
+    # two keyed shuffles on 8-byte keys) broadcast-joined onto every
+    # entity row, PLUS a sentinel row (entity_id = -1, zero counts)
+    # that survives even when the cap drops every block — the
+    # adversarial-corpus case where the entity set is EMPTY and
+    # constant columns alone would disclose nothing.
+    audit = MT.block_cap_audit(
+        cust.select("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
+        "c_custkey",
+        "c_name",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        block_cap=MT.ER_BLOCK_CAP,
+    ).select("capped_blocks", "capped_pairs")
+    entities = (
         members.groupBy("entity_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_records"),
             F.sum("bal_cents").cast("bigint").alias("merged_bal_cents"),
         )
         .join(golden, "entity_id")
+        .crossJoin(F.broadcast(audit))
         .select(
             "entity_id",
             "n_records",
             "merged_bal_cents",
             "golden_key",
             "golden_name",
+            "capped_blocks",
+            "capped_pairs",
         )
+    )
+    sentinel = audit.select(
+        F.lit(-1).cast("bigint").alias("entity_id"),
+        F.lit(0).cast("bigint").alias("n_records"),
+        F.lit(0).cast("bigint").alias("merged_bal_cents"),
+        F.lit(-1).cast("bigint").alias("golden_key"),
+        F.lit("").alias("golden_name"),
+        "capped_blocks",
+        "capped_pairs",
+    )
+    return entities.unionByName(sentinel)
+
+
+def _er_audit_oracle() -> str:
+    return f"""
+    WITH
+    {_er_audit_ctes()}
+    SELECT kept_blocks, capped_blocks, kept_occurrences,
+           dropped_occurrences, capped_pairs
+    FROM audit
+    """
+
+
+@register("er_block_cap_audit", oracle=_er_audit_oracle())
+def er_block_cap_audit(spark, sf_dir):
+    """Standalone disclosure row for the entity-resolution blocking
+    cap (VERDICT r9 item 2 — the no-silent-caps rule made
+    driver-visible): quantifies what ``ER_BLOCK_CAP`` drops from
+    ``pipeline_entity_resolution``'s candidate stage on THIS corpus.
+    One row: kept/capped composed (name-variant, nation, segment)
+    blocks, their variant-occurrence totals, and ``capped_pairs`` —
+    sum of C(n, 2) over over-cap blocks, the upper bound on candidate
+    pairs the cap can cost (all zeros ⇔ capped plan ≡ exact plan; on
+    the honest fixtures it IS all zeros, asserted across every
+    staged sf in tests/test_round10_ops.py). Plan (operators/
+    matching.py:176): map-only deletion-variant explode → one
+    groupBy(hash).count() → single-row conditional aggregate — two
+    keyed shuffles on 8-byte keys, nothing quadratic, identical
+    shape at 100 TB."""
+    cust = read_table(spark, sf_dir, "customer")
+    return MT.block_cap_audit(
+        cust.select("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
+        "c_custkey",
+        "c_name",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        block_cap=MT.ER_BLOCK_CAP,
     )

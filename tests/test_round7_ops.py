@@ -100,7 +100,15 @@ def test_reservoir_sample_is_k_per_key(spark):
 
 
 def test_entity_resolution_contracts(spark):
-    rows = QUERIES["pipeline_entity_resolution"](spark, SF_DIR).collect()
+    all_rows = QUERIES["pipeline_entity_resolution"](spark, SF_DIR).collect()
+    # r10: every row carries the in-band cap disclosure, and exactly
+    # one sentinel row (entity_id = -1, zero counts) survives even
+    # when the cap empties the entity set; on the honest fixture the
+    # cap never binds, so the disclosure reads zero everywhere.
+    sentinels = [r for r in all_rows if r.entity_id == -1]
+    rows = [r for r in all_rows if r.entity_id != -1]
+    assert len(sentinels) == 1 and sentinels[0].n_records == 0
+    assert all(r.capped_blocks == 0 and r.capped_pairs == 0 for r in all_rows)
     assert rows
     cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
     n_cust = cust.count()
