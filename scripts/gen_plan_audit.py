@@ -105,6 +105,32 @@ INTERESTING = re.compile(
 )
 
 
+
+#: Decisions that close perf levers for good — appended verbatim to
+#: PLANS.md so they survive regeneration and stop being re-chased.
+RETIRED_LEVERS = [
+    "## Retired levers (decision log)",
+    "",
+    "**novelty/decontam gram-table unification — RETIRED (round 10,"
+    " VERDICT r9 item 4).** `dedup_gram_novelty_by_source` fingerprints"
+    " CHARACTER 5-grams over the raw document text (sub-token novelty:"
+    " it must see typo-level drift and formatting churn), while"
+    " `decontam_ngram_overlap`'s `_doc_grams` table fingerprints WORD"
+    " 3-grams over the normalized/tokenized corpus (benchmark-leak"
+    " semantics: eval sets match on token sequences, not raw bytes)."
+    " The two gram universes intersect only by coincidence — unifying"
+    " them means either degrading decontamination to character grams"
+    " (false positives on shared substrings across genuinely different"
+    " token streams) or degrading novelty to word grams (blind to the"
+    " intra-word edits it exists to count). That is a SEMANTIC change"
+    " to two driver-green oracles, not a free shuffle saving; the only"
+    " shareable piece (the per-doc tokenize) is already memoized"
+    " session-wide. Decision: keep the tables separate; do not carry"
+    " this as an open lever. (PERF_r09.md first documented the"
+    " mismatch; this entry closes it.)",
+    "",
+]
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan-audit")
@@ -145,6 +171,7 @@ def main() -> None:
         ]
         out += [f"- `{h}`" for h in hits[:8]]
         out.append("")
+    out += RETIRED_LEVERS
     (REPO / "docs" / "PLANS.md").write_text("\n".join(out))
     print(f"wrote docs/PLANS.md ({len(AUDIT)} plans)")
     spark.stop()
