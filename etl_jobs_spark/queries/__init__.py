@@ -2,11 +2,11 @@
 query/oracle pair with etl_jobs_spark.registry.
 
 Registration order == the order the driver's correctness sweep walks
-the registry (50 per round). Rounds 1+2 verified 100 distinct queries
-with zero failures; the ``_NEEDS_CORRECTNESS_ROW`` list below promotes
-the remaining never-driver-checked queries (plus any newly added ones)
-to the front so the round-3 sweep covers them. After a query earns a
-green CORRECTNESS row, drop it from the list and let it drift back."""
+the registry (50 per round). The ``_ROUND10_WINDOW`` list below picks
+this round's 50: queries needing a FIRST driver row (new or changed
+this round) lead, then the rows whose last driver check is oldest
+rotate through the remaining slots. After a query earns a green
+CORRECTNESS row it drifts back and the rotation continues."""
 
 from etl_jobs_spark import registry
 from etl_jobs_spark.queries import (  # noqa: F401
@@ -36,8 +36,8 @@ from etl_jobs_spark.queries import (  # noqa: F401
 
 # Round-10 sweep window (50 queries, registration order), per
 # VERDICT r9 items 1-3. Window arithmetic: 15 carried-over slots
-# (_ROUND10_WINDOW_FRONT as recorded in round 9) + 2 round-10
-# changes needing fresh rows + 33 rotation slots = 50.
+# (_ROUND10_WINDOW_FRONT as recorded in round 9) + 3 round-10
+# changes/additions needing fresh rows + 32 rotation slots = 50.
 #
 # History note: rounds 8-9 drained the entire never-driver-checked
 # backlog (65 queries) through two frozen-registry windows; the
@@ -75,11 +75,18 @@ _ROUND10_WINDOW = [
     #     a superseded schema).
     "er_block_cap_audit",
     "pipeline_entity_resolution",
+    #     ...and the sketch-accuracy property row (VERDICT r9 item 6's
+    #     "agg_approx_sketches rows-only -> property-bound upgrade"):
+    #     new this round, needs its first driver row. It takes the
+    #     window slot that would have gone to snapshot_diff_audit
+    #     (r3-green rotation re-check — the lowest-information row in
+    #     the rotation tail; it rotates in round 11 instead).
+    "agg_sketch_accuracy_audit",
     # (c) rotation resume (VERDICT r9 item 1 tail: "resume the
     #     r3-era rotation with the remaining slots"): oldest driver
-    #     rows first — all 16 r2-era rows, then the 17 oldest
+    #     rows first — all 16 r2-era rows, then the 16 oldest
     #     r3-era rows in their CORRECTNESS_r03 order. The remaining
-    #     33 r3-era + 46 r4-era rows continue the rotation in
+    #     34 r3-era + 46 r4-era rows continue the rotation in
     #     round 11.
     "cdc_apply_changelog",
     "zorder_layout_stats",
@@ -113,7 +120,6 @@ _ROUND10_WINDOW = [
     "join_range_autobucket",
     "stream_topk_types",
     "join_dim_snapshot_asof",
-    "snapshot_diff_audit",
 ]
 
 registry.promote(_ROUND10_WINDOW)

