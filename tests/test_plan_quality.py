@@ -214,3 +214,37 @@ def test_gram_novelty_uses_single_slot_pass(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" in plan, plan[:2000]
     assert "Join" not in plan, plan[:2000]
+
+
+def test_er_audit_is_two_keyed_shuffles_no_join(spark):
+    """Round-10 lock: er_block_cap_audit must stay a map-only
+    variant explode → groupBy(hash) → single-row conditional
+    aggregate — two keyed exchanges on 8-byte keys, NO join of any
+    kind and no window (a rewrite through either would drag the
+    text column or a per-block sort through the shuffle)."""
+    from etl_jobs_spark.queries.warehouse_ext import er_block_cap_audit
+
+    df = er_block_cap_audit(spark, SF_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in opt, opt[:2000]
+    assert "Window" not in opt, opt[:2000]
+    plan = _plan(df)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan[:2000]
+    df.count()
+
+
+def test_sketch_audit_single_fact_scan_family(spark):
+    """Round-10 lock: agg_sketch_accuracy_audit reads events through
+    exactly three aggregate passes (combined exact+approx, per-type
+    sketch rollup, rank rejoin) — every join is a broadcast of a
+    1-row side (scalar rejoin), never a shuffle join."""
+    from etl_jobs_spark.queries.analytics_ext import (
+        agg_sketch_accuracy_audit,
+    )
+
+    df = agg_sketch_accuracy_audit(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") <= 4, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    df.count()
