@@ -40,15 +40,32 @@ def fillna_const(df: DataFrame, values: dict[str, object]) -> DataFrame:
     return df.fillna(values)
 
 
-def fillna_mean(df: DataFrame, col: str, round_digits: int | None = 6) -> DataFrame:
+def fillna_mean(
+    df: DataFrame,
+    col: str,
+    round_digits: int | None = 6,
+    exact_decimal: str | None = "decimal(18,2)",
+) -> DataFrame:
     """Mean imputation (ref: `df[c].fillna(df[c].mean())`
     src/etl_2022.py:182).
 
-    One extra stage: a scalar avg (partial+final, one row) broadcast
-    back over the table. The mean is rounded before use so the
-    imputed value is reproducible across engines/partitionings.
-    """
-    mean_col = F.avg(F.col(col)).alias("__mean")
+    One extra stage: a scalar mean (partial+final, one row)
+    broadcast back over the table. With ``exact_decimal`` (default:
+    the repo's 2dp money/value contract) the mean is an EXACT
+    decimal sum divided once in double — summation-order-free, so
+    the imputed value is identical on any partitioning/row order
+    (round-10 hardening; the old ``avg(double)`` could flip the
+    rounded mean a ulp across orderings). Pass ``None`` for columns
+    that don't hold finite-decimal values. The mean is then rounded
+    before use so the imputed value is reproducible across
+    engines."""
+    if exact_decimal is not None:
+        mean_col = (
+            F.sum(F.col(col).cast(exact_decimal)).cast("double")
+            / F.count(F.col(col))
+        ).alias("__mean")
+    else:
+        mean_col = F.avg(F.col(col)).alias("__mean")
     agg = df.select(mean_col)
     if round_digits is not None:
         agg = agg.select(F.round(F.col("__mean"), round_digits).alias("__mean"))

@@ -115,15 +115,33 @@ def agg_profile_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     aggregate list), then the wide row unpivots via stack() — no
     per-column jobs, no driver loop. Exact countDistinct for parity
     with pandas `nunique`; switch to approx_count_distinct at scale.
+
+    Round-10 hardening: mean and stddev are computed from EXACT
+    decimal moments (Σx as DECIMAL(18,2), Σx² as its scale-4
+    product) with one closed-form double evaluation at the end —
+    summation-order-free, so the profile is identical on any row
+    order/partitioning and the oracle can mirror the identical
+    expression tree instead of trusting two engines' different
+    incremental-variance recurrences to agree in the rounded
+    digits. Requires the 2dp input contract
+    (tests/test_order_invariance.py pins it for the fixtures).
     """
+    from etl_jobs_spark.operators.money import DEC2
+
     dtypes = dict(df.dtypes)
     aggs: list[Column] = []
     for c in cols:
+        d = F.col(c).cast(DEC2)
+        n = F.count(F.col(c))
+        s1 = F.sum(d).cast("double")
+        s2 = F.sum(d * d).cast("double")
         aggs += [
             F.countDistinct(F.col(c)).alias(f"{c}__nd"),
             F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"{c}__nm"),
-            F.round(F.avg(F.col(c)), 6).alias(f"{c}__mean"),
-            F.round(F.stddev(F.col(c)), 6).alias(f"{c}__std"),
+            F.round(s1 / n, 6).alias(f"{c}__mean"),
+            F.round(
+                F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))), 6
+            ).alias(f"{c}__std"),
             F.round(F.min(F.col(c)).cast("double"), 6).alias(f"{c}__min"),
             F.round(F.max(F.col(c)).cast("double"), 6).alias(f"{c}__max"),
             F.round(F.percentile(F.col(c), F.lit(0.5)), 6).alias(f"{c}__med"),

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_jobs_spark.operators import money as M
+
 
 def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
     """Flagship grouped aggregation (TPC-H Q1 shape) over the fact
@@ -41,22 +43,19 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
         lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            M.dsum("l_quantity").alias("sum_qty"),
+            M.dsum("l_extendedprice").alias("sum_base_price"),
+            M.dsum2(
+                "l_extendedprice", F.lit(1) - F.col("l_discount")
             ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
+            M.dsum3(
+                "l_extendedprice",
+                F.lit(1) - F.col("l_discount"),
+                F.lit(1) + F.col("l_tax"),
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            M.davg("l_extendedprice").alias("avg_price"),
+            M.davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -81,7 +80,7 @@ def star_join_revenue(
     `broadcast` on the guaranteed-small sides so the plan never
     degrades to sort-merge for a 25-row table.
     """
-    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
@@ -89,7 +88,9 @@ def star_join_revenue(
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
-            F.round(F.sum(revenue), 2).alias("revenue"),
+            M.dsum2(
+                "l_extendedprice", F.lit(1) - F.col("l_discount")
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
@@ -147,7 +148,9 @@ def window_running_sum(events: DataFrame) -> DataFrame:
     return events.select(
         "user_id",
         "event_id",
-        F.round(F.sum("value").over(w), 6).alias("running_value"),
+        F.round(F.sum(F.col("value").cast(M.DEC2)).over(w), 6)
+        .cast("double")
+        .alias("running_value"),
     )
 
 
@@ -192,8 +195,8 @@ def grouped_agg_events(events: DataFrame) -> DataFrame:
     count / sum / avg / distinct-users per event_type."""
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        M.dsum("value").alias("total_value"),
+        M.davg("value").alias("avg_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
 
@@ -220,13 +223,15 @@ def salted_agg_events(events: DataFrame, n_salts: int = 16) -> DataFrame:
     )
     partial = salted.groupBy("event_type", "_salt").agg(
         F.count(F.lit(1)).alias("pn"),
-        F.sum("value").alias("psum"),
+        F.sum(F.col("value").cast(M.DEC2)).alias("psum"),
     )
     return (
         partial.groupBy("event_type")
         .agg(
             F.sum("pn").alias("n_events"),
-            F.round(F.sum("psum"), 2).alias("total_value"),
-            F.round(F.sum("psum") / F.sum("pn"), 4).alias("avg_value"),
+            F.round(F.sum("psum"), 2).cast("double").alias("total_value"),
+            F.round(
+                F.sum("psum").cast("double") / F.sum("pn"), 4
+            ).alias("avg_value"),
         )
     )

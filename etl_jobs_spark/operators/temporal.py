@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_jobs_spark.operators import money as M
+
 
 def asof_join(
     left: DataFrame,
@@ -176,7 +178,7 @@ def rollup_time(events: DataFrame) -> DataFrame:
         bucketed.rollup("bucket_hour", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            M.dsum("value").alias("total_value"),
         )
         .select(
             F.coalesce(
@@ -199,7 +201,7 @@ def cube_events(events: DataFrame) -> DataFrame:
         basis.cube("dow", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            M.davg("value").alias("avg_value"),
         )
         .select(
             F.coalesce("dow", F.lit(-1)).alias("dow"),

@@ -222,6 +222,13 @@ def user_gap_stats(events: DataFrame) -> DataFrame:
     )
     return gaps.groupBy("user_id").agg(
         (F.count(F.lit(1)) + 1).alias("n_events"),
-        F.round(F.avg("gap"), 2).alias("avg_gap_s"),
+        # exact decimal sum of microsecond-precision gaps (epoch
+        # seconds at us resolution are exactly representable, so the
+        # DECIMAL(18,6) cast is lossless) -> order-free mean
+        F.round(
+            F.sum(F.col("gap").cast("decimal(18,6)")).cast("double")
+            / F.count("gap"),
+            2,
+        ).alias("avg_gap_s"),
         F.round(F.max("gap"), 2).alias("max_gap_s"),
     )

@@ -15,6 +15,8 @@ from pathlib import Path
 
 from pyspark.sql import functions as F
 
+from etl_jobs_spark.operators import money as M
+
 from etl_jobs_spark.registry import register
 from etl_jobs_spark.scratch import scratch_dir
 from etl_jobs_spark.sources.readers import read_table
@@ -28,7 +30,9 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
     oracle=f"""
     SELECT user_id,
            {", ".join(
-               f"round(coalesce(sum(value) FILTER (WHERE event_type = '{t}'), 0), 2) AS {t}"
+               f"CAST(round(coalesce(sum(CAST(value AS DECIMAL(18,2)))"
+               f" FILTER (WHERE event_type = '{t}'), 0), 2)"
+               f" AS DOUBLE) AS {t}"
                for t in EVENT_TYPES)}
     FROM events GROUP BY user_id
     """,
@@ -42,7 +46,11 @@ def agg_pivot_events(spark, sf_dir):
     return (
         ev.groupBy("user_id")
         .pivot("event_type", list(EVENT_TYPES))
-        .agg(F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2))
+        .agg(
+            F.round(
+                F.coalesce(F.sum(F.col("value").cast(M.DEC2)), F.lit(0)), 2
+            ).cast("double")
+        )
     )
 
 
@@ -334,7 +342,7 @@ def scan_json_lines(spark, sf_dir):
     oracle="""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 2) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
     FROM events WHERE event_type = 'purchase'
     GROUP BY event_type
     """,
@@ -360,7 +368,7 @@ def source_custom_pushdown(spark, sf_dir):
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            M.dsum("value").alias("total_value"),
         )
     )
 
@@ -370,7 +378,7 @@ def source_custom_pushdown(spark, sf_dir):
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_events,
            CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
-           round(sum(value), 2) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
     FROM events
     """,
 )
@@ -409,7 +417,7 @@ def stream_source_custom(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("event_id").alias("n_distinct"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            M.dsum("value").alias("total_value"),
         )
     )
 
@@ -490,7 +498,7 @@ def agg_bitmap_distinct(spark, sf_dir):
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
            CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
-           round(sum(value), 2) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
     FROM events GROUP BY event_type
     """,
 )
@@ -520,7 +528,7 @@ def sink_custom_ledger(spark, sf_dir):
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("event_id").alias("n_distinct"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        M.dsum("value").alias("total_value"),
     )
 
 
@@ -529,7 +537,7 @@ def sink_custom_ledger(spark, sf_dir):
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_events,
            CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
-           round(sum(value), 2) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
     FROM events WHERE event_type <> 'error'
     """,
 )
@@ -572,7 +580,7 @@ def sink_custom_ledger_stream(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("event_id").alias("n_distinct"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            M.dsum("value").alias("total_value"),
         )
     )
 
@@ -604,7 +612,7 @@ def _dpp_dim_path(spark, sf_dir: str) -> str:
     "join_dpp_pruned",
     oracle="""
     SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(e.value), 2) AS total_value
+           CAST(round(sum(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
     FROM events e
     WHERE e.event_type IN ('purchase', 'signup')
     GROUP BY e.event_type
@@ -631,7 +639,7 @@ def join_dpp_pruned(spark, sf_dir):
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            M.dsum("value").alias("total_value"),
         )
     )
 

@@ -193,7 +193,7 @@ def fillna_const(spark, sf_dir):
     oracle=f"""
     WITH dirty AS ({DIRTY_SQL})
     SELECT event_id,
-           coalesce(value_n, (SELECT round(avg(value_n), 6) FROM dirty)) AS value_n
+           coalesce(value_n, (SELECT round(CAST(sum(CAST(value_n AS DECIMAL(18,2))) AS DOUBLE) / count(value_n), 6) FROM dirty)) AS value_n
     FROM dirty
     """,
 )
@@ -291,21 +291,24 @@ def filter_outliers_iqr(spark, sf_dir):
     SELECT 'l_quantity' AS col_name, 'double' AS dtype,
            count(DISTINCT l_quantity) AS n_distinct,
            count(*) FILTER (WHERE l_quantity IS NULL) AS n_missing,
-           round(avg(l_quantity), 6) AS mean, round(stddev(l_quantity), 6) AS stddev,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 6) AS mean,
+           round(sqrt((CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity)) / (count(l_quantity) - 1)), 6) AS stddev,
            round(min(l_quantity), 6) AS min, round(max(l_quantity), 6) AS max,
            round(quantile_cont(l_quantity, 0.5), 6) AS median
     FROM lineitem
     UNION ALL
     SELECT 'l_extendedprice', 'double', count(DISTINCT l_extendedprice),
            count(*) FILTER (WHERE l_extendedprice IS NULL),
-           round(avg(l_extendedprice), 4), round(stddev(l_extendedprice), 4),
+           round(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 6), 4),
+           round(round(sqrt((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) - CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice)) / (count(l_extendedprice) - 1)), 6), 4),
            round(min(l_extendedprice), 6), round(max(l_extendedprice), 6),
            round(quantile_cont(l_extendedprice, 0.5), 6)
     FROM lineitem
     UNION ALL
     SELECT 'l_discount', 'double', count(DISTINCT l_discount),
            count(*) FILTER (WHERE l_discount IS NULL),
-           round(avg(l_discount), 6), round(stddev(l_discount), 6),
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 6),
+           round(sqrt((CAST(sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) - CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount)) / (count(l_discount) - 1)), 6),
            round(min(l_discount), 6), round(max(l_discount), 6),
            round(quantile_cont(l_discount, 0.5), 6)
     FROM lineitem
@@ -448,7 +451,8 @@ def pred_alert_thresholds(spark, sf_dir):
                           + CAST(event_type_n IS NULL AS INT))
                    / CAST(2 AS DOUBLE), 6) AS quality_score
       FROM dedup),
-    m AS (SELECT round(avg(value_n), 6) AS mean_v FROM dedup)
+    m AS (SELECT round(CAST(sum(CAST(value_n AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(value_n), 6) AS mean_v FROM dedup)
     SELECT event_id, user_id,
            upper(coalesce(event_type_n, 'UNKNOWN')) AS event_type_clean,
            CAST(trunc(coalesce(value_n, m.mean_v)) AS INT) AS value_int,

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from etl_jobs_spark.operators import money as M
 from etl_jobs_spark.operators import relational as R
 from etl_jobs_spark.registry import register
 from etl_jobs_spark.sources.readers import read_table
@@ -47,7 +48,8 @@ def _bucketed_tables(spark, sf_dir):
     oracle="""
     SELECT c.c_mktsegment,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(CAST(sum(o.o_totalprice) AS DOUBLE), 2) AS total_price
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS total_price
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -72,7 +74,7 @@ def join_bucketed_colocated(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            M.dsum("o_totalprice").alias("total_price"),
         )
     )
 
@@ -82,7 +84,7 @@ def join_bucketed_colocated(spark, sf_dir):
     oracle="""
     SELECT c.c_mktsegment,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(e.value), 2) AS total_value
+           CAST(round(sum(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -115,7 +117,7 @@ def join_salted_skew(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            M.dsum("value").alias("total_value"),
         )
     )
 
@@ -125,7 +127,7 @@ def join_salted_skew(spark, sf_dir):
     oracle="""
     SELECT event_type, user_id % 5 AS user_band,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 2) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY GROUPING SETS ((event_type), (user_id % 5), ())
     """,
@@ -142,7 +144,7 @@ def agg_grouping_sets(spark, sf_dir):
         """
         SELECT event_type, user_id % 5 AS user_band,
                CAST(count(*) AS BIGINT) AS n,
-               round(sum(value), 2) AS total_value
+               CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
         FROM events_gs
         GROUP BY GROUPING SETS ((event_type), (user_id % 5), ())
         """
@@ -154,8 +156,8 @@ def agg_grouping_sets(spark, sf_dir):
     oracle="""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2)     AS total_value,
-           round(sum(value) / count(*), 4) AS avg_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)     AS total_value,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value
     FROM events
     GROUP BY event_type
     """,
@@ -249,7 +251,7 @@ def window_ntile_quartiles(spark, sf_dir):
     oracle="""
     SELECT event_id, user_id,
            CAST(count(*) OVER w AS BIGINT)   AS n_last_hour,
-           round(sum(value) OVER w, 2)       AS sum_last_hour
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE)       AS sum_last_hour
     FROM (SELECT event_id, user_id, value,
                  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events)
     WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
@@ -275,7 +277,9 @@ def window_range_frame(spark, sf_dir):
         "event_id",
         "user_id",
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
-        F.round(F.sum("value").over(w), 2).alias("sum_last_hour"),
+        F.round(F.sum(F.col("value").cast(M.DEC2)).over(w), 2)
+        .cast("double")
+        .alias("sum_last_hour"),
     )
 
 
@@ -283,13 +287,13 @@ def window_range_frame(spark, sf_dir):
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                          AS sum_qty,
-           round(sum(l_extendedprice), 2)                                     AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)                                          AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)                                     AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(18,2))), 2) AS DOUBLE)                  AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(18,2)) * CAST((1 + l_tax) AS DECIMAL(18,2))), 2) AS DOUBLE)    AS sum_charge,
            round(avg(l_quantity), 4)                                          AS avg_qty,
-           round(avg(l_extendedprice), 4)                                     AS avg_price,
-           round(avg(l_discount), 4)                                          AS avg_disc,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)                                     AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)                                          AS avg_disc,
            count(*)                                                           AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -305,7 +309,7 @@ def q1_pricing_summary(spark, sf_dir):
     "join_star_revenue",
     oracle="""
     SELECT r_name AS region_name, n_name AS nation_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
            count(*)                                          AS n_lineitems,
            count(DISTINCT o_orderkey)                        AS n_orders
     FROM lineitem
@@ -358,10 +362,12 @@ def window_rank_events(spark, sf_dir):
     "window_running_sum",
     oracle="""
     SELECT user_id, event_id,
-           round(sum(value) OVER (PARTITION BY user_id
-                                  ORDER BY ts ASC, event_id ASC
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
-             AS running_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,2)))
+                      OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW), 6)
+                AS DOUBLE) AS running_value
     FROM events
     """,
 )
@@ -445,8 +451,9 @@ def json_extract_props(spark, sf_dir):
     oracle="""
     SELECT event_type,
            count(*)                   AS n_events,
-           round(sum(value), 2)       AS total_value,
-           round(avg(value), 4)       AS avg_value,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)       AS total_value,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 4) AS avg_value,
            count(DISTINCT user_id)    AS n_users
     FROM events
     GROUP BY event_type
@@ -460,7 +467,7 @@ def agg_events_by_type(spark, sf_dir):
     "join_star_shuffle_hash",
     oracle="""
     SELECT r_name AS region_name, n_name AS nation_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
            count(*)                                          AS n_lineitems,
            count(DISTINCT o_orderkey)                        AS n_orders
     FROM lineitem
@@ -510,7 +517,7 @@ def join_star_shuffle_hash(spark, sf_dir):
     oracle="""
     SELECT e.event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(e.value), 2) AS total_value
+           CAST(round(sum(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
     FROM events e
     WHERE e.user_id IN (
         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -547,7 +554,7 @@ def join_bloom_prefilter(spark, sf_dir):
     )
     return exact.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        M.dsum("value").alias("total_value"),
     )
 
 

@@ -16,6 +16,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_jobs_spark.operators import money as M
+
 from etl_jobs_spark.registry import register
 from etl_jobs_spark.scratch import scratch_dir
 from etl_jobs_spark.sources.readers import read_table
@@ -63,7 +65,7 @@ def _workdir() -> Path:
     "stream_window_counts",
     oracle="""
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP_NS) AS window_start, event_type,
-           count(*) AS n, round(sum(value), 2) AS total_value
+           count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -85,7 +87,7 @@ def stream_window_counts(spark, sf_dir):
     WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS cutoff FROM events),
     w AS (
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP_NS) AS window_start, event_type,
-             count(*) AS n, round(sum(value), 2) AS total_value
+             count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2)
     SELECT window_start, event_type, n, total_value
     FROM w, wm
@@ -148,7 +150,7 @@ SESSION_ORACLE = """
     s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
                     ROWS UNBOUNDED PRECEDING) AS sess_no FROM g)
     SELECT CAST(min(ts) AS TIMESTAMP_NS) AS session_start, user_id,
-           count(*) AS n_events, round(sum(value), 2) AS session_value
+           count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS session_value
     FROM s GROUP BY user_id, sess_no
 """.replace("g_src", "o")
 
@@ -198,7 +200,7 @@ def sessionize_batch(spark, sf_dir):
     return g.groupBy("user_id", "sess_no").agg(
         F.min("ts").alias("session_start"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("session_value"),
+        M.dsum("value").alias("session_value"),
     ).select("session_start", "user_id", "n_events", "session_value")
 
 
@@ -563,7 +565,7 @@ def stream_merge_upsert(spark, sf_dir):
     oracle="""
     SELECT event_type, n, total_value FROM (
       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-             round(sum(value), 2) AS total_value
+             CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
       FROM events GROUP BY event_type)
     ORDER BY n DESC, event_type ASC LIMIT 3
     """,
@@ -582,7 +584,7 @@ def stream_topk_types(spark, sf_dir):
         src.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            M.dsum("value").alias("total_value"),
         )
         .orderBy(F.col("n").desc(), F.col("event_type").asc())
         .limit(3)
@@ -712,7 +714,7 @@ def stream_tws_processor(spark, sf_dir):
     SELECT upper(event_type) AS event_type,
            CAST(count(*) AS BIGINT) AS n,
            CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
-           round(sum(value), 2) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
     FROM events WHERE {TRANSFORM_ORACLE_WHERE}
     GROUP BY 1
     """,
@@ -778,7 +780,7 @@ def stream_sink_jdbc(spark, sf_dir):
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("event_id").alias("n_distinct"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        M.dsum("value").alias("total_value"),
     )
 
 

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from etl_jobs_spark.operators import money as M
+
 from etl_jobs_spark.operators import temporal as TP
 from etl_jobs_spark.registry import register
 from etl_jobs_spark.sources.readers import read_table
@@ -110,7 +112,7 @@ def _bands_values() -> str:
     oracle=f"""
     WITH bands(lo, hi, band) AS (VALUES {_bands_values()})
     SELECT band, CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 2) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
     FROM events JOIN bands ON value >= lo AND value < hi
     GROUP BY band
     """,
@@ -127,7 +129,7 @@ def join_range_band(spark, sf_dir):
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            M.dsum("value").alias("total_value"),
         )
     )
 
@@ -138,7 +140,7 @@ def join_range_band(spark, sf_dir):
     SELECT CAST(coalesce(date_trunc('hour', ts), TIMESTAMP '1970-01-01')
                 AS TIMESTAMP_NS) AS bucket_hour,
            coalesce(event_type, 'ALL') AS event_type,
-           count(*) AS n, round(sum(value), 2) AS total_value
+           count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY ROLLUP (date_trunc('hour', ts), event_type)
     """,
@@ -154,7 +156,7 @@ def agg_rollup_time(spark, sf_dir):
     oracle="""
     SELECT coalesce(dayofweek(ts) + 1, -1) AS dow,
            coalesce(event_type, 'ALL') AS event_type,
-           count(*) AS n, round(avg(value), 4) AS avg_value
+           count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value
     FROM events
     GROUP BY CUBE (dayofweek(ts) + 1, event_type)
     """,
@@ -177,7 +179,7 @@ AUTOBUCKET_W = 5.0
     oracle=f"""
     WITH bands(lo, hi, band) AS (VALUES {_bands_values()})
     SELECT band, CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 2) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
     FROM events JOIN bands ON value >= lo AND value < hi
     GROUP BY band
     """,
@@ -218,7 +220,7 @@ def join_range_autobucket(spark, sf_dir):
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            M.dsum("value").alias("total_value"),
         )
     )
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from etl_jobs_spark.operators import money as M
 from etl_jobs_spark.operators.hashing import hash60
 from etl_jobs_spark.registry import register
 from etl_jobs_spark.sources.readers import read_table
@@ -32,7 +33,7 @@ from etl_jobs_spark.sources.readers import read_table
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -56,7 +57,7 @@ def q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            M.dsum2("l_extendedprice", "l_discount").alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_lines"),
@@ -68,7 +69,7 @@ def q6_forecast_revenue(spark, sf_dir):
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
            o_orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -103,8 +104,8 @@ def q3_shipping_priority(spark, sf_dir):
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            M.dsum2(
+                "l_extendedprice", F.lit(1) - F.col("l_discount")
             ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -117,7 +118,7 @@ def q3_shipping_priority(spark, sf_dir):
     "q5_local_supplier_volume",
     oracle="""
     SELECT n_name AS nation_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -163,8 +164,8 @@ def q5_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            M.dsum2(
+                "l_extendedprice", F.lit(1) - F.col("l_discount")
             ).alias("revenue")
         )
     )
@@ -174,7 +175,7 @@ def q5_local_supplier_volume(spark, sf_dir):
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
            n_name AS nation_name
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
@@ -209,8 +210,8 @@ def q10_returned_items(spark, sf_dir):
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            M.dsum2(
+                "l_extendedprice", F.lit(1) - F.col("l_discount")
             ).alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "nation_name")
@@ -452,10 +453,11 @@ def agg_kmv_intersect_types(spark, sf_dir):
     "q14_promo_effect",
     oracle="""
     SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP_NS) AS ship_month,
-           round(sum(CASE WHEN p_type = 'PROMO'
-                          THEN l_extendedprice * (1 - l_discount)
-                          ELSE 0 END), 2) AS promo_revenue,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+           CAST(round(COALESCE(sum(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                               CAST((1 - l_discount) AS DECIMAL(18,2))
+                          END), 0), 2) AS DOUBLE) AS promo_revenue,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_revenue,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -477,15 +479,23 @@ def q14_promo_effect(spark, sf_dir):
         & (F.col("l_shipdate") < "1997-01-01")
     )
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = F.col("l_extendedprice").cast(M.DEC2) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(M.DEC2)
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0)), 2
-            ).alias("promo_revenue"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+                F.coalesce(
+                    F.sum(F.when(F.col("p_type") == "PROMO", rev)),
+                    F.lit(0),
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("promo_revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -504,7 +514,7 @@ _Q19_PRED = """
 @register(
     "q19_bracket_revenue",
     oracle=f"""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT) AS n_lines,
            CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands
     FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -530,8 +540,8 @@ def q19_bracket_revenue(spark, sf_dir):
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(F.expr(_Q19_PRED))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            M.dsum2(
+                "l_extendedprice", F.lit(1) - F.col("l_discount")
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
             F.countDistinct("p_brand").alias("n_brands"),

@@ -185,7 +185,8 @@ def embed_norm_stats(spark, sf_dir):
     oracle="""
     SELECT user_id,
            CAST(count(*) + 1 AS BIGINT) AS n_events,
-           round(avg(gap), 2) AS avg_gap_s,
+           round(CAST(sum(CAST(gap AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(gap), 2) AS avg_gap_s,
            round(max(gap), 2) AS max_gap_s
     FROM (
       SELECT user_id,

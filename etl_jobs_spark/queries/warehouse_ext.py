@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from etl_jobs_spark.operators import money as M
+
 from etl_jobs_spark.operators import matching as MT
 from etl_jobs_spark.operators import timeseries as TS
 from etl_jobs_spark.operators import warehouse as WH
@@ -371,8 +373,10 @@ def snapshot_diff_audit(spark, sf_dir):
     oracle="""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(CASE WHEN event_type = 'click'
-                          THEN value * 2 ELSE value END), 2) AS total_value
+           CAST(round(sum(CAST((CASE WHEN event_type = 'click'
+                                THEN value * 2 ELSE value END)
+                               AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS total_value
     FROM events GROUP BY event_type
     """,
 )
@@ -420,7 +424,7 @@ def catalog_partition_overwrite(spark, sf_dir):
             .groupBy("event_type")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.round(F.sum("value"), 2).alias("total_value"),
+                M.dsum("value").alias("total_value"),
             )
         )
     finally:

@@ -1,0 +1,110 @@
+"""Order/layout-invariance differential (round 10).
+
+A distributed engine must give the SAME answer when the same rows
+arrive in a different order or file layout — every shuffle at 100 TB
+reorders rows, so an order-dependent aggregate is a nondeterministic
+one. This harness rewrites the sf0.001 fixtures with permuted row
+order split across 3 part-files per table (bit-identical values,
+pyarrow-preserved schema) and re-runs query-vs-oracle pairs on the
+shuffled copy with the driver's exact comparison.
+
+The full-registry run of this harness (379/379) found exactly one
+divergence: Q1's ``round(sum(l_extendedprice * (1 - l_discount)), 2)``
+flipped a cent — double summation is not associative, and the fixture
+order had simply never parked a group sum within float-epsilon of a
+half-cent boundary. The class fix is operators/money.py (exact
+DECIMAL sums for every rounded 2dp money/value aggregate); this test
+keeps the flagship + one representative per rewritten family under
+permanent differential so the class cannot regress.
+
+Also pins the 2dp input contract the DECIMAL casts rely on: if a
+regenerated fixture ever ships >2-decimal money/value columns, the
+contract test fails loudly instead of the casts silently rounding.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from etl_jobs_spark.registry import all_oracles, all_queries
+from tests.conftest import FIXTURE_TABLES, SF_DIR
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+#: flagship + one representative per money-sum family rewritten in
+#: round 10 (plain sum, product sum, triple product, CASE/FILTER
+#: conditional sums, window running sum, avg, two-phase salted).
+SAMPLE = [
+    "q1_pricing_summary",
+    "join_star_revenue",
+    "q6_forecast_revenue",
+    "q14_promo_effect",
+    "agg_pivot_events",
+    "agg_events_by_type",
+    "agg_salted_events",
+    "window_running_sum",
+    "sessionize_batch",
+    "fillna_mean",
+]
+
+
+@pytest.fixture(scope="module")
+def shuffled_dir(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("shuffled_sf")
+    rng = np.random.default_rng(0x5EED)
+    for t in FIXTURE_TABLES:
+        tab = pq.read_table(f"{SF_DIR}/{t}.parquet")
+        n = tab.num_rows
+        tab = tab.take(pa.array(rng.permutation(n)))
+        d = dst / f"{t}.parquet"
+        d.mkdir()
+        cuts = np.array_split(np.arange(n), 3 if n >= 3 else 1)
+        for i, idx in enumerate(cuts):
+            pq.write_table(
+                tab.slice(int(idx[0]), len(idx)),
+                str(d / f"part-{i}.parquet"),
+                row_group_size=97,
+            )
+    return str(dst)
+
+
+def test_fixture_money_columns_are_2dp():
+    """The DECIMAL(18,2) casts in operators/money.py are exact ONLY
+    for 2-decimal inputs; pin that contract against the fixtures."""
+    con = duckdb.connect()
+    checks = {
+        "lineitem": ["l_extendedprice", "l_discount", "l_tax"],
+        "orders": ["o_totalprice"],
+        "events": ["value"],
+        "customer": ["c_acctbal"],
+    }
+    for t, cols in checks.items():
+        exprs = ", ".join(
+            f"max(abs({c}*100 - round({c}*100))) AS {c}" for c in cols
+        )
+        row = con.sql(
+            f"SELECT {exprs} FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        ).fetchone()
+        for c, resid in zip(cols, row):
+            assert resid < 1e-6, (t, c, resid)
+
+
+def test_sampled_queries_invariant_under_shuffle(spark, shuffled_dir):
+    from etl_jobs_spark import cache
+    from etl_jobs_spark.compare import frames_match
+
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{shuffled_dir}/{t}.parquet/*.parquet')"
+        )
+    for name in SAMPLE:
+        got = QUERIES[name](spark, shuffled_dir).toPandas()
+        frames_match(got, con.sql(ORACLES[name]).df())
+        cache.release_all()
