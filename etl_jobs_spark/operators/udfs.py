@@ -83,8 +83,14 @@ def rms_udaf():
 
     def _rms(v: pd.Series) -> float:
         # floor(x + 0.5), not np.round: half-to-even vs DuckDB's
-        # half-away would disagree on exact .5 inputs.
-        sq = np.floor(v.astype(float).to_numpy() ** 2 * RMS_SCALE + 0.5)
+        # half-away would disagree on exact .5 inputs. dropna first:
+        # SQL aggregates skip NULLs, numpy propagates NaN — without
+        # it a single null row NaN-poisons the whole group (caught
+        # by the round-10 null-injection differential).
+        x = v.dropna().astype(float).to_numpy()
+        if len(x) == 0:
+            return float("nan")
+        sq = np.floor(x ** 2 * RMS_SCALE + 0.5)
         return float(np.sqrt(sq.sum() / (RMS_SCALE * len(sq))))
 
     return pandas_udf(_rms, "double")
@@ -96,7 +102,8 @@ def count_udaf():
     same Arrow batch as the RMS."""
 
     def _n(v: pd.Series) -> int:
-        return int(len(v))
+        # non-null count, matching SQL count(col) semantics
+        return int(v.notna().sum())
 
     return pandas_udf(_n, "long")
 

@@ -99,6 +99,14 @@ _ROUND10_WINDOW = [
     #     single-column spelling change, pattern verified by 30+
     #     sibling rows this round) and agg_session_bounce_rate
     #     (fresh r9 row) are the lowest-information re-checks.
+    #     The NULL-injection differential's late fixes (dq_drift_ks,
+    #     stat_mann_whitney_u, stat_levene_bf, feat_robust_scale,
+    #     ts_downsample_m4, window_ntile_quartiles, fn_window_suite,
+    #     udaf_grouped_pandas, scan_text_logparse, plus
+    #     agg_profile_stats / agg_user_gap_stats from the exact-
+    #     moment rewrite) are VALUE-IDENTICAL on the null-free
+    #     fixtures — their existing rows stay valid — and join the
+    #     round-11 front for fresh rows under the new oracle text.
     "agg_cube_events",
     "agg_rollup_time",
     "join_range_band",

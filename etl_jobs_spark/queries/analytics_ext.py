@@ -111,7 +111,11 @@ def _sketch_audit(
     ranks = (
         ev.crossJoin(F.broadcast(approx.select("ap_med", "ap_p99")))
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            # count NON-NULL values: percentile_approx ignores nulls,
+            # so the rank denominator must too (a 5% null column
+            # otherwise dilutes the band and flips the flag — caught
+            # by the null-injection differential)
+            F.count("value").alias("n"),
             F.sum(F.when(F.col("value") < F.col("ap_med"), 1).otherwise(0)).alias("lt_med"),
             F.sum(F.when(F.col("value") <= F.col("ap_med"), 1).otherwise(0)).alias("le_med"),
             F.sum(F.when(F.col("value") < F.col("ap_p99"), 1).otherwise(0)).alias("lt_p99"),

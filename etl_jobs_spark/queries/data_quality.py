@@ -1089,7 +1089,7 @@ def governance_access_report(spark, sf_dir):
              CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS in_a,
              CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS in_b,
              event_id
-      FROM events),
+      FROM events WHERE value IS NOT NULL),
     tot AS (
       SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
              CAST(sum(in_b) AS BIGINT) AS n_b
@@ -1136,7 +1136,13 @@ def dq_drift_ks(spark, sf_dir):
     lesson applied). At 100 TB: a global sort is the honest cost of
     an exact KS; the approximate path quantizes values first (the
     PSI binning) and this exact form is its audit."""
-    ev = read_table(spark, sf_dir, "events")
+    # null sample points carry no distributional information and
+    # their sort position diverges across engines (Spark NULLS FIRST
+    # vs DuckDB NULLS LAST) — exclude them explicitly (null-injection
+    # differential, round 10)
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     from pyspark.sql import Window as W
 
     tagged = ev.select(
@@ -1188,7 +1194,9 @@ def dq_drift_ks(spark, sf_dir):
       SELECT CAST(round(value * 100) AS BIGINT) AS v,
              CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS in_a,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS in_b
-      FROM events WHERE event_type IN ('click', 'purchase')),
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+        AND value IS NOT NULL),
     per_v AS (
       SELECT v, CAST(sum(in_a) AS BIGINT) AS ca,
              CAST(sum(in_b) AS BIGINT) AS cb
@@ -1230,7 +1238,12 @@ def stat_mann_whitney_u(spark, sf_dir):
 
     s = (
         read_table(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin("click", "purchase"))
+        # null samples carry no rank information and sort
+        # differently across engines — excluded explicitly
+        .filter(
+            F.col("event_type").isin("click", "purchase")
+            & F.col("value").isNotNull()
+        )
         .select(
             F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
             F.when(F.col("event_type") == "click", 1).otherwise(0).alias("in_a"),
@@ -2443,7 +2456,7 @@ def _bf_moment_cols() -> str:
     WITH cents AS (
       SELECT event_type, event_id,
              CAST(round(value * 100) AS BIGINT) AS c
-      FROM events),
+      FROM events WHERE value IS NOT NULL),
     ranked AS (
       SELECT event_type, c,
              row_number() OVER (PARTITION BY event_type
@@ -2480,10 +2493,16 @@ def stat_levene_bf(spark, sf_dir):
     conditional-aggregation pass."""
     from pyspark.sql import Window as W
 
-    cents = read_table(spark, sf_dir, "events").select(
-        "event_type",
-        "event_id",
-        F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+    cents = (
+        read_table(spark, sf_dir, "events")
+        # null samples excluded explicitly (cross-engine null sort
+        # order diverges; a null |x - med| is meaningless)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+        )
     )
     ranked = cents.select(
         "event_type",

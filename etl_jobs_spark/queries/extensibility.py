@@ -74,9 +74,9 @@ def udf_grouped_map(spark, sf_dir):
     # so the sum is order-independent and bit-identical to the pandas
     # UDAF's numpy pairwise sum (see operators/udfs.py RMS_SCALE).
     oracle=f"""
-    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+    SELECT event_type, CAST(count(value) AS BIGINT) AS n,
            round(sqrt(sum(floor(value * value * {U.RMS_SCALE} + 0.5))
-                      / ({U.RMS_SCALE} * count(*))), 6) AS rms_value
+                      / ({U.RMS_SCALE} * count(value))), 6) AS rms_value
     FROM events GROUP BY event_type
     """,
 )

@@ -356,7 +356,7 @@ RS_SCALE = 1000
     WITH cents AS (
       SELECT event_type, event_id,
              CAST(round(value * 100) AS BIGINT) AS c
-      FROM events),
+      FROM events WHERE value IS NOT NULL),
     ranked AS (
       SELECT event_type, c,
              row_number() OVER (PARTITION BY event_type
@@ -400,10 +400,17 @@ def feat_robust_scale(spark, sf_dir):
     downstream is map-only + one keyed rollup."""
     from pyspark.sql import Window as W
 
-    cents = read_table(spark, sf_dir, "events").select(
-        "event_type",
-        "event_id",
-        F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+    cents = (
+        read_table(spark, sf_dir, "events")
+        # null measures excluded explicitly: their rank position
+        # diverges across engines and a null (x - median) is
+        # meaningless (null-injection differential, round 10)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+        )
     )
     ranked = cents.select(
         "event_type",

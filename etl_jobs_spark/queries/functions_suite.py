@@ -150,7 +150,8 @@ def join_full_outer(spark, sf_dir):
            first_value(event_id) OVER w        AS first_id,
            CAST(ntile(10) OVER w AS BIGINT)    AS decile
     FROM events
-    WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+    WINDOW w AS (PARTITION BY event_type
+                 ORDER BY value ASC NULLS FIRST, event_id ASC)
     """,
 )
 def fn_window_suite(spark, sf_dir):
@@ -159,12 +160,15 @@ def fn_window_suite(spark, sf_dir):
     ntile — all share the (event_type, value, event_id) total order,
     so Spark evaluates them in a single sort per partition.
     percent_rank and cume_dist are exact rationals (k/n) — identical
-    doubles cross-engine; rounding is belt-and-braces."""
+    doubles cross-engine; rounding is belt-and-braces. Null ordering
+    is EXPLICIT (NULLS FIRST both engines): Spark's ASC default and
+    DuckDB's differ, which silently permutes every rank on a
+    nullable key (null-injection differential, round 10)."""
     from pyspark.sql import Window
 
     ev = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy(
-        F.col("value").asc(), F.col("event_id").asc()
+        F.col("value").asc_nulls_first(), F.col("event_id").asc()
     )
     return ev.select(
         "event_id",

@@ -225,19 +225,24 @@ def join_semi_anti(spark, sf_dir):
     oracle="""
     SELECT event_id, event_type,
            CAST(ntile(4) OVER (PARTITION BY event_type
-                               ORDER BY value ASC, event_id ASC) AS BIGINT)
+                               ORDER BY value ASC NULLS FIRST,
+                                        event_id ASC) AS BIGINT)
              AS quartile
     FROM events
     """,
 )
 def window_ntile_quartiles(spark, sf_dir):
     """ntile bucketing per group (quartile assignment) — rank-family
-    window with a deterministic tiebreak."""
+    window with a deterministic tiebreak. Null ordering is EXPLICIT
+    (NULLS FIRST on both engines): Spark's ASC default is NULLS
+    FIRST but DuckDB's is NULLS LAST, so a nullable rank key silently
+    permutes buckets cross-engine unless pinned (null-injection
+    differential, round 10)."""
     from pyspark.sql import Window
 
     ev = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy(
-        F.col("value").asc(), F.col("event_id").asc()
+        F.col("value").asc_nulls_first(), F.col("event_id").asc()
     )
     return ev.select(
         "event_id",

@@ -723,13 +723,23 @@ def scan_text_logparse(spark, sf_dir):
         d = scratch_dir("logparse")
         path = str(d / "app_logs")
         ev = read_table(spark, sf_dir, "events")
+        # a record with no value still logs: null cents render as
+        # the sentinel 'NA' (format_string would otherwise null the
+        # ENTIRE line — a silently dropped record; caught by the
+        # round-10 null-injection differential)
         lines = ev.select(
             F.format_string(
-                "[%s] id=%d user=%d cents=%d",
+                "[%s] id=%d user=%d cents=%s",
                 "event_type",
                 "event_id",
                 "user_id",
-                F.expr("CAST(round(value * 100) AS BIGINT)"),
+                F.coalesce(
+                    F.expr(
+                        "CAST(CAST(round(value * 100) AS BIGINT)"
+                        " AS STRING)"
+                    ),
+                    F.lit("NA"),
+                ),
             ).alias("value")
         )
         lines.write.text(path)
@@ -745,9 +755,14 @@ def scan_text_logparse(spark, sf_dir):
         F.regexp_extract("value", r"user=(\d+)", 1)
         .cast("bigint")
         .alias("user_id"),
-        F.regexp_extract("value", r"cents=(-?\d+)", 1)
-        .cast("bigint")
-        .alias("cents"),
+        # '' (no match) and the NA sentinel both parse to NULL —
+        # aggregate semantics then match the oracle's null-skipping
+        # sum exactly
+        F.expr(
+            "CAST(nullif(nullif("
+            "regexp_extract(value, 'cents=(-?\\\\d+|NA)', 1),"
+            " 'NA'), '') AS BIGINT)"
+        ).alias("cents"),
     )
     return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_lines"),

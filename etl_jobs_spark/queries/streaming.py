@@ -661,8 +661,13 @@ def stream_tws_processor(spark, sf_dir):
                 n, cents = 0, 0
             for pdf in rows:
                 n += len(pdf)
+                # rows count regardless; cents sum the NON-NULL
+                # values (int(NaN) raises and kills the whole
+                # stream — caught by the round-10 null-injection
+                # differential)
+                v = pdf["value"].dropna()
                 cents += int(
-                    (pdf["value"] * 100 + 0.5).apply(float).apply(int).sum()
+                    (v * 100 + 0.5).apply(float).apply(int).sum()
                 )
             self._state.update((n, cents))
             yield pd.DataFrame(

@@ -1080,7 +1080,7 @@ def ts_cusum_changepoint(spark, sf_dir):
              epoch_us(ts) AS t,
              CAST(round(value * 100) AS BIGINT) AS cents,
              event_id
-      FROM events),
+      FROM events WHERE value IS NOT NULL),
     ranked AS (
       SELECT event_type, bucket, t, cents, event_id,
              row_number() OVER (PARTITION BY event_type, bucket
@@ -1118,7 +1118,12 @@ def ts_downsample_m4(spark, sf_dir):
     100 TB this is the render-path aggregation a dashboard backend
     runs instead of shipping raw points; it partitions by series and
     never shuffles raw rows twice."""
-    ev = read_table(spark, sf_dir, "events")
+    # points without a value don't render — excluded explicitly,
+    # which also keeps the min/max rank windows engine-portable
+    # (null sort order diverges across engines)
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     from pyspark.sql import Window as W
 
     us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")

@@ -108,3 +108,69 @@ def test_sampled_queries_invariant_under_shuffle(spark, shuffled_dir):
         got = QUERIES[name](spark, shuffled_dir).toPandas()
         frames_match(got, con.sql(ORACLES[name]).df())
         cache.release_all()
+
+
+#: queries fixed by the round-10 NULL-injection differential (same
+#: harness idea, second axis: 5% NULLs in the measure columns —
+#: both engines see identical bytes, so any mismatch is a real
+#: cross-engine null-semantics divergence). The full-registry run
+#: found 11: null sample points sorting differently (Spark NULLS
+#: FIRST vs DuckDB NULLS LAST) under rank/window keys, NaN
+#: poisoning in pandas UDAFs / the TWS processor, format_string
+#: nulling entire log lines, and a count(*) vs count(col)
+#: denominator mismatch in the sketch audit.
+NULL_SAMPLE = [
+    "dq_drift_ks",
+    "stat_mann_whitney_u",
+    "stat_levene_bf",
+    "feat_robust_scale",
+    "ts_downsample_m4",
+    "window_ntile_quartiles",
+    "fn_window_suite",
+    "udaf_grouped_pandas",
+    "scan_text_logparse",
+    "agg_sketch_accuracy_audit",
+]
+
+
+@pytest.fixture(scope="module")
+def nulled_dir(tmp_path_factory):
+    import pyarrow.compute as pc
+
+    dst = tmp_path_factory.mktemp("nulled_sf")
+    rng = np.random.default_rng(77)
+    nullable = {
+        "events": ["value"],
+        "customer": ["c_acctbal"],
+        "lineitem": ["l_discount", "l_tax"],
+    }
+    for t in FIXTURE_TABLES:
+        tab = pq.read_table(f"{SF_DIR}/{t}.parquet")
+        for col in nullable.get(t, []):
+            mask = pa.array(rng.random(tab.num_rows) < 0.05)
+            arr = pc.if_else(
+                mask,
+                pa.scalar(None, tab.schema.field(col).type),
+                tab[col],
+            )
+            tab = tab.set_column(
+                tab.schema.get_field_index(col), col, arr
+            )
+        pq.write_table(tab, str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+def test_sampled_queries_null_safe(spark, nulled_dir):
+    from etl_jobs_spark import cache
+    from etl_jobs_spark.compare import frames_match
+
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{nulled_dir}/{t}.parquet')"
+        )
+    for name in NULL_SAMPLE:
+        got = QUERIES[name](spark, nulled_dir).toPandas()
+        frames_match(got, con.sql(ORACLES[name]).df())
+        cache.release_all()
