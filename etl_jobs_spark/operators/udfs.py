@@ -194,7 +194,16 @@ def token_count_arrow_udf():
     that want Arrow transport without a rewrite."""
     from pyspark.sql.functions import udf
 
+    # EXPLICIT ASCII whitespace class, not str.split(): Python's
+    # split() treats unicode whitespace (NBSP, unicode line seps) as
+    # boundaries, RE2-based SQL \s does not — the round-10 unicode
+    # differential caught the two drifting apart on NBSP. Pinning
+    # the class makes the contract portable to any SQL engine.
+    import re
+
+    _ws = re.compile(r"[ \t\n\r\f\v]+")
+
     def _count(s: str) -> int:
-        return len(s.split()) if s else 0
+        return sum(1 for t in _ws.split(s) if t) if s else 0
 
     return udf(_count, "long", useArrow=True)

@@ -104,9 +104,11 @@ _ROUND10_WINDOW = [
     #     ts_downsample_m4, window_ntile_quartiles, fn_window_suite,
     #     udaf_grouped_pandas, scan_text_logparse, plus
     #     agg_profile_stats / agg_user_gap_stats from the exact-
-    #     moment rewrite) are VALUE-IDENTICAL on the null-free
-    #     fixtures — their existing rows stay valid — and join the
-    #     round-11 front for fresh rows under the new oracle text.
+    #     moment rewrite, plus udf_arrow_scalar from the unicode
+    #     differential's explicit-whitespace fix) are VALUE-
+    #     IDENTICAL on the clean fixtures — their existing rows
+    #     stay valid — and join the round-11 front for fresh rows
+    #     under the new oracle text.
     "agg_cube_events",
     "agg_rollup_time",
     "join_range_band",

@@ -172,9 +172,9 @@ def udtf_arrow_shingles(spark, sf_dir):
     "udf_arrow_scalar",
     oracle="""
     SELECT doc_id,
-           CAST(len(string_split(trim(text), ' ')) -
-                len(list_filter(string_split(trim(text), ' '),
-                                t -> t = '')) AS BIGINT) AS n_ws_tokens
+           CAST(len(list_filter(
+                    regexp_split_to_array(text, '[ \t\n\r\f\v]+'),
+                    t -> t <> '')) AS BIGINT) AS n_ws_tokens
     FROM documents
     """,
 )
@@ -182,9 +182,11 @@ def udf_arrow_scalar(spark, sf_dir):
     """Spark 4 Arrow-optimized scalar Python UDF (``useArrow=True``)
     — completes the row-level UDF ladder alongside the pandas UDF
     (udf_scalar_pandas) and the Arrow UDTF (udtf_arrow_shingles):
-    plain per-value Python, Arrow-columnar transport. The oracle
-    restates Python's whitespace ``str.split()`` (which drops empty
-    fields) in list-lambda SQL."""
+    plain per-value Python, Arrow-columnar transport. Tokens split
+    on an EXPLICIT ASCII whitespace class pinned identically in the
+    Python UDF and the oracle's regexp_split_to_array — Python's
+    ``str.split()`` and SQL ``\s`` disagree on unicode whitespace
+    (NBSP), caught by the round-10 unicode differential."""
     docs = read_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", U.token_count_arrow_udf()("text").alias("n_ws_tokens")

@@ -174,3 +174,47 @@ def test_sampled_queries_null_safe(spark, nulled_dir):
         got = QUERIES[name](spark, nulled_dir).toPandas()
         frames_match(got, con.sql(ORACLES[name]).df())
         cache.release_all()
+
+
+def test_ws_token_count_unicode_contract(spark):
+    """Third axis (unicode injection over documents.text): the full
+    379-query differential found exactly one divergence —
+    udf_arrow_scalar's token count, where Python str.split() treats
+    unicode whitespace (NBSP) as a boundary while SQL regex \\s does
+    not. Both sides now pin an explicit ASCII whitespace class; this
+    test keeps the contract under adversarial text permanently."""
+    import pandas as pd
+
+    from etl_jobs_spark.compare import frames_match
+    from etl_jobs_spark.operators.udfs import token_count_arrow_udf
+
+    texts = [
+        (1, "plain space tokens"),
+        (2, "tab\tand\nnewline\r\nmix"),
+        (3, "nbsp stays one token"),
+        (4, "zero​width stays one"),
+        (5, "  leading and trailing  "),
+        (6, ""),
+        (7, "emoji \U0001F600 token café straße"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id BIGINT, text STRING")
+    got = df.select(
+        "doc_id", token_count_arrow_udf()("text").alias("n_ws_tokens")
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(texts, columns=["doc_id", "text"]))
+    want = con.sql(
+        r"""
+        SELECT doc_id,
+               CAST(len(list_filter(
+                        regexp_split_to_array(text, '[ \t\n\r\f\v]+'),
+                        t -> t <> '')) AS BIGINT) AS n_ws_tokens
+        FROM docs
+        """
+    ).df()
+    frames_match(got, want)
+    # pin the intended counts, not just cross-engine agreement
+    # rows 3/4: NBSP / ZWSP are NOT separators under the ASCII
+    # class, so they glue their neighbors into one token
+    expect = {1: 3, 2: 4, 3: 3, 4: 3, 5: 3, 6: 0, 7: 5}
+    assert {int(r.doc_id): int(r.n_ws_tokens) for _, r in got.iterrows()} == expect
