@@ -57,6 +57,11 @@ def bloom_build(
     zero-filled, ready for :func:`bloom_probe_expr`.
     """
     assert m_bits % 64 == 0
+    # a NULL key cannot be a member (its hash positions are NULL and
+    # would crash the word fold below with a None word_idx) — build
+    # from the non-null keys only; probe-side NULL keys read
+    # not-a-member via the coalesce in bloom_probe_expr
+    keys = keys.filter(F.col(key_col).isNotNull())
     pos = F.explode(
         F.array(*[F.expr(_position_sql(key_col, i, m_bits)) for i in range(k)])
     ).alias("pos")
@@ -93,9 +98,13 @@ def bloom_probe_expr(words: list[int], key_sql: str, k: int = 3) -> Column:
     positions = ", ".join(
         _position_sql(key_sql, i, m_bits) for i in range(k)
     )
+    # coalesce(..., false): a NULL key (NULL hash positions → NULL
+    # fold) is NOT a member — without it BOTH filter(probe) and
+    # filter(~probe) drop the row, silently losing it from a
+    # positive/negative split (string-null differential, round 10)
     return F.expr(
-        f"aggregate(transform(array({positions}), "
+        f"coalesce(aggregate(transform(array({positions}), "
         f"p -> (shiftright(element_at({arr_sql}, "
         f"cast(p div 64 as int) + 1), cast(pmod(p, 64) as int)) & 1) = 1), "
-        f"true, (acc, x) -> acc and x)"
+        f"true, (acc, x) -> acc and x), false)"
     )

@@ -46,7 +46,10 @@ def attach_fake_media(docs: DataFrame) -> DataFrame:
     """Attach a deterministic binary media column + typed metadata
     struct to each document (the multimodal table layout: blob +
     metadata travel together, decode is lazy/downstream)."""
-    h = "md5(text)"
+    # coalesce: a null-text document still gets deterministic
+    # synthetic media (md5(NULL) is NULL -> unhex NULL -> the pandas
+    # decoder crashes on None bytes; string-null differential, r10)
+    h = "md5(coalesce(text, ''))"
     return docs.select(
         "doc_id",
         F.expr(f"unhex({h})").alias("media"),

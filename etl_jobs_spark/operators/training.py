@@ -48,9 +48,13 @@ def pii_input_expr(engine: str) -> str:
     """Deterministic PII-bearing input: a synthetic contact line is
     planted in front of every document (fixtures carry no real PII),
     so the scrub provably matches and removes it in both engines."""
+    # coalesce(text, ''): Spark concat NULLs the whole result when
+    # any argument is null while DuckDB concat skips nulls — a null
+    # body must still yield the planted contact line on both engines
+    # (string-null differential, round 10)
     cat = (
         "concat('reach u', CAST(doc_id AS VARCHAR), '@example.com or call "
-        "555', CAST(doc_id AS VARCHAR), '0123456 ', text)"
+        "555', CAST(doc_id AS VARCHAR), '0123456 ', coalesce(text, ''))"
     )
     return cat if engine == "duckdb" else cat.replace("VARCHAR", "STRING")
 

@@ -203,7 +203,13 @@ def token_count_arrow_udf():
 
     _ws = re.compile(r"[ \t\n\r\f\v]+")
 
-    def _count(s: str) -> int:
-        return sum(1 for t in _ws.split(s) if t) if s else 0
+    def _count(s: str) -> int | None:
+        # NULL in, NULL out (SQL function semantics — the oracle's
+        # regexp_split_to_array(NULL) is NULL, and 'we counted zero
+        # tokens' must stay distinguishable from 'there was no
+        # text'); empty string counts 0
+        if s is None:
+            return None
+        return sum(1 for t in _ws.split(s) if t)
 
     return udf(_count, "long", useArrow=True)

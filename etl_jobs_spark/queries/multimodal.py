@@ -14,8 +14,10 @@ from etl_jobs_spark.sources.readers import read_table
 
 
 def _byte(j: int) -> str:
-    """j-th byte of unhex(md5(text)) recovered from the hex string."""
-    return f"('0x' || substr(md5(text), {2 * j + 1}, 2))::BIGINT"
+    """j-th byte of unhex(md5(coalesce(text, ''))) recovered from the
+    hex string (coalesce: a null-text doc still gets deterministic
+    synthetic media — string-null differential, round 10)."""
+    return f"('0x' || substr(md5(coalesce(text, '')), {2 * j + 1}, 2))::BIGINT"
 
 
 _CHECKSUM = "(" + " + ".join(_byte(j) for j in range(MM.MEDIA_BYTES)) + ")"
@@ -26,7 +28,7 @@ _CHECKSUM = "(" + " + ".join(_byte(j) for j in range(MM.MEDIA_BYTES)) + ")"
     oracle=f"""
     SELECT doc_id,
            CAST({MM.MEDIA_BYTES} AS BIGINT)       AS byte_len,
-           substr(md5(text), 1, 8)                AS header_hex,
+           substr(md5(coalesce(text, '')), 1, 8)                AS header_hex,
            CAST({_CHECKSUM} AS BIGINT)            AS checksum,
            CAST(({_CHECKSUM} * 1000) // ({MM.MEDIA_BYTES} * 255) AS BIGINT)
                                                   AS mean_milli

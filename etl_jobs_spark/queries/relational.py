@@ -716,8 +716,8 @@ def join_lateral_topn(spark, sf_dir):
     SELECT event_id,
            'events.example.com' AS host,
            concat('/u/', CAST(user_id AS VARCHAR)) AS path,
-           concat('t=', event_type) AS query,
-           event_type AS t_param
+           concat('t=', coalesce(event_type, 'unknown')) AS query,
+           coalesce(event_type, 'unknown') AS t_param
     FROM events
     """,
 )
@@ -731,11 +731,15 @@ def fn_url_suite(spark, sf_dir):
     lookup). Map-only: build + four parses fuse into one codegen
     projection; no data moves until the caller aggregates."""
     ev = read_table(spark, sf_dir, "events")
+    # null event_type renders as an explicit 'unknown' param:
+    # Spark concat is null-propagating (the whole URL would vanish)
+    # while DuckDB concat skips nulls — a URL builder must pick its
+    # null rendering deliberately (string-null differential, r10)
     url = F.concat(
         F.lit("https://events.example.com/u/"),
         F.col("user_id").cast("string"),
         F.lit("?t="),
-        F.col("event_type"),
+        F.coalesce(F.col("event_type"), F.lit("unknown")),
     )
     return ev.select(
         "event_id",

@@ -267,8 +267,12 @@ def scan_schema_evolution(spark, sf_dir):
     # STORED value and re-rounds — not round(raw*2, 2), which only
     # coincidentally agrees while fixtures carry <= 2 decimals
     oracle="""
+    -- IS DISTINCT FROM, not <>: rows with NULL event_type live in
+    -- the physical table's null partition and must survive the
+    -- restatement untouched; '<>' would silently drop them from the
+    -- oracle (three-valued logic; string-null differential, r10)
     SELECT event_id, user_id, round(value, 2) AS value, event_type
-    FROM events WHERE event_type <> 'click'
+    FROM events WHERE event_type IS DISTINCT FROM 'click'
     UNION ALL
     SELECT event_id, user_id, round(round(value, 2) * 2, 2) AS value, event_type
     FROM events WHERE event_type = 'click'
@@ -692,14 +696,17 @@ def pipeline_daily_incremental(spark, sf_dir):
 @register(
     "scan_text_logparse",
     oracle="""
-    SELECT event_type,
+    -- a log line can't distinguish NULL from a sentinel: the render
+    -- writes [NA] for a null type and the census groups on the same
+    -- coalesce (string-null differential, r10)
+    SELECT coalesce(event_type, 'NA') AS event_type,
            CAST(count(*) AS BIGINT) AS n_lines,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
              AS value_cents,
            CAST(min(event_id) AS BIGINT) AS min_id,
            CAST(max(event_id) AS BIGINT) AS max_id
-    FROM events GROUP BY event_type
+    FROM events GROUP BY 1
     """,
 )
 def scan_text_logparse(spark, sf_dir):
@@ -730,7 +737,7 @@ def scan_text_logparse(spark, sf_dir):
         lines = ev.select(
             F.format_string(
                 "[%s] id=%d user=%d cents=%s",
-                "event_type",
+                F.coalesce(F.col("event_type"), F.lit("NA")),
                 "event_id",
                 "user_id",
                 F.coalesce(

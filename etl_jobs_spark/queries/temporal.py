@@ -1416,9 +1416,14 @@ _HOLT_S = 1024
     "ts_holt_level_trend",
     oracle=f"""
     WITH RECURSIVE hourly AS (
+      -- a NULL series key is not a series: the recursive fold JOINs
+      -- on event_type equality, where NULL never matches itself, so
+      -- the null group would silently vanish oracle-side while
+      -- Spark's groupBy keeps it (string-null differential, r10) —
+      -- both sides exclude it explicitly
       SELECT event_type, epoch_us(ts) // 3600000000 AS h,
              CAST(count(*) AS BIGINT) AS x
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
     idx AS (
       SELECT event_type, x,
              CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
@@ -1463,7 +1468,10 @@ def ts_holt_level_trend(spark, sf_dir):
     rollup; the fold touches |types| x |hours| state rows — for
     unbounded series the production shape is the streaming per-key
     state (stream_stateful_pandas), not a longer array."""
-    ev = read_table(spark, sf_dir, "events")
+    # null series keys excluded on both sides — see oracle comment
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     hourly = (
         ev.select(
             "event_type",

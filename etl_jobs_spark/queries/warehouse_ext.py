@@ -562,7 +562,11 @@ _VACUUM_ORPHAN_BYTES = 1024
 @register(
     "maintenance_vacuum_report",
     oracle=f"""
-    SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_active_files,
+    -- null event_type is a real partition directory on disk
+    -- (__HIVE_DEFAULT_PARTITION__), so the file census must count it;
+    -- bare count(DISTINCT) would skip it (string-null differential)
+    SELECT CAST(count(DISTINCT coalesce(event_type, '__null__'))
+                AS BIGINT) AS n_active_files,
            CAST({_VACUUM_ORPHANS} AS BIGINT) AS n_orphan_files,
            CAST({_VACUUM_ORPHANS * _VACUUM_ORPHAN_BYTES} AS BIGINT)
              AS orphan_bytes,

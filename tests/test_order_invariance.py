@@ -130,6 +130,18 @@ NULL_SAMPLE = [
     "udaf_grouped_pandas",
     "scan_text_logparse",
     "agg_sketch_accuracy_audit",
+    # string-null wave (second run of the axis over event_type /
+    # props / documents.text+lang): null partition dirs, three-valued
+    # <> logic, null-propagating concat vs null-skipping concat,
+    # recursive-CTE equality joins losing the null group, None bytes
+    # in pandas decoders, NULL keys in a bloom positive/negative split
+    "fn_url_suite",
+    "ts_holt_level_trend",
+    "sink_partition_overwrite",
+    "maintenance_vacuum_report",
+    "dedup_incremental_bloom",
+    "text_pii_scrub",
+    "multimodal_decode_features",
 ]
 
 
@@ -140,9 +152,10 @@ def nulled_dir(tmp_path_factory):
     dst = tmp_path_factory.mktemp("nulled_sf")
     rng = np.random.default_rng(77)
     nullable = {
-        "events": ["value"],
+        "events": ["value", "event_type", "props"],
         "customer": ["c_acctbal"],
         "lineitem": ["l_discount", "l_tax"],
+        "documents": ["text", "lang"],
     }
     for t in FIXTURE_TABLES:
         tab = pq.read_table(f"{SF_DIR}/{t}.parquet")
