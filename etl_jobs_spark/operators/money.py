@@ -103,17 +103,21 @@ def dsum3_sql(a: str, b: str, c: str, ndigits: int = 2) -> str:
 def davg(col: Column | str, ndigits: int = 4) -> Column:
     """Order-free AVG of a 2dp double column: exact decimal sum,
     ONE double division, round — deterministic because both inputs
-    to the division are exact."""
+    to the division are exact. The denominator is the NON-NULL
+    count (SQL AVG semantics: nulls are excluded from both sum and
+    count; ``count(*)`` here would silently compute sum/total-rows
+    on a null-bearing column). All-null group → NULL/0 → NULL on
+    both engines, matching SQL AVG over an empty input."""
     c = F.col(col) if isinstance(col, str) else col
     return F.round(
-        F.sum(c.cast(DEC2)).cast("double") / F.count(F.lit(1)),
+        F.sum(c.cast(DEC2)).cast("double") / F.count(c),
         ndigits,
     )
 
 
 def davg_sql(expr: str, ndigits: int = 4) -> str:
-    """DuckDB twin of :func:`davg`."""
+    """DuckDB twin of :func:`davg` (non-null count denominator)."""
     return (
         f"round(CAST(sum(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE)"
-        f" / count(*), {ndigits})"
+        f" / count({expr}), {ndigits})"
     )

@@ -106,7 +106,11 @@ def count_outliers_iqr(df: DataFrame, col: str, k: float = 1.5) -> DataFrame:
     )
 
 
-def agg_profile_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+def agg_profile_stats(
+    df: DataFrame,
+    cols: list[str],
+    exact_decimal: str | None = "decimal(18,2)",
+) -> DataFrame:
     """Long-form per-column profile: one output row per column with
     dtype, n_distinct, n_missing, mean, stddev, min, max, median
     (ref: DataProfiler.profile_data src/etl_2022.py:81-109).
@@ -124,14 +128,25 @@ def agg_profile_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     expression tree instead of trusting two engines' different
     incremental-variance recurrences to agree in the rounded
     digits. Requires the 2dp input contract
-    (tests/test_order_invariance.py pins it for the fixtures).
-    """
-    from etl_jobs_spark.operators.money import DEC2
+    (tests/test_order_invariance.py pins it for the fixtures);
+    pass ``exact_decimal=None`` for columns that carry >2dp values
+    — that path profiles the raw double (order-sensitive in the
+    last ulp, like pandas) instead of silently rounding the input.
 
+    The variance numerator ``s2 - s1*s1/n`` is clamped at 0: it is
+    mathematically non-negative but the one double evaluation can
+    land fractionally negative for a near-constant column, where
+    sqrt would produce NaN instead of ~0 (the oracle mirrors the
+    same greatest(0, ·)).
+    """
     dtypes = dict(df.dtypes)
     aggs: list[Column] = []
     for c in cols:
-        d = F.col(c).cast(DEC2)
+        d = (
+            F.col(c).cast(exact_decimal)
+            if exact_decimal is not None
+            else F.col(c).cast("double")
+        )
         n = F.count(F.col(c))
         s1 = F.sum(d).cast("double")
         s2 = F.sum(d * d).cast("double")
@@ -140,7 +155,11 @@ def agg_profile_stats(df: DataFrame, cols: list[str]) -> DataFrame:
             F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"{c}__nm"),
             F.round(s1 / n, 6).alias(f"{c}__mean"),
             F.round(
-                F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))), 6
+                F.sqrt(
+                    F.greatest(F.lit(0.0), s2 - s1 * s1 / n)
+                    / (n - F.lit(1))
+                ),
+                6,
             ).alias(f"{c}__std"),
             F.round(F.min(F.col(c)).cast("double"), 6).alias(f"{c}__min"),
             F.round(F.max(F.col(c)).cast("double"), 6).alias(f"{c}__max"),

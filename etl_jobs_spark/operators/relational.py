@@ -223,6 +223,7 @@ def salted_agg_events(events: DataFrame, n_salts: int = 16) -> DataFrame:
     )
     partial = salted.groupBy("event_type", "_salt").agg(
         F.count(F.lit(1)).alias("pn"),
+        F.count("value").alias("pnn"),  # non-null count: AVG denominator
         F.sum(F.col("value").cast(M.DEC2)).alias("psum"),
     )
     return (
@@ -231,7 +232,7 @@ def salted_agg_events(events: DataFrame, n_salts: int = 16) -> DataFrame:
             F.sum("pn").alias("n_events"),
             F.round(F.sum("psum"), 2).cast("double").alias("total_value"),
             F.round(
-                F.sum("psum").cast("double") / F.sum("pn"), 4
+                F.sum("psum").cast("double") / F.sum("pnn"), 4
             ).alias("avg_value"),
         )
     )

@@ -81,7 +81,7 @@ def rms_udaf():
     exact, not merely close."""
     import numpy as np
 
-    def _rms(v: pd.Series) -> float:
+    def _rms(v: pd.Series) -> float | None:
         # floor(x + 0.5), not np.round: half-to-even vs DuckDB's
         # half-away would disagree on exact .5 inputs. dropna first:
         # SQL aggregates skip NULLs, numpy propagates NaN — without
@@ -89,7 +89,10 @@ def rms_udaf():
         # by the round-10 null-injection differential).
         x = v.dropna().astype(float).to_numpy()
         if len(x) == 0:
-            return float("nan")
+            # SQL aggregate over zero non-null rows is NULL, not NaN
+            # (DuckDB oracle yields NULL; NaN would hash-diverge on
+            # an all-null group).
+            return None
         sq = np.floor(x ** 2 * RMS_SCALE + 0.5)
         return float(np.sqrt(sq.sum() / (RMS_SCALE * len(sq))))
 

@@ -292,7 +292,7 @@ def filter_outliers_iqr(spark, sf_dir):
            count(DISTINCT l_quantity) AS n_distinct,
            count(*) FILTER (WHERE l_quantity IS NULL) AS n_missing,
            round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 6) AS mean,
-           round(sqrt((CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity)) / (count(l_quantity) - 1)), 6) AS stddev,
+           round(sqrt(greatest(0, CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity)) / (count(l_quantity) - 1)), 6) AS stddev,
            round(min(l_quantity), 6) AS min, round(max(l_quantity), 6) AS max,
            round(quantile_cont(l_quantity, 0.5), 6) AS median
     FROM lineitem
@@ -300,7 +300,7 @@ def filter_outliers_iqr(spark, sf_dir):
     SELECT 'l_extendedprice', 'double', count(DISTINCT l_extendedprice),
            count(*) FILTER (WHERE l_extendedprice IS NULL),
            round(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 6), 4),
-           round(round(sqrt((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) - CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice)) / (count(l_extendedprice) - 1)), 6), 4),
+           round(round(sqrt(greatest(0, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) - CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice)) / (count(l_extendedprice) - 1)), 6), 4),
            round(min(l_extendedprice), 6), round(max(l_extendedprice), 6),
            round(quantile_cont(l_extendedprice, 0.5), 6)
     FROM lineitem
@@ -308,7 +308,7 @@ def filter_outliers_iqr(spark, sf_dir):
     SELECT 'l_discount', 'double', count(DISTINCT l_discount),
            count(*) FILTER (WHERE l_discount IS NULL),
            round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 6),
-           round(sqrt((CAST(sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) - CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount)) / (count(l_discount) - 1)), 6),
+           round(sqrt(greatest(0, CAST(sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) - CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount)) / (count(l_discount) - 1)), 6),
            round(min(l_discount), 6), round(max(l_discount), 6),
            round(quantile_cont(l_discount, 0.5), 6)
     FROM lineitem

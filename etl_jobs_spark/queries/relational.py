@@ -157,7 +157,7 @@ def agg_grouping_sets(spark, sf_dir):
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)     AS total_value,
-           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4) AS avg_value
     FROM events
     GROUP BY event_type
     """,
@@ -297,8 +297,8 @@ def window_range_frame(spark, sf_dir):
            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(18,2))), 2) AS DOUBLE)                  AS sum_disc_price,
            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(18,2)) * CAST((1 + l_tax) AS DECIMAL(18,2))), 2) AS DOUBLE)    AS sum_charge,
            round(avg(l_quantity), 4)                                          AS avg_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)                                     AS avg_price,
-           round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)                                          AS avg_disc,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 4)                                     AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 4)                                          AS avg_disc,
            count(*)                                                           AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -458,7 +458,7 @@ def json_extract_props(spark, sf_dir):
            count(*)                   AS n_events,
            CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)       AS total_value,
            round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                 / count(*), 4) AS avg_value,
+                 / count(value), 4) AS avg_value,
            count(DISTINCT user_id)    AS n_users
     FROM events
     GROUP BY event_type
