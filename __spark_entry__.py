@@ -30,10 +30,16 @@ def entry(spark: SparkSession) -> DataFrame:
       → impute → score → audit columns), summarized as metric rows;
     - the headline relational aggregate (q1 pricing summary:
       pushdown filter + pruned scan + partial/final hash agg),
-      summarized the same way.
+      summarized the same way;
+    - the LLM-era corpus flagship (PII scrub → decontam → repetition
+      gate → exact dedup → split census), so the smoke exercises
+      BOTH flagship compositions (VERDICT r10 item 5).
     """
     from pyspark.sql import functions as F
 
+    from etl_jobs_spark.queries.corpus_governance import (
+        pipeline_llm_corpus_end_to_end,
+    )
     from etl_jobs_spark.queries.reference_parity import (
         pipeline_2022_end_to_end,
     )
@@ -54,7 +60,14 @@ def entry(spark: SparkSession) -> DataFrame:
         F.countDistinct("l_returnflag").cast("long").alias("distinct_types"),
     ).select(F.lit("q1_pricing").alias("stage"), "rows", "mean_quality",
              "distinct_types")
-    return pipe_report.unionByName(q1_report)
+    corpus = pipeline_llm_corpus_end_to_end(spark, sf)
+    corpus_report = corpus.agg(
+        F.sum("n_docs").alias("rows"),
+        F.round(F.avg("total_chars"), 6).alias("mean_quality"),
+        F.countDistinct("split").cast("long").alias("distinct_types"),
+    ).select(F.lit("llm_corpus").alias("stage"), "rows", "mean_quality",
+             "distinct_types")
+    return pipe_report.unionByName(q1_report).unionByName(corpus_report)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

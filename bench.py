@@ -10,10 +10,13 @@ JVM/codegen startup so the numbers measure the queries, not the JIT.
 
 The round-3 bench recorder kept only the final 2000 bytes of stdout,
 which truncated the (one, long) JSON line and left `parsed: null` in
-BENCH_r03.json. So the stdout line is now a compact summary that fits
-that buffer — per-query timings restricted to the curated HEADLINE
-subset, 2-decimal seconds — while the FULL per-query record (raw +
-normalized, every benched query) is written to
+BENCH_r03.json — and the "compact" HEADLINE-subset retry still
+overflowed once HEADLINE grew past ~40 names (BENCH_r08–r10 all
+`parsed: null`; the curated list alone serializes at ~4.5 KB). So
+the FINAL stdout line now carries per-query seconds for only the
+small fixed FLAGSHIP subset (~12 names, <1 KB total, asserted at
+print time) — while the FULL per-query record (raw + normalized,
+every benched query) is written to
 docs/BENCH_FULL_LATEST.json and appended to docs/bench_history.jsonl.
 The history also powers `ratio_vs_prev_raw`: the RAW common-subset
 total of this run divided by the previous recorded round's — the
@@ -42,6 +45,26 @@ from etl_jobs_spark.session import get_spark
 #: across rounds compare engines, not VMs — the round-2 judge found
 #: hosts varying 2.58x on identical code.
 CALIB_REF_SEC = 0.372
+
+#: The per-query names the FINAL stdout line carries — one per major
+#: engine surface, deliberately tiny so the line survives a
+#: 2000-byte tail capture. Everything benched is in
+#: docs/BENCH_FULL_LATEST.json.
+FLAGSHIP = [
+    "q1_pricing_summary",
+    "join_star_revenue",
+    "agg_events_by_type",
+    "window_rank_events",
+    "dedup_minhash_lsh",
+    "embed_ivfpq_topk",
+    "text_tfidf",
+    "stream_window_counts",
+    "multimodal_decode_features",
+    # (pipeline_2022_end_to_end is outside the frozen benched census;
+    # the driver's entry() smoke covers it instead)
+    "pipeline_llm_corpus_end_to_end",
+    "pipeline_entity_resolution",
+]
 
 #: The queries that define the engine's throughput story: the
 #: flagship agg, the star join, a window, dedup + similarity (the
@@ -575,32 +598,37 @@ def main() -> None:
             f.write(json.dumps(full) + "\n")
 
     # stdout: ONE compact JSON line sized for a 2000-byte tail buffer —
-    # HEADLINE-subset per-query seconds at 2dp; everything else is in
+    # FLAGSHIP-subset per-query seconds at 2dp; everything else is in
     # docs/BENCH_FULL_LATEST.json (committed) and bench_history.jsonl.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": {
-                    k: round(v, 2) for k, v in timings.items() if k in HEADLINE
-                },
-                "n_queries": len(timings),
-                "value_norm": round(sum(timings.values()) * scale, 3),
-                "calib_sec": round(calib, 3),
-                "calib_drift_pct": drift_pct,
-                "calib_ref_sec": CALIB_REF_SEC,
-                "ratio_vs_prev_raw": ratio,
-                "ratio_basis": "raw_common_subset",
-                "ratio_n_common": n_common,
-                "calib_vs_prev_pct": calib_vs_prev_pct,
-                "full": "docs/BENCH_FULL_LATEST.json",
-                "sf": sf_val,
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": {
+                k: round(v, 2) for k, v in timings.items() if k in FLAGSHIP
             },
-            separators=(",", ":"),
-        )
+            "n_queries": len(timings),
+            "value_norm": round(sum(timings.values()) * scale, 3),
+            "calib_sec": round(calib, 3),
+            "calib_drift_pct": drift_pct,
+            "calib_ref_sec": CALIB_REF_SEC,
+            "ratio_vs_prev_raw": ratio,
+            "ratio_basis": "raw_common_subset",
+            "ratio_n_common": n_common,
+            "calib_vs_prev_pct": calib_vs_prev_pct,
+            "full": "docs/BENCH_FULL_LATEST.json",
+            "sf": sf_val,
+        },
+        separators=(",", ":"),
     )
+    # the whole contract: the driver keeps only the LAST ~2000 bytes
+    # of stdout, so the final line must fit with headroom
+    assert len(line) < 1600, (
+        f"bench stdout line is {len(line)} bytes — would truncate in "
+        "the driver's 2000-byte tail capture; shrink FLAGSHIP"
+    )
+    print(line)
     spark.stop()
 
 
