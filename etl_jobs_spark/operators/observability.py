@@ -53,7 +53,10 @@ def run_metrics(spark, df: DataFrame, valid: Column) -> DataFrame:
     # that fulfills the Observation, hanging obs.get forever.
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
-    total, valid_n = int(m["total_rows"]), int(m["valid_rows"])
+    # observed aggregates over ZERO rows come back as None (SQL
+    # NULL sums); an empty run is 0 processed, not a crash
+    total = int(m["total_rows"] or 0)
+    valid_n = int(m["valid_rows"] or 0)
     return spark.createDataFrame(
         [(total, valid_n, total - valid_n, (valid_n * 10000) // max(total, 1))],
         "total_rows BIGINT, valid_rows BIGINT, failed_rows BIGINT, "

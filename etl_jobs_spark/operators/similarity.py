@@ -182,25 +182,31 @@ def fit_quantizer(
 
 
 def _collect_vectors(vecs: DataFrame):
-    """Bounded-sample vector collect as a float64 matrix."""
+    """Bounded-sample vector collect as a float64 matrix. An empty
+    corpus yields a 2-D (0, 0) matrix, not numpy's 1-D default —
+    every downstream axis-1 reduction assumes 2-D (round-11
+    empty-input axis)."""
     import numpy as np
 
-    return np.array(
-        [
-            r["e"]
-            for r in vecs.select(
-                F.col("embedding").cast("array<double>").alias("e")
-            ).collect()
-        ],
-        dtype=np.float64,
-    )
+    rows = [
+        r["e"]
+        for r in vecs.select(
+            F.col("embedding").cast("array<double>").alias("e")
+        ).collect()
+    ]
+    if not rows:
+        return np.zeros((0, 0), dtype=np.float64)
+    return np.array(rows, dtype=np.float64)
 
 
 def _lloyd(pts, k: int, seed: int, max_iter: int):
     """Driver-side Lloyd iterations on an already-bounded sample
-    (sample-point init, argmin via one matmul per round)."""
+    (sample-point init, argmin via one matmul per round). Zero
+    sample points (empty corpus) -> zero centroids, shape-stable."""
     import numpy as np
 
+    if len(pts) == 0:
+        return pts.reshape(0, pts.shape[1] if pts.ndim == 2 else 0)
     rng = np.random.default_rng(seed)
     cent = pts[rng.choice(len(pts), size=min(k, len(pts)), replace=False)]
     for _ in range(max_iter):
@@ -225,6 +231,11 @@ def assign_cells(centroids, vecs: DataFrame, keep: list[str]) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     cent = np.asarray(centroids, dtype=np.float64)
+    if cent.ndim < 2:
+        # zero centroids (empty-corpus training) arrive 1-D; keep the
+        # matrix 2-D so the closure builds — the UDF then never sees
+        # a batch, because the corpus being assigned is equally empty
+        cent = cent.reshape(0, 0)
     c_sq = (cent * cent).sum(axis=1)
 
     def _nearest(emb):

@@ -69,14 +69,16 @@ def dq_k_anonymity(spark, sf_dir):
     ),
     ev AS (
         SELECT CAST(count(*) AS BIGINT) AS n_facts,
-               CAST(sum(CAST(user_id NOT IN (SELECT c_custkey FROM dim)
-                    AS INTEGER)) AS BIGINT) AS n_orphans
+               CAST(coalesce(sum(CAST(user_id NOT IN
+                    (SELECT c_custkey FROM dim) AS INTEGER)), 0)
+                    AS BIGINT) AS n_orphans
         FROM events
     ),
     ords AS (
         SELECT CAST(count(*) AS BIGINT) AS n_facts,
-               CAST(sum(CAST(o_custkey NOT IN (SELECT c_custkey FROM dim)
-                    AS INTEGER)) AS BIGINT) AS n_orphans
+               CAST(coalesce(sum(CAST(o_custkey NOT IN
+                    (SELECT c_custkey FROM dim) AS INTEGER)), 0)
+                    AS BIGINT) AS n_orphans
         FROM orders
     )
     SELECT 'events.user_id->customer' AS check_name, n_facts, n_orphans,
@@ -112,8 +114,11 @@ def dq_referential_orphans(spark, sf_dir):
                 F.lit(name).alias("check_name"),
                 "n_facts",
                 "n_orphans",
+                # try_divide: an EMPTY fact table must yield a NULL
+                # rate (DuckDB x/0 -> NULL), not an ANSI
+                # DIVIDE_BY_ZERO crash (round-11 empty-input axis)
                 F.expr(
-                    "round(CAST(n_orphans AS DOUBLE) / n_facts, 6)"
+                    "round(try_divide(CAST(n_orphans AS DOUBLE), n_facts), 6)"
                 ).alias("orphan_rate"),
             )
         )
@@ -2265,7 +2270,9 @@ def _wilson_exprs() -> tuple[str, str]:
     """Wilson score interval bounds from the two exact BIGINTs
     (x successes, n trials) — one shared expression text."""
     x = "CAST(x AS DOUBLE)"
-    n = "CAST(n AS DOUBLE)"
+    # nullif: zero trials (empty-input axis) must yield NULL bounds
+    # on both engines, not an ANSI divide-by-zero in Spark
+    n = "CAST(nullif(n, 0) AS DOUBLE)"
     z = _WILSON_Z
     p = f"({x} / {n})"
     center = f"({p} + {z} * {z} / (2.0 * {n}))"
@@ -2292,7 +2299,7 @@ _WILSON_LO, _WILSON_HI = _wilson_exprs()
              CAST(count(*) AS BIGINT) AS n
       FROM events WHERE event_type IN ('view', 'purchase'))
     SELECT x, n,
-           CAST(1000 * x // n AS BIGINT) AS p_permille,
+           CAST(1000 * x // nullif(n, 0) AS BIGINT) AS p_permille,
            round({_WILSON_LO}, 6) AS ci_lo,
            round({_WILSON_HI}, 6) AS ci_hi
     FROM m
@@ -2323,7 +2330,7 @@ def stat_proportion_ci_wilson(spark, sf_dir):
     return m.select(
         "x",
         "n",
-        F.expr("CAST(1000 * x DIV n AS BIGINT)").alias("p_permille"),
+        F.expr("CAST(1000 * x DIV nullif(n, 0) AS BIGINT)").alias("p_permille"),
         F.round(F.expr(_WILSON_LO), 6).alias("ci_lo"),
         F.round(F.expr(_WILSON_HI), 6).alias("ci_hi"),
     )

@@ -848,15 +848,21 @@ def dedup_lsh_recall_eval(spark, sf_dir):
     sizes = truth.agg(F.count(F.lit(1)).alias("n_truth")).crossJoin(
         cand.agg(F.count(F.lit(1)).alias("n_candidates"))
     )
+    # try_divide: an empty corpus has zero truth pairs/candidates —
+    # the eval must report NULL recall/precision (DuckDB x/0 -> NULL),
+    # not crash with an ANSI divide-by-zero (round-11 empty-input axis)
     return sizes.crossJoin(hits).select(
         "n_truth",
         "n_candidates",
         "n_hits",
         F.round(
-            F.col("n_hits").cast("double") / F.col("n_truth"), 4
+            F.try_divide(F.col("n_hits").cast("double"), F.col("n_truth")), 4
         ).alias("recall"),
         F.round(
-            F.col("n_hits").cast("double") / F.col("n_candidates"), 4
+            F.try_divide(
+                F.col("n_hits").cast("double"), F.col("n_candidates")
+            ),
+            4,
         ).alias("precision"),
     )
 

@@ -21,13 +21,17 @@ _VALID = "value BETWEEN 0 AND 150 AND coalesce(trim(event_type) <> '', FALSE)"
 @register(
     "obs_run_metrics",
     oracle=f"""
+    -- coalesce/greatest: an EMPTY run is 0 processed / 0 failed /
+    -- rate 0, matching the engine's counter semantics (round-11
+    -- empty-input axis; bare sum() would emit NULLs)
     SELECT CAST(count(*) AS BIGINT) AS total_rows,
-           CAST(sum(CASE WHEN {_VALID} THEN 1 ELSE 0 END) AS BIGINT)
-             AS valid_rows,
-           CAST(count(*) - sum(CASE WHEN {_VALID} THEN 1 ELSE 0 END) AS BIGINT)
-             AS failed_rows,
-           CAST((sum(CASE WHEN {_VALID} THEN 1 ELSE 0 END) * 10000)
-                // count(*) AS BIGINT) AS success_rate_bp
+           CAST(coalesce(sum(CASE WHEN {_VALID} THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS valid_rows,
+           CAST(count(*) - coalesce(sum(CASE WHEN {_VALID} THEN 1 ELSE 0 END),
+                                    0) AS BIGINT) AS failed_rows,
+           CAST((coalesce(sum(CASE WHEN {_VALID} THEN 1 ELSE 0 END), 0)
+                 * 10000) // greatest(count(*), 1) AS BIGINT)
+             AS success_rate_bp
     FROM events
     """,
 )

@@ -126,6 +126,11 @@ def graph_pagerank_transitions(spark, sf_dir):
         ev.select(F.col("event_type").alias("node")).distinct()
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # an empty event stream has no transition graph; emit the
+        # empty rank table instead of dividing the teleport mass by
+        # zero (round-11 empty-input axis)
+        return spark.createDataFrame([], "event_type STRING, pagerank DOUBLE")
 
     pr = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
     for _ in range(N_ITERS):

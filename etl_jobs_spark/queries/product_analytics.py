@@ -1629,10 +1629,10 @@ def agg_stickiness_dau_mau(spark, sf_dir):
       FROM labeled)
     SELECT n_a, n_b, n_union,
            CAST(n_a + n_b - n_union AS BIGINT) AS n_both,
-           CAST(1000 * (n_a + n_b - n_union) // n_union AS BIGINT)
+           CAST(1000 * (n_a + n_b - n_union) // nullif(n_union, 0) AS BIGINT)
              AS jaccard_permille,
            CAST(1000 * (n_a + n_b - n_union)
-                // least(n_a, n_b) AS BIGINT) AS containment_permille
+                // nullif(least(n_a, n_b), 0) AS BIGINT) AS containment_permille
     FROM sets
     """,
 )
@@ -1680,10 +1680,10 @@ def agg_user_overlap_stability(spark, sf_dir):
         "n_union",
         F.expr("CAST(n_a + n_b - n_union AS BIGINT)").alias("n_both"),
         F.expr(
-            "CAST(1000 * (n_a + n_b - n_union) DIV n_union AS BIGINT)"
+            "CAST(1000 * (n_a + n_b - n_union) DIV nullif(n_union, 0) AS BIGINT)"
         ).alias("jaccard_permille"),
         F.expr(
-            "CAST(1000 * (n_a + n_b - n_union) DIV least(n_a, n_b)"
+            "CAST(1000 * (n_a + n_b - n_union) DIV nullif(least(n_a, n_b), 0)"
             " AS BIGINT)"
         ).alias("containment_permille"),
     )

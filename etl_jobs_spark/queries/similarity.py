@@ -1040,6 +1040,15 @@ def kmeans_lloyd_fit(emb, k=_KM_K, rounds=_KM_ROUNDS):
     # rounds (an empty cluster drops out without renumbering the
     # rest, mirroring the oracle's grouped update exactly).
     cents = [(int(i), by_id[i]) for i in sorted(by_id)]
+    if not cents:
+        # empty corpus -> no init points -> no clusters; the oracle's
+        # grouped re-fit over the same empty table is also empty
+        # (round-11 empty-input axis)
+        return spark.createDataFrame(
+            [],
+            "cluster_id INT, n_vecs BIGINT, inertia BIGINT, "
+            "c_sum BIGINT, c_absum BIGINT",
+        )
 
     def lit_arr(vals):
         return "array(" + ",".join(f"{v}L" for v in vals) + ")"

@@ -984,15 +984,21 @@ def fit_bpe_merges(docs, n_rounds):
     cur = base
     merges = []
     for r in range(n_rounds):
-        best = (
+        top = (
             cur.select(F.expr("split(s, ' ')").alias("syms"))
             .select(F.explode(F.expr(pair_struct)).alias("z"))
             .groupBy(F.col("z.a").alias("a"), F.col("z.b").alias("b"))
             .agg(F.count(F.lit(1)).cast("long").alias("n"))
             .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not top:
+            # corpus exhausted (or empty): no pair left to merge —
+            # stop emitting rounds, matching the oracle's empty
+            # per-round CTEs (round-11 empty-input axis)
+            break
+        best = top[0]
         merges.append((r, best.a, best.b, best.n))
         # symbols are [a-z§]+ only — safe to inline in the literal
         cur = cur.select(

@@ -75,7 +75,12 @@ def shuffled_dir(tmp_path_factory):
 
 def test_fixture_money_columns_are_2dp():
     """The DECIMAL(18,2) casts in operators/money.py are exact ONLY
-    for 2-decimal inputs; pin that contract against the fixtures."""
+    for FINITE 2-decimal inputs with |x| < 10^16 (the documented
+    money-tier domain); pin ALL THREE contract clauses against the
+    fixtures so a regenerated fixture can't silently violate any of
+    them (round-11 extremes axis: NaN/inf would TRY-cast to NULL in
+    Spark but hard-error DuckDB's CAST, and >10^16 overflows the
+    decimal — both must fail HERE, loudly, not in a query)."""
     con = duckdb.connect()
     checks = {
         "lineitem": ["l_extendedprice", "l_discount", "l_tax"],
@@ -85,13 +90,19 @@ def test_fixture_money_columns_are_2dp():
     }
     for t, cols in checks.items():
         exprs = ", ".join(
-            f"max(abs({c}*100 - round({c}*100))) AS {c}" for c in cols
+            f"max(abs({c}*100 - round({c}*100))) AS resid_{c}, "
+            f"max(NOT isfinite({c})) AS nonfin_{c}, "
+            f"max(abs({c})) AS mag_{c}"
+            for c in cols
         )
         row = con.sql(
             f"SELECT {exprs} FROM read_parquet('{SF_DIR}/{t}.parquet')"
         ).fetchone()
-        for c, resid in zip(cols, row):
-            assert resid < 1e-6, (t, c, resid)
+        for i, c in enumerate(cols):
+            resid, nonfinite, mag = row[3 * i], row[3 * i + 1], row[3 * i + 2]
+            assert resid < 1e-6, (t, c, "non-2dp value", resid)
+            assert not nonfinite, (t, c, "NaN/inf in money column")
+            assert mag < 1e16, (t, c, "exceeds DECIMAL(18,2) headroom", mag)
 
 
 def test_sampled_queries_invariant_under_shuffle(spark, shuffled_dir):
