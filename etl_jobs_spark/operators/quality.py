@@ -73,9 +73,20 @@ def agg_quantiles_iqr(df: DataFrame, col: str) -> DataFrame:
 def iqr_fences(df: DataFrame, col: str, k: float = 1.5) -> DataFrame:
     """One row: lo/hi outlier fences, rounded so the fence value is
     engine-reproducible (a raw float fence can straddle a data value
-    differently across summation orders)."""
-    q1 = F.percentile(F.col(col), F.lit(0.25))
-    q3 = F.percentile(F.col(col), F.lit(0.75))
+    differently across summation orders).
+
+    Fences are computed over FINITE values only: NaN/±inf are by
+    definition outliers, never fence inputs — and engines disagree
+    on whether NaN participates in quantile rank (Spark's percentile
+    counts it, DuckDB's quantile_cont drops it; round-11 extremes
+    axis), so including them makes the fence itself
+    engine-dependent."""
+    fin = F.when(
+        ~F.isnan(F.col(col)) & (F.abs(F.col(col)) != F.lit(float("inf"))),
+        F.col(col),
+    )
+    q1 = F.percentile(fin, F.lit(0.25))
+    q3 = F.percentile(fin, F.lit(0.75))
     iqr = q3 - q1
     return df.select(
         F.round(q1 - k * iqr, 6).alias("lo"),

@@ -378,6 +378,13 @@ def assign_cells_expr(
     ``struct(d, cell)`` — ties break to the lowest cell, exactly
     the ``ORDER BY d, cell`` rule the SQL oracle uses. Bit-identical
     to the oracle's join+window assignment by construction."""
+    if len(centroids) == 0:
+        # empty-corpus training produced no cells; the rows being
+        # assigned are equally empty, so a typed NULL cell keeps the
+        # plan analyzable (round-11 empty-input axis)
+        return vecs.select(
+            *keep, F.lit(None).cast("int").alias("cell")
+        )
     dists = []
     for i, c in enumerate(centroids):
         c_sq = 0.0
@@ -510,6 +517,15 @@ def cosine_topk_ivf(
     # the probe rows as a local DataFrame keeps the centroid-ranking
     # subplan from executing a second time inside the join.
     probe_rows = probe.collect()
+    if not probe_rows:
+        # no queries / empty corpus: nothing to probe, and the
+        # serve dir may hold no part files to infer a schema from
+        # (round-11 empty-input axis)
+        return spark.createDataFrame(
+            [],
+            "query_id BIGINT, vec_id BIGINT, cell INT, "
+            "cosine DOUBLE, rnk BIGINT",
+        )
     cells = sorted({r["cell"] for r in probe_rows})
     probe = spark.createDataFrame(
         probe_rows,
@@ -939,9 +955,14 @@ def fit_pq_codebooks_file(
     import numpy as np
 
     keys, _n = _fit_sample_keys(sf_dir, base_only=False)
-    pts = np.array(
-        _fit_sample_vectors(sf_dir, keys[:PQ_FIT_SAMPLE]), dtype=np.float64
-    )
+    sample = _fit_sample_vectors(sf_dir, keys[:PQ_FIT_SAMPLE])
+    if not sample:
+        # empty corpus: m empty codebooks, shape-stable for callers
+        # (round-11 empty-input axis)
+        out = [[] for _ in range(m)]
+        _FIT_CACHE[key] = out
+        return out
+    pts = np.array(sample, dtype=np.float64)
     pts = pts / np.linalg.norm(pts, axis=1, keepdims=True)
     d = pts.shape[1] // m
     books = [
@@ -984,8 +1005,12 @@ def pq_codes_expr_df(emb: DataFrame, books) -> DataFrame:
     every float op is the same correctly-rounded IEEE sequence the
     unrolled DuckDB SQL performs, so codes are bit-identical by
     construction."""
-    m, ksub, d = len(books), len(books[0]), len(books[0][0])
     spark = emb.sparkSession
+    if not books or not books[0]:
+        # empty-corpus codebooks -> empty code table, shape-stable
+        # (round-11 empty-input axis)
+        return spark.createDataFrame([], "vec_id BIGINT, codes ARRAY<INT>")
+    m, ksub, d = len(books), len(books[0]), len(books[0][0])
     book_rows = []
     for i in range(m):
         for j, c in enumerate(books[i]):
@@ -1052,6 +1077,12 @@ def cosine_topk_pq_expr(
     key share the assignment surrogate's exact float form — and
     therefore lets a SQL oracle reproduce the cut bit-for-bit. Exact
     cosine rerank of the k·factor shortlist as before."""
+    if not books or not books[0]:
+        # empty-corpus codebooks: no candidates, no literals to fold
+        # (round-11 empty-input axis)
+        return emb.sparkSession.createDataFrame(
+            [], "query_id BIGINT, vec_id BIGINT, cosine DOUBLE, rnk BIGINT"
+        )
     m, ksub, d = len(books), len(books[0]), len(books[0][0])
     cent, csq = _pq_flat(books)
     cent_arr = "array(" + ",".join(_lit_double(x) for x in cent) + ")"
@@ -1130,6 +1161,13 @@ def cosine_topk_ivfpq_expr(
     :func:`cosine_topk_pq_expr`, and exact cosine reranks the
     shortlist — every float op shared with the SQL oracle, so the
     ladder's top tier is hash-checkable end to end."""
+    if not books or not books[0]:
+        # empty-corpus codebooks (round-11 empty-input axis)
+        return emb.sparkSession.createDataFrame(
+            [],
+            "query_id BIGINT, vec_id BIGINT, cell INT, "
+            "cosine DOUBLE, rnk BIGINT",
+        )
     m, ksub, d = len(books), len(books[0]), len(books[0][0])
     cent_f, csq_f = _pq_flat(books)
     cent_arr = "array(" + ",".join(_lit_double(x) for x in cent_f) + ")"

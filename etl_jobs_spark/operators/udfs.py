@@ -45,11 +45,18 @@ def rank_within_group(events: DataFrame) -> DataFrame:
     pandas logic — with Spark doing the shuffle/grouping).
 
     Integer ranks with a deterministic (value DESC, event_id ASC)
-    order make the Python path exactly reproducible in SQL."""
+    order make the Python path exactly reproducible in SQL.
+
+    NULL and NaN both rank LAST (tie-broken by event_id): Arrow
+    hands pandas a float64 column where SQL NULL and a NaN payload
+    are indistinguishable, while SQL ranks NaN as the LARGEST value
+    and NULL last — so the query's contract is the pandas one,
+    missing == NaN == last, and the oracle restates it with an
+    explicit missing-bucket sort key (round-11 extremes axis)."""
 
     def rank(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(
-            ["value", "event_id"], ascending=[False, True]
+        pdf = pdf.assign(_miss=pdf["value"].isna().astype(int)).sort_values(
+            ["_miss", "value", "event_id"], ascending=[True, False, True]
         ).reset_index(drop=True)
         pdf["rnk"] = range(1, len(pdf) + 1)
         return pdf[["event_id", "event_type", "value", "rnk"]]

@@ -87,19 +87,32 @@ def _sketch_audit(
     approx = ev.agg(
         F.approx_count_distinct("uid", rsd=0.02).alias("acd_users"),
         F.approx_count_distinct("event_id", rsd=0.02).alias("acd_events"),
-        F.hll_sketch_estimate(F.hll_sketch_agg("uid"))
-        .cast("bigint")
-        .alias("hll_direct"),
         F.percentile_approx("value", 0.5, 10000).alias("ap_med"),
         F.percentile_approx("value", 0.99, 10000).alias("ap_p99"),
         F.countDistinct("uid").cast("bigint").alias("exact_users"),
         F.countDistinct("event_id").cast("bigint").alias("exact_events"),
     )
+    # hll_direct runs as its OWN single aggregate: inside the
+    # multi-distinct aggregate above, the Expand rewrite re-wraps
+    # result expressions and a coalesce-to-0 over the empty-corpus
+    # NULL estimate is silently lost (observed: in-agg AND post-agg
+    # coalesce both still read NULL there, while this standalone
+    # plan honors it). One extra 1-row pass, broadcast back like
+    # hll_union (round-11 empty-input axis).
+    hll_direct = ev.agg(
+        F.coalesce(
+            F.hll_sketch_estimate(F.hll_sketch_agg("uid")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("hll_direct")
+    )
     hll_union = (
         ev.groupBy("event_type")
         .agg(F.hll_sketch_agg("uid").alias("sk"))
         .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            F.coalesce(
+                F.hll_sketch_estimate(F.hll_union_agg("sk")), F.lit(0)
+            )
             .cast("bigint")
             .alias("hll_union")
         )
@@ -116,10 +129,10 @@ def _sketch_audit(
             # otherwise dilutes the band and flips the flag — caught
             # by the null-injection differential)
             F.count("value").alias("n"),
-            F.sum(F.when(F.col("value") < F.col("ap_med"), 1).otherwise(0)).alias("lt_med"),
-            F.sum(F.when(F.col("value") <= F.col("ap_med"), 1).otherwise(0)).alias("le_med"),
-            F.sum(F.when(F.col("value") < F.col("ap_p99"), 1).otherwise(0)).alias("lt_p99"),
-            F.sum(F.when(F.col("value") <= F.col("ap_p99"), 1).otherwise(0)).alias("le_p99"),
+            F.count(F.when(F.col("value") < F.col("ap_med"), F.lit(1))).alias("lt_med"),
+            F.count(F.when(F.col("value") <= F.col("ap_med"), F.lit(1))).alias("le_med"),
+            F.count(F.when(F.col("value") < F.col("ap_p99"), F.lit(1))).alias("lt_p99"),
+            F.count(F.when(F.col("value") <= F.col("ap_p99"), F.lit(1))).alias("le_p99"),
         )
     )
     def _within(est, ex, tol):
@@ -128,7 +141,8 @@ def _sketch_audit(
         )
 
     return (
-        approx.crossJoin(F.broadcast(hll_union))
+        approx.crossJoin(F.broadcast(hll_direct))
+        .crossJoin(F.broadcast(hll_union))
         .crossJoin(F.broadcast(ranks))
         .select(
             "exact_users",
@@ -225,19 +239,25 @@ def agg_approx_sketches(spark, sf_dir):
 
 
 #: Partitioned-layout staging (memoized like queries/streaming.py).
-_PART_MEMO: dict[str, Path] = {}
+_PART_MEMO: dict[str, tuple[Path, object]] = {}
 
 
-def _staged_partitioned(spark, sf_dir: str) -> Path:
+def _staged_partitioned(spark, sf_dir: str):
     """events partitioned by event_type, staged once per sf_dir —
     shared by the static (scan_partition_pruned) and dynamic
-    (join_dpp_pruned) pruning queries."""
+    (join_dpp_pruned) pruning queries. Returns ``(path, schema)``:
+    the read-back passes the schema EXPLICITLY, because a
+    partitionBy write of an empty slice leaves no part files to
+    infer from — at 100 TB 'today's partition is empty' must read
+    as zero rows, not UNABLE_TO_INFER_SCHEMA (round-11 empty-input
+    axis)."""
     if sf_dir not in _PART_MEMO:
         d = scratch_dir("etl_part")
-        read_table(spark, sf_dir, "events").select(
+        staged = read_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "value", "event_type"
-        ).write.partitionBy("event_type").parquet(str(d))
-        _PART_MEMO[sf_dir] = d
+        )
+        staged.write.partitionBy("event_type").parquet(str(d))
+        _PART_MEMO[sf_dir] = (d, staged.schema)
     return _PART_MEMO[sf_dir]
 
 
@@ -254,8 +274,9 @@ def scan_partition_pruned(spark, sf_dir):
     ONE directory and reads 1/5 of the data, no row-level filtering
     at all. At 100 TB, partition layout is the first-order
     performance decision; this query is the end-to-end proof."""
+    path, schema = _staged_partitioned(spark, sf_dir)
     return (
-        spark.read.parquet(str(_staged_partitioned(spark, sf_dir)))
+        spark.read.schema(schema).parquet(str(path))
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "value")
     )
@@ -489,7 +510,12 @@ def agg_bitmap_distinct(spark, sf_dir):
         bitmaps.groupBy("bkt")
         .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
         .agg(
-            F.expr("CAST(sum(bitmap_count(bm)) AS BIGINT)").alias("n_users")
+            # coalesce: zero buckets (empty input) is 0 distinct
+            # users, matching the oracle's count(DISTINCT) = 0
+            # (round-11 empty-input axis)
+            F.expr(
+                "CAST(coalesce(sum(bitmap_count(bm)), 0) AS BIGINT)"
+            ).alias("n_users")
         )
         .select(F.lit("ALL").alias("event_type"), "n_users")
     )
@@ -634,9 +660,9 @@ def join_dpp_pruned(spark, sf_dir):
     partition-pruned at 100 TB when the filter lives on the
     dimension — without it the fact scan reads everything and the
     join throws 3/5 of it away."""
-    part_path = str(_staged_partitioned(spark, sf_dir))
+    part_path, part_schema = _staged_partitioned(spark, sf_dir)
     dim_path = _dpp_dim_path(spark, sf_dir)
-    fact = spark.read.parquet(part_path)
+    fact = spark.read.schema(part_schema).parquet(str(part_path))
     dim = spark.read.parquet(dim_path).filter(F.col("keep") == 1)
     return (
         fact.join(F.broadcast(dim), "event_type")

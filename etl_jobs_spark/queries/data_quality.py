@@ -523,7 +523,15 @@ def stat_chi_square_independence(spark, sf_dir):
     )
     return agg.crossJoin(F.broadcast(dims)).select(
         "chi_square",
-        ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+        # dof is undefined (NULL) for an empty table — (0-1)*(0-1)
+        # would fabricate dof=1 where the oracle's max() over zero
+        # cells is NULL (round-11 empty-input axis)
+        F.when(
+            (F.col("r") > 0) & (F.col("c") > 0),
+            (F.col("r") - 1) * (F.col("c") - 1),
+        )
+        .cast("bigint")
+        .alias("dof"),
         "n",
     )
 
@@ -1468,11 +1476,14 @@ def stat_bootstrap_ci_mean(spark, sf_dir):
     ordered = means.withColumn(
         "rn", F.row_number().over(W.orderBy("mean_cents", "b"))
     )
-    lo = ordered.filter(F.col("rn") == 2).select(
-        F.col("mean_cents").alias("ci_lo_cents")
+    # max() over the single selected rank keeps lo/hi ONE-row
+    # (NULL on an empty corpus) so the crossJoin spine matches the
+    # oracle's scalar subqueries (round-11 empty-input axis)
+    lo = ordered.filter(F.col("rn") == 2).agg(
+        F.max("mean_cents").alias("ci_lo_cents")
     )
-    hi = ordered.filter(F.col("rn") == BOOT_B - 1).select(
-        F.col("mean_cents").alias("ci_hi_cents")
+    hi = ordered.filter(F.col("rn") == BOOT_B - 1).agg(
+        F.max("mean_cents").alias("ci_hi_cents")
     )
     point = base.agg(
         F.expr("CAST(sum(cents) DIV count(*) AS BIGINT)").alias(
@@ -2168,10 +2179,11 @@ def stat_permutation_test(spark, sf_dir):
         ).alias("d")
     )
     exceed = diffs.crossJoin(F.broadcast(obs.select("diff_obs"))).agg(
-        F.sum(
-            F.when(F.abs(F.col("d")) >= F.abs(F.col("diff_obs")), 1).otherwise(
-                0
-            )
+        # count(when): zero resamples (empty corpus) is 0 exceedances
+        # like the oracle's filtered count(*), not a NULL sum
+        # (round-11 empty-input axis)
+        F.count(
+            F.when(F.abs(F.col("d")) >= F.abs(F.col("diff_obs")), F.lit(1))
         )
         .cast("bigint")
         .alias("n_exceed")
@@ -2787,7 +2799,9 @@ def dq_pk_uniqueness_suite(spark, sf_dir):
         df = read_table(spark, sf_dir, t).agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             F.countDistinct(pk).cast("bigint").alias("n_distinct"),
-            F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0))
+            # count(when): 0 on an empty table, where sum(when)
+            # would be NULL (round-11 empty-input axis)
+            F.count(F.when(F.col(pk).isNull(), F.lit(1)))
             .cast("bigint")
             .alias("n_null"),
         ).select(
@@ -2810,12 +2824,12 @@ def dq_pk_uniqueness_suite(spark, sf_dir):
             )
             .cast("bigint")
             .alias("n_distinct"),
-            F.sum(
+            F.count(
                 F.when(
                     F.col("l_orderkey").isNull()
                     | F.col("l_linenumber").isNull(),
-                    1,
-                ).otherwise(0)
+                    F.lit(1),
+                )
             )
             .cast("bigint")
             .alias("n_null"),

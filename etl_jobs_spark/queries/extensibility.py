@@ -59,9 +59,15 @@ def udf_scalar_pandas(spark, sf_dir):
 @register(
     "udf_grouped_map",
     oracle="""
+    -- missing bucket first in the key: NULL and NaN both rank LAST
+    -- (the grouped-map contract; SQL alone would rank NaN as the
+    -- largest value — round-11 extremes axis)
     SELECT event_id, event_type, value,
-           CAST(row_number() OVER (PARTITION BY event_type
-                                   ORDER BY value DESC, event_id ASC)
+           CAST(row_number() OVER (
+                    PARTITION BY event_type
+                    ORDER BY CASE WHEN value IS NULL OR isnan(value)
+                                  THEN 1 ELSE 0 END ASC,
+                             value DESC, event_id ASC)
                 AS BIGINT) AS rnk
     FROM events
     """,
@@ -77,11 +83,19 @@ def udf_grouped_map(spark, sf_dir):
     # sums floor(v^2 * SCALE + 0.5) — exactly-representable integers,
     # so the sum is order-independent and bit-identical to the pandas
     # UDAF's numpy pairwise sum (see operators/udfs.py RMS_SCALE).
+    # vv/n are the NON-NaN values: the pandas UDAF's dropna treats a
+    # NaN payload as missing (Arrow float64 cannot distinguish it
+    # from SQL NULL), so the oracle restates the same contract —
+    # value-neutral on NaN-free fixtures (round-11 extremes axis)
     oracle=f"""
+    WITH vv AS (
+      SELECT event_type,
+             CASE WHEN NOT isnan(value) THEN value END AS value
+      FROM events)
     SELECT event_type, CAST(count(value) AS BIGINT) AS n,
            round(sqrt(sum(floor(value * value * {U.RMS_SCALE} + 0.5))
                       / ({U.RMS_SCALE} * count(value))), 6) AS rms_value
-    FROM events GROUP BY event_type
+    FROM vv GROUP BY event_type
     """,
 )
 def udaf_grouped_pandas(spark, sf_dir):

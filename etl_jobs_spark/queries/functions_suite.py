@@ -230,13 +230,21 @@ def fn_array_suite(spark, sf_dir):
 @register(
     "fn_percentile_suite",
     oracle="""
+    -- vq: NaN payloads excluded from the rank set EXPLICITLY (the
+    -- quantile-over-real-numbers contract; DuckDB's quantile_cont
+    -- ranks a parquet NaN as the largest value — round-11 extremes
+    -- axis)
+    WITH vq AS (
+      SELECT event_type,
+             CASE WHEN NOT isnan(value) THEN value END AS v
+      FROM events)
     SELECT event_type,
-           CAST(count(*) AS BIGINT)               AS n,
-           round(quantile_cont(value, 0.25), 4)   AS p25,
-           round(median(value), 4)                AS med,
-           round(quantile_cont(value, 0.90), 4)   AS p90,
-           round(quantile_cont(value, 0.99), 4)   AS p99
-    FROM events GROUP BY event_type
+           CAST(count(*) AS BIGINT)           AS n,
+           round(quantile_cont(v, 0.25), 4)   AS p25,
+           round(median(v), 4)                AS med,
+           round(quantile_cont(v, 0.90), 4)   AS p90,
+           round(quantile_cont(v, 0.99), 4)   AS p99
+    FROM vq GROUP BY event_type
     """,
 )
 def fn_percentile_suite(spark, sf_dir):
@@ -245,12 +253,17 @@ def fn_percentile_suite(spark, sf_dir):
     ``quantile_cont`` (both sort-based exact; the approx variant for
     100 TB is covered by ``agg_approx_sketches``)."""
     ev = read_table(spark, sf_dir, "events")
+    # NaN payloads are excluded from the rank set: DuckDB's
+    # quantile_cont drops NaN while Spark's percentile ranks it as
+    # the largest value — the suite pins the quantile-over-real-
+    # numbers contract (round-11 extremes axis)
+    v = "CASE WHEN NOT isnan(value) THEN value END"
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
-        F.round(F.expr("percentile(value, 0.50)"), 4).alias("med"),
-        F.round(F.expr("percentile(value, 0.90)"), 4).alias("p90"),
-        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.round(F.expr(f"percentile({v}, 0.25)"), 4).alias("p25"),
+        F.round(F.expr(f"percentile({v}, 0.50)"), 4).alias("med"),
+        F.round(F.expr(f"percentile({v}, 0.90)"), 4).alias("p90"),
+        F.round(F.expr(f"percentile({v}, 0.99)"), 4).alias("p99"),
     )
 
 

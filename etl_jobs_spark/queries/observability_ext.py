@@ -16,8 +16,12 @@ _VALID = "value BETWEEN 0 AND 150 AND coalesce(trim(event_type) <> '', FALSE)"
     oracle=f"""
     WITH m AS (
       SELECT CAST(count(*) AS BIGINT) AS total_rows,
-             CAST(sum(CASE WHEN {_VALID} THEN 1 ELSE 0 END) AS BIGINT)
-               AS valid_rows
+             -- coalesce: 0 valid rows on an empty run; bare sum()'s
+             -- NULL would also diverge on concat (DuckDB concat
+             -- skips NULLs, Spark's nulls the line) (round-11
+             -- empty-input axis)
+             CAST(coalesce(sum(CASE WHEN {_VALID} THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS valid_rows
       FROM events)
     SELECT metric, value,
            concat('etl_', metric, ' ', CAST(value AS VARCHAR)) AS line
@@ -43,7 +47,8 @@ def obs_prometheus_text(spark, sf_dir):
     ).cast("int")
     wide = ev.agg(
         F.count(F.lit(1)).alias("total_rows"),
-        F.sum(valid).cast("long").alias("valid_rows"),
+        # count(when): 0 on an empty run (round-11 empty-input axis)
+        F.count(F.when(valid == 1, F.lit(1))).cast("long").alias("valid_rows"),
     )
     long = wide.selectExpr(
         "stack(3, 'rows_total', total_rows, 'rows_valid', valid_rows, "

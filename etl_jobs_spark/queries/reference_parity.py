@@ -271,12 +271,16 @@ def agg_quantiles_iqr(spark, sf_dir):
 @register(
     "filter_outliers_iqr",
     oracle="""
-    WITH f AS (
+    -- fences over FINITE values only, matching iqr_fences (NaN/inf
+    -- are outliers, not fence inputs; round-11 extremes axis)
+    WITH fv AS (
+      SELECT CASE WHEN isfinite(value) THEN value END AS value FROM events),
+    f AS (
       SELECT round(quantile_cont(value, 0.25)
                    - 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)), 6) AS lo,
              round(quantile_cont(value, 0.75)
                    + 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)), 6) AS hi
-      FROM events)
+      FROM fv)
     SELECT event_id, value FROM events, f WHERE value < lo OR value > hi
     """,
 )

@@ -130,6 +130,8 @@ def join_salted_skew(spark, sf_dir):
            CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY GROUPING SETS ((event_type), (user_id % 5), ())
+    -- Spark empty-relation semantics pinned (see agg_rollup_time)
+    HAVING count(*) > 0
     """,
 )
 def agg_grouping_sets(spark, sf_dir):
@@ -171,7 +173,8 @@ def agg_salted_events(spark, sf_dir):
 @register(
     "agg_histogram_value",
     oracle="""
-    SELECT CAST(floor(value / 25) AS BIGINT) AS bucket,
+    SELECT CASE WHEN NOT isnan(value) AND abs(value) < 1e18
+                THEN CAST(floor(value / 25) AS BIGINT) END AS bucket,
            CAST(count(*) AS BIGINT) AS n,
            round(min(value), 2) AS lo, round(max(value), 2) AS hi
     FROM events GROUP BY 1
@@ -181,8 +184,17 @@ def agg_histogram_value(spark, sf_dir):
     """Equal-width histogram via arithmetic bucketing — an equi-key
     groupBy (scale-invariant), not a sort or range join."""
     ev = read_table(spark, sf_dir, "events")
+    # out-of-domain values (NaN/inf, or beyond the BIGINT-bucketable
+    # range) land in the NULL 'other' bucket on BOTH engines — the
+    # bare floor/cast would silently saturate in Spark and hard-error
+    # in DuckDB (round-11 extremes axis)
+    bucketable = (
+        ~F.isnan(F.col("value"))
+        & (F.abs(F.col("value")) < F.lit(1e18))
+    )
     return ev.groupBy(
-        F.floor(F.col("value") / 25).cast("long").alias("bucket")
+        F.when(bucketable, F.floor(F.col("value") / 25).cast("long"))
+        .alias("bucket")
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("value"), 2).alias("lo"),

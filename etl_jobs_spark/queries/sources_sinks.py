@@ -300,7 +300,9 @@ def sink_partition_overwrite(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    out = spark.read.parquet(str(d / "t")).select(
+    # explicit schema: an all-empty restatement writes no part files
+    # to infer from (round-11 empty-input axis)
+    out = spark.read.schema(ev.schema).parquet(str(d / "t")).select(
         "event_id", "user_id", F.round("value", 2).alias("value"), "event_type"
     )
     return out
@@ -390,6 +392,10 @@ def scan_binary_files(spark, sf_dir):
            CAST(min(event_id) AS BIGINT) AS min_id,
            CAST(max(event_id) AS BIGINT) AS max_id
     FROM events
+    -- value-neutral on non-empty input; pins the engine's grouped
+    -- lineage semantics for an empty dataset (no rows -> no dataset
+    -- row to attribute; round-11 empty-input axis)
+    HAVING count(*) > 0
     """,
 )
 def scan_with_lineage(spark, sf_dir):
@@ -467,8 +473,11 @@ def scan_xml_roundtrip(spark, sf_dir):
            CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE)
     FROM events
     UNION ALL
+    -- the parquet stats contract OMITS NaN from min/max; mirror it
+    -- in the recompute (round-11 extremes axis)
     SELECT 'value', CAST(count(value) AS BIGINT),
-           CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)
+           CAST(min(CASE WHEN NOT isnan(value) THEN value END) AS DOUBLE),
+           CAST(max(CASE WHEN NOT isnan(value) THEN value END) AS DOUBLE)
     FROM events
     """,
 )
@@ -664,7 +673,9 @@ def pipeline_daily_incremental(spark, sf_dir):
         F.col("event_type").isin("click", "view", "purchase", "signup", "error")
         & F.col("value").between(0, 150)
     )
-    keys = spark.read.parquet(table).select(
+    # schema-pinned read-backs: an empty warehouse slice leaves no
+    # part files to infer from (round-11 empty-input axis)
+    keys = spark.read.schema(ev.schema).parquet(table).select(
         F.col("event_id").cast("string").alias("k")
     )
     words = bloom_build(keys, "k", m_bits=1 << 19)
@@ -673,7 +684,7 @@ def pipeline_daily_incremental(spark, sf_dir):
     maybe_dup = (
         valid.filter(probe)
         .join(
-            spark.read.parquet(table).select("event_id"),
+            spark.read.schema(ev.schema).parquet(table).select("event_id"),
             "event_id",
             "left_anti",
         )
@@ -683,7 +694,7 @@ def pipeline_daily_incremental(spark, sf_dir):
 
     h = hash60("cast(event_id as string)", "spark")
     return (
-        spark.read.parquet(table)
+        spark.read.schema(ev.schema).parquet(table)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

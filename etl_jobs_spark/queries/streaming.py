@@ -280,18 +280,22 @@ def sink_queue(spark, sf_dir):
 @register(
     "stream_udtf_fanout",
     oracle=f"""
+    -- HAVING arms are value-neutral on non-empty input; they pin
+    -- the engine's streaming semantics for an empty feed: no batch
+    -- ever fires, so no metric rows exist to aggregate (round-11
+    -- empty-input axis)
     SELECT 'rows' AS metric, CAST(count(*) AS BIGINT) AS n,
            CAST(count(*) AS BIGINT) AS total
-    FROM events WHERE {TRANSFORM_ORACLE_WHERE}
+    FROM events WHERE {TRANSFORM_ORACLE_WHERE} HAVING count(*) > 0
     UNION ALL
     SELECT 'value_milli', CAST(count(*) AS BIGINT),
            CAST(sum(CAST(trunc(value * 1000) AS BIGINT)) AS BIGINT)
-    FROM events WHERE {TRANSFORM_ORACLE_WHERE}
+    FROM events WHERE {TRANSFORM_ORACLE_WHERE} HAVING count(*) > 0
     UNION ALL
     SELECT 'is_click', CAST(count(*) AS BIGINT),
            CAST(sum(CASE WHEN upper(event_type) = 'CLICK'
                          THEN 1 ELSE 0 END) AS BIGINT)
-    FROM events WHERE {TRANSFORM_ORACLE_WHERE}
+    FROM events WHERE {TRANSFORM_ORACLE_WHERE} HAVING count(*) > 0
     """,
 )
 def stream_udtf_fanout(spark, sf_dir):

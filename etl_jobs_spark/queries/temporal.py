@@ -143,6 +143,12 @@ def join_range_band(spark, sf_dir):
            count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY ROLLUP (date_trunc('hour', ts), event_type)
+    -- HAVING is value-neutral on non-empty input (every emitted
+    -- group has >=1 row); it pins the engine's documented choice of
+    -- Spark semantics for the empty relation — rollup of nothing is
+    -- nothing, not an ANSI 0-count grand-total row (round-11
+    -- empty-input axis)
+    HAVING count(*) > 0
     """,
 )
 def agg_rollup_time(spark, sf_dir):
@@ -159,6 +165,8 @@ def agg_rollup_time(spark, sf_dir):
            count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4) AS avg_value
     FROM events
     GROUP BY CUBE (dayofweek(ts) + 1, event_type)
+    -- Spark empty-relation semantics pinned (see agg_rollup_time)
+    HAVING count(*) > 0
     """,
 )
 def agg_cube_events(spark, sf_dir):

@@ -439,8 +439,13 @@ _COMPACT_AFTER = 8
 @register(
     "maintenance_compact_report",
     oracle=f"""
-    SELECT {_COMPACT_BEFORE} AS files_before,
-           {_COMPACT_AFTER} AS files_after,
+    -- file counts are measured from input_file_name(), which only
+    -- sees files CONTAINING rows: an empty table stages and compacts
+    -- to zero data files (round-11 empty-input axis)
+    SELECT CASE WHEN count(*) = 0 THEN 0
+                ELSE {_COMPACT_BEFORE} END AS files_before,
+           CASE WHEN count(*) = 0 THEN 0
+                ELSE {_COMPACT_AFTER} END AS files_after,
            CAST(count(*) AS BIGINT) AS n_rows,
            bit_xor(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
                     || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)
@@ -624,11 +629,15 @@ def maintenance_vacuum_report(spark, sf_dir):
         orphan = os.path.join(
             path, "event_type=click", f".part-crashed-writer-{i}.tmp"
         )
+        # a crashed writer mkdirs its task path before dying; on an
+        # empty table no partition dir exists yet (round-11
+        # empty-input axis)
+        os.makedirs(os.path.dirname(orphan), exist_ok=True)
         with open(orphan, "wb") as fh:
             fh.write(b"\xde\xad\xbe\xef" * (_VACUUM_ORPHAN_BYTES // 4))
     listed = data_files()
     orphans = {p: sz for p, sz in listed.items() if p not in manifest}
-    live = spark.read.parquet(path)
+    live = spark.read.schema(ev.schema).parquet(path)
     return live.agg(F.count(F.lit(1)).alias("n_rows_active")).select(
         F.lit(n_active).cast("bigint").alias("n_active_files"),
         F.lit(len(orphans)).cast("bigint").alias("n_orphan_files"),

@@ -123,7 +123,18 @@ def scan_glob_union(
     glob is pushed into the scan and the union is the multi-file read
     itself: no driver-side loop, no per-file DataFrame objects, and
     the files parallelize as input splits across executors.
+
+    A glob that matches NOTHING is an empty feed (a day with no
+    files), not an error — with a declared schema it scans as zero
+    rows; without one the PATH_NOT_FOUND stays loud, because there
+    is nothing to infer a schema from (round-11 empty-input axis).
     """
+    import glob as _glob
+
+    if schema is not None and not _glob.glob(
+        glob_path.replace("file:", "")
+    ):
+        return spark.createDataFrame([], schema)
     reader = spark.read
     if path_glob_filter:
         reader = reader.option("pathGlobFilter", path_glob_filter)

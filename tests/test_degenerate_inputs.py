@@ -1,0 +1,184 @@
+"""Differential fuzz axes 4 + 5 (round 11): numeric extremes and
+zero-row inputs.
+
+Axis 5 — EMPTY INPUTS. An empty partition slice (new tenant, late
+feed, over-pruned filter) is an everyday production input; at 100 TB
+"today's slice is empty" must mean zero rows, never a crash. The
+full-registry differential over a zero-row fixture dir found 36 real
+failures in round 11: ANSI divide-by-zero crashes, driver-side numpy
+fits on empty collects, NULL-vs-0 count divergences, Spark-vs-ANSI
+lattice (cube/rollup) grand-total semantics, and partitioned
+write-then-read-back paths that could not infer a schema from an
+empty write. The sample below keeps one representative per fixed
+CLASS under permanent differential.
+
+Axis 4 — NUMERIC EXTREMES. The money tier (operators/money.py)
+documents its domain as FINITE 2dp values with |x| < 1e16; the
+fixture-contract test (test_order_invariance.py) asserts all three
+clauses, and the full-registry extremes run confirmed both engines
+fail LOUDLY (Spark ANSI CAST_OVERFLOW / DuckDB ConversionException)
+— never silently — when the contract is violated. The tests here pin
+(a) that loud-failure property for a money-tier representative and
+(b) cross-engine VALUE agreement for the non-money kernels that must
+tolerate extreme doubles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from etl_jobs_spark.registry import all_oracles, all_queries
+from tests.conftest import FIXTURE_TABLES, SF_DIR
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+#: One representative per empty-input failure class fixed in r11.
+EMPTY_SAMPLE = [
+    "dq_referential_orphans",       # ANSI x/0 -> try_divide NULL
+    "stat_proportion_ci_wilson",    # nullif(n, 0) in shared expr text
+    "dedup_lsh_recall_eval",        # recall/precision NULL on 0 truth
+    "embed_ivfpq_topk",             # driver-side fit on empty collect
+    "embed_kmeans_lloyd",           # zero-init-points guard
+    "text_bpe_learn",               # pair argmax early-stop
+    "graph_pagerank_transitions",   # zero-node teleport guard
+    "obs_run_metrics",              # None observation counters
+    "agg_cube_events",              # lattice grand-total semantics
+    "dq_pk_uniqueness_suite",       # count(when) vs NULL sum
+    "agg_bitmap_distinct",          # coalesced bitmap rollup
+    "stat_bootstrap_ci_mean",       # 1-row spine via agg'd order stats
+    "maintenance_compact_report",   # data-dependent file counts
+    "maintenance_vacuum_report",    # crashed-writer dir creation
+    "scan_partition_pruned",        # schema-pinned read-back
+    "pipeline_daily_incremental",   # schema-pinned warehouse reads
+    "scan_glob_union",              # empty glob = empty feed
+    "obs_prometheus_text",          # concat-NULL line divergence
+    "agg_sketch_accuracy_audit",    # standalone hll agg + 0 estimates
+    "q1_pricing_summary",           # flagship: plain empty aggregate
+    "pipeline_llm_corpus_end_to_end",  # flagship composition
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("empty_sf")
+    for t in FIXTURE_TABLES:
+        tab = pq.read_table(f"{SF_DIR}/{t}.parquet")
+        pq.write_table(tab.slice(0, 0), str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+def test_sampled_queries_survive_empty_inputs(spark, empty_dir):
+    import duckdb
+
+    from etl_jobs_spark import cache
+    from etl_jobs_spark.compare import frames_match
+
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{empty_dir}/{t}.parquet')"
+        )
+    for name in EMPTY_SAMPLE:
+        got = QUERIES[name](spark, empty_dir).toPandas()
+        if name in ORACLES:
+            frames_match(got, con.sql(ORACLES[name]).df())
+        cache.release_all()
+
+
+#: Extreme doubles injected by axis 4 (and the fixture builder below).
+EXTREMES = [float("nan"), float("inf"), float("-inf"), 5e-324, 1e300, -1e300]
+
+
+@pytest.fixture(scope="module")
+def extreme_dir(tmp_path_factory):
+    """sf fixtures with ~2% of events.value / customer.c_acctbal /
+    lineitem.l_discount replaced by NaN/±inf/denormal/±1e300 —
+    identical bytes offered to both engines."""
+    dst = tmp_path_factory.mktemp("extreme_sf")
+    rng = np.random.default_rng(0xE47)
+    inject = {
+        "events": ["value"],
+        "customer": ["c_acctbal"],
+        "lineitem": ["l_discount"],
+    }
+    for t in FIXTURE_TABLES:
+        tab = pq.read_table(f"{SF_DIR}/{t}.parquet")
+        for col in inject.get(t, []):
+            vals = tab[col].to_numpy(zero_copy_only=False).astype(float).copy()
+            k = max(6, len(vals) // 50)
+            idx = rng.choice(len(vals), size=k, replace=False)
+            for j, i in enumerate(idx):
+                vals[i] = EXTREMES[j % len(EXTREMES)]
+            tab = tab.set_column(
+                tab.schema.get_field_index(col), col, pa.array(vals)
+            )
+        pq.write_table(tab, str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+def test_money_tier_fails_loudly_on_extremes(spark, extreme_dir):
+    """Out-of-contract input to the exact-DECIMAL money tier must
+    fail LOUDLY in BOTH engines — a silent wrong money sum is the
+    one outcome this engine never produces. q1 represents the ~45
+    dsum/dsum2/dsum3 call sites (all share operators/money.py)."""
+    import duckdb
+
+    with pytest.raises(Exception) as exc:
+        QUERIES["q1_pricing_summary"](spark, extreme_dir).toPandas()
+    assert "CAST" in str(exc.value) or "NUMERIC_VALUE_OUT_OF_RANGE" in str(
+        exc.value
+    ), f"expected an ANSI cast/overflow rejection, got: {exc.value}"
+
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{extreme_dir}/{t}.parquet')"
+        )
+    with pytest.raises(Exception):
+        con.sql(ORACLES["q1_pricing_summary"]).df()
+
+
+#: Non-money queries over the injected columns whose kernels must
+#: AGREE cross-engine even on NaN/inf/denormal input (fixed or
+#: verified in the round-11 extremes run).
+EXTREME_VALUE_SAMPLE = [
+    "udf_grouped_map",        # pandas rank vs SQL rank under NaN
+    "filter_outliers_iqr",    # finite-only IQR fences
+    "agg_histogram_value",    # floor-bucketing NaN/inf group keys
+    "agg_null_counts",        # null census unaffected by value payloads
+    "udaf_grouped_pandas",    # pandas NaN==missing UDAF contract
+    "fn_percentile_suite",    # NaN-excluding quantile rank set
+    "scan_footer_stats_audit",  # parquet stats omit NaN from min/max
+]
+
+
+def test_extreme_tolerant_kernels_match(spark, extreme_dir):
+    import duckdb
+
+    from etl_jobs_spark import cache
+    from etl_jobs_spark.compare import frames_match
+
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{extreme_dir}/{t}.parquet')"
+        )
+    for name in EXTREME_VALUE_SAMPLE:
+        got = QUERIES[name](spark, extreme_dir).toPandas()
+        # quantile INTERPOLATION between an ordinary value and a
+        # ±1e300 payload differs between the engines in the final
+        # ulp at ~1e298 magnitude (decimal round(x, 4) cannot absorb
+        # it there) — a float-representation limit, not a semantics
+        # divergence, so this axis alone compares that suite with a
+        # 1e-12 relative tolerance; the driver's clean-fixture check
+        # stays exact.
+        rtol = 1e-12 if name == "fn_percentile_suite" else 0.0
+        frames_match(got, con.sql(ORACLES[name]).df(), float_rtol=rtol)
+        cache.release_all()

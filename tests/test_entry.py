@@ -27,12 +27,12 @@ def test_entry_contract(spark):
 
 
 def test_promotion_list_within_sweep_window():
-    """The promoted round-10 window must exactly fill the external
+    """The promoted round-11 window must exactly fill the external
     sweep's 50-slot budget (registration order IS the sweep order),
     and the list must only name registered queries."""
     from etl_jobs_spark import registry
-    from etl_jobs_spark.queries import _ROUND10_WINDOW
+    from etl_jobs_spark.queries import _ROUND11_WINDOW
 
     names = list(registry.all_queries())
-    assert len(_ROUND10_WINDOW) == 50
-    assert names[:50] == _ROUND10_WINDOW
+    assert len(_ROUND11_WINDOW) == 50
+    assert names[:50] == _ROUND11_WINDOW
