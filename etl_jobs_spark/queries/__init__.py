@@ -34,34 +34,76 @@ from etl_jobs_spark.queries import (  # noqa: F401
     feature_engineering,
 )
 
-# Round-11 sweep window (50 queries, registration order). With the
-# registry fully driver-evidenced since round 10 (379/379), the window
-# is now: changed-this-round rows first, then the round-10 handoff's
-# recorded front, then pure oldest-driver-row-first rotation
-# (docs/PERF_r10.md "Handoff to round 11"). Row-age census at the
-# start of this round: r2-era 8, r3-era 39, r4-era 38 (computed from
-# CORRECTNESS_r01-r10.json, latest round per query).
+# Round-11 sweep window (50 queries, registration order). Window
+# rule (round-10 discipline): queries whose operator or oracle TEXT
+# changed this round outrank stale-green re-checks — and round 11's
+# two new differential axes (zero-row inputs, numeric extremes;
+# docs/FLOAT_ORDER_AUDIT.md round-11 sections) rewrote 38 of them,
+# so changed rows take 38 slots and the recorded round-10 handoff
+# front takes the remaining 12. The oldest-first rotation (the r2
+# cohort: agg_funnel_steps, agg_retention_cohorts, cdc_apply_changelog,
+# join_asof_events, scd2_history, text_top_terms,
+# text_unigram_commonness, zorder_layout_stats — then the r3 queue/
+# stream/fn/join families) slips to the round-12 window with this
+# note as the recorded rationale; all are swept green builder-side
+# at three SFs every round. Guard-only changes with no value change
+# on non-empty data (the embed_*/dedup_embed empty-collect guards,
+# text_bpe_apply_learned's shared memo) are deliberately NOT
+# fronted: their oracles and non-degenerate plans are unchanged.
 _ROUND11_WINDOW = [
-    # (a) changed THIS round — the review-driven AVG-denominator fix
-    #     (operators/money.py davg/davg_sql now divide by the
-    #     non-null count; four inline oracles rewritten in lockstep),
-    #     the rms_udaf all-null-group NULL fix, and the
-    #     agg_profile_stats variance clamp + exact_decimal opt-out.
-    #     Values are identical on the null-free fixtures (old rows
-    #     stay valid) but the oracle/operator text changed, so per
-    #     the round-10 discipline they take fresh rows first.
+    # (a) changed this round — review-driven AVG-denominator fix
+    #     (davg/davg_sql non-null counts, 4 oracles in lockstep),
+    #     rms_udaf NULL edge, profile-stats clamp + exact_decimal:
     "q1_pricing_summary",
     "agg_events_by_type",
     "agg_cube_events",
     "agg_salted_events",
     "agg_profile_stats",
     "udaf_grouped_pandas",
-    # (b) the recorded round-11 front (PERF_r10.md handoff):
-    #     snapshot_diff_audit (displaced from the r10 window by the
-    #     sketch-accuracy row), the round-10 null/unicode-axis fixes
-    #     whose oracle text changed late (value-identical on clean
-    #     fixtures), and the four re-checks round 10 deferred with
-    #     rationale.
+    # (b) changed this round — numeric-extremes axis (finite-only
+    #     IQR fences, NULL 'other' histogram bucket, NaN==missing
+    #     rank/UDAF contracts, NaN-excluding percentile rank set,
+    #     parquet-stats NaN omission):
+    "udf_grouped_map",
+    "filter_outliers_iqr",
+    "pred_alert_thresholds",
+    "agg_histogram_value",
+    "fn_percentile_suite",
+    "scan_footer_stats_audit",
+    # (c) changed this round — zero-row axis (try_divide/nullif,
+    #     count-semantics coalesces, lattice HAVING arms, schema-
+    #     pinned read-backs, shape-stable driver-side fits, the
+    #     standalone hll_direct aggregate):
+    "dq_referential_orphans",
+    "stat_proportion_ci_wilson",
+    "dedup_lsh_recall_eval",
+    "agg_user_overlap_stability",
+    "stat_chi_square_independence",
+    "stat_bootstrap_ci_mean",
+    "stat_permutation_test",
+    "dq_pk_uniqueness_suite",
+    "agg_bitmap_distinct",
+    "maintenance_compact_report",
+    "maintenance_vacuum_report",
+    "stream_udtf_fanout",
+    "scan_partition_pruned",
+    "join_dpp_pruned",
+    "sink_partition_overwrite",
+    "pipeline_daily_incremental",
+    "scan_glob_union",
+    "scan_with_lineage",
+    "obs_prometheus_text",
+    "obs_run_metrics",
+    "agg_sketch_accuracy_audit",
+    "agg_rollup_time",
+    "agg_grouping_sets",
+    "embed_kmeans_lloyd",
+    "graph_pagerank_transitions",
+    "text_bpe_learn",
+    # (d) the recorded round-10 handoff front (PERF_r10.md):
+    #     snapshot_diff_audit (displaced two rounds running), the
+    #     r10 late null/unicode-axis oracle rewrites, one deferred
+    #     re-check:
     "snapshot_diff_audit",
     "dq_drift_ks",
     "stat_mann_whitney_u",
@@ -74,48 +116,6 @@ _ROUND11_WINDOW = [
     "agg_user_gap_stats",
     "udf_arrow_scalar",
     "join_bloom_prefilter",
-    "join_dpp_pruned",
-    "sink_custom_ledger_stream",
-    "agg_session_bounce_rate",
-    # (c) rotation, oldest rows first: the full r2-era cohort (the 8
-    #     oldest driver rows in the registry, last checked 9 rounds
-    #     ago)...
-    "agg_funnel_steps",
-    "agg_retention_cohorts",
-    "cdc_apply_changelog",
-    "join_asof_events",
-    "scd2_history",
-    "text_top_terms",
-    "text_unigram_commonness",
-    "zorder_layout_stats",
-    # (d) ...then 21 of the 34 remaining r3-era rows, the families
-    #     the handoff named first (queue source/sink, the stream_*
-    #     r3 cohort, text_pii_scrub, the fn_* suites, the join
-    #     family, the UDTF row, multimodal_audio_chunks), topped up
-    #     with the first three unnamed r3 rows. The 13 r3-era rows
-    #     that don't fit (dedup_*/embed_* r3 cohort + doc_shard_assign
-    #     etc.) lead the round-12 rotation.
-    "source_queue",
-    "sink_queue",
-    "stream_interval_join",
-    "stream_interval_join_outer",
-    "stream_merge_upsert",
-    "stream_stateful_pandas",
-    "stream_static_join",
-    "text_pii_scrub",
-    "fn_array_suite",
-    "fn_datetime_suite",
-    "fn_percentile_suite",
-    "fn_string_suite",
-    "join_asof_forward",
-    "join_dim_snapshot_asof",
-    "join_full_outer",
-    "join_semi_anti",
-    "udtf_passage_chunks",
-    "multimodal_audio_chunks",
-    "agg_histogram_value",
-    "agg_mode_value_bucket",
-    "approx_distinct_kmv",
 ]
 
 registry.promote(_ROUND11_WINDOW)
