@@ -25,6 +25,18 @@ from pyspark.sql import functions as F
 #: days, so a user's spine is ~180 rows).
 BUCKET_S = 14_400
 
+#: Loud ceiling on one user's grid span, in buckets (~45 years at
+#: the 4-hour default). A single corrupt far-era timestamp would
+#: otherwise make sequence() materialize a multi-million-row spine
+#: PER AFFECTED USER and feed it through two unbounded windows —
+#: observed as a hang on the round-11 timestamp-boundary axis
+#: (1677/2262-era instants -> 1.28M buckets/user, both engines).
+#: Real gap-fillers (e.g. TimescaleDB's time_bucket_gapfill) require
+#: explicit finite bounds for exactly this reason; this engine keeps
+#: the data-derived bounds but fails LOUDLY past the cap instead of
+#: silently exploding work — the money tier's fail-loud discipline.
+MAX_SPAN_BUCKETS = 100_000
+
 
 def resample_interpolate(
     events: DataFrame, bucket_s: int = BUCKET_S
@@ -56,12 +68,28 @@ def resample_interpolate(
             ).alias("obs_val")
         )
     )
+    # in-plan span guard (no extra job): a span past MAX_SPAN_BUCKETS
+    # raises inside the same projection that would have exploded
+    b1_guarded = F.when(
+        F.col("b1") - F.col("b0") <= F.lit(MAX_SPAN_BUCKETS), F.col("b1")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "resample_interpolate: user grid span exceeds "
+                    f"MAX_SPAN_BUCKETS={MAX_SPAN_BUCKETS} buckets "
+                    "(corrupt timestamp?) for user_id="
+                ),
+                F.col("user_id").cast("string"),
+            )
+        ).cast("bigint")
+    )
     spine = (
         obs.groupBy("user_id")
         .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
         .select(
             "user_id",
-            F.explode(F.sequence("b0", "b1")).alias("bucket"),
+            F.explode(F.sequence("b0", b1_guarded)).alias("bucket"),
         )
     )
     grid = spine.join(obs, ["user_id", "bucket"], "left")

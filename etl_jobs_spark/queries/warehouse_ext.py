@@ -40,6 +40,7 @@ def fuzzy_pairs_names(spark, sf_dir):
 
 
 _B = TS.BUCKET_S
+_SPAN_CAP = TS.MAX_SPAN_BUCKETS
 
 
 @register(
@@ -55,7 +56,15 @@ _B = TS.BUCKET_S
       SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
       FROM obs GROUP BY 1),
     spine AS (
-      SELECT user_id, unnest(generate_series(b0, b1)) AS bucket
+      -- span guard mirrored from the operator (MAX_SPAN_BUCKETS):
+      -- one corrupt far-era timestamp must fail LOUDLY, not
+      -- materialize a multi-million-row per-user grid (round-11
+      -- timestamp-boundary axis)
+      SELECT user_id,
+             unnest(generate_series(b0,
+               CASE WHEN b1 - b0 <= {_SPAN_CAP} THEN b1
+                    ELSE error('resample span cap exceeded') END))
+               AS bucket
       FROM bounds),
     grid AS (
       SELECT s.user_id, s.bucket, o.obs_val

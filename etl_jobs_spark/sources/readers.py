@@ -98,6 +98,12 @@ def scan_csv(
     ``csv.DictReader`` behavior for parity.
     """
     reader = spark.read.option("header", str(header).lower())
+    # micros-precision timestamps, matching writers.sink_csv (the
+    # default pattern truncates to millis; round-11 ts axis)
+    reader = reader.option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    reader = reader.option(
+        "timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    )
     if schema is not None:
         reader = reader.schema(schema)
     else:

@@ -67,8 +67,24 @@ def sink_parquet(
 
 def sink_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV sink with header, for parity with the reference's
-    file-shaped outputs (ref: src/etl_2020.py:151 ``output.csv``)."""
-    df.write.mode(mode).option("header", "true").csv(path)
+    file-shaped outputs (ref: src/etl_2020.py:151 ``output.csv``).
+
+    timestampFormat pins MICROSECOND precision: Spark's default CSV
+    timestamp pattern renders milliseconds, silently truncating the
+    bottom three digits of every micros-precision value on a
+    round-trip (found by the round-11 timestamp-boundary axis via
+    source_s3: .999999 came back .999000). The reader side
+    (readers.scan_csv) pins the identical pattern."""
+    (
+        df.write.mode(mode)
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        # NTZ columns (parquet timestamps without UTC adjustment)
+        # format through a SEPARATE option with a millis default —
+        # the actual source of the original truncation
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
 
 
 def sink_json_report(df: DataFrame, path: str, mode: str = "overwrite") -> None:

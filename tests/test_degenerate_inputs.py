@@ -182,3 +182,135 @@ def test_extreme_tolerant_kernels_match(spark, extreme_dir):
         rtol = 1e-12 if name == "fn_percentile_suite" else 0.0
         frames_match(got, con.sql(ORACLES[name]).df(), float_rtol=rtol)
         cache.release_all()
+
+
+# ---------------------------------------------------------------
+# Axis 6 — TIMESTAMP BOUNDARIES (round 11). Adversarial instants in
+# events.ts / orders.o_orderdate: epoch 0, one microsecond BEFORE
+# epoch (negative micros: truncation-direction hazards), the 32-bit
+# rollover second, a leap-day last-microsecond, and far-era edges
+# (1700/2200 — inside pandas' ns range with date_trunc headroom,
+# because the harness round-trips through pandas). The full-registry
+# run found: a REAL CSV fidelity bug (Spark's default CSV timestamp
+# patterns render milliseconds — and NTZ columns format through the
+# separate timestampNTZFormat option — silently truncating micros on
+# a round-trip), one unbounded-work hazard (a corrupt far-era
+# timestamp made the resample grid materialize ~1.3M buckets per
+# affected user in BOTH engines — now a loud in-plan span cap), and
+# the designed watermark behavior (a far-future instant drags the
+# watermark, late rows drop; the batch oracles state the
+# ordered-feed assumption).
+
+TS_US = 1_000_000
+TS_BOUNDARIES_US = [
+    0,
+    -1,
+    -86_400 * TS_US + 1,
+    2_147_483_647 * TS_US,
+    1_709_251_199_999_999,
+    -8_520_336_000 * TS_US,
+    7_258_118_400 * TS_US,
+]
+
+
+@pytest.fixture(scope="module")
+def ts_boundary_dir(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("ts_boundary_sf")
+    rng = np.random.default_rng(0x7155)
+    inject = {"events": "ts", "orders": "o_orderdate"}
+    for t in FIXTURE_TABLES:
+        tab = pq.read_table(f"{SF_DIR}/{t}.parquet")
+        col = inject.get(t)
+        if col:
+            vals = tab[col].cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            ).copy()
+            k = max(len(TS_BOUNDARIES_US), len(vals) // 50)
+            idx = rng.choice(len(vals), size=k, replace=False)
+            for j, i in enumerate(idx):
+                vals[i] = TS_BOUNDARIES_US[j % len(TS_BOUNDARIES_US)]
+            arr = pa.array(vals, pa.int64()).cast(pa.timestamp("us"))
+            tab = tab.set_column(
+                tab.schema.get_field_index(col), col, arr
+            )
+        pq.write_table(tab, str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+#: Value-agreement sample: the queries the full-registry ts run
+#: exercised hardest (era-edge truncation, month shifts over
+#: negative epochs, weekly bucketing, the fixed CSV round-trip).
+TS_VALUE_SAMPLE = [
+    "source_s3",             # CSV micros round-trip (the fixed bug)
+    "fn_datetime_suite",     # datetime kernel family over era edges
+    "fn_interval_suite",     # interval arithmetic over era edges
+    "window_pct_change_mom", # month-over-month over negative epochs
+    "agg_bitmap_rollup_weekly",  # weekly bucketing over boundaries
+    "agg_rollup_time",       # hour-truncation lattice
+    "sessionize_batch",      # gap sessionization across eras
+]
+
+
+def test_ts_boundary_kernels_match(spark, ts_boundary_dir):
+    import duckdb
+
+    from etl_jobs_spark import cache
+    from etl_jobs_spark.compare import frames_match
+
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{ts_boundary_dir}/{t}.parquet')"
+        )
+    for name in TS_VALUE_SAMPLE:
+        got = QUERIES[name](spark, ts_boundary_dir).toPandas()
+        frames_match(got, con.sql(ORACLES[name]).df())
+        cache.release_all()
+
+
+def test_resample_span_cap_fails_loudly(spark, ts_boundary_dir):
+    """One corrupt far-era timestamp must NOT make the resample
+    materialize a multi-million-row per-user grid: both engines
+    raise the span-cap error instead (operators/timeseries.py
+    MAX_SPAN_BUCKETS; observed as an engine hang on both sides
+    before the guard)."""
+    import duckdb
+
+    with pytest.raises(Exception, match="MAX_SPAN_BUCKETS|span"):
+        QUERIES["ts_resample_interpolate"](
+            spark, ts_boundary_dir
+        ).toPandas()
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{ts_boundary_dir}/{t}.parquet')"
+        )
+    with pytest.raises(Exception, match="span cap"):
+        con.sql(ORACLES["ts_resample_interpolate"]).df()
+
+
+def test_watermark_drops_late_rows_on_poisoned_event_time(
+    spark, ts_boundary_dir
+):
+    """DESIGNED divergence, pinned: a far-future instant drags the
+    watermark forward and genuinely-ordered rows become late and are
+    DROPPED from append-mode output — streaming semantics working as
+    specified on a poisoned event-time column, while the batch
+    oracle (which states the ordered-feed assumption) keeps every
+    row. The engine must emit FEWER-or-equal rows, never more, and
+    must not crash."""
+    import duckdb
+
+    got = QUERIES["stream_watermark_append"](
+        spark, ts_boundary_dir
+    ).toPandas()
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{ts_boundary_dir}/{t}.parquet')"
+        )
+    want = con.sql(ORACLES["stream_watermark_append"]).df()
+    assert 0 < len(got) <= len(want)
