@@ -100,6 +100,12 @@ _ROUND11_WINDOW = [
     "embed_kmeans_lloyd",
     "graph_pagerank_transitions",
     "text_bpe_learn",
+    #     ...and the timestamp-boundary axis's oracle-text change
+    #     (the in-plan resample span cap, mirrored via error() in
+    #     the oracle). Takes the slot of join_bloom_prefilter — the
+    #     lowest-information row in section (d): an unchanged r5
+    #     re-check, displaced to the round-12 rotation.
+    "ts_resample_interpolate",
     # (d) the recorded round-10 handoff front (PERF_r10.md):
     #     snapshot_diff_audit (displaced two rounds running), the
     #     r10 late null/unicode-axis oracle rewrites, one deferred
@@ -115,7 +121,6 @@ _ROUND11_WINDOW = [
     "scan_text_logparse",
     "agg_user_gap_stats",
     "udf_arrow_scalar",
-    "join_bloom_prefilter",
 ]
 
 registry.promote(_ROUND11_WINDOW)
