@@ -314,3 +314,39 @@ def test_watermark_drops_late_rows_on_poisoned_event_time(
         )
     want = con.sql(ORACLES["stream_watermark_append"]).df()
     assert 0 < len(got) <= len(want)
+
+
+def test_session_timezone_pin_is_load_bearing(spark):
+    """Axis-7 pin (round 11): the driver hands the engine a VANILLA
+    session, so a host/session timezone other than UTC must not be
+    able to shift a single timestamp-derived value — read_table
+    re-pins spark.sql.session.timeZone=UTC on every scan. Sabotage
+    the session TZ, run timestamp-deriving queries against their
+    oracles (DuckDB reads the parquet instants as-is), and verify
+    parity survived BECAUSE the pin overrode the sabotage."""
+    import duckdb
+
+    from etl_jobs_spark import cache
+    from etl_jobs_spark.compare import frames_match
+
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set(
+            "spark.sql.session.timeZone", "America/New_York"
+        )
+        for name in ["agg_rollup_time", "fn_datetime_suite",
+                     "sessionize_batch"]:
+            got = QUERIES[name](spark, SF_DIR).toPandas()
+            frames_match(got, con.sql(ORACLES[name]).df())
+            cache.release_all()
+        # the pin must have overridden the sabotage, not merely
+        # tolerated it
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
