@@ -350,3 +350,45 @@ def test_session_timezone_pin_is_load_bearing(spark):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_parity_survives_non_utc_os_timezone():
+    """Axis-7, part 2: a fresh JVM launched under a non-UTC OS
+    timezone (TZ=America/New_York — how a real driver host often
+    runs) must produce oracle-identical results, because the engine
+    pins the SESSION timezone at scan time rather than trusting the
+    JVM default. Runs in a subprocess so the sabotage reaches JVM
+    startup, not just the session conf."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "import duckdb\n"
+        "from etl_jobs_spark import registry\n"
+        "from etl_jobs_spark.compare import frames_match\n"
+        "from etl_jobs_spark.session import get_spark\n"
+        "spark = get_spark('tz-pin', master='local[4]',"
+        " shuffle_partitions=4)\n"
+        "con = duckdb.connect()\n"
+        "for t in ['events', 'orders']:\n"
+        "    con.sql(f\"CREATE VIEW {t} AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/{{t}}.parquet')\")\n"
+        "q = registry.all_queries(); o = registry.all_oracles()\n"
+        "for name in ['agg_rollup_time', 'sessionize_batch']:\n"
+        f"    frames_match(q[name](spark, '{SF_DIR}').toPandas(),"
+        " con.sql(o[name]).df())\n"
+        "print('TZ-SABOTAGED PARITY OK')\n"
+        "spark.stop()\n"
+    )
+    env = dict(os.environ, TZ="America/New_York")
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-1000:]
+    assert "TZ-SABOTAGED PARITY OK" in r.stdout
