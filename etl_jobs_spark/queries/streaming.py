@@ -836,10 +836,13 @@ def _interval_join_matrix(spark, sf_dir: str) -> DataFrame:
     left_outer execution, not just their algebra) remain exercised
     by tests/test_streaming_join_modes.py.
 
-    Memoized per (SparkSession, sf_dir) via session_memo — memory-
-    sink tables live for the session and are untouched by
-    cache.release_all(), so the drain happens once per bench/sweep
-    loop and never leaks across sessions."""
+    Memoized per (SparkSession, sf_dir) via session_memo, so the
+    drain happens once per bench/sweep loop. Round 11: the drain
+    lands in a PARQUET sink instead of the memory sink — the 64x
+    stress measured the cells' memory-sink re-scans (driver-
+    resident, single-threaded) steepening with matrix size, while
+    the parquet read-back is a distributed columnar scan, the shape
+    the cells would have at cluster scale."""
     from etl_jobs_spark.queries._shared import session_memo
 
     return session_memo(
@@ -904,7 +907,9 @@ def _drain_matrix(spark, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("user_id"), F.col("c_user")).alias("user_id"),
         )
     )
-    return S.run_to_memory(joined, str(wk / "ck"), "append", state_partitions=4)
+    return S.run_to_parquet(
+        joined, str(wk / "ck"), str(wk / "matrix"), state_partitions=4
+    )
 
 
 @register(

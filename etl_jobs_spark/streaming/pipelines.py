@@ -81,6 +81,35 @@ class _state_partitions:
             self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
 
 
+def run_to_parquet(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    out_dir: str,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Drain a streaming DataFrame into a PARQUET sink with
+    `availableNow` and return a schema-pinned batch scan of the
+    output. Unlike the memory sink (driver-resident, re-scanned
+    single-threaded), the parquet read-back is a distributed
+    columnar scan — the shape consumers of a drained stream have at
+    cluster scale. The round-11 64x stress measured the trio's
+    memory-sink cell re-scans steepening with table size; this is
+    the named production fix. Schema pinned on read: an empty feed
+    drains to zero part files (round-11 empty-input axis)."""
+    spark = stream_df.sparkSession
+    with _state_partitions(spark, state_partitions):
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.schema(stream_df.schema).parquet(out_dir)
+
+
 def run_to_memory(
     stream_df: DataFrame,
     checkpoint_dir: str,
