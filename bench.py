@@ -591,9 +591,17 @@ def main() -> None:
         "sf": sf_val,
     }
     if docs.is_dir():
-        (docs / "BENCH_FULL_LATEST.json").write_text(
-            json.dumps(full, indent=1) + "\n"
+        # the canonical committed record is the driver-scale (sf0.1)
+        # run; a smoke run at another SF writes alongside it instead
+        # of clobbering it (same guard sweep_cost.py carries — an
+        # sf0.01 verify run once overwrote the committed record)
+        sf_name = Path(sf_dir).name
+        rec = (
+            "BENCH_FULL_LATEST.json"
+            if sf_name == "sf0.1"
+            else f"BENCH_FULL_{sf_name}.json"
         )
+        (docs / rec).write_text(json.dumps(full, indent=1) + "\n")
         with history.open("a") as f:
             f.write(json.dumps(full) + "\n")
 
@@ -623,11 +631,20 @@ def main() -> None:
         separators=(",", ":"),
     )
     # the whole contract: the driver keeps only the LAST ~2000 bytes
-    # of stdout, so the final line must fit with headroom
-    assert len(line) < 1600, (
-        f"bench stdout line is {len(line)} bytes — would truncate in "
-        "the driver's 2000-byte tail capture; shrink FLAGSHIP"
-    )
+    # of stdout, so the final line must fit with headroom. RuntimeError,
+    # not assert: the guard must survive `python -O` (round-12 ADVICE).
+    if len(line) >= 1600:
+        raise RuntimeError(
+            f"bench stdout line is {len(line)} bytes — would truncate in "
+            "the driver's 2000-byte tail capture; shrink FLAGSHIP"
+        )
+    missing_flagship = [k for k in FLAGSHIP if k not in timings]
+    if missing_flagship:
+        print(
+            f"WARNING: FLAGSHIP names absent from benched timings "
+            f"(dropped from the stdout queries map): {missing_flagship}",
+            file=sys.stderr,
+        )
     print(line)
     spark.stop()
 

@@ -7,6 +7,19 @@ values. ``frames_match`` reproduces that comparison (with an exact
 float compare by default — anything needing tolerance must be rounded
 in BOTH queries upstream) and raises ``AssertionError`` with a
 pointed message on the first difference.
+
+COMPARISON-LAYER CONTRACT — pandas ns-range (round-11 ts axis,
+finding 4): both engines' results pass through pandas DataFrames
+here, and pandas datetime64[ns] only represents instants in
+[1677-09-21, 2262-04-11]. A timestamp column holding era edges
+beyond that range (e.g. year 9999) overflows in THIS HARNESS —
+``OutOfBoundsDatetime`` or a silently wrapped value — even when the
+engine and the oracle both computed it correctly (Spark and DuckDB
+are micros-precision and unaffected). If a fixture regeneration ever
+introduces far-era dates, a failure here is a harness limit, not an
+engine bug: cast such columns to ISO strings in BOTH queries before
+comparing. tests/test_degenerate_inputs.py pins this boundary
+(marker: ``pandas_ns_range``).
 """
 
 from __future__ import annotations

@@ -34,93 +34,89 @@ from etl_jobs_spark.queries import (  # noqa: F401
     feature_engineering,
 )
 
-# Round-11 sweep window (50 queries, registration order). Window
-# rule (round-10 discipline): queries whose operator or oracle TEXT
-# changed this round outrank stale-green re-checks — and round 11's
-# two new differential axes (zero-row inputs, numeric extremes;
-# docs/FLOAT_ORDER_AUDIT.md round-11 sections) rewrote 38 of them,
-# so changed rows take 38 slots and the recorded round-10 handoff
-# front takes the remaining 12. The oldest-first rotation (the r2
-# cohort: agg_funnel_steps, agg_retention_cohorts, cdc_apply_changelog,
-# join_asof_events, scd2_history, text_top_terms,
-# text_unigram_commonness, zorder_layout_stats — then the r3 queue/
-# stream/fn/join families) slips to the round-12 window with this
-# note as the recorded rationale; all are swept green builder-side
-# at three SFs every round. Guard-only changes with no value change
-# on non-empty data (the embed_*/dedup_embed empty-collect guards,
-# text_bpe_apply_learned's shared memo) are deliberately NOT
-# fronted: their oracles and non-degenerate plans are unchanged.
-_ROUND11_WINDOW = [
-    # (a) changed this round — review-driven AVG-denominator fix
-    #     (davg/davg_sql non-null counts, 4 oracles in lockstep),
-    #     rms_udaf NULL edge, profile-stats clamp + exact_decimal:
-    "q1_pricing_summary",
-    "agg_events_by_type",
-    "agg_cube_events",
-    "agg_salted_events",
-    "agg_profile_stats",
-    "udaf_grouped_pandas",
-    # (b) changed this round — numeric-extremes axis (finite-only
-    #     IQR fences, NULL 'other' histogram bucket, NaN==missing
-    #     rank/UDAF contracts, NaN-excluding percentile rank set,
-    #     parquet-stats NaN omission):
+# Round-12 sweep window (50 queries, registration order). This round
+# DRAINS the displaced r2/r3 driver-row backlog — the round-11
+# verdict's top item, reserved slots so it cannot be displaced a
+# third time. Composition:
+#   (a) 6 rows changed THIS round (round-10 discipline: operator or
+#       oracle text changed → must front): scan_empty_feed_census is
+#       the round's ONE registry addition (379 → 380; the round-11
+#       verdict item 5 documented the gap first — a permanent
+#       driver-green witness for the zero-row class), udf_grouped_map
+#       (oracle neutralizes the value key inside the missing bucket —
+#       round-12 ADVICE), scan_glob_union (empty-feed detection moved
+#       from a driver-local glob.glob probe to catching Spark's own
+#       PATH_NOT_FOUND — ADVICE medium), and the scan_csv family
+#       (scan_csv_single / scan_csv_pandas / source_s3: the CSV
+#       timestamp default became optional-fraction
+#       "yyyy-MM-dd HH:mm:ss[.SSSSSS]", overridable via **options).
+#   (b) the FULL 39-query backlog, oldest-first in the recorded
+#       handoff order: the r2 cohort (8), then the r3 queue/stream/
+#       fn/join/udtf families and the rest of the r3 rows.
+#   (c) 5 of the r5-era rows: four of the round-11 guard-only
+#       changes the driver has never seen post-guard (embed_ivf_topk,
+#       embed_pq_topk, embed_ivfpq_topk, dedup_embed_cosine) and
+#       join_bloom_prefilter (displaced in r11).
+# After this window lands green, no driver row predates r4 except
+# embed_ivf_append_topk (r5, same guard family as three checked
+# here) — it leads the round-13 rotation with ann_recall_eval (r6),
+# text_bpe_apply_learned (r7) and the r4 cohort (31 rows).
+_ROUND12_WINDOW = [
+    # (a) changed this round
+    "scan_empty_feed_census",
     "udf_grouped_map",
-    "filter_outliers_iqr",
-    "pred_alert_thresholds",
-    "agg_histogram_value",
-    "fn_percentile_suite",
-    "scan_footer_stats_audit",
-    # (c) changed this round — zero-row axis (try_divide/nullif,
-    #     count-semantics coalesces, lattice HAVING arms, schema-
-    #     pinned read-backs, shape-stable driver-side fits, the
-    #     standalone hll_direct aggregate):
-    "dq_referential_orphans",
-    "stat_proportion_ci_wilson",
-    "dedup_lsh_recall_eval",
-    "agg_user_overlap_stability",
-    "stat_chi_square_independence",
-    "stat_bootstrap_ci_mean",
-    "stat_permutation_test",
-    "dq_pk_uniqueness_suite",
-    "agg_bitmap_distinct",
-    "maintenance_compact_report",
-    "maintenance_vacuum_report",
-    "stream_udtf_fanout",
-    "scan_partition_pruned",
-    "join_dpp_pruned",
-    "sink_partition_overwrite",
-    "pipeline_daily_incremental",
     "scan_glob_union",
-    "scan_with_lineage",
-    "obs_prometheus_text",
-    "obs_run_metrics",
-    "agg_sketch_accuracy_audit",
-    "agg_rollup_time",
-    "agg_grouping_sets",
-    "embed_kmeans_lloyd",
-    "graph_pagerank_transitions",
-    "text_bpe_learn",
-    #     ...and the timestamp-boundary axis's oracle-text change
-    #     (the in-plan resample span cap, mirrored via error() in
-    #     the oracle). Takes the slot of join_bloom_prefilter — the
-    #     lowest-information row in section (d): an unchanged r5
-    #     re-check, displaced to the round-12 rotation.
-    "ts_resample_interpolate",
-    # (d) the recorded round-10 handoff front (PERF_r10.md):
-    #     snapshot_diff_audit (displaced two rounds running), the
-    #     r10 late null/unicode-axis oracle rewrites, one deferred
-    #     re-check:
-    "snapshot_diff_audit",
-    "dq_drift_ks",
-    "stat_mann_whitney_u",
-    "stat_levene_bf",
-    "feat_robust_scale",
-    "ts_downsample_m4",
-    "window_ntile_quartiles",
-    "fn_window_suite",
-    "scan_text_logparse",
-    "agg_user_gap_stats",
-    "udf_arrow_scalar",
+    "scan_csv_single",
+    "scan_csv_pandas",
+    "source_s3",
+    # (b) the r2 cohort — oldest evidence in the repo (last row r2)
+    "agg_funnel_steps",
+    "agg_retention_cohorts",
+    "cdc_apply_changelog",
+    "join_asof_events",
+    "scd2_history",
+    "text_top_terms",
+    "text_unigram_commonness",
+    "zorder_layout_stats",
+    # (b) the r3 families, recorded handoff order
+    "source_queue",
+    "sink_queue",
+    "stream_interval_join",
+    "stream_interval_join_outer",
+    "stream_merge_upsert",
+    "stream_stateful_pandas",
+    "stream_static_join",
+    "text_pii_scrub",
+    "fn_array_suite",
+    "fn_datetime_suite",
+    "fn_string_suite",
+    "join_asof_forward",
+    "join_dim_snapshot_asof",
+    "join_full_outer",
+    "join_semi_anti",
+    "udtf_passage_chunks",
+    "multimodal_audio_chunks",
+    "agg_mode_value_bucket",
+    "approx_distinct_kmv",
+    "dedup_incremental_new_docs",
+    "dedup_keep_canonical",
+    # (b) remaining r3 rows (alphabetical within the cohort)
+    "dedup_lsh_verified",
+    "dedup_ngram_containment",
+    "dedup_semantic_keep_best",
+    "doc_shard_assign",
+    "embed_centroid_labels",
+    "embed_norm_stats",
+    "pack_sequences",
+    "quality_filter_top_half",
+    "sample_stratified",
+    "text_fertility_by_lang",
+    # (c) r5-era guard-changed rows + the twice-displaced re-check
+    "embed_ivf_topk",
+    "embed_pq_topk",
+    "embed_ivfpq_topk",
+    "dedup_embed_cosine",
+    "join_bloom_prefilter",
 ]
 
-registry.promote(_ROUND11_WINDOW)
+registry.promote(_ROUND12_WINDOW)

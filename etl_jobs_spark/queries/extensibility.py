@@ -61,13 +61,20 @@ def udf_scalar_pandas(spark, sf_dir):
     oracle="""
     -- missing bucket first in the key: NULL and NaN both rank LAST
     -- (the grouped-map contract; SQL alone would rank NaN as the
-    -- largest value — round-11 extremes axis)
+    -- largest value — round-11 extremes axis). Inside the missing
+    -- bucket the value key is NEUTRALIZED to NULL: otherwise DuckDB
+    -- still orders NaN above NULL within the bucket, while the
+    -- pandas kernel orders all missing rows purely by event_id —
+    -- ranks would diverge in a group holding both a SQL NULL and a
+    -- NaN payload (round-12 ADVICE).
     SELECT event_id, event_type, value,
            CAST(row_number() OVER (
                     PARTITION BY event_type
                     ORDER BY CASE WHEN value IS NULL OR isnan(value)
                                   THEN 1 ELSE 0 END ASC,
-                             value DESC, event_id ASC)
+                             CASE WHEN value IS NULL OR isnan(value)
+                                  THEN NULL ELSE value END DESC,
+                             event_id ASC)
                 AS BIGINT) AS rnk
     FROM events
     """,

@@ -87,6 +87,60 @@ def scan_glob_union(spark, sf_dir):
     )
 
 
+@register(
+    "scan_empty_feed_census",
+    oracle="""
+    -- the zero-row contract, pinned as a PERMANENT driver row: an
+    -- empty feed yields 0 counts via coalesce, a NULL raw sum (SQL
+    -- aggregate semantics — sum over zero rows is NULL, count is 0),
+    -- and an explicit emptiness flag. Mirrors the engine exactly on
+    -- a zero-row relation (round-11 zero-row axis, promoted to the
+    -- driver surface per the round-11 verdict).
+    SELECT CAST(count(*) AS BIGINT) AS total_rows,
+           CAST(coalesce(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS null_values,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS distinct_types,
+           round(sum(value), 4) AS value_sum_raw,
+           coalesce(round(sum(value), 4), 0.0) AS value_sum_coalesced,
+           CAST(count(*) = 0 AS BOOLEAN) AS is_empty
+    FROM events WHERE FALSE
+    """,
+)
+def scan_empty_feed_census(spark, sf_dir):
+    """Empty-feed read-back census: a day with NO input files is a
+    zero-row feed, not an error — the glob-union scan returns a
+    schema-stable empty frame (sources/readers.py::scan_glob_union's
+    PATH_NOT_FOUND branch) and every census aggregate must hold its
+    documented zero-row value (counts 0, raw sum NULL, coalesced sum
+    0.0). This is the permanent driver-green witness for the
+    36-failure class the round-11 zero-row axis closed; the same
+    census shape runs full-registry in tests/test_degenerate_inputs.py."""
+    d = _workdir("empty_feed")
+    (d / "incoming").mkdir(parents=True, exist_ok=True)  # dir exists, no files
+    feed = readers.scan_glob_union(
+        spark,
+        str(d / "incoming" / "feed_*.csv"),
+        schema=(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        ),
+        fmt="csv",
+    )
+    return feed.agg(
+        F.count("*").cast("long").alias("total_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("null_values"),
+        F.countDistinct("event_type").cast("long").alias("distinct_types"),
+        F.round(F.sum("value"), 4).alias("value_sum_raw"),
+        F.coalesce(F.round(F.sum("value"), 4), F.lit(0.0)).alias(
+            "value_sum_coalesced"
+        ),
+        (F.count("*") == 0).alias("is_empty"),
+    )
+
+
 @register("sink_jdbc_append", oracle="SELECT * FROM supplier")
 def sink_jdbc_append(spark, sf_dir):
     """REAL JDBC roundtrip through embedded Derby (in the Spark JVM):

@@ -98,12 +98,14 @@ def scan_csv(
     ``csv.DictReader`` behavior for parity.
     """
     reader = spark.read.option("header", str(header).lower())
-    # micros-precision timestamps, matching writers.sink_csv (the
-    # default pattern truncates to millis; round-11 ts axis)
-    reader = reader.option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
-    reader = reader.option(
-        "timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
-    )
+    # Default timestamp pattern: optional-fraction micros. Parses the
+    # sink_csv round-trip (6-digit micros — Spark's default pattern
+    # truncates to millis; round-11 ts axis) AND bare-seconds/millis
+    # CSVs from other producers (a strict .SSSSSS pattern silently
+    # NULLs those in PERMISSIVE mode; round-12 ADVICE). A caller with
+    # a different convention overrides via **options.
+    options.setdefault("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+    options.setdefault("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
     if schema is not None:
         reader = reader.schema(schema)
     else:
@@ -134,26 +136,36 @@ def scan_glob_union(
     files), not an error — with a declared schema it scans as zero
     rows; without one the PATH_NOT_FOUND stays loud, because there
     is nothing to infer a schema from (round-11 empty-input axis).
+    The empty-feed detection is Spark's own listing (we catch
+    PATH_NOT_FOUND), NOT a driver-local ``glob.glob`` probe: a local
+    probe returns [] for s3a:// or hdfs:// URIs and for Hadoop-only
+    ``{a,b}`` alternation even when files exist — silent data loss
+    from a generic reader API (round-12 ADVICE).
     """
-    import glob as _glob
+    from pyspark.errors import AnalysisException
 
-    if schema is not None and not _glob.glob(
-        glob_path.replace("file:", "")
-    ):
-        return spark.createDataFrame([], schema)
     reader = spark.read
     if path_glob_filter:
         reader = reader.option("pathGlobFilter", path_glob_filter)
     if schema is not None:
         reader = reader.schema(schema)
-    if fmt == "csv":
-        reader = reader.option("header", str(header).lower())
-        if schema is None:
-            reader = reader.option("inferSchema", "true")
-        return reader.csv(glob_path)
-    if fmt == "parquet":
-        return reader.parquet(glob_path)
-    return reader.format(fmt).load(glob_path)
+    try:
+        if fmt == "csv":
+            reader = reader.option("header", str(header).lower())
+            if schema is None:
+                reader = reader.option("inferSchema", "true")
+            return reader.csv(glob_path)
+        if fmt == "parquet":
+            return reader.parquet(glob_path)
+        return reader.format(fmt).load(glob_path)
+    except AnalysisException as e:
+        probe = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", lambda: None
+        )
+        err = probe() or ""
+        if schema is not None and "PATH_NOT_FOUND" in (err or str(e)):
+            return spark.createDataFrame([], schema)
+        raise
 
 
 def source_object_store(

@@ -56,3 +56,13 @@ def assert_matches_oracle(spark_df, oracle_con, sql: str, float_rtol: float = 0.
     so anything needing tolerance must instead be rounded in BOTH
     queries before it gets here."""
     frames_match(spark_df.toPandas(), oracle_con.sql(sql).df(), float_rtol)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "pandas_ns_range: pins the comparison-layer pandas "
+        "datetime64[ns] range contract (etl_jobs_spark/compare.py "
+        "docstring) — far-era failures there are harness limits, "
+        "not engine bugs",
+    )

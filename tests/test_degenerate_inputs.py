@@ -392,3 +392,32 @@ def test_parity_survives_non_utc_os_timezone():
     )
     assert r.returncode == 0, r.stderr[-1000:]
     assert "TZ-SABOTAGED PARITY OK" in r.stdout
+
+
+@pytest.mark.pandas_ns_range
+def test_comparison_layer_pandas_ns_range_is_loud(spark):
+    """COMPARISON-LAYER contract (compare.py docstring): Spark's
+    ``toPandas()`` Arrow path casts timestamp[us] → timestamp[ns],
+    which only spans [1677-09-21, 2262-04-11] — a far-era instant
+    raises ArrowInvalid in THE HARNESS even though the engines are
+    both micros-precision and agree (DuckDB's ``.df()`` returns
+    datetime64[us] and holds year 9999 fine). A fixture regeneration
+    with far-era dates failing at compare time is therefore a
+    harness limit, not an engine bug: cast such columns to ISO
+    strings in BOTH queries. This pin proves the failure mode is
+    LOUD (raises), never a silently wrapped instant, and that the ts
+    axis's 1700/2200 era edges sit inside the window on purpose."""
+    import duckdb
+    import pyarrow as pa
+
+    # the ts axis's era edges (1700/2200) are inside the ns window
+    in_range = pa.array(
+        [-8_520_336_000 * TS_US, 7_258_118_400 * TS_US],
+        pa.timestamp("us"),
+    ).cast(pa.timestamp("ns"))
+    assert len(in_range) == 2
+
+    with pytest.raises(Exception, match="(?i)out of bounds"):
+        spark.sql("SELECT TIMESTAMP'9999-12-31 23:59:59' AS ts").toPandas()
+    d = duckdb.sql("SELECT TIMESTAMP '9999-12-31 23:59:59' AS ts").df()
+    assert str(d["ts"].dtype) == "datetime64[us]"  # asymmetric: fine here
