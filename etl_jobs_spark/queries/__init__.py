@@ -111,10 +111,15 @@ _ROUND12_WINDOW = [
     "quality_filter_top_half",
     "sample_stratified",
     "text_fertility_by_lang",
-    # (c) r5-era guard-changed rows + the twice-displaced re-check
+    # (c) r5-era guard-changed rows + the twice-displaced re-check.
+    #     scan_incremental_watermark takes embed_ivfpq_topk's slot:
+    #     the round-12 TZ axis found (and fixed) a real divergence in
+    #     it — a changed row outranks the fourth of four same-family
+    #     guard re-checks (embed_ivf_topk + embed_pq_topk jointly
+    #     cover IVFPQ's two constituent guard paths; it rotates r13).
+    "scan_incremental_watermark",
     "embed_ivf_topk",
     "embed_pq_topk",
-    "embed_ivfpq_topk",
     "dedup_embed_cosine",
     "join_bloom_prefilter",
 ]

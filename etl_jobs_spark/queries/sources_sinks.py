@@ -385,12 +385,31 @@ def scan_incremental_watermark(spark, sf_dir):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    wm = (
-        raw.filter(F.col("event_id") % 2 == 0)
-        .agg(F.max("ts").alias("wm"))
-        .collect()[0]["wm"]
-    )
-    return raw.filter(F.col("ts") > F.lit(wm)).select("event_id", "user_id")
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type.startswith("timestamp"):
+        # Fetch the watermark as its WALL-CLOCK STRING, never a
+        # Python datetime: collect() hands back a naive datetime,
+        # and F.lit(datetime) builds a TIMESTAMP_LTZ literal through
+        # the OS-LOCAL epoch conversion — under a non-UTC host TZ
+        # the watermark shifts by the UTC offset and the incremental
+        # filter silently returns the wrong tail (round-12 TZ axis:
+        # 0 rows under TZ=America/New_York). The string → cast to
+        # the column's own type is tz-free, constant-folded, and
+        # the predicate still pushes down.
+        wm = (
+            raw.filter(F.col("event_id") % 2 == 0)
+            .agg(F.max("ts").cast("string").alias("wm"))
+            .collect()[0]["wm"]
+        )
+        lit_wm = F.lit(wm).cast(ts_type)
+    else:  # nanos-as-long: the watermark is a plain integer, tz-free
+        wm = (
+            raw.filter(F.col("event_id") % 2 == 0)
+            .agg(F.max("ts").alias("wm"))
+            .collect()[0]["wm"]
+        )
+        lit_wm = F.lit(wm)
+    return raw.filter(F.col("ts") > lit_wm).select("event_id", "user_id")
 
 
 @register(

@@ -55,6 +55,7 @@ def build_replica(
     skew: bool = False,
     skew_parts: bool = False,
     copies: int = 4,
+    grow_parts: bool = False,
 ) -> None:
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst)
@@ -99,6 +100,15 @@ def build_replica(
             if skew and t == "events"
             else OFFSETS[t]
         )
+        if grow_parts and t == "lineitem":
+            # REAL edge growth for the co-purchase graph: offsetting
+            # l_partkey per copy gives each replica its own disjoint
+            # part universe, so distinct edges (and triangles) scale
+            # ~linearly with copies. The plain id-offset replica only
+            # offsets l_orderkey — every copy regenerates the SAME
+            # (u, v) part pairs, the distinct edge set never grows,
+            # and the census is trivially flat (the round-9 rows).
+            offsets = {**offsets, "l_partkey": 10_000_000}
         parts = [df]
         for i in range(1, copies):
             c = df
@@ -115,12 +125,17 @@ def main() -> None:
     names = sys.argv[1:]
     skew = "--skew" in names
     skew_parts = "--skew-parts" in names
+    grow_parts = "--grow-parts" in names
     copies = 4
     for a in list(names):
         if a.startswith("--copies="):
             copies = int(a.split("=", 1)[1])
             names.remove(a)
-    names = [n for n in names if n not in ("--skew", "--skew-parts")]
+    names = [
+        n
+        for n in names
+        if n not in ("--skew", "--skew-parts", "--grow-parts")
+    ]
     queries = registry.all_queries()
     if not names:
         print("usage: stress_4x.py [--skew] QUERY [QUERY ...]", file=sys.stderr)
@@ -130,16 +145,37 @@ def main() -> None:
     if unknown:
         print(f"unknown queries: {unknown}", file=sys.stderr)
         sys.exit(2)
-    dst = DST + ("_skew" if skew else "_skewparts" if skew_parts else "")
+    dst = DST + (
+        "_skew"
+        if skew
+        else "_skewparts"
+        if skew_parts
+        else "_growparts"
+        if grow_parts
+        else ""
+    )
     if copies != 4:
         dst += f"_{copies}x"
     spark = get_spark("stress4x")
-    build_replica(spark, dst, skew=skew, skew_parts=skew_parts, copies=copies)
+    build_replica(
+        spark,
+        dst,
+        skew=skew,
+        skew_parts=skew_parts,
+        copies=copies,
+        grow_parts=grow_parts,
+    )
     # warm the JVM/codegen once
     queries[names[0]](spark, SRC).count()
     base = f"{copies}x"
     label = (
-        f"{base}-skew" if skew else f"{base}-hub" if skew_parts else base
+        f"{base}-skew"
+        if skew
+        else f"{base}-hub"
+        if skew_parts
+        else f"{base}-grow"
+        if grow_parts
+        else base
     )
     print(f"{'query':34s} {'1x':>8s} {label:>8s}  ratio")
     for n in names:

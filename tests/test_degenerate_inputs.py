@@ -421,3 +421,116 @@ def test_comparison_layer_pandas_ns_range_is_loud(spark):
         spark.sql("SELECT TIMESTAMP'9999-12-31 23:59:59' AS ts").toPandas()
     d = duckdb.sql("SELECT TIMESTAMP '9999-12-31 23:59:59' AS ts").df()
     assert str(d["ts"].dtype) == "datetime64[us]"  # asymmetric: fine here
+
+
+# ---------------------------------------------------------------
+# Axis 7 — SESSION TIMEZONE / DST BOUNDARIES (round 12). The engine
+# pins UTC at scan time (session.py + read_table) because the driver
+# hands it a vanilla session on an arbitrary host; two round-11
+# incidents proved the pin is load-bearing at two sites. This axis
+# proved it everywhere: the FULL registry ran under
+# TZ=America/New_York twice — once on the clean sf0.001 fixtures and
+# once with DST-transition instants injected (US spring-forward
+# ±1us, both passes of the US fall-back ambiguous hour, the exact
+# fall-back instant, an EU spring-forward, a southern-hemisphere
+# fall-back) — and found exactly ONE real divergence:
+# scan_incremental_watermark's collect()→F.lit(datetime) round-trip
+# went through the OS-LOCAL epoch conversion, shifting the watermark
+# by the host's UTC offset (0 rows instead of 1 under NYC). Fixed by
+# fetching the watermark as a wall-clock STRING and casting to the
+# column's own type (tz-free, still constant-folded + pushed down).
+# Everything else — 379/380 then 380/380 after the fix — is
+# bit-identical under a non-UTC OS TZ. Findings:
+# docs/FLOAT_ORDER_AUDIT.md round-12 section.
+
+DST_INSTANTS_US = [
+    1_710_053_999_999_999,  # 1us before US spring-forward (07:00Z 2024-03-10)
+    1_710_054_000 * TS_US,  # the spring-forward instant (02:00 EST -> 03:00 EDT)
+    1_730_611_800 * TS_US,  # 05:30Z 2024-11-03 = 01:30 EDT (ambiguous, 1st pass)
+    1_730_615_400 * TS_US,  # 06:30Z 2024-11-03 = 01:30 EST (same wall time, 2nd pass)
+    1_711_846_800 * TS_US,  # EU spring-forward 01:00Z 2024-03-31
+    1_712_419_200 * TS_US,  # Sydney fall-back (03:00 AEDT 2024-04-07 = 16:00Z Apr 6)
+    1_730_613_600 * TS_US,  # the exact US fall-back instant (06:00Z 2024-11-03)
+]
+
+
+@pytest.fixture(scope="module")
+def dst_boundary_dir(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("dst_boundary_sf")
+    rng = np.random.default_rng(0xD57)
+    inject = {"events": "ts", "orders": "o_orderdate"}
+    for t in FIXTURE_TABLES:
+        tab = pq.read_table(f"{SF_DIR}/{t}.parquet")
+        col = inject.get(t)
+        if col:
+            vals = tab[col].cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            ).copy()
+            k = max(len(DST_INSTANTS_US), len(vals) // 50)
+            idx = rng.choice(len(vals), size=k, replace=False)
+            for j, i in enumerate(idx):
+                vals[i] = DST_INSTANTS_US[j % len(DST_INSTANTS_US)]
+            arr = pa.array(vals, pa.int64()).cast(pa.timestamp("us"))
+            tab = tab.set_column(
+                tab.schema.get_field_index(col), col, arr
+            )
+        pq.write_table(tab, str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+#: The axis-7 value-agreement sample: the fixed divergence plus the
+#: kernels a local-tz leak would shift first (truncation lattices,
+#: gap sessionization, month windows, weekly bucketing, the CSV
+#: timestamp round-trip).
+DST_TZ_SAMPLE = [
+    "scan_incremental_watermark",  # the fixed collect->lit divergence
+    "agg_rollup_time",
+    "sessionize_batch",
+    "fn_datetime_suite",
+    "window_pct_change_mom",
+    "agg_bitmap_rollup_weekly",
+    "source_s3",
+]
+
+
+def test_dst_boundaries_under_non_utc_os_tz(dst_boundary_dir):
+    """Axis-7 permanent sample: a fresh JVM under TZ=America/New_York
+    processing DST-transition instants must hash-match the oracle —
+    the nonexistent hour, both passes of the ambiguous hour, and the
+    exact transition instants shift results ONLY if some path leaks
+    local-time handling, which the UTC pin must prevent."""
+    import os
+    import subprocess
+    import sys
+
+    names = ", ".join(repr(n) for n in DST_TZ_SAMPLE)
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "import duckdb\n"
+        "from etl_jobs_spark import registry, cache\n"
+        "from etl_jobs_spark.compare import frames_match\n"
+        "from etl_jobs_spark.session import get_spark\n"
+        "spark = get_spark('dst-axis', master='local[4]',"
+        " shuffle_partitions=4)\n"
+        "con = duckdb.connect()\n"
+        f"for t in {list(FIXTURE_TABLES)!r}:\n"
+        "    con.sql(f\"CREATE VIEW {t} AS SELECT * FROM "
+        f"read_parquet('{dst_boundary_dir}/{{t}}.parquet')\")\n"
+        "q = registry.all_queries(); o = registry.all_oracles()\n"
+        f"for name in [{names}]:\n"
+        f"    frames_match(q[name](spark, '{dst_boundary_dir}')"
+        ".toPandas(), con.sql(o[name]).df())\n"
+        "    cache.release_all()\n"
+        "print('DST-TZ PARITY OK')\n"
+        "spark.stop()\n"
+    )
+    env = dict(os.environ, TZ="America/New_York")
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "DST-TZ PARITY OK" in r.stdout
