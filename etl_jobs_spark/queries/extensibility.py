@@ -210,7 +210,7 @@ def udf_arrow_scalar(spark, sf_dir):
     plain per-value Python, Arrow-columnar transport. Tokens split
     on an EXPLICIT ASCII whitespace class pinned identically in the
     Python UDF and the oracle's regexp_split_to_array — Python's
-    ``str.split()`` and SQL ``\s`` disagree on unicode whitespace
+    ``str.split()`` and SQL ``\\s`` disagree on unicode whitespace
     (NBSP), caught by the round-10 unicode differential."""
     docs = read_table(spark, sf_dir, "documents")
     return docs.select(

@@ -27,12 +27,20 @@ def test_entry_contract(spark):
 
 
 def test_promotion_list_within_sweep_window():
-    """The promoted round-11 window must exactly fill the external
+    """The promoted per-round window must exactly fill the external
     sweep's 50-slot budget (registration order IS the sweep order),
-    and the list must only name registered queries."""
-    from etl_jobs_spark import registry
-    from etl_jobs_spark.queries import _ROUND11_WINDOW
+    and the list must only name registered queries. The window
+    variable is resolved by its _ROUND*_WINDOW naming convention so
+    the test survives the per-round rename."""
+    from etl_jobs_spark import queries, registry
 
+    windows = [
+        getattr(queries, n)
+        for n in dir(queries)
+        if n.startswith("_ROUND") and n.endswith("_WINDOW")
+    ]
+    assert len(windows) == 1, "exactly one promoted window per round"
+    window = windows[0]
     names = list(registry.all_queries())
-    assert len(_ROUND11_WINDOW) == 50
-    assert names[:50] == _ROUND11_WINDOW
+    assert len(window) == 50
+    assert names[:50] == window
