@@ -45,6 +45,44 @@ QUERY_IDS = (0, 1, 2, 3, 4)
 _PLANES = hyperplanes(N_PLANES, EMBED_DIM)
 
 
+def require_unique_ids(df: DataFrame, col: str = "vec_id") -> DataFrame:
+    """Fit/probe-tier ingest contract: vector ids must be UNIQUE.
+
+    Every index this tier fits or serves (k-means, IVF/PQ, MMR
+    retrieval) keys vectors by id — the vector-database contract.
+    Fitting over a corpus where one id carries two rows silently
+    corrupts assignments and tie-breaks (round-12 duplicate-key
+    axis: the Lloyd oracle double-summed distances, the MMR greedy
+    collapsed duplicate candidates dict-side only). Duplicate ids
+    are an upstream ingest error — the dedup tier exists to clean
+    them — so this fails LOUDLY, mirroring the oracles' error()
+    check. One cheap 2-scalar aggregate, once per fit/probe."""
+    n, d = df.select(
+        F.count(F.lit(1)), F.countDistinct(F.col(col))
+    ).first()
+    if n != d:
+        raise ValueError(
+            f"similarity tier requires unique {col}: corpus has {n} "
+            f"rows but {d} distinct ids — run the dedup tier first "
+            "(duplicate ids would silently corrupt fits and probes)"
+        )
+    return df
+
+
+def unique_ids_check_sql(table: str = "embeddings",
+                         col: str = "vec_id") -> str:
+    """DuckDB twin of :func:`require_unique_ids`: a 1-row CTE body
+    that errors loudly on duplicate ids, else yields ok=1. Consumers
+    splice it as ``chk AS ({this})`` and gate on
+    ``(SELECT ok FROM chk) = 1``."""
+    return (
+        f"SELECT CASE WHEN count(*) = count(DISTINCT {col}) THEN 1 "
+        f"ELSE error('similarity tier requires unique {col}: "
+        f"duplicate ids in {table} (run the dedup tier first)') END "
+        f"AS ok FROM {table}"
+    )
+
+
 def bucket_expr(col: str, engine: str) -> str:
     """Sign-LSH bucket id: one bit per hyperplane (dot > 0)."""
     bits = " + ".join(

@@ -112,12 +112,20 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
+def quality_score(
+    docs: DataFrame, keep: list[str] | None = None
+) -> DataFrame:
     """Document quality heuristics: length, punctuation density,
     stopword ratio, mean word length → a composite [0,1] score.
 
     Mirrors the reference's row-level ``quality_score`` idea
     (1 - null ratio, src/etl_2022.py:216) lifted to corpus text.
+
+    ``keep``: extra input columns carried through the projection.
+    Callers that need them must carry them HERE rather than joining
+    back on doc_id afterwards: a rejoin-by-id fans out when the id
+    is not unique (duplicate-delivered docs) — the round-12
+    duplicate-key axis caught quality_top_half doing exactly that.
     """
     n = norm_text("text", "spark")
     toks = word_tokens(n, "spark")
@@ -125,6 +133,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     punct = f"CAST(length(regexp_replace({n}, '[a-z0-9 ]', '')) AS DOUBLE)"
     return docs.select(
         "doc_id",
+        *(keep or []),
         F.expr(f"CAST(length({n}) AS BIGINT)").alias("n_chars_norm"),
         F.expr(f"round({punct} / greatest(length({n}), 1), 4)").alias(
             "punct_ratio"

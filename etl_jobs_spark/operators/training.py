@@ -142,12 +142,17 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
 
     bin = floor(tokens_before_this_doc / budget): deterministic,
     contiguous, and identical in any engine with the same order.
+    n_tokens joins the window order as a tie-break: duplicate doc
+    ids with DIFFERENT texts (round-12 duplicate-key axis) would
+    otherwise make the running sum order-ambiguous between engines;
+    rows tying on (doc_id, n_tokens) leave every cum — and so every
+    bin — identical under either order.
     """
     n = norm_text("text", "spark")
     toks = f"CAST(size({word_tokens(n, 'spark')}) AS BIGINT)"
     w = (
         Window.partitionBy("lang")
-        .orderBy("doc_id")
+        .orderBy("doc_id", "n_tokens")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     with_bin = (
@@ -173,11 +178,16 @@ def quality_top_half(docs: DataFrame) -> DataFrame:
     quantile-threshold-based so the cut is exact integer logic — no
     float-boundary ambiguity between engines. One keyed window pass;
     group size is bounded by language, and at 100 TB the same gate
-    runs per (lang, shard) to keep windows partition-local."""
+    runs per (lang, shard) to keep windows partition-local.
+
+    ``lang`` is CARRIED through the score projection, not joined
+    back on doc_id: the rejoin fans out on duplicate-delivered doc
+    ids (round-12 duplicate-key axis — Spark returned the squared
+    fan-out while the oracle's single window pass did not), and it
+    was a whole extra shuffle besides."""
     from etl_jobs_spark.operators.text import quality_score
 
-    q = quality_score(docs).select("doc_id", "quality")
-    ranked = q.join(docs.select("doc_id", "lang"), "doc_id").withColumn(
+    ranked = quality_score(docs, keep=["lang"]).withColumn(
         "half",
         F.ntile(2).over(
             Window.partitionBy("lang").orderBy(

@@ -80,3 +80,48 @@ def session_memo(spark, namespace: str, key, build):
     if key not in ns:
         ns[key] = build()
     return ns[key]
+
+
+def canonical_per_key(
+    df: DataFrame, key: str, order_cols: list[str]
+) -> DataFrame:
+    """Duplicate-id canonicalization: ONE row per ``key``, the
+    row_number()=1 pick under ``order_cols`` ASC NULLS FIRST.
+
+    Operators that re-join or tie-break by an id column assume the
+    id is unique; real at-least-once feeds violate that (the
+    round-12 duplicate-key axis). This pins a DETERMINISTIC,
+    cross-engine-mirrorable representative: rows agreeing on the key
+    AND every order column are exact duplicates (any pick is
+    value-identical); rows conflicting on an order column order
+    totally. ``canonical_per_key_sql`` is the DuckDB twin — change
+    together. Keyed window, scales like any other keyed pass."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key).orderBy(
+        *[F.asc_nulls_first(c) for c in order_cols]
+    )
+    return (
+        df.withColumn("_canon_rk", F.row_number().over(w))
+        .filter(F.col("_canon_rk") == 1)
+        .drop("_canon_rk")
+    )
+
+
+def canonical_per_key_sql(
+    inner: str, cols: list[str], key: str, order_cols: list[str]
+) -> str:
+    """DuckDB twin of :func:`canonical_per_key`: SELECT over
+    ``inner`` (a table name or parenthesized subquery) keeping the
+    row_number()=1 row per ``key`` under ``order_cols`` ASC NULLS
+    FIRST (pinned explicitly — DuckDB defaults to NULLS LAST where
+    Spark's asc() is nulls-first)."""
+    sel = ", ".join(cols)
+    order = ", ".join(f"{c} ASC NULLS FIRST" for c in order_cols)
+    return f"""(
+      SELECT {sel} FROM (
+        SELECT {sel},
+               row_number() OVER (PARTITION BY {key}
+                                  ORDER BY {order}) AS _canon_rk
+        FROM {inner})
+      WHERE _canon_rk = 1)"""

@@ -41,9 +41,17 @@ def agg_pivot_events(spark, sf_dir):
     """Pivot (long → wide): per-user value totals, one column per
     event type. With explicit pivot values Spark does ONE pass of
     conditional aggregation — never the two-pass distinct-values
-    scan implicit-pivot needs (a full extra scan at 100 TB)."""
+    scan implicit-pivot needs (a full extra scan at 100 TB).
+
+    The zero-fill must happen AFTER the pivot: Spark fills a
+    (user, type) cell with NO input rows with NULL at the pivot
+    layer, so a coalesce INSIDE the aggregate never fires for that
+    cell. The clean fixtures are dense (every user has every type)
+    and hid this; the round-12 duplicate-key axis's sparse orphan
+    users exposed NULL cells where the oracle's
+    sum(...) FILTER coalesces to 0 (silent NULL-vs-0 divergence)."""
     ev = read_table(spark, sf_dir, "events")
-    return (
+    pivoted = (
         ev.groupBy("user_id")
         .pivot("event_type", list(EVENT_TYPES))
         .agg(
@@ -51,6 +59,13 @@ def agg_pivot_events(spark, sf_dir):
                 F.coalesce(F.sum(F.col("value").cast(M.DEC2)), F.lit(0)), 2
             ).cast("double")
         )
+    )
+    return pivoted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0.0)).alias(t)
+            for t in EVENT_TYPES
+        ],
     )
 
 
@@ -289,15 +304,23 @@ _SDEDUP_MEMO: dict[str, Path] = {}
 @register(
     "stream_dedup_exact",
     oracle="""
-    SELECT event_id, user_id, event_type, value FROM events
+    SELECT event_id, user_id, event_type, value FROM (
+      SELECT DISTINCT event_id, ts, user_id, event_type, value
+      FROM events)
     """,
 )
 def stream_dedup_exact(spark, sf_dir):
     """Streaming exact dedup: the raw prefix receives the SAME batch
-    twice (at-least-once delivery); watermarked dropDuplicates emits
-    each event_id once — exactly-once semantics built from state, the
-    streaming face of the dedup ladder (operators/dedup.py). State is
-    bounded by the watermark: ids older than the delay are evicted.
+    twice (at-least-once delivery); watermarked dropDuplicates over
+    the FULL ROW emits each distinct record once — exactly-once
+    semantics built from state, the streaming face of the dedup
+    ladder (operators/dedup.py). Full-row, not id-only: an id-keyed
+    dropDuplicates picks a NONDETERMINISTIC representative when the
+    same id arrives with different payloads (a source emitting two
+    versions) — the round-12 duplicate-key axis caught that silent
+    pick; exact dedup's contract is "drop redelivered COPIES", which
+    only the full row defines deterministically. State is bounded by
+    the watermark: rows older than the delay are evicted.
 
     The duplicated raw feed is immutable once staged → memoized per
     corpus (round 2 re-staged it every invocation, double-writing
@@ -320,8 +343,13 @@ def stream_dedup_exact(spark, sf_dir):
         "parquet",
         None,
     )
-    deduped = src.withWatermark("ts", "1 hour").dropDuplicates(["event_id"]) \
+    deduped = (
+        src.withWatermark("ts", "1 hour")
+        .dropDuplicates(
+            ["event_id", "ts", "user_id", "event_type", "value"]
+        )
         .select("event_id", "user_id", "event_type", "value")
+    )
     return S.run_to_memory(deduped, str(ck), "append", state_partitions=4)
 
 

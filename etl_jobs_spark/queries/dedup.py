@@ -294,11 +294,17 @@ def _embed_cosine_oracle() -> str:
     dot = dot_unrolled("va.embedding", "vb.embedding", DD.EMBED_DIM, "duckdb")
     nrm = norm_unrolled("embedding", DD.EMBED_DIM, "duckdb")
     return f"""
-    WITH corpus AS (
-      SELECT vec_id, embedding, label FROM embeddings
+    WITH emb AS (
+      -- full-row DISTINCT at ingest: a dedup operator treats the
+      -- same (id, vector, label) delivered twice as ONE vector
+      -- (round-12 duplicate-key axis); conflicting payloads for one
+      -- id survive as rows and can never self-pair (vec_a < vec_b)
+      SELECT DISTINCT vec_id, embedding, label FROM embeddings),
+    corpus AS (
+      SELECT vec_id, embedding, label FROM emb
       UNION ALL
       SELECT vec_id + {DD.PLANT_OFFSET}, embedding, label
-      FROM embeddings WHERE vec_id < {DD.PLANT_MAX_ID}),
+      FROM emb WHERE vec_id < {DD.PLANT_MAX_ID}),
     vecs AS (SELECT vec_id, label, embedding, {nrm} AS nrm FROM corpus)
     SELECT vec_a, vec_b, cosine FROM (
       SELECT va.vec_id AS vec_a, vb.vec_id AS vec_b,
@@ -323,7 +329,9 @@ def dedup_embed_cosine(spark, sf_dir):
     from etl_jobs_spark.operators import similarity as SIM
     from etl_jobs_spark.queries.similarity import ivf_quantizer
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    # full-row DISTINCT at ingest — the dedup tier's duplicate-id
+    # contract (round-12 duplicate-key axis; mirrored in the oracle)
+    emb = read_table(spark, sf_dir, "embeddings").dropDuplicates()
     centroids = ivf_quantizer(spark, sf_dir)
     cell_map = SIM.assign_cells(centroids, emb, keep=["vec_id"])
     return DD.embedding_cosine_pairs(emb, cell_map=cell_map)
@@ -426,11 +434,16 @@ def _semantic_keep_best_oracle() -> str:
     dot = dot_unrolled("va.embedding", "vb.embedding", DD.EMBED_DIM, "duckdb")
     nrm = norm_unrolled("embedding", DD.EMBED_DIM, "duckdb")
     return f"""
-    WITH corpus AS (
-      SELECT vec_id, embedding, label FROM embeddings
+    WITH emb AS (
+      -- full-row DISTINCT at ingest (round-12 duplicate-key axis):
+      -- same contract as dedup_embed_cosine, whose pair stage this
+      -- query shares
+      SELECT DISTINCT vec_id, embedding, label FROM embeddings),
+    corpus AS (
+      SELECT vec_id, embedding, label FROM emb
       UNION ALL
       SELECT vec_id + {DD.PLANT_OFFSET}, embedding, label
-      FROM embeddings WHERE vec_id < {DD.PLANT_MAX_ID}),
+      FROM emb WHERE vec_id < {DD.PLANT_MAX_ID}),
     vecs AS (SELECT vec_id, label, embedding, {nrm} AS nrm FROM corpus),
     pairs AS (
       SELECT vec_a, vec_b FROM (
@@ -479,7 +492,9 @@ def dedup_semantic_keep_best(spark, sf_dir):
     from etl_jobs_spark.operators import similarity as SIM
     from etl_jobs_spark.queries.similarity import ivf_quantizer
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    # full-row DISTINCT at ingest — the dedup tier's duplicate-id
+    # contract (round-12 duplicate-key axis; mirrored in the oracle)
+    emb = read_table(spark, sf_dir, "embeddings").dropDuplicates()
     centroids = ivf_quantizer(spark, sf_dir)
     cell_map = SIM.assign_cells(centroids, emb, keep=["vec_id"])
     pairs = DD.embedding_cosine_pairs(emb, cell_map=cell_map).select(

@@ -95,7 +95,16 @@ _MEDIA_STAGED: dict[str, str] = {}
 
 def _stage_media(spark, sf_dir: str) -> str:
     """Encode + stage the real-container media table once per sf_dir
-    (memoized): doc_id, container, media(binary), audio(binary)."""
+    (memoized): doc_id, container, media(binary), audio(binary).
+
+    ONE blob per DISTINCT doc_id — the filename-is-the-key contract
+    of every real object store (two files cannot share a name). A
+    duplicate-delivered doc row must not stage a second copy of the
+    same blob: the round-12 duplicate-key axis showed the per-ROW
+    staging double-decoding duplicated ids while every pixel oracle
+    is keyed per doc_id. The grid is a pure function of doc_id, so
+    the distinct is exact, deterministic, and all the generator
+    needs."""
     if sf_dir in _MEDIA_STAGED:
         return _MEDIA_STAGED[sf_dir]
     from etl_jobs_spark.scratch import scratch_dir
@@ -105,7 +114,9 @@ def _stage_media(spark, sf_dir: str) -> str:
     # 2 files: the batch decode queries don't care, and the streaming
     # ingest query gets a >1-batch drain from the SAME staged copy
     # (one RAM-backed table instead of two)
-    MM.generate_media(docs).repartition(2).write.parquet(d)
+    MM.generate_media(
+        docs.select("doc_id").distinct()
+    ).repartition(2).write.parquet(d)
     _MEDIA_STAGED[sf_dir] = d
     return d
 
@@ -411,7 +422,9 @@ def _stage_media_gif(spark, sf_dir: str) -> str:
             yield pd.DataFrame(rows, columns=["doc_id", "container", "media"])
 
     docs = read_table(spark, sf_dir, "documents")
-    docs.select("doc_id").mapInPandas(
+    # one blob per DISTINCT doc_id — same filename-is-the-key
+    # contract as _stage_media (round-12 duplicate-key axis)
+    docs.select("doc_id").distinct().mapInPandas(
         batches, schema="doc_id long, container string, media binary"
     ).repartition(2).write.parquet(d)
     _GIF_STAGED[sf_dir] = d

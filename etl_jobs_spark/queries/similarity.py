@@ -218,7 +218,7 @@ def _ivf_oracle(base_only: bool) -> str:
       SELECT cell, centroid
       FROM (VALUES {", ".join(rows)}) AS t(corpus, cell, centroid)
       WHERE corpus = (
-        SELECT CASE {" ".join(cases)} ELSE -1 END FROM (
+        SELECT CASE {" ".join(cases)} ELSE error('unrecognized embeddings corpus: the literal-centroid oracle only knows the staged fixture corpora (round-12 dup-key axis: loud, never silently empty)') END FROM (
           SELECT count(*) AS n,
                  CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE)
                                      * 1000000) AS BIGINT)) AS BIGINT) AS chk
@@ -544,7 +544,7 @@ def _pq_oracle() -> str:
       SELECT i, j, csq, sub
       FROM (VALUES {", ".join(rows)}) AS t(corpus, i, j, csq, sub)
       WHERE corpus = (
-        SELECT CASE {" ".join(cases)} ELSE -1 END FROM (
+        SELECT CASE {" ".join(cases)} ELSE error('unrecognized embeddings corpus: the literal-centroid oracle only knows the staged fixture corpora (round-12 dup-key axis: loud, never silently empty)') END FROM (
           SELECT count(*) AS n,
                  CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE)
                                      * 1000000) AS BIGINT)) AS BIGINT) AS chk
@@ -655,7 +655,7 @@ def _ivfpq_oracle() -> str:
     dot_qa = dot_unrolled("q.q_emb", "a.embedding", SIM.EMBED_DIM, "duckdb")
     return f"""
     WITH corpus_id AS (
-      SELECT CASE {" ".join(cases)} ELSE -1 END AS ci FROM (
+      SELECT CASE {" ".join(cases)} ELSE error('unrecognized embeddings corpus: the literal-centroid oracle only knows the staged fixture corpora (round-12 dup-key axis: loud, never silently empty)') END AS ci FROM (
         SELECT count(*) AS n,
                CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE)
                                    * 1000000) AS BIGINT)) AS BIGINT) AS chk
@@ -937,11 +937,13 @@ def _kmeans_oracle() -> str:
     assignment stats. Integer division is truncation-toward-zero in
     both engines (verified); sums stay exact BIGINTs."""
     parts = [
-        f"""v AS (
+        f"""chk AS ({SIM.unique_ids_check_sql()}),
+    v AS (
       SELECT vec_id, CAST(d AS INT) AS d, q FROM (
         SELECT vec_id, unnest({_km_quant("duckdb")}) AS q,
                generate_subscripts(embedding, 1) AS d
-        FROM embeddings)),
+        FROM embeddings
+        WHERE (SELECT ok FROM chk) = 1)),
     c0 AS (
       SELECT vec_id AS cid, d, q AS c FROM v
       WHERE vec_id < {_KM_K})"""
@@ -1018,8 +1020,15 @@ def embed_kmeans_lloyd(spark, sf_dir):
     round — the bounded-driver-data pattern of the BPE learner and
     the IVF fit. At 100 TB: assignment is map-only over the corpus,
     the update shuffle carries k·dim partial sums per task, and
-    round count is fixed."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    round count is fixed.
+
+    Unique-vec_id ingest contract (round-12 duplicate-key axis): a
+    fit over a corpus where one id carries two rows silently
+    corrupts init seeding and assignment tie-breaks — fails loudly
+    in BOTH engines instead."""
+    emb = SIM.require_unique_ids(
+        read_table(spark, sf_dir, "embeddings")
+    )
     return kmeans_lloyd_fit(emb)
 
 
@@ -1646,7 +1655,10 @@ def _mmr_oracle(keep_cte: str = "") -> str:
         keep_parts = [f"keep AS MATERIALIZED ({keep_cte})"]
         cand_join += " JOIN keep k ON k.doc_id = c.vec_id"
     parts = keep_parts + [
-        f"vecs AS MATERIALIZED (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings)",
+        f"chk AS ({SIM.unique_ids_check_sql()})",
+        f"""vecs AS MATERIALIZED (
+      SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings
+      WHERE (SELECT ok FROM chk) = 1)""",
         f"""qs AS MATERIALIZED (
       SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
       FROM vecs WHERE vec_id IN ({_QIDS}))""",
@@ -1716,9 +1728,14 @@ def _mmr_oracle(keep_cte: str = "") -> str:
 def _mmr_select(spark, emb, keep=None):
     """Distributed candidate cut + pairwise sims, driver-coordinated
     greedy (see embed_mmr_diversified_topk). ``keep``: optional
-    DataFrame of doc_id the CANDIDATE corpus is restricted to."""
+    DataFrame of doc_id the CANDIDATE corpus is restricted to.
+
+    Serving requires unique vec_ids (round-12 duplicate-key axis:
+    the greedy's driver dicts dedup (q, v) keys where SQL would not
+    — loud ingest contract instead, mirrored in the oracle)."""
     from pyspark.sql import Window as W
 
+    emb = SIM.require_unique_ids(emb)
     vecs = emb.select(
         "vec_id",
         "embedding",
@@ -1860,7 +1877,7 @@ def _cent_cte(base_only: bool = False) -> str:
       SELECT cell, centroid
       FROM (VALUES {", ".join(rows)}) AS t(corpus, cell, centroid)
       WHERE corpus = (
-        SELECT CASE {" ".join(cases)} ELSE -1 END FROM (
+        SELECT CASE {" ".join(cases)} ELSE error('unrecognized embeddings corpus: the literal-centroid oracle only knows the staged fixture corpora (round-12 dup-key axis: loud, never silently empty)') END FROM (
           SELECT count(*) AS n,
                  CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE)
                                      * 1000000) AS BIGINT)) AS BIGINT) AS chk

@@ -73,8 +73,15 @@ def scan_glob_union(spark, sf_dir):
     d = _workdir("glob_union")
     cust = read_table(spark, sf_dir, "customer")
     for seg in [r[0] for r in cust.select("c_mktsegment").distinct().collect()]:
+        # a path segment derived from a DATA VALUE must be escaped —
+        # Spark's own partitionBy percent-encodes exactly so; a raw
+        # ':' in a segment value is a URISyntaxException at read time
+        # (round-12 duplicate-key axis's rewritten segments)
+        from urllib.parse import quote
+
+        safe = quote(seg, safe="")
         writers.sink_csv(
-            cust.filter(F.col("c_mktsegment") == seg), str(d / f"input_{seg}")
+            cust.filter(F.col("c_mktsegment") == seg), str(d / f"input_{safe}")
         )
     # decoy the scan must NOT read (ref: skipping output.csv, src/etl_2020.py:151)
     writers.sink_csv(cust.limit(7), str(d / "output"))
@@ -415,10 +422,14 @@ def scan_incremental_watermark(spark, sf_dir):
 @register(
     "scan_binary_files",
     oracle="""
+    -- one file per DISTINCT key: a filesystem cannot hold two files
+    -- with the same name, so a duplicate-key row re-stages (min
+    -- name pins the winner deterministically in both engines —
+    -- round-12 duplicate-key axis)
     SELECT CAST(n_nationkey AS BIGINT) AS file_key,
-           CAST(length(n_name) AS BIGINT) AS n_bytes,
-           md5(n_name) AS content_md5
-    FROM nation
+           CAST(length(min(n_name)) AS BIGINT) AS n_bytes,
+           md5(min(n_name)) AS content_md5
+    FROM nation GROUP BY n_nationkey
     """,
 )
 def scan_binary_files(spark, sf_dir):
@@ -435,7 +446,8 @@ def scan_binary_files(spark, sf_dir):
     d.mkdir(parents=True, exist_ok=True)
     rows = (
         read_table(spark, sf_dir, "nation")
-        .select("n_nationkey", "n_name")
+        .groupBy("n_nationkey")  # filename IS the key: one file per
+        .agg(F.min("n_name").alias("n_name"))  # distinct key (axis 8)
         .collect()
     )
     for r in rows:  # 25 rows — staging only, not a data path
@@ -838,8 +850,13 @@ def scan_text_logparse(spark, sf_dir):
 
     path = session_memo(spark, "logparse", sf_dir, stage)
     raw = spark.read.text(path)
+    # type capture is [^\]]* — NOT \w+: real event types carry
+    # punctuation (the round-12 dup-key axis's rewritten types
+    # silently parsed to '' under \w+, vanishing whole groups from
+    # the census). The one framing limit a bracketed log line truly
+    # has: a type containing ']' itself cannot round-trip.
     parsed = raw.select(
-        F.regexp_extract("value", r"^\[(\w+)\]", 1).alias("event_type"),
+        F.regexp_extract("value", r"^\[([^\]]*)\]", 1).alias("event_type"),
         F.regexp_extract("value", r"id=(\d+)", 1)
         .cast("bigint")
         .alias("event_id"),

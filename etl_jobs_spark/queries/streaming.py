@@ -668,10 +668,16 @@ def stream_tws_processor(spark, sf_dir):
                 # rows count regardless; cents sum the NON-NULL
                 # values (int(NaN) raises and kills the whole
                 # stream — caught by the round-10 null-injection
-                # differential)
+                # differential). Quantization is floor(x*100+0.5)
+                # — math.floor, NOT Python int(): int() truncates
+                # toward zero and silently diverges from the SQL
+                # floor() on NEGATIVE values (round-12 dup-key
+                # axis; the clean fixtures are all-positive).
+                import math
+
                 v = pdf["value"].dropna()
                 cents += int(
-                    (v * 100 + 0.5).apply(float).apply(int).sum()
+                    (v * 100 + 0.5).apply(math.floor).sum()
                 )
             self._state.update((n, cents))
             yield pd.DataFrame(

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from etl_jobs_spark.operators import money as M
 
 from etl_jobs_spark.operators import temporal as TP
+from etl_jobs_spark.queries import _shared as SH
 from etl_jobs_spark.registry import register
 from etl_jobs_spark.sources.readers import read_table
 
@@ -233,15 +234,40 @@ def join_range_autobucket(spark, sf_dir):
     )
 
 
+#: Canonicalized purchase rows for the as-of family: the as-of
+#: kernel re-joins its backward/forward passes on ``left_id``
+#: (asof_join_nearest's documented uniqueness precondition) and the
+#: tolerance variant restores unmatched rows by an id anti-join —
+#: both fan out under duplicate event_ids (round-12 dup-key axis).
+#: One deterministic row per event_id, pinned in both engines.
+_CANON_PURCHASE_ORDER = ["user_id", "ts", "value"]
+_CANON_PURCHASES = SH.canonical_per_key_sql(
+    "(SELECT event_id, user_id, ts, value FROM events"
+    " WHERE event_type = 'purchase')",
+    ["event_id", "user_id", "ts", "value"],
+    "event_id",
+    _CANON_PURCHASE_ORDER,
+)
+
+
+def _purchases_canon(ev):
+    return SH.canonical_per_key(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        ),
+        "event_id",
+        _CANON_PURCHASE_ORDER,
+    )
+
+
 @register(
     "join_asof_nearest",
-    oracle="""
+    oracle=f"""
     WITH clicks AS (
       SELECT user_id, ts, max(event_id) AS event_id
       FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
     purchases AS (
-      SELECT event_id, user_id, ts, value
-      FROM events WHERE event_type = 'purchase'),
+      SELECT * FROM {_CANON_PURCHASES}),
     prev AS (
       SELECT p.event_id AS pid, c.event_id AS cid, c.ts AS cts
       FROM purchases p
@@ -278,9 +304,7 @@ def join_asof_nearest(spark, sf_dir):
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("event_id"))
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
-    )
+    purchases = _purchases_canon(ev)
     return TP.asof_join_nearest(
         purchases,
         clicks,
@@ -527,8 +551,7 @@ _ASOF_TOL_US = 30 * 60 * 1_000_000
       SELECT user_id, ts, max(event_id) AS event_id
       FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
     purchases AS (
-      SELECT event_id, user_id, ts, value
-      FROM events WHERE event_type = 'purchase')
+      SELECT * FROM {_CANON_PURCHASES})
     SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP_NS) AS ts, p.value,
            CASE WHEN c.ts IS NOT NULL
                  AND epoch_us(CAST(p.ts AS TIMESTAMP))
@@ -562,9 +585,7 @@ def join_asof_tolerance(spark, sf_dir):
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("event_id"))
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
-    )
+    purchases = _purchases_canon(ev)
     inner = TP.asof_join(
         purchases,
         clicks,

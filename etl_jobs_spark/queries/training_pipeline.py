@@ -75,7 +75,10 @@ def _pack_oracle() -> str:
       SELECT doc_id, lang, CAST(len({toks}) AS BIGINT) AS n_tokens
       FROM (SELECT doc_id, lang, {n} AS n FROM documents)),
     c AS (
-      SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      -- n_tokens tie-break: see operators/training.pack_sequences
+      -- (round-12 duplicate-key axis)
+      SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+                                    ORDER BY doc_id, n_tokens
                                     ROWS UNBOUNDED PRECEDING) AS cum
       FROM t)
     SELECT lang,

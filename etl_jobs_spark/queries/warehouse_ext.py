@@ -20,7 +20,11 @@ from etl_jobs_spark.sources.readers import read_table
 @register(
     "fuzzy_pairs_names",
     oracle="""
-    SELECT key_a, key_b, dist FROM (
+    -- DISTINCT: the operator returns SET-of-(key_a, key_b, dist)
+    -- semantics (fuzzy_pairs ends in .distinct()); without it a
+    -- duplicate-key input row multiplies oracle pair rows
+    -- (round-12 duplicate-key axis)
+    SELECT DISTINCT key_a, key_b, dist FROM (
       SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
              CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
       FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey)
@@ -775,18 +779,32 @@ def _er_audit_ctes() -> str:
     n*(n-1) is even so both are exact."""
     cap = MT.ER_BLOCK_CAP
     return f"""
+    -- DISTINCT per source ROW (synthetic rid), not per custkey:
+    -- Spark's array_union dedups deletions WITHIN one row, and a
+    -- duplicate-key row is still a separate record to resolve — a
+    -- custkey-level DISTINCT silently merged duplicate rows'
+    -- variant occurrences (round-12 duplicate-key axis). The rid is
+    -- order-arbitrary but only uniqueness matters.
+    base AS (
+      SELECT row_number() OVER () AS rid, c_custkey, c_nationkey,
+             c_mktsegment, c_name
+      FROM customer),
     variants AS (
-      SELECT DISTINCT c_custkey, c_nationkey, c_mktsegment, variant
-      FROM (
-        SELECT c_custkey, c_nationkey, c_mktsegment, c_name AS variant
-        FROM customer
-        UNION ALL
-        SELECT c_custkey, c_nationkey, c_mktsegment,
-               substr(c_name, 1, i - 1) || substr(c_name, i + 1)
-                 AS variant
-        FROM (SELECT c_custkey, c_nationkey, c_mktsegment, c_name,
-                     unnest(range(1, length(c_name) + 1)) AS i
-              FROM customer))),
+      SELECT c_custkey, c_nationkey, c_mktsegment, variant FROM (
+        SELECT DISTINCT rid, c_custkey, c_nationkey, c_mktsegment,
+                        variant
+        FROM (
+          SELECT rid, c_custkey, c_nationkey, c_mktsegment,
+                 c_name AS variant
+          FROM base
+          UNION ALL
+          SELECT rid, c_custkey, c_nationkey, c_mktsegment,
+                 substr(c_name, 1, i - 1) || substr(c_name, i + 1)
+                   AS variant
+          FROM (SELECT rid, c_custkey, c_nationkey, c_mktsegment,
+                       c_name,
+                       unnest(range(1, length(c_name) + 1)) AS i
+                FROM base)))),
     blocks AS (
       SELECT variant, c_nationkey, c_mktsegment, count(*) AS n
       FROM variants GROUP BY 1, 2, 3),
