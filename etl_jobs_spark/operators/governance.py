@@ -191,12 +191,19 @@ def decontam_overlap(docs: DataFrame) -> DataFrame:
     )
 
 
-def repetition_signals(docs: DataFrame) -> DataFrame:
+def repetition_signals(
+    docs: DataFrame, keep: list[str] | None = None
+) -> DataFrame:
     """Gopher-style repetition quality signals, entirely map-only:
     duplicate word-2-gram / 3-gram / sentence fractions from
     ``array_distinct`` arithmetic — no explode, no shuffle, fused
     into the parquet scan by whole-stage codegen. The gate flags
-    degenerate (template/spam) documents."""
+    degenerate (template/spam) documents.
+
+    ``keep``: extra input columns carried through — a caller
+    gating a corpus must NOT join these signals back by doc_id
+    afterwards (fan-out under duplicate-delivered doc ids, round-12
+    duplicate-key axis), so it carries what it needs here."""
     # Stage norm/tokens/gram-arrays as REAL columns before the
     # dup-frac arithmetic: the fragment builders splice expression
     # TEXT, so inlining `toks` into word_ngrams and then referencing
@@ -207,7 +214,11 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     # because every staged column is non-cheap and multiply
     # referenced (CollapseProject's duplication guard).
     staged = (
-        docs.select("doc_id", F.expr(norm_text("text", "spark")).alias("nrm"))
+        docs.select(
+            "doc_id",
+            *(keep or []),
+            F.expr(norm_text("text", "spark")).alias("nrm"),
+        )
         .withColumn("toks", F.expr(word_tokens("nrm", "spark")))
         .withColumn("w2", F.expr(word_ngrams("toks", "nrm", "spark", 2)))
         .withColumn("w3", F.expr(word_ngrams("toks", "nrm", "spark", 3)))
@@ -215,6 +226,7 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     )
     return staged.select(
         "doc_id",
+        *(keep or []),
         F.expr("CAST(size(toks) AS BIGINT)").alias("n_words"),
         F.expr(dup_frac_expr("w2", "spark")).alias("dup_word2_frac"),
         F.expr(dup_frac_expr("w3", "spark")).alias("dup_word3_frac"),

@@ -415,12 +415,17 @@ def pipeline_llm_corpus_end_to_end(spark, sf_dir):
         scrubbed.filter(~F.expr(GV.eval_member_expr("spark")))
         .join(contaminated, "doc_id", "left_anti")
     )
+    # ROW-FAITHFUL gate: carry (lang, text) through the repetition
+    # signals and filter in place — joining gated doc_ids back onto
+    # keep1 fans out under duplicate-delivered doc ids (round-12
+    # duplicate-key axis) and cost an extra keyed shuffle; the
+    # oracle's gated CTE was always per-row.
     gated = (
-        GV.repetition_signals(keep1)
+        GV.repetition_signals(keep1, keep=["lang", "text"])
         .filter(F.col("is_repetitive") == 0)
-        .select("doc_id")
+        .select("doc_id", "lang", "text")
     )
-    normed = cache.track(keep1.join(gated, "doc_id").select(
+    normed = cache.track(gated.select(
         "doc_id", "lang", F.expr(norm_text("text", "spark")).alias("nrm")
     ))
     keepers = normed.groupBy(F.expr("md5(nrm)").alias("ch")).agg(

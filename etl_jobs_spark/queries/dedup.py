@@ -295,11 +295,15 @@ def _embed_cosine_oracle() -> str:
     nrm = norm_unrolled("embedding", DD.EMBED_DIM, "duckdb")
     return f"""
     WITH emb AS (
-      -- full-row DISTINCT at ingest: a dedup operator treats the
-      -- same (id, vector, label) delivered twice as ONE vector
-      -- (round-12 duplicate-key axis); conflicting payloads for one
-      -- id survive as rows and can never self-pair (vec_a < vec_b)
-      SELECT DISTINCT vec_id, embedding, label FROM embeddings),
+      -- canonicalize at ingest: ONE row per (vec_id, embedding),
+      -- min(label) pins conflicting-label duplicates — a dedup
+      -- operator must treat the same (id, vector) delivered twice
+      -- as ONE vector regardless of disagreeing side-metadata
+      -- (round-12 dup-key axis; label feeds only this oracle's
+      -- blocking, so the min() pick keeps identical vectors
+      -- co-blocked in both engines)
+      SELECT vec_id, embedding, min(label) AS label
+      FROM embeddings GROUP BY vec_id, embedding),
     corpus AS (
       SELECT vec_id, embedding, label FROM emb
       UNION ALL
@@ -329,9 +333,14 @@ def dedup_embed_cosine(spark, sf_dir):
     from etl_jobs_spark.operators import similarity as SIM
     from etl_jobs_spark.queries.similarity import ivf_quantizer
 
-    # full-row DISTINCT at ingest — the dedup tier's duplicate-id
-    # contract (round-12 duplicate-key axis; mirrored in the oracle)
-    emb = read_table(spark, sf_dir, "embeddings").dropDuplicates()
+    # canonical (vec_id, embedding) + min(label) ingest — the dedup
+    # tier's duplicate-id contract (round-12 duplicate-key axis;
+    # mirrored in the oracle CTE)
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .groupBy("vec_id", "embedding")
+        .agg(F.min("label").alias("label"))
+    )
     centroids = ivf_quantizer(spark, sf_dir)
     cell_map = SIM.assign_cells(centroids, emb, keep=["vec_id"])
     return DD.embedding_cosine_pairs(emb, cell_map=cell_map)
@@ -435,10 +444,11 @@ def _semantic_keep_best_oracle() -> str:
     nrm = norm_unrolled("embedding", DD.EMBED_DIM, "duckdb")
     return f"""
     WITH emb AS (
-      -- full-row DISTINCT at ingest (round-12 duplicate-key axis):
-      -- same contract as dedup_embed_cosine, whose pair stage this
-      -- query shares
-      SELECT DISTINCT vec_id, embedding, label FROM embeddings),
+      -- canonical (vec_id, embedding) + min(label) ingest
+      -- (round-12 duplicate-key axis): same contract as
+      -- dedup_embed_cosine, whose pair stage this query shares
+      SELECT vec_id, embedding, min(label) AS label
+      FROM embeddings GROUP BY vec_id, embedding),
     corpus AS (
       SELECT vec_id, embedding, label FROM emb
       UNION ALL
@@ -492,9 +502,14 @@ def dedup_semantic_keep_best(spark, sf_dir):
     from etl_jobs_spark.operators import similarity as SIM
     from etl_jobs_spark.queries.similarity import ivf_quantizer
 
-    # full-row DISTINCT at ingest — the dedup tier's duplicate-id
-    # contract (round-12 duplicate-key axis; mirrored in the oracle)
-    emb = read_table(spark, sf_dir, "embeddings").dropDuplicates()
+    # canonical (vec_id, embedding) + min(label) ingest — the dedup
+    # tier's duplicate-id contract (round-12 duplicate-key axis;
+    # mirrored in the oracle CTE)
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .groupBy("vec_id", "embedding")
+        .agg(F.min("label").alias("label"))
+    )
     centroids = ivf_quantizer(spark, sf_dir)
     cell_map = SIM.assign_cells(centroids, emb, keep=["vec_id"])
     pairs = DD.embedding_cosine_pairs(emb, cell_map=cell_map).select(

@@ -136,7 +136,7 @@ _SAMPLE = "((doc_id*31 + i.i*17) % 4096 - 2048)"
     WITH px AS (
         SELECT doc_id, {_W} AS w, {_H} AS h,
                SUM({_PIX}) AS pixel_sum
-        FROM documents
+        FROM (SELECT DISTINCT doc_id FROM documents) documents
         JOIN range(0, {MM.IMG_W_MOD - 1 + MM.IMG_MIN}) x(x) ON x.x < {_W}
         JOIN range(0, {MM.IMG_H_MOD - 1 + MM.IMG_MIN}) y(y) ON y.y < {_H}
         CROSS JOIN range(0, 3) c(c)
@@ -173,7 +173,7 @@ def multimodal_decode_png_bmp(spark, sf_dir):
                 * (CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END)
                 AS BIGINT) AS n_blocks,
            CAST(1 AS BIGINT) AS roundtrip_ok
-    FROM documents
+    FROM (SELECT DISTINCT doc_id FROM documents) documents
     """,
 )
 def multimodal_decode_jpeg(spark, sf_dir):
@@ -208,7 +208,7 @@ def multimodal_decode_jpeg(spark, sf_dir):
                ((d.doc_id*7 + ((xx.x * {_W.replace("doc_id", "d.doc_id")}) // 4)*3
                  + ((yy.y * {_H.replace("doc_id", "d.doc_id")}) // 4)*5
                  + c.c*11) % {MM.PIX_MOD}) AS v
-        FROM documents d
+        FROM (SELECT DISTINCT doc_id FROM documents) d
         CROSS JOIN range(0, 4) xx(x)
         CROSS JOIN range(0, 4) yy(y)
         CROSS JOIN range(0, 3) c(c)
@@ -234,7 +234,7 @@ def multimodal_resize_nearest(spark, sf_dir):
            CAST({_WAV_N} * 1000000 // {MM.WAV_RATE} AS BIGINT) AS duration_us,
            CAST(SUM(ABS({_SAMPLE})) AS BIGINT) AS sum_abs,
            CAST(SUM({_SAMPLE} * {_SAMPLE}) AS BIGINT) AS energy
-    FROM documents
+    FROM (SELECT DISTINCT doc_id FROM documents) documents
     JOIN range(0, {MM.WAV_N_MOD - 1 + MM.WAV_N_MIN}) i(i) ON i.i < {_WAV_N}
     GROUP BY doc_id
     """,
@@ -254,7 +254,7 @@ def multimodal_decode_wav(spark, sf_dir):
     WITH px AS (
         SELECT doc_id, {_W} AS w, {_H} AS h,
                SUM({_PIX}) AS pixel_sum
-        FROM documents
+        FROM (SELECT DISTINCT doc_id FROM documents) documents
         JOIN range(0, {MM.IMG_W_MOD - 1 + MM.IMG_MIN}) x(x) ON x.x < {_W}
         JOIN range(0, {MM.IMG_H_MOD - 1 + MM.IMG_MIN}) y(y) ON y.y < {_H}
         CROSS JOIN range(0, 3) c(c)
@@ -263,7 +263,7 @@ def multimodal_decode_wav(spark, sf_dir):
     au AS (
         SELECT doc_id, {_WAV_N} AS n_samples,
                SUM({_SAMPLE} * {_SAMPLE}) AS energy
-        FROM documents
+        FROM (SELECT DISTINCT doc_id FROM documents) documents
         JOIN range(0, {MM.WAV_N_MOD - 1 + MM.WAV_N_MIN}) i(i)
           ON i.i < {_WAV_N}
         GROUP BY doc_id
@@ -332,7 +332,7 @@ def pipeline_media_curation(spark, sf_dir):
                CASE WHEN doc_id % 2 = 1 THEN 'png' ELSE 'bmp' END
                  AS container,
                SUM({_PIX}) AS pixel_sum
-        FROM documents
+        FROM (SELECT DISTINCT doc_id FROM documents) documents
         JOIN range(0, {MM.IMG_W_MOD - 1 + MM.IMG_MIN}) x(x) ON x.x < {_W}
         JOIN range(0, {MM.IMG_H_MOD - 1 + MM.IMG_MIN}) y(y) ON y.y < {_H}
         CROSS JOIN range(0, 3) c(c)
@@ -437,7 +437,7 @@ def _stage_media_gif(spark, sf_dir: str) -> str:
     WITH px AS (
         SELECT doc_id, {_W} AS w, {_H} AS h,
                SUM({_PIX}) AS pixel_sum
-        FROM documents
+        FROM (SELECT DISTINCT doc_id FROM documents) documents
         JOIN range(0, {MM.IMG_W_MOD - 1 + MM.IMG_MIN}) x(x) ON x.x < {_W}
         JOIN range(0, {MM.IMG_H_MOD - 1 + MM.IMG_MIN}) y(y) ON y.y < {_H}
         CROSS JOIN range(0, 3) c(c)
@@ -479,7 +479,7 @@ def multimodal_decode_gif(spark, sf_dir):
            CAST(SUM(CASE WHEN i.i % 2 = 0
                          THEN {_SAMPLE} * {_SAMPLE} ELSE 0 END) AS BIGINT)
              AS energy_ds
-    FROM documents
+    FROM (SELECT DISTINCT doc_id FROM documents) documents
     JOIN range(0, {MM.WAV_N_MOD - 1 + MM.WAV_N_MIN}) i(i) ON i.i < {_WAV_N}
     GROUP BY doc_id
     """,
@@ -506,7 +506,7 @@ def multimodal_audio_downsample(spark, sf_dir):
            CAST(coalesce(sum(CASE WHEN {_PIX} // 64 = b.b
                                   THEN 1 ELSE 0 END), 0) AS BIGINT)
              AS n_px
-    FROM documents
+    FROM (SELECT DISTINCT doc_id FROM documents) documents
     CROSS JOIN range(0, 4) b(b)
     JOIN range(0, {MM.IMG_W_MOD - 1 + MM.IMG_MIN}) x(x) ON x.x < {_W}
     JOIN range(0, {MM.IMG_H_MOD - 1 + MM.IMG_MIN}) y(y) ON y.y < {_H}
@@ -536,7 +536,7 @@ def multimodal_image_histogram(spark, sf_dir):
              CAST(count(*) AS BIGINT) AS fn,
              CAST(sum(CAST({_SAMPLE} AS BIGINT) * {_SAMPLE})
                   AS BIGINT) AS fe
-      FROM documents
+      FROM (SELECT DISTINCT doc_id FROM documents) documents
       JOIN range(0, {MM.WAV_N_MOD - 1 + MM.WAV_N_MIN}) i(i)
         ON i.i < {_WAV_N}
       GROUP BY doc_id, f),
@@ -578,7 +578,7 @@ def multimodal_audio_rms_energy(spark, sf_dir):
                      + c.c*11) % {MM.PIX_MOD}) * 1000
                 // ({MM.PATCH_W} * {MM.PATCH_W} * 3) AS BIGINT)
              AS mean_milli
-    FROM documents
+    FROM (SELECT DISTINCT doc_id FROM documents) documents
     JOIN range(0, 4) px(px) ON px.px < {_W} // {MM.PATCH_W}
     JOIN range(0, 4) py(py) ON py.py < {_H} // {MM.PATCH_W}
     CROSS JOIN range(0, {MM.PATCH_W}) dx(dx)
@@ -622,7 +622,7 @@ def _dhash_oracle() -> str:
       SELECT doc_id, i.i AS i, j.j AS j,
              CASE WHEN {gray(x2, yj)} > {gray(x1, yj)}
                   THEN 1 ELSE 0 END AS bit
-      FROM documents
+      FROM (SELECT DISTINCT doc_id FROM documents) documents
       CROSS JOIN range(0, 8) i(i)
       CROSS JOIN range(0, 8) j(j)),
     hashes AS (
@@ -681,7 +681,7 @@ def multimodal_image_dhash_dedup(spark, sf_dir):
              CASE WHEN {_SAMPLE.replace("i.i", "(i.i+1)")}
                        > {_SAMPLE}
                   THEN 1 ELSE 0 END AS bit
-      FROM documents
+      FROM (SELECT DISTINCT doc_id FROM documents) documents
       JOIN range(0, 32) i(i)
         ON i.i < least({_WAV_N} - 1, 32)),
     fps AS (
