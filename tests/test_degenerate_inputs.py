@@ -534,3 +534,94 @@ def test_dst_boundaries_under_non_utc_os_tz(dst_boundary_dir):
     )
     assert r.returncode == 0, r.stderr[-1500:]
     assert "DST-TZ PARITY OK" in r.stdout
+
+
+# ---------------------------------------------------------------
+# Axis 8 — DUPLICATE KEYS / ORPHAN FOREIGN KEYS (round 12). Real
+# at-least-once feeds repeat primary keys (exact redelivery AND
+# conflicting payloads for one key) and dangle foreign keys; the
+# clean fixtures never do either. The full-registry differential
+# over scripts/axis8_dup_orphan.py's mutated corpus found 34
+# diverging rows in six classes — rejoin-by-PK fan-out, silent
+# sparse-pivot NULL cells, toward-zero vs floor cents quantization,
+# nondeterministic id-keyed dedup representatives,
+# filename-is-the-key staging, and the fit/probe tier's unique-id
+# assumption (now a LOUD contract in both engines). Findings and
+# dispositions: docs/FLOAT_ORDER_AUDIT.md round-12 axis-8 section.
+
+
+@pytest.fixture(scope="module")
+def dup_orphan_dir(tmp_path_factory):
+    """The mutated corpus, built by the SAME script the axis ran —
+    one source of truth for the mutation rules."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "axis8_dup_orphan", "/root/repo/scripts/axis8_dup_orphan.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    dst = str(tmp_path_factory.mktemp("dup_orphan_sf"))
+    return mod.build(SF_DIR, dst)
+
+
+#: One value-agreement representative per fixed class.
+DUP_ORPHAN_SAMPLE = [
+    "agg_pivot_events",        # sparse-cell NULL -> post-pivot fill
+    "join_asof_nearest",       # canonicalized purchase rejoin
+    "quality_filter_top_half", # row-faithful gate (no PK rejoin)
+    "fuzzy_pairs_names",       # SET-of-pairs oracle semantics
+    "er_block_cap_audit",      # per-ROW variant dedup (rid oracle)
+    "scan_binary_files",       # filename-is-the-key staging
+    "scan_text_logparse",      # [^\]]* type capture round-trip
+    "scan_glob_union",         # percent-encoded data-value paths
+    "dedup_embed_cosine",      # canonical (id, vector) ingest
+    "pack_sequences",          # n_tokens window tie-break
+    "multimodal_decode_wav",   # per-distinct-id closed-form oracle
+    "stream_dedup_exact",      # full-row exactly-once dedup
+]
+
+
+def test_dup_key_orphan_fk_kernels_match(spark, dup_orphan_dir):
+    """Axis-8 permanent sample: every fixed class stays value-equal
+    to the oracle on a corpus with duplicate PKs (exact AND
+    conflicting) and orphan FKs."""
+    import duckdb
+
+    from etl_jobs_spark import cache
+    from etl_jobs_spark.compare import frames_match
+
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{dup_orphan_dir}/{t}.parquet')"
+        )
+    for name in DUP_ORPHAN_SAMPLE:
+        frames_match(
+            QUERIES[name](spark, dup_orphan_dir).toPandas(),
+            con.sql(ORACLES[name]).df(),
+        )
+        cache.release_all()
+
+
+def test_fit_tier_rejects_duplicate_ids_loudly(spark, dup_orphan_dir):
+    """The similarity fit/probe tier's unique-vec_id ingest contract
+    fails LOUDLY in BOTH engines on a duplicate-id corpus — never a
+    silent wrong fit (and the literal-centroid ANN oracles raise on
+    any unrecognized corpus instead of returning zero rows)."""
+    import duckdb
+
+    with pytest.raises(ValueError, match="requires unique vec_id"):
+        QUERIES["embed_kmeans_lloyd"](spark, dup_orphan_dir).collect()
+
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{dup_orphan_dir}/{t}.parquet')"
+        )
+    with pytest.raises(duckdb.Error, match="unique vec_id"):
+        con.sql(ORACLES["embed_kmeans_lloyd"]).df()
+    with pytest.raises(duckdb.Error, match="unrecognized embeddings"):
+        con.sql(ORACLES["embed_ivf_topk"]).df()
