@@ -117,11 +117,20 @@ _ROUND12_WINDOW = [
     #     it — a changed row outranks the fourth of four same-family
     #     guard re-checks (embed_ivf_topk + embed_pq_topk jointly
     #     cover IVFPQ's two constituent guard paths; it rotates r13).
+    #     agg_pivot_events takes join_bloom_prefilter's slot (the
+    #     window's one unchanged non-backlog row): the round-12
+    #     duplicate-key axis found a REAL sparse-data wrong-answer in
+    #     it (post-pivot NULL cells vs the oracle's zero-fill) — the
+    #     fixed bug outranks a stale-green re-check; bloom rotates
+    #     r13 at the head with the other axis-8-changed rows (the
+    #     asof/tws/dedup/multimodal/fit-tier cohort), which stay
+    #     behind the reserved backlog per the round-11 verdict and
+    #     are all swept green builder-side at three SFs.
     "scan_incremental_watermark",
     "embed_ivf_topk",
     "embed_pq_topk",
     "dedup_embed_cosine",
-    "join_bloom_prefilter",
+    "agg_pivot_events",
 ]
 
 registry.promote(_ROUND12_WINDOW)
