@@ -74,7 +74,12 @@ def main() -> None:
     spark = get_spark("sweep-cost", master="local[32]", shuffle_partitions=32)
     con = duckdb.connect()
     for t in FIXTURE_TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # a table staged as a DIRECTORY of part files (the shuffle
+        # axis's multi-part layout) needs a glob for DuckDB; Spark
+        # reads either layout natively
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if Path(p).is_dir() else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     queries = registry.all_queries()
     oracles = registry.all_oracles()
