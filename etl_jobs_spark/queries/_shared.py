@@ -125,3 +125,24 @@ def canonical_per_key_sql(
                                   ORDER BY {order}) AS _canon_rk
         FROM {inner})
       WHERE _canon_rk = 1)"""
+
+
+def scoped_view(df: DataFrame, base: str, sf_dir) -> str:
+    """Register ``df`` as a temp view whose name is scoped to the
+    DATASET (md5 of ``sf_dir``) and return the name.
+
+    Temp views are session-global: two concurrent jobs running the
+    same literal-SQL query on DIFFERENT datasets in one shared
+    SparkSession race between createOrReplaceTempView and
+    spark.sql, and the loser silently reads the other job's data
+    (round-12 shared-session axis). A dataset-scoped name makes the
+    registration idempotent per corpus — concurrent same-corpus
+    registrations write identical definitions, and cross-corpus
+    jobs never share a name. (Python's hash() is process-salted;
+    md5 keeps the name stable across runs for plan-cache reuse.)"""
+    import hashlib
+
+    tag = hashlib.md5(str(sf_dir).encode()).hexdigest()[:8]
+    name = f"{base}_{tag}"
+    df.createOrReplaceTempView(name)
+    return name

@@ -151,12 +151,18 @@ def udtf_passage_chunks(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     spark.udtf.register("passage_chunk", U.passage_chunk_udtf())
-    docs.select(
-        "doc_id", F.expr(norm_text("text", "spark")).alias("n")
-    ).createOrReplaceTempView("_udtf_docs")
+    from etl_jobs_spark.queries._shared import scoped_view
+
+    v = scoped_view(  # dataset-scoped view name: axis 9
+        docs.select(
+            "doc_id", F.expr(norm_text("text", "spark")).alias("n")
+        ),
+        "_udtf_docs",
+        sf_dir,
+    )
     return spark.sql(
-        "SELECT doc_id, s.chunk_idx, s.passage "
-        "FROM _udtf_docs, LATERAL passage_chunk(n) s"
+        f"SELECT doc_id, s.chunk_idx, s.passage "
+        f"FROM {v}, LATERAL passage_chunk(n) s"
     )
 
 
@@ -184,12 +190,16 @@ def udtf_arrow_shingles(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     spark.udtf.register("word_shingle", U.word_shingle_udtf())
-    docs.select(
-        "doc_id", F.expr(_nt("text", "spark")).alias("n")
-    ).createOrReplaceTempView("_udtf_shingle_docs")
+    from etl_jobs_spark.queries._shared import scoped_view
+
+    v = scoped_view(  # dataset-scoped view name: axis 9
+        docs.select("doc_id", F.expr(_nt("text", "spark")).alias("n")),
+        "_udtf_shingle_docs",
+        sf_dir,
+    )
     return spark.sql(
-        "SELECT doc_id, s.gram_idx, s.gram "
-        "FROM _udtf_shingle_docs, LATERAL word_shingle(n) s"
+        f"SELECT doc_id, s.gram_idx, s.gram "
+        f"FROM {v}, LATERAL word_shingle(n) s"
     )
 
 

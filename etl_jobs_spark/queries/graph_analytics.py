@@ -166,7 +166,7 @@ steps AS (
     SELECT lag(event_type) OVER (PARTITION BY user_id
                                  ORDER BY ts, event_id) AS src,
            event_type AS dst
-    FROM events)
+    FROM {events})
   WHERE src IS NOT NULL AND src <> dst),
 reach(src, dst, depth) AS (
   SELECT src, dst, 1 FROM steps
@@ -181,7 +181,7 @@ SELECT DISTINCT src, dst FROM reach
 
 @register(
     "graph_reachability_sql",
-    oracle=_REACH_SQL.format(depth=_REACH_DEPTH),
+    oracle=_REACH_SQL.format(depth=_REACH_DEPTH, events="events"),
 )
 def graph_reachability_sql(spark, sf_dir):
     """Transitive closure of the user-journey transition graph via a
@@ -191,9 +191,13 @@ def graph_reachability_sql(spark, sf_dir):
     DataFrame DSL. The corpus-sized stage is the edge extraction (one
     keyed lag window); the recursion iterates over the tiny projected
     edge set with a depth bound that terminates the cyclic graph
-    identically in both engines."""
-    read_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_REACH_SQL.format(depth=_REACH_DEPTH))
+    identically in both engines. The Spark-side view name is
+    DATASET-SCOPED (shared-session axis, round 12): a global name
+    races when concurrent jobs register different corpora."""
+    from etl_jobs_spark.queries._shared import scoped_view
+
+    v = scoped_view(read_table(spark, sf_dir, "events"), "events", sf_dir)
+    return spark.sql(_REACH_SQL.format(depth=_REACH_DEPTH, events=v))
 
 
 def _copurchase_edges(spark, sf_dir):

@@ -140,14 +140,16 @@ def agg_grouping_sets(spark, sf_dir):
     Expand operator — at 100 TB this replaces three separate scans
     with one, the same machinery behind agg_rollup_time/
     agg_cube_events but with a hand-picked set list."""
+    from etl_jobs_spark.queries._shared import scoped_view
+
     ev = read_table(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("events_gs")
+    v = scoped_view(ev, "events_gs", sf_dir)  # dataset-scoped: axis 9
     return spark.sql(
-        """
+        f"""
         SELECT event_type, user_id % 5 AS user_band,
                CAST(count(*) AS BIGINT) AS n,
                CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
-        FROM events_gs
+        FROM {v}
         GROUP BY GROUPING SETS ((event_type), (user_id % 5), ())
         """
     )
@@ -699,14 +701,17 @@ def setop_multiset_all(spark, sf_dir):
 #: dialect-shared, so the oracle IS the Spark query string.
 _LATERAL_TOPN_SQL = """
     SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
-    FROM customer c, LATERAL (
-      SELECT o_orderkey, o_totalprice FROM orders o
+    FROM {customer} c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM {orders} o
       WHERE o.o_custkey = c.c_custkey
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
 """
 
 
-@register("join_lateral_topn", oracle=_LATERAL_TOPN_SQL)
+@register(
+    "join_lateral_topn",
+    oracle=_LATERAL_TOPN_SQL.format(customer="customer", orders="orders"),
+)
 def join_lateral_topn(spark, sf_dir):
     """Correlated LATERAL top-N join (SQL:2016 LATERAL, new to Spark
     in 4.0): each customer's two largest orders via a correlated
@@ -717,9 +722,13 @@ def join_lateral_topn(spark, sf_dir):
     formulation produces (rank over a partition — no per-row
     re-execution), so the 100 TB cost is one orders shuffle keyed by
     customer; LATERAL is surface syntax, not an execution strategy."""
-    for t in ("customer", "orders"):
-        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_LATERAL_TOPN_SQL)
+    from etl_jobs_spark.queries._shared import scoped_view
+
+    views = {
+        t: scoped_view(read_table(spark, sf_dir, t), t, sf_dir)
+        for t in ("customer", "orders")  # dataset-scoped: axis 9
+    }
+    return spark.sql(_LATERAL_TOPN_SQL.format(**views))
 
 
 @register(
@@ -871,21 +880,23 @@ def recursive_cte_hierarchy(spark, sf_dir):
     ~a dozen broadcast joins. Oracle: DuckDB's independent native
     WITH RECURSIVE. Integer cents; both engines' DIV truncate
     identically."""
+    from etl_jobs_spark.queries._shared import scoped_view
+
     cust = read_table(spark, sf_dir, "customer")
-    cust.createOrReplaceTempView("rcte_customer")
+    v = scoped_view(cust, "rcte_customer", sf_dir)  # axis 9
     return spark.sql(
-        """
+        f"""
         WITH RECURSIVE chain AS (
           SELECT c_custkey AS leaf, c_custkey AS cur,
                  CAST(0 AS BIGINT) AS depth,
                  CAST(round(c_acctbal * 100) AS BIGINT) AS chain_cents
-          FROM rcte_customer
+          FROM {v}
           UNION ALL
           SELECT ch.leaf, p.c_custkey,
                  ch.depth + 1,
                  ch.chain_cents + CAST(round(p.c_acctbal * 100) AS BIGINT)
           FROM chain ch
-          JOIN rcte_customer p ON p.c_custkey = ch.cur DIV 3
+          JOIN {v} p ON p.c_custkey = ch.cur DIV 3
           WHERE ch.cur > 1),
         final AS (
           SELECT leaf, CAST(max(depth) AS BIGINT) AS depth,

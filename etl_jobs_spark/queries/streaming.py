@@ -331,10 +331,14 @@ def stream_udtf_fanout(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
             F.sum(F.expr("CAST(value * 1000 AS BIGINT)")).alias("v_milli"),
         )
-        agg.createOrReplaceTempView("_udtf_batch")
+        from etl_jobs_spark.queries._shared import scoped_view
+
+        v = scoped_view(agg, "_udtf_batch", metrics_out)  # axis 9:
+        # scoped per SINK, so a second concurrent stream in the
+        # same session cannot clobber this batch's view
         batch_df.sparkSession.sql(
-            "SELECT s.metric, s.n, s.mval "
-            "FROM _udtf_batch, LATERAL metric_fanout(event_type, n, v_milli) s"
+            f"SELECT s.metric, s.n, s.mval "
+            f"FROM {v}, LATERAL metric_fanout(event_type, n, v_milli) s"
         ).write.mode("append").parquet(metrics_out)
 
     S.foreach_batch_pipeline(cleaned, str(wk / "ck"), sinks, state_partitions=4)
