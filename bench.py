@@ -499,7 +499,7 @@ def main() -> None:
     # deltas compare code not VMs.
     norm = {k: round(v * scale, 3) for k, v in timings.items()}
 
-    cur_tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "r11")
+    cur_tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "r12")
     docs = Path(__file__).resolve().parent / "docs"
     history = docs / "bench_history.jsonl"
     # Cross-round comparison (VERDICT r8 item 2): the headline
