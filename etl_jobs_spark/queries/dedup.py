@@ -336,7 +336,12 @@ def dedup_embed_cosine(spark, sf_dir):
     # canonical (vec_id, embedding) + min(label) ingest — the dedup
     # tier's duplicate-id contract (round-12 duplicate-key axis;
     # mirrored in the oracle CTE)
-    emb = (
+    from etl_jobs_spark import cache
+
+    # persisted: the canonical corpus feeds several plan branches
+    # (cell map, both pair sides, id spine) and without the persist
+    # each branch re-runs the canon groupBy (PLANS.md exchange audit)
+    emb = cache.track(
         read_table(spark, sf_dir, "embeddings")
         .groupBy("vec_id", "embedding")
         .agg(F.min("label").alias("label"))
@@ -505,7 +510,12 @@ def dedup_semantic_keep_best(spark, sf_dir):
     # canonical (vec_id, embedding) + min(label) ingest — the dedup
     # tier's duplicate-id contract (round-12 duplicate-key axis;
     # mirrored in the oracle CTE)
-    emb = (
+    from etl_jobs_spark import cache
+
+    # persisted: the canonical corpus feeds several plan branches
+    # (cell map, both pair sides, id spine) and without the persist
+    # each branch re-runs the canon groupBy (PLANS.md exchange audit)
+    emb = cache.track(
         read_table(spark, sf_dir, "embeddings")
         .groupBy("vec_id", "embedding")
         .agg(F.min("label").alias("label"))

@@ -42,7 +42,7 @@ AUDIT = {
     "agg_mode_value_bucket": "mode = hash agg to (group,bucket) + window on the tiny count table",
     "join_asof_forward": "one shuffle: union+window carries the next right row backward in ts order",
     "dedup_ngram_containment": "shared-gram equi-join; no CartesianProduct anywhere",
-    "dedup_semantic_keep_best": "cell-blocked pair join + one keyed window; quality dim broadcasts",
+    "dedup_semantic_keep_best": "cell-blocked pair join + one keyed window; canonical corpus persisted (20 InMemoryTableScan consumers — the Exchange count re-prints the cached subtree per branch, it executes once)",
     "dedup_incremental_new_docs": "one LEFT ANTI join on 16-byte fingerprints",
     "join_dim_snapshot_asof": "PIT-vs-SCD2 as one shuffle + keyed window (no interval inequality join)",
     "snapshot_diff_audit": "full-outer on key; row content crosses as 16-byte hashes",
@@ -54,7 +54,8 @@ AUDIT = {
     "dedup_incremental_bloom": "bloom-negative rows bypass the anti join entirely",
     "fn_lambda_suite": "all five lambda metrics in ONE map-only projection (no explode)",
     "ts_ewma_hourly": "16 unrolled lags share a single window sort/frame",
-    "join_asof_tolerance": "tolerance is a projection over the one-shuffle as-of kernel",
+    "join_asof_tolerance": "tolerance is a projection over the as-of kernel; purchase ids canonicalize in one keyed window (axis 8)",
+    "quality_filter_top_half": "score carried through the projection (no rejoin-by-id); ONE keyed ntile window",
     # round 6
     "basket_brand_affinity": "pairs blocked on the order key; marginals broadcast back onto the pair table",
     "ts_interval_coverage": "sweep-line as one user-partitioned window family; no self-join, no iteration",
