@@ -218,7 +218,7 @@ def _ivf_oracle(base_only: bool) -> str:
       SELECT cell, centroid
       FROM (VALUES {", ".join(rows)}) AS t(corpus, cell, centroid)
       WHERE corpus = (
-        SELECT CASE {" ".join(cases)} ELSE error('unrecognized embeddings corpus: the literal-centroid oracle only knows the staged fixture corpora (round-12 dup-key axis: loud, never silently empty)') END FROM (
+        SELECT CASE WHEN n = 0 THEN -2 {" ".join(cases)} ELSE error('unrecognized embeddings corpus: the literal-centroid oracle only knows the staged fixture corpora (round-12 dup-key axis: loud, never silently empty)') END FROM (
           SELECT count(*) AS n,
                  CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE)
                                      * 1000000) AS BIGINT)) AS BIGINT) AS chk
@@ -544,7 +544,7 @@ def _pq_oracle() -> str:
       SELECT i, j, csq, sub
       FROM (VALUES {", ".join(rows)}) AS t(corpus, i, j, csq, sub)
       WHERE corpus = (
-        SELECT CASE {" ".join(cases)} ELSE error('unrecognized embeddings corpus: the literal-centroid oracle only knows the staged fixture corpora (round-12 dup-key axis: loud, never silently empty)') END FROM (
+        SELECT CASE WHEN n = 0 THEN -2 {" ".join(cases)} ELSE error('unrecognized embeddings corpus: the literal-centroid oracle only knows the staged fixture corpora (round-12 dup-key axis: loud, never silently empty)') END FROM (
           SELECT count(*) AS n,
                  CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE)
                                      * 1000000) AS BIGINT)) AS BIGINT) AS chk
@@ -655,7 +655,7 @@ def _ivfpq_oracle() -> str:
     dot_qa = dot_unrolled("q.q_emb", "a.embedding", SIM.EMBED_DIM, "duckdb")
     return f"""
     WITH corpus_id AS (
-      SELECT CASE {" ".join(cases)} ELSE error('unrecognized embeddings corpus: the literal-centroid oracle only knows the staged fixture corpora (round-12 dup-key axis: loud, never silently empty)') END AS ci FROM (
+      SELECT CASE WHEN n = 0 THEN -2 {" ".join(cases)} ELSE error('unrecognized embeddings corpus: the literal-centroid oracle only knows the staged fixture corpora (round-12 dup-key axis: loud, never silently empty)') END AS ci FROM (
         SELECT count(*) AS n,
                CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE)
                                    * 1000000) AS BIGINT)) AS BIGINT) AS chk
@@ -1877,7 +1877,7 @@ def _cent_cte(base_only: bool = False) -> str:
       SELECT cell, centroid
       FROM (VALUES {", ".join(rows)}) AS t(corpus, cell, centroid)
       WHERE corpus = (
-        SELECT CASE {" ".join(cases)} ELSE error('unrecognized embeddings corpus: the literal-centroid oracle only knows the staged fixture corpora (round-12 dup-key axis: loud, never silently empty)') END FROM (
+        SELECT CASE WHEN n = 0 THEN -2 {" ".join(cases)} ELSE error('unrecognized embeddings corpus: the literal-centroid oracle only knows the staged fixture corpora (round-12 dup-key axis: loud, never silently empty)') END FROM (
           SELECT count(*) AS n,
                  CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE)
                                      * 1000000) AS BIGINT)) AS BIGINT) AS chk
