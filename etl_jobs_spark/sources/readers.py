@@ -156,6 +156,16 @@ def scan_glob_union(
                 reader = reader.option("inferSchema", "true")
             return reader.csv(glob_path)
         if fmt == "parquet":
+            if schema is None:
+                # Schema-INFERENCE mode over a multi-file feed must
+                # union the file schemas: Spark's default takes one
+                # file's footer, so a column added by a newer
+                # producer SILENTLY VANISHES from the scan (round-12
+                # schema-evolution axis — the declared-schema path
+                # already nulls missing columns correctly and is the
+                # production mode; this makes the exploratory mode
+                # honest too, at the cost of the footer-union pass).
+                reader = reader.option("mergeSchema", "true")
             return reader.parquet(glob_path)
         return reader.format(fmt).load(glob_path)
     except AnalysisException as e:

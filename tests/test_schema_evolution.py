@@ -1,0 +1,143 @@
+"""Axis 10 (round 12): schema evolution across a multi-file feed.
+
+A 100 TB lake table is written by YEARS of producers: early files
+lack columns later ones carry, and a column's physical type widens.
+The reader contract this pins, per mode:
+
+- **Declared schema (production mode)**: a file missing a declared
+  column reads as NULL, an extra file column is ignored, and an
+  int32-physical file widens into a wider declared type — matching
+  DuckDB's union_by_name projected to the declared columns.
+- **Inference mode (exploratory)**: the scan must take the UNION of
+  file schemas. Spark's default takes ONE file's footer, so a
+  column added by a newer producer silently vanished from
+  scan_glob_union — found by this axis, fixed with a
+  mergeSchema=true default when no schema is declared.
+- **Type conflict in inference mode is LOUD** (CANNOT_MERGE_SCHEMAS):
+  without a declared schema there is no authority for the cast
+  direction; DuckDB's union_by_name silently coerces instead, which
+  is exactly the divergence a declared schema exists to remove.
+  The loud error names the fix.
+
+Findings: docs/FLOAT_ORDER_AUDIT.md round-12 axis-10 section.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from etl_jobs_spark.sources import readers
+
+
+@pytest.fixture(scope="module")
+def evolved_feed(tmp_path_factory):
+    """Three producer generations: v1 (3 cols), v2 (+props),
+    v3 (+schema_v). Types stay compatible (the widening case gets
+    its own fixture below)."""
+    d = tmp_path_factory.mktemp("evolved_feed")
+    v1 = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 11], pa.int64()),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+    })
+    v2 = pa.table({
+        "event_id": pa.array([3, 4], pa.int64()),
+        "user_id": pa.array([12, 13], pa.int64()),
+        "value": pa.array([3.5, 4.5], pa.float64()),
+        "props": pa.array(["a", "b"], pa.string()),
+    })
+    v3 = pa.table({
+        "event_id": pa.array([5, 6], pa.int64()),
+        "user_id": pa.array([14, 15], pa.int64()),
+        "value": pa.array([5.5, 6.5], pa.float64()),
+        "props": pa.array(["c", "d"], pa.string()),
+        "schema_v": pa.array([3, 3], pa.int64()),
+    })
+    for name, t in [("f1", v1), ("f2", v2), ("f3", v3)]:
+        pq.write_table(t, str(d / f"{name}.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def widened_feed(tmp_path_factory):
+    """A generation that narrowed/widened the physical type:
+    value arrives int32 in one file, float64 in another."""
+    d = tmp_path_factory.mktemp("widened_feed")
+    a = pa.table({
+        "event_id": pa.array([1], pa.int64()),
+        "value": pa.array([1.5], pa.float64()),
+    })
+    b = pa.table({
+        "event_id": pa.array([2], pa.int64()),
+        "value": pa.array([2], pa.int32()),
+    })
+    pq.write_table(a, str(d / "a.parquet"))
+    pq.write_table(b, str(d / "b.parquet"))
+    return str(d)
+
+
+def test_declared_schema_reads_evolved_feed(spark, evolved_feed):
+    """Production mode: declared schema nulls missing columns,
+    ignores extras — value-equal to DuckDB union_by_name projected
+    to the declared columns."""
+    from etl_jobs_spark.compare import frames_match
+
+    got = readers.scan_glob_union(
+        spark,
+        f"{evolved_feed}/*.parquet",
+        schema="event_id BIGINT, user_id BIGINT, value DOUBLE,"
+        " props STRING",
+        fmt="parquet",
+    ).toPandas()
+    want = duckdb.sql(
+        f"""SELECT event_id, user_id, value, props
+        FROM read_parquet('{evolved_feed}/*.parquet',
+                          union_by_name=true)"""
+    ).df()
+    frames_match(got, want)
+
+
+def test_inference_mode_unions_file_schemas(spark, evolved_feed):
+    """Exploratory mode: the scan carries the UNION of file schemas
+    (Spark's one-footer default silently dropped `props` and
+    `schema_v` — the axis finding)."""
+    from etl_jobs_spark.compare import frames_match
+
+    df = readers.scan_glob_union(
+        spark, f"{evolved_feed}/*.parquet", fmt="parquet"
+    )
+    assert set(df.columns) == {
+        "event_id", "user_id", "value", "props", "schema_v"
+    }
+    want = duckdb.sql(
+        f"""SELECT * FROM read_parquet('{evolved_feed}/*.parquet',
+                                       union_by_name=true)"""
+    ).df()
+    frames_match(df.toPandas(), want)
+
+
+def test_inference_mode_type_conflict_is_loud(spark, widened_feed):
+    """A physical-type conflict under inference has no cast
+    authority — the union must fail LOUDLY (never pick a file), and
+    the declared-schema path resolves the same feed."""
+    # surfaces as a raw Py4JJavaError at plan time (footer merge),
+    # not a wrapped PySparkException — match on the error class
+    with pytest.raises(Exception, match="CANNOT_MERGE_SCHEMAS"):
+        readers.scan_glob_union(
+            spark, f"{widened_feed}/*.parquet", fmt="parquet"
+        ).collect()
+
+    rows = (
+        readers.scan_glob_union(
+            spark,
+            f"{widened_feed}/*.parquet",
+            schema="event_id BIGINT, value DOUBLE",
+            fmt="parquet",
+        )
+        .orderBy("event_id")
+        .collect()
+    )
+    assert [tuple(r) for r in rows] == [(1, 1.5), (2, 2.0)]
