@@ -27,6 +27,7 @@ complete-mode aggregations are only for bounded key spaces.
 
 from __future__ import annotations
 
+import threading
 import uuid
 from collections.abc import Callable
 
@@ -54,6 +55,16 @@ def file_stream_source(
     return reader.format(fmt).load(path)
 
 
+#: Serializes every set->start->restore window below: the conf is
+#: SESSION-GLOBAL, so two concurrent stream starts interleaving
+#: their set/restore can leave the session parked on the streaming
+#: partition count FOREVER — every later batch query then plans
+#: with (say) 4 shuffle partitions, a silent 8x parallelism loss on
+#: 32 cores and catastrophic on a real cluster (round-12
+#: shared-session axis, streaming wave).
+_START_LOCK = threading.Lock()
+
+
 class _state_partitions:
     """Pin ``spark.sql.shuffle.partitions`` for the duration of one
     streaming query start.
@@ -66,19 +77,29 @@ class _state_partitions:
     local-oracle drain over 10k rows wants a handful (32 stores × N
     batches of pure fixed cost otherwise). The count is baked into
     the checkpoint on first start, so it must be set BEFORE
-    ``.start()`` — hence this guard, not a post-hoc repartition."""
+    ``.start()`` — hence this guard, not a post-hoc repartition.
+
+    Holds ``_START_LOCK`` across the window: the flip is
+    session-global and only the brief plan+start needs the pinned
+    value — started streams still RUN concurrently."""
 
     def __init__(self, spark: SparkSession, n: int | None):
         self.spark, self.n = spark, n
 
     def __enter__(self):
         if self.n is not None:
+            _START_LOCK.acquire()
             self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
             self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
 
     def __exit__(self, *exc):
         if self.n is not None:
-            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+            try:
+                self.spark.conf.set(
+                    "spark.sql.shuffle.partitions", self.prev
+                )
+            finally:
+                _START_LOCK.release()
 
 
 def run_to_parquet(

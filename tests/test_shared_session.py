@@ -91,3 +91,49 @@ def test_scoped_views_under_cross_corpus_concurrency(
     # compare serially (duckdb connections are not thread-safe)
     for name, d, got in results:
         frames_match(got, cons[d].sql(ORACLES[name]).df())
+
+
+#: Streaming wave of the axis: drain-and-stop streaming queries
+#: concurrently in one session. Hazards this pins: the
+#: _state_partitions set->start->restore window mutates the
+#: SESSION-GLOBAL shuffle-partitions conf (interleaved restores
+#: could park the session on the streaming count forever — now
+#: serialized by _START_LOCK), memory-sink names (uuid-scoped),
+#: and checkpoint/workdir isolation (fresh per run).
+STREAMING_SAMPLE = [
+    "stream_window_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_dedup_exact",
+]
+
+
+def test_concurrent_streams_share_one_session(spark, second_corpus):
+    from etl_jobs_spark.compare import frames_match
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    dirs = [SF_DIR, second_corpus]
+    cons = {}
+    for d in dirs:
+        con = duckdb.connect()
+        for t in FIXTURE_TABLES:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{d}/{t}.parquet')"
+            )
+        cons[d] = con
+
+    def run(args):
+        name, d = args
+        return name, d, QUERIES[name](spark, d).toPandas()
+
+    tasks = [(n, d) for n in STREAMING_SAMPLE for d in dirs]
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(run, tasks))
+    for name, d, got in results:
+        frames_match(got, cons[d].sql(ORACLES[name]).df())
+    # the start-window lock must leave the session conf EXACTLY
+    # where it started — an interleaved restore previously could
+    # park it on the streaming count (a silent parallelism loss
+    # for every later batch query)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
