@@ -141,3 +141,51 @@ def test_inference_mode_type_conflict_is_loud(spark, widened_feed):
         .collect()
     )
     assert [tuple(r) for r in rows] == [(1, 1.5), (2, 2.0)]
+
+
+def test_append_evolved_batch_roundtrip(spark, tmp_path):
+    """Write-side wave: an engine-written table appended by a NEWER
+    producer (extra column) reads back under both modes with the
+    same contracts — inference unions, declared schema nulls the
+    missing column on old rows. Partitioned layout included: the
+    evolved file lands inside a partition dir and partition pruning
+    still works on the union schema."""
+    from etl_jobs_spark.compare import frames_match
+    from etl_jobs_spark.sources import writers
+
+    d = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame(
+        [(1, "2024-01-01", 1.5), (2, "2024-01-02", 2.5)],
+        "event_id BIGINT, day STRING, value DOUBLE",
+    )
+    v2 = spark.createDataFrame(
+        [(3, "2024-01-02", 3.5, "a")],
+        "event_id BIGINT, day STRING, value DOUBLE, props STRING",
+    )
+    writers.sink_parquet(v1, d, partition_by=["day"])
+    writers.sink_parquet(v2, d, mode="append", partition_by=["day"])
+
+    got = (
+        readers.scan_glob_union(
+            spark,
+            d,
+            schema="event_id BIGINT, value DOUBLE, props STRING,"
+            " day STRING",
+            fmt="parquet",
+        )
+        .orderBy("event_id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [
+        (1, 1.5, None, "2024-01-01"),
+        (2, 2.5, None, "2024-01-02"),
+        (3, 3.5, "a", "2024-01-02"),
+    ]
+    # inference mode: union schema, and partition pruning still
+    # prunes on the partition column
+    inf = readers.scan_glob_union(spark, d, fmt="parquet")
+    assert set(inf.columns) == {"event_id", "value", "props", "day"}
+    pruned = inf.filter(inf.day == "2024-01-02")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan, plan[:800]
+    assert {r["event_id"] for r in pruned.collect()} == {2, 3}
