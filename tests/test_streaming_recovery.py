@@ -125,3 +125,79 @@ def test_merge_sink_resume_keeps_latest_per_key(spark):
         .count()
         == 0
     )
+
+
+def test_mid_drain_kill_restart_is_exactly_once(spark):
+    """Fault injection (round 12): stop a STATEFUL streaming query
+    MID-DRAIN — between micro-batches, with input files still
+    unprocessed — and restart from the same checkpoint. The
+    full-row dedup over an at-least-once (doubled) feed must come
+    out exactly-once: no loss, no phantom, no double. The dedup is
+    deliberately WATERMARK-FREE: this feed's files carry randomly
+    interleaved event times, so a checkpoint-recovered watermark
+    would (correctly!) drop old rows as late — real streaming
+    semantics, but it would test the watermark, not the recovery;
+    the registry's watermarked streaming queries stage
+    monotone/single-file feeds for exactly that reason.
+
+    Local scope, stated honestly: in local[] mode the driver JVM is
+    the test process, so the injection is query.stop() between
+    batches (task interruption + checkpoint fence), not a process
+    kill; the state-store/commit-log recovery path exercised is the
+    same one a real executor loss replays."""
+    import time
+
+    d = Path(tempfile.gettempdir()) / f"etl_fault_{uuid.uuid4().hex[:8]}"
+    ev = read_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    # 8 arrival files; the doubled feed makes the dedup state real
+    ev.repartition(4).write.parquet(str(d / "raw"))
+    ev.repartition(4).write.mode("append").parquet(str(d / "raw"))
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+    out, ck = str(d / "out"), str(d / "ck")
+
+    def start(available_now):
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d / "raw"))
+        )
+        dedup = src.dropDuplicates(
+            ["event_id", "ts", "user_id", "value"]
+        )
+        w = (
+            dedup.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        else:
+            # paced trigger so the stop lands BETWEEN batches with
+            # files still pending — a stop after a finished drain
+            # would test nothing
+            w = w.trigger(processingTime="2 seconds")
+        return w.start()
+
+    q = start(available_now=False)
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p["batchId"] >= 1:
+            break
+        time.sleep(0.2)
+    q.stop()  # the injection
+    q.awaitTermination()
+    mid = spark.read.schema(schema).parquet(out).count()
+
+    q2 = start(available_now=True)  # resume from the SAME checkpoint
+    q2.awaitTermination()
+    got = spark.read.schema(schema).parquet(out)
+    want = ev.distinct().count()
+    n_total, n_distinct = got.count(), got.distinct().count()
+    # the kill must have been genuinely mid-drain, and recovery
+    # exactly-once
+    assert mid < n_total, (mid, n_total)
+    assert n_distinct == want, "row LOSS or phantom after restart"
+    assert n_total == n_distinct, "DUPLICATES after restart"
