@@ -2,7 +2,7 @@
 query/oracle pair with etl_jobs_spark.registry.
 
 Registration order == the order the driver's correctness sweep walks
-the registry (50 per round). The ``_ROUND11_WINDOW`` list below picks
+the registry (50 per round). The ``_ROUND*_WINDOW`` list below picks
 this round's 50: queries needing a FIRST driver row (new or changed
 this round) lead, then the rows whose last driver check is oldest
 rotate through the remaining slots. After a query earns a green
@@ -34,103 +34,90 @@ from etl_jobs_spark.queries import (  # noqa: F401
     feature_engineering,
 )
 
-# Round-12 sweep window (50 queries, registration order). This round
-# DRAINS the displaced r2/r3 driver-row backlog — the round-11
-# verdict's top item, reserved slots so it cannot be displaced a
-# third time. Composition:
-#   (a) 6 rows changed THIS round (round-10 discipline: operator or
-#       oracle text changed → must front): scan_empty_feed_census is
-#       the round's ONE registry addition (379 → 380; the round-11
-#       verdict item 5 documented the gap first — a permanent
-#       driver-green witness for the zero-row class), udf_grouped_map
-#       (oracle neutralizes the value key inside the missing bucket —
-#       round-12 ADVICE), scan_glob_union (empty-feed detection moved
-#       from a driver-local glob.glob probe to catching Spark's own
-#       PATH_NOT_FOUND — ADVICE medium), and the scan_csv family
-#       (scan_csv_single / scan_csv_pandas / source_s3: the CSV
-#       timestamp default became optional-fraction
-#       "yyyy-MM-dd HH:mm:ss[.SSSSSS]", overridable via **options).
-#   (b) the FULL 39-query backlog, oldest-first in the recorded
-#       handoff order: the r2 cohort (8), then the r3 queue/stream/
-#       fn/join/udtf families and the rest of the r3 rows.
-#   (c) 5 of the r5-era rows: four of the round-11 guard-only
-#       changes the driver has never seen post-guard (embed_ivf_topk,
-#       embed_pq_topk, embed_ivfpq_topk, dedup_embed_cosine) and
-#       join_bloom_prefilter (displaced in r11).
-# After this window lands green, no driver row predates r4 except
-# embed_ivf_append_topk (r5, same guard family as three checked
-# here) — it leads the round-13 rotation with ann_recall_eval (r6),
-# text_bpe_apply_learned (r7) and the r4 cohort (31 rows).
-_ROUND12_WINDOW = [
-    # (a) changed this round
-    "scan_empty_feed_census",
-    "udf_grouped_map",
-    "scan_glob_union",
-    "scan_csv_single",
-    "scan_csv_pandas",
-    "source_s3",
-    # (b) the r2 cohort — oldest evidence in the repo (last row r2)
-    "agg_funnel_steps",
-    "agg_retention_cohorts",
-    "cdc_apply_changelog",
-    "join_asof_events",
-    "scd2_history",
-    "text_top_terms",
-    "text_unigram_commonness",
-    "zorder_layout_stats",
-    # (b) the r3 families, recorded handoff order
-    "source_queue",
-    "sink_queue",
-    "stream_interval_join",
-    "stream_interval_join_outer",
-    "stream_merge_upsert",
-    "stream_stateful_pandas",
-    "stream_static_join",
-    "text_pii_scrub",
-    "fn_array_suite",
-    "fn_datetime_suite",
-    "fn_string_suite",
-    "join_asof_forward",
-    "join_dim_snapshot_asof",
-    "join_full_outer",
-    "join_semi_anti",
-    "udtf_passage_chunks",
-    "multimodal_audio_chunks",
-    "agg_mode_value_bucket",
-    "approx_distinct_kmv",
-    "dedup_incremental_new_docs",
-    "dedup_keep_canonical",
-    # (b) remaining r3 rows (alphabetical within the cohort)
-    "dedup_lsh_verified",
-    "dedup_ngram_containment",
-    "dedup_semantic_keep_best",
-    "doc_shard_assign",
-    "embed_centroid_labels",
-    "embed_norm_stats",
-    "pack_sequences",
-    "quality_filter_top_half",
-    "sample_stratified",
-    "text_fertility_by_lang",
-    # (c) r5-era guard-changed rows + the twice-displaced re-check.
-    #     scan_incremental_watermark takes embed_ivfpq_topk's slot:
-    #     the round-12 TZ axis found (and fixed) a real divergence in
-    #     it — a changed row outranks the fourth of four same-family
-    #     guard re-checks (embed_ivf_topk + embed_pq_topk jointly
-    #     cover IVFPQ's two constituent guard paths; it rotates r13).
-    #     agg_pivot_events takes join_bloom_prefilter's slot (the
-    #     window's one unchanged non-backlog row): the round-12
-    #     duplicate-key axis found a REAL sparse-data wrong-answer in
-    #     it (post-pivot NULL cells vs the oracle's zero-fill) — the
-    #     fixed bug outranks a stale-green re-check; bloom rotates
-    #     r13 at the head with the other axis-8-changed rows (the
-    #     asof/tws/dedup/multimodal/fit-tier cohort), which stay
-    #     behind the reserved backlog per the round-11 verdict and
-    #     are all swept green builder-side at three SFs.
-    "scan_incremental_watermark",
-    "embed_ivf_topk",
-    "embed_pq_topk",
-    "dedup_embed_cosine",
-    "agg_pivot_events",
+# Round-13 sweep window (50 queries, registration order). The head is
+# the recorded handoff cohort (docs/PERF_r12.md "Handoff to round 13"
+# + the round-12 verdict item 1): rows whose OPERATOR OR ORACLE TEXT
+# changed under the round-12 axes (8: duplicate-key/orphan-FK, 9:
+# shared-session scoped views + stream-start lock, 10: schema
+# evolution) but which the r12 window -- correctly reserved for the
+# r2/r3 backlog drain -- could not hold. All swept green builder-side
+# at three SFs on the r12 final tree; driver currency is what they
+# lack. Two handoff names are OMITTED because the r12 window already
+# landed their post-change driver rows: dedup_semantic_keep_best and
+# udtf_passage_chunks (both green in CORRECTNESS_r12).
+# Composition:
+#   (a) the as-of/stream/scan/fit axis-8/9 cohort (12),
+#   (b) the 13 real-container multimodal rows (axis-8 staging-key
+#       hardening touched their shared binary-ingest path),
+#   (c) the remaining scoped-view queries from axis 9 (6, of the
+#       "scoped-view seven" minus udtf_passage_chunks),
+#   (d) the ANN loud-dispatch four (oracle text gained the loud
+#       unique-id ingest contract) + join_bloom_prefilter (displaced
+#       in r11 AND r12 -- it may not slip a third time),
+#   (e) the oldest remaining driver rows: 14 of the 20 r4-latest rows
+#       not already in (a)-(d), in correctness-file order. The 6 that
+#       do not fit (text_boilerplate_removal,
+#       dedup_repeated_ngram_spans, agg_kmv_intersect_types,
+#       mix_epoch_plan, dq_expectations_suite, join_interval_overlap)
+#       lead the round-14 rotation with the r5 cohort.
+# After this window lands green, the oldest driver evidence is the
+# six-row r4 remainder above, then r5.
+_ROUND13_WINDOW = [
+    # (a) as-of / streaming / scan / fuzzy / fit cohort (axes 8+9)
+    "join_asof_nearest",
+    "join_asof_tolerance",
+    "stream_dedup_exact",
+    "stream_tws_processor",
+    "scan_text_logparse",
+    "scan_binary_files",
+    "fuzzy_pairs_names",
+    "er_block_cap_audit",
+    "embed_kmeans_lloyd",
+    "embed_mmr_diversified_topk",
+    "pipeline_rag_retrieval_end_to_end",
+    "pipeline_llm_corpus_end_to_end",
+    # (b) the 13 real-container multimodal rows
+    "multimodal_decode_png_bmp",
+    "multimodal_decode_jpeg",
+    "multimodal_decode_gif",
+    "multimodal_decode_wav",
+    "multimodal_resize_nearest",
+    "multimodal_image_histogram",
+    "multimodal_image_patches",
+    "multimodal_audio_downsample",
+    "multimodal_audio_rms_energy",
+    "multimodal_image_dhash_dedup",
+    "multimodal_audio_fingerprint_dedup",
+    "stream_media_decode",
+    "pipeline_media_curation",
+    # (c) scoped-view cohort (axis 9), minus the r12-landed udtf row
+    "graph_reachability_sql",
+    "agg_grouping_sets",
+    "join_lateral_topn",
+    "recursive_cte_hierarchy",
+    "udtf_arrow_shingles",
+    "stream_udtf_fanout",
+    # (d) ANN loud-dispatch oracle text + the twice-displaced bloom
+    "embed_ivfpq_topk",
+    "embed_ivf_append_topk",
+    "ann_recall_eval",
+    "embed_cell_label_purity",
+    "join_bloom_prefilter",
+    # (e) r4-latest backlog, correctness-file order (14 of 20)
+    "decontam_ngram_overlap",
+    "text_repetition_signals",
+    "split_train_holdout",
+    "mix_rebalance_sources",
+    "dq_k_anonymity",
+    "dq_stale_feeds",
+    "merge_upsert_customers",
+    "agg_unpivot_metrics",
+    "agg_hll_mergeable",
+    "dedup_cluster_size_hist",
+    "fn_variant_json",
+    "mix_temperature_weights",
+    "scan_xml_roundtrip",
+    "text_quality_classifier",
 ]
 
-registry.promote(_ROUND12_WINDOW)
+registry.promote(_ROUND13_WINDOW)
