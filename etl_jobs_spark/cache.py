@@ -20,6 +20,10 @@ from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
 
+#: Extra release hooks (e.g. scoped temp-view cleanup in
+#: queries/_shared.py) run by release_all after unpersisting.
+_RELEASE_HOOKS: list = []
+
 
 def track(df: DataFrame) -> DataFrame:
     """Persist ``df`` and remember the handle for later release."""
@@ -28,11 +32,31 @@ def track(df: DataFrame) -> DataFrame:
     return df
 
 
+def on_release(hook) -> None:
+    """Register a zero-arg callable to run on every release_all()
+    (deduped — module-level registration may re-run on reload)."""
+    if hook not in _RELEASE_HOOKS:
+        _RELEASE_HOOKS.append(hook)
+
+
 def release_all() -> None:
-    """Unpersist every tracked DataFrame (idempotent, never raises)."""
+    """Unpersist every tracked DataFrame and run the registered
+    release hooks (idempotent, never raises).
+
+    QUIESCE-POINT operation: call between jobs, never concurrently
+    with one — the scoped-view hook drops temp views a query still
+    being constructed on another thread may not have analyzed yet
+    (an unpersist race was only a perf hazard; a view drop is a
+    loud failure). The bench/driver/sweep call sites all release
+    after collect, serially."""
     while _TRACKED:
         df = _TRACKED.pop()
         try:
             df.unpersist(blocking=False)
+        except Exception:
+            pass
+    for hook in _RELEASE_HOOKS:
+        try:
+            hook()
         except Exception:
             pass

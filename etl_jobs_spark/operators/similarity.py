@@ -56,10 +56,24 @@ def require_unique_ids(df: DataFrame, col: str = "vec_id") -> DataFrame:
     collapsed duplicate candidates dict-side only). Duplicate ids
     are an upstream ingest error — the dedup tier exists to clean
     them — so this fails LOUDLY, mirroring the oracles' error()
-    check. One cheap 2-scalar aggregate, once per fit/probe."""
-    n, d = df.select(
-        F.count(F.lit(1)), F.countDistinct(F.col(col))
+    check. One cheap 3-scalar aggregate, memoized per (session,
+    dataset) by the query-layer callers so plan-only consumers pay
+    the scan once per corpus, not per invocation (round-12
+    ADVICE)."""
+    n, d, nn = df.select(
+        F.count(F.lit(1)),
+        F.countDistinct(F.col(col)),
+        F.count(F.when(F.col(col).isNull(), F.lit(1))),
     ).first()
+    if nn:
+        # countDistinct ignores NULLs, so without this branch a
+        # NULL-id corpus would be misreported as 'duplicate ids'
+        # (round-12 ADVICE) — name the actual violation.
+        raise ValueError(
+            f"similarity tier requires non-NULL {col}: corpus has "
+            f"{nn} NULL {col} row(s) of {n} — NULL ids cannot key an "
+            "index; repair the ingest before fitting"
+        )
     if n != d:
         raise ValueError(
             f"similarity tier requires unique {col}: corpus has {n} "
@@ -76,7 +90,11 @@ def unique_ids_check_sql(table: str = "embeddings",
     splice it as ``chk AS ({this})`` and gate on
     ``(SELECT ok FROM chk) = 1``."""
     return (
-        f"SELECT CASE WHEN count(*) = count(DISTINCT {col}) THEN 1 "
+        f"SELECT CASE "
+        f"WHEN count(CASE WHEN {col} IS NULL THEN 1 END) > 0 THEN "
+        f"error('similarity tier requires non-NULL {col}: NULL ids "
+        f"in {table} cannot key an index (repair the ingest)') "
+        f"WHEN count(*) = count(DISTINCT {col}) THEN 1 "
         f"ELSE error('similarity tier requires unique {col}: "
         f"duplicate ids in {table} (run the dedup tier first)') END "
         f"AS ok FROM {table}"

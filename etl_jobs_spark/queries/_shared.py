@@ -145,4 +145,37 @@ def scoped_view(df: DataFrame, base: str, sf_dir) -> str:
     tag = hashlib.md5(str(sf_dir).encode()).hexdigest()[:8]
     name = f"{base}_{tag}"
     df.createOrReplaceTempView(name)
+    # Track for release: dataset-scoped names accumulate in a
+    # long-lived shared session as corpora rotate (round-12 ADVICE)
+    # — cache.release_all() drops them between queries. Keyed by
+    # applicationId so a recycled session never drops a live name
+    # registered under a dead one, deduped so per-invocation
+    # re-registrations don't grow the tracking set itself.
+    spark = df.sparkSession
+    _SCOPED_VIEWS.setdefault(
+        spark.sparkContext.applicationId, {}
+    )[name] = spark
     return name
+
+
+#: Scoped temp views awaiting release: appId -> {view name: session}.
+_SCOPED_VIEWS: dict[str, dict[str, SparkSession]] = {}
+
+
+def release_scoped_views() -> None:
+    """Drop every scoped_view-registered temp view (idempotent,
+    never raises — a stopped session just skips). Registered as a
+    cache.release_all hook so the bench/driver inter-query release
+    point also bounds catalog growth (round-12 ADVICE)."""
+    while _SCOPED_VIEWS:
+        _, views = _SCOPED_VIEWS.popitem()
+        for name, spark in views.items():
+            try:
+                spark.catalog.dropTempView(name)
+            except Exception:
+                pass
+
+
+from etl_jobs_spark import cache as _cache  # noqa: E402
+
+_cache.on_release(release_scoped_views)

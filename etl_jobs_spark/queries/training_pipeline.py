@@ -715,5 +715,4 @@ def pipeline_rag_retrieval_end_to_end(spark, sf_dir):
     from etl_jobs_spark.queries.similarity import _mmr_select
 
     keep = quality_filter_top_half(spark, sf_dir).select("doc_id")
-    emb = read_table(spark, sf_dir, "embeddings")
-    return _mmr_select(spark, emb, keep=keep)
+    return _mmr_select(spark, sf_dir, keep=keep)

@@ -87,19 +87,30 @@ class _state_partitions:
         self.spark, self.n = spark, n
 
     def __enter__(self):
-        if self.n is not None:
-            _START_LOCK.acquire()
-            self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
-            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        # The lock is taken even for n=None starts: an unpinned start
+        # planning concurrently with a pinned one would otherwise bake
+        # the OTHER query's partition count into its own checkpoint
+        # (round-12 ADVICE). Only pinned starts touch the conf.
+        _START_LOCK.acquire()
+        try:
+            if self.n is not None:
+                self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+                self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        except BaseException:
+            # conf.get/set raising after acquire must not leak the
+            # lock — a leaked _START_LOCK deadlocks every later
+            # stream start in the session (round-12 ADVICE).
+            _START_LOCK.release()
+            raise
 
     def __exit__(self, *exc):
-        if self.n is not None:
-            try:
+        try:
+            if self.n is not None:
                 self.spark.conf.set(
                     "spark.sql.shuffle.partitions", self.prev
                 )
-            finally:
-                _START_LOCK.release()
+        finally:
+            _START_LOCK.release()
 
 
 def run_to_parquet(

@@ -74,11 +74,17 @@ ORPHAN_ROWS = 7  # orphan rows injected per fk column
 
 
 def _pick(n: int, frac: float, salt: int) -> np.ndarray:
-    """Deterministic victim-row indices: every k-th row, offset by
-    salt, ceil(n*frac) of them — stable across runs and hosts."""
-    take = max(1, int(np.ceil(n * frac)))
-    step = max(1, n // take)
-    return (np.arange(take) * step + salt) % n
+    """Deterministic victim-row indices: ceil(n*frac) DISTINCT rows,
+    evenly spread, offset by salt — stable across runs and hosts.
+
+    linspace over [0, n) never wraps, so the picks are guaranteed
+    distinct; the previous (arange*step + salt) % n could wrap and
+    collide (step rounds down), silently mutating fewer rows than
+    the recorded fraction (round-12 ADVICE)."""
+    take = max(1, min(n, int(np.ceil(n * frac))))
+    idx = (np.linspace(0, n, num=take, endpoint=False).astype(np.int64)
+           + salt) % n
+    return np.unique(idx)
 
 
 def build(src: str = SRC, dst: str = DST) -> str:
