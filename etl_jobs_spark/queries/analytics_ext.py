@@ -451,22 +451,18 @@ def stream_source_custom(spark, sf_dir):
     ledger_source.register(spark)
     wk = scratch_dir("ledger_stream_wk")
     out = str(wk / "out")
-    q = (
+    src = (
         spark.readStream.format("event_ledger")
         .option("path", str(stage_jsonl(spark, sf_dir)))
         .load()
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", str(wk / "ck"))
-        .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
-    from etl_jobs_spark.sources.ledger_source import LEDGER_SCHEMA
-
+    # drain via the shared helper so the round-13 fault axis can
+    # stop/restart the custom source mid-drain — readBetweenOffsets
+    # replay + parquet-sink manifest is the exactly-once pair under
+    # test.
+    sunk = S.run_to_parquet(src, str(wk / "ck"), out)
     return (
-        spark.read.schema(LEDGER_SCHEMA)
-        .parquet(out)
+        sunk
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("event_id").alias("n_distinct"),
@@ -619,18 +615,24 @@ def sink_custom_ledger_stream(spark, sf_dir):
     ledger_source.register(spark)
     wk = scratch_dir("ledger_stream_sink_wk")
     out = str(wk / "ledger_out")
-    q = (
+    src = (
         spark.readStream.format("event_ledger")
         .option("path", str(stage_jsonl(spark, sf_dir)))
         .load()
         .filter(F.col("event_type") != "error")
-        .writeStream.format("event_ledger")
-        .option("path", out)
-        .option("checkpointLocation", str(wk / "ck"))
-        .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    # shared drain helper → round-13 fault axis can stop/restart
+    # mid-drain; the custom sink's batch-id prefix + delete-replayed-
+    # attempt commit is the idempotency contract under test.
+    S._drain(
+        lambda: (
+            src.writeStream.format("event_ledger")
+            .option("path", out)
+            .option("checkpointLocation", str(wk / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+    )
     return (
         spark.read.format("event_ledger")
         .option("path", out)

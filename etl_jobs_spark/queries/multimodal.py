@@ -371,15 +371,12 @@ def stream_media_decode(spark, sf_dir):
         .parquet(raw)
     )
     feats = MM.extract_real_features(src)
-    q = (
-        feats.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", str(wk / "ck"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    sunk = spark.read.schema(MM.REAL_FEATURE_SCHEMA).parquet(out)
+    from etl_jobs_spark.streaming import pipelines as S
+
+    # drain via the shared helper so the round-13 fault axis can
+    # stop/restart this decode stream mid-drain like every other
+    # availableNow drain (parquet sink = fault-tolerant).
+    sunk = S.run_to_parquet(feats, str(wk / "ck"), out)
     return sunk.groupBy("container").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("doc_id").alias("n_distinct"),

