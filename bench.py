@@ -46,6 +46,21 @@ from etl_jobs_spark.session import get_spark
 #: hosts varying 2.58x on identical code.
 CALIB_REF_SEC = 0.372
 
+#: Calibration gate (VERDICT r12 item 4): two same-tree r12 runs
+#: differed x1.47 wall with probes -21% vs -80% off — raw ratios
+#: from a degraded host window are not worth recording as canonical.
+#: A run whose start probe lands more than this far from
+#: CALIB_REF_SEC retries ONCE after a cool-down; if still outside,
+#: the run completes but is MARKED rejected: the history line
+#: carries calib_gate="rejected", the canonical sf0.1 record file is
+#: left untouched (the run writes BENCH_FULL_REJECTED.json instead),
+#: and later runs skip rejected records as their comparison basis.
+#: The idle steady-state probe on the current 32-core host class
+#: reads ~0.40s (+8%), so the gate passes at rest and trips exactly
+#: on the contended windows it exists to catch.
+CALIB_GATE_PCT = 25.0
+CALIB_COOLDOWN_SEC = 45.0
+
 #: The per-query names the FINAL stdout line carries — one per major
 #: engine surface, deliberately tiny so the line survives a
 #: 2000-byte tail capture. Everything benched is in
@@ -299,6 +314,52 @@ def main() -> None:
 
     calib_start = _calib_probe()
     print(f"# calib (start): {calib_start:.3f}s", file=sys.stderr)
+
+    # Per-JOB overhead probe (round 13): the CPU probe is one big
+    # stage and cannot see SCHEDULER degradation — the r13 host ran
+    # the CPU probe FASTER than r12's (0.25-0.35s warmed) while
+    # trivial jobs cost 150-250ms each (healthy local: 10-30ms),
+    # inflating every sub-second query ~1.5-3x with big CPU-bound
+    # queries flat. 20 trivial count() jobs, total seconds; compare
+    # across rounds next to calib_sec to split "slower CPU" from
+    # "slower scheduler". Idle r13 reference: ~2.8-5.0s.
+    t0 = time.perf_counter()
+    for _ in range(20):
+        spark.range(1).count()
+    calib_jobs = round(time.perf_counter() - t0, 3)
+    print(f"# calib (20 trivial jobs): {calib_jobs:.3f}s", file=sys.stderr)
+
+    def _gate_off_pct(c: float) -> float:
+        # signed, and the gate trips only on SLOW (positive): a
+        # probe faster than the r2 reference is a better host, not a
+        # degraded window — normalization already accounts for it.
+        return round(100.0 * (c - CALIB_REF_SEC) / CALIB_REF_SEC, 1)
+
+    if _gate_off_pct(calib_start) > CALIB_GATE_PCT:
+        # one retry after a cool-down: transient contention (another
+        # JVM draining, page-cache churn) usually clears; a genuinely
+        # slow host will fail again and be marked, not hidden.
+        print(
+            f"# calib gate: start probe {calib_start:.3f}s is "
+            f"{_gate_off_pct(calib_start)}% off ref {CALIB_REF_SEC}s "
+            f"(gate {CALIB_GATE_PCT}%) — cooling down "
+            f"{CALIB_COOLDOWN_SEC:.0f}s and re-probing once",
+            file=sys.stderr,
+        )
+        time.sleep(CALIB_COOLDOWN_SEC)
+        retry = _calib_probe()
+        print(f"# calib (retry): {retry:.3f}s", file=sys.stderr)
+        calib_start = min(calib_start, retry)
+    calib_gate_off_pct = _gate_off_pct(calib_start)
+    calib_gate = "pass" if calib_gate_off_pct <= CALIB_GATE_PCT else "rejected"
+    if calib_gate == "rejected":
+        print(
+            f"# calib gate: REJECTED — probe {calib_start:.3f}s stayed "
+            f"{calib_gate_off_pct}% off ref after retry; this run will "
+            "be recorded as non-canonical (history marked, canonical "
+            "record file left untouched)",
+            file=sys.stderr,
+        )
     # pre-stage streaming fixture inputs (memoized) so stream_* timings
     # measure the streaming operators, not the one-time test staging
     from etl_jobs_spark.queries import analytics_ext as AQ
@@ -499,7 +560,7 @@ def main() -> None:
     # deltas compare code not VMs.
     norm = {k: round(v * scale, 3) for k, v in timings.items()}
 
-    cur_tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "r12")
+    cur_tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "r13")
     docs = Path(__file__).resolve().parent / "docs"
     history = docs / "bench_history.jsonl"
     # Cross-round comparison (VERDICT r8 item 2): the headline
@@ -535,6 +596,9 @@ def main() -> None:
             if r.get("sf") == sf_val
             and r.get("tag") != cur_tag
             and r.get("queries")
+            # a gate-rejected run is a degraded-host artifact — it
+            # must not become the next round's comparison basis
+            and r.get("calib_gate") != "rejected"
         ]
         if prior:
             prev = prior[-1]
@@ -579,6 +643,9 @@ def main() -> None:
         "calib_drift_pct": drift_pct,
         "calib_drift_flag": calib_drift_flag,
         "calib_ref_sec": CALIB_REF_SEC,
+        "calib_gate": calib_gate,
+        "calib_gate_off_pct": calib_gate_off_pct,
+        "calib_jobs_sec": calib_jobs,
         # r10 (ADVICE r9): the raw common-subset ratio moves to an
         # honestly-named key; `ratio_vs_prev_norm` is RETIRED (r09's
         # record was the only one carrying a raw value under the old
@@ -601,6 +668,11 @@ def main() -> None:
             if sf_name == "sf0.1"
             else f"BENCH_FULL_{sf_name}.json"
         )
+        if calib_gate == "rejected":
+            # refuse to overwrite the canonical record from a
+            # degraded host window (VERDICT r12 item 4); the numbers
+            # stay inspectable under an honestly-named file.
+            rec = "BENCH_FULL_REJECTED.json"
         (docs / rec).write_text(json.dumps(full, indent=1) + "\n")
         with history.open("a") as f:
             f.write(json.dumps(full) + "\n")
@@ -621,6 +693,8 @@ def main() -> None:
             "calib_sec": round(calib, 3),
             "calib_drift_pct": drift_pct,
             "calib_ref_sec": CALIB_REF_SEC,
+            "calib_gate": calib_gate,
+            "calib_jobs_sec": calib_jobs,
             "ratio_vs_prev_raw": ratio,
             "ratio_basis": "raw_common_subset",
             "ratio_n_common": n_common,

@@ -54,14 +54,23 @@ from etl_jobs_spark.queries import (  # noqa: F401
 #   (d) the ANN loud-dispatch four (oracle text gained the loud
 #       unique-id ingest contract) + join_bloom_prefilter (displaced
 #       in r11 AND r12 -- it may not slip a third time),
-#   (e) the oldest remaining driver rows: 14 of the 20 r4-latest rows
-#       not already in (a)-(d), in correctness-file order. The 6 that
-#       do not fit (text_boilerplate_removal,
+#   (e) rows whose operator text changed IN round 13 and that are
+#       not already in (a)-(d): the fault axis made the queue pair's
+#       foreachBatch sinks idempotent per batch id, the custom
+#       ledger stream source/sink gained the restart fix + shared
+#       drain, and scd2_merge_apply's apply collapsed from three
+#       recomputed history windows to one pass (changed rows front,
+#       per the round-10 discipline);
+#   (f) the oldest remaining driver rows: 9 of the 20 r4-latest rows
+#       not already above, in correctness-file order. The 11 that do
+#       not fit (dedup_cluster_size_hist, fn_variant_json,
+#       mix_temperature_weights, scan_xml_roundtrip,
+#       text_quality_classifier, text_boilerplate_removal,
 #       dedup_repeated_ngram_spans, agg_kmv_intersect_types,
 #       mix_epoch_plan, dq_expectations_suite, join_interval_overlap)
 #       lead the round-14 rotation with the r5 cohort.
 # After this window lands green, the oldest driver evidence is the
-# six-row r4 remainder above, then r5.
+# eleven-row r4 remainder above, then r5.
 _ROUND13_WINDOW = [
     # (a) as-of / streaming / scan / fuzzy / fit cohort (axes 8+9)
     "join_asof_nearest",
@@ -103,7 +112,14 @@ _ROUND13_WINDOW = [
     "ann_recall_eval",
     "embed_cell_label_purity",
     "join_bloom_prefilter",
-    # (e) r4-latest backlog, correctness-file order (14 of 20)
+    # (e) changed in round 13 (fault-axis sink/source fixes, scd2
+    #     one-pass apply)
+    "source_queue",
+    "sink_queue",
+    "stream_source_custom",
+    "sink_custom_ledger_stream",
+    "scd2_merge_apply",
+    # (f) r4-latest backlog, correctness-file order (9 of 20)
     "decontam_ngram_overlap",
     "text_repetition_signals",
     "split_train_holdout",
@@ -113,11 +129,6 @@ _ROUND13_WINDOW = [
     "merge_upsert_customers",
     "agg_unpivot_metrics",
     "agg_hll_mergeable",
-    "dedup_cluster_size_hist",
-    "fn_variant_json",
-    "mix_temperature_weights",
-    "scan_xml_roundtrip",
-    "text_quality_classifier",
 ]
 
 registry.promote(_ROUND13_WINDOW)

@@ -648,13 +648,17 @@ def scd2_merge_apply(spark, sf_dir):
     preserved byte-for-byte. Census output (state × currency flag)
     keeps the driver row size bounded while pinning the interval
     bookkeeping: a row double-closed, left dangling, or a lost
-    insert shifts a census cell. Scale shape: the history build is
-    the existing two-window pass; the apply is a partition-local
-    projection split by the change predicate plus a distinct over
-    changed users — at 100 TB this runs as one pass over the dim
-    (tiny next to facts) with the change batch broadcast."""
-    from pyspark.sql import Window as W
-
+    insert shifts a census cell. Scale shape (round-13 rewrite): the
+    apply is ONE pass — close-if-changed-and-open is a CASE
+    projection over the single history build (the pre-r13 plan
+    split untouched/closed into separate branches and the union
+    recomputed the whole history WINDOW three times: 3 scans +
+    3 user_id shuffles for one logical pass), and the fresh-row
+    branch needs no window at all: every user with events has a
+    history row, so 'changed users' is a distinct over the raw
+    event scan. At 100 TB this runs as one windowed pass over the
+    dim (tiny next to facts) + one cheap distinct, change timestamp
+    broadcast."""
     from etl_jobs_spark.operators import analytics as AN
 
     ev = read_table(spark, sf_dir, "events")
@@ -668,18 +672,19 @@ def scd2_merge_apply(spark, sf_dir):
         (F.max("ts") + F.expr("INTERVAL 1 HOUR")).alias("t")
     )
     changed = F.col("user_id") % 3 == 0
-    untouched = hist.filter(~changed)
-    closed = hist.filter(changed).crossJoin(F.broadcast(ts0)).select(
+    # untouched ∪ closed in one projection: only a CHANGED user's
+    # OPEN row closes at t0; everything else passes through.
+    applied_hist = hist.crossJoin(F.broadcast(ts0)).select(
         "user_id",
         "state",
         "effective_from",
         F.when(
-            F.col("effective_to").isNull(), F.col("t")
+            changed & F.col("effective_to").isNull(), F.col("t")
         ).otherwise(F.col("effective_to")).alias("effective_to"),
     )
     fresh = (
-        hist.filter(changed)
-        .select("user_id")
+        ev.select("user_id")
+        .filter(changed)
         .distinct()
         .crossJoin(F.broadcast(ts0))
         .select(
@@ -689,7 +694,7 @@ def scd2_merge_apply(spark, sf_dir):
             F.lit(None).cast("timestamp").alias("effective_to"),
         )
     )
-    applied = untouched.unionByName(closed).unionByName(fresh)
+    applied = applied_hist.unionByName(fresh)
     return applied.groupBy(
         "state", F.col("effective_to").isNull().alias("is_current")
     ).agg(
