@@ -145,29 +145,36 @@ def test_checked_embeddings_memoizes_per_corpus(spark):
 # ---------------------------------------------------------------
 
 def test_release_all_drops_scoped_views(spark, oracle):
+    # Unit-level on scoped_view itself: query-level registrations can
+    # hide inside session memos (a prior full-suite invocation builds
+    # the memo and later calls skip the registration), so the
+    # query-path assertion below only checks oracle parity, while the
+    # tracking/drop contract is asserted on a direct registration.
     from etl_jobs_spark import cache
     from etl_jobs_spark.queries import _shared
     from etl_jobs_spark.registry import all_oracles, all_queries
     from etl_jobs_spark.compare import frames_match
+    from etl_jobs_spark.sources.readers import read_table
 
-    name = "graph_reachability_sql"
-    q = all_queries()[name]
-    got = q(spark, SF_DIR).toPandas()
+    name = _shared.scoped_view(
+        read_table(spark, SF_DIR, "region"), "r13_release_probe", SF_DIR
+    )
     app = spark.sparkContext.applicationId
-    tracked = dict(_shared._SCOPED_VIEWS.get(app, {}))
-    assert tracked, "scoped_view registered no names to track"
-    for view in tracked:
-        assert spark.catalog.tableExists(view)
+    assert name in _shared._SCOPED_VIEWS.get(app, {}), (
+        "scoped_view did not track its registration"
+    )
+    assert spark.catalog.tableExists(name)
     cache.release_all()
     assert not _shared._SCOPED_VIEWS
-    for view in tracked:
-        assert not spark.catalog.tableExists(view), (
-            f"release_all left scoped view {view} in the catalog"
-        )
-    # re-invocation re-registers and still matches its oracle
+    assert not spark.catalog.tableExists(name), (
+        f"release_all left scoped view {name} in the catalog"
+    )
+    # a scoped-view query still matches its oracle after the release
+    # (re-registration or memoized plan — both must survive the drop)
+    qname = "graph_reachability_sql"
     frames_match(
-        q(spark, SF_DIR).toPandas(),
-        oracle.sql(all_oracles()[name]).df(),
+        all_queries()[qname](spark, SF_DIR).toPandas(),
+        oracle.sql(all_oracles()[qname]).df(),
     )
     cache.release_all()
 
