@@ -127,6 +127,7 @@ def fault_injection(
     stop_after_batches: int = 1,
     timeout_sec: float = 120.0,
     grace_sec: float = 0.3,
+    n_faults: int = 1,
 ):
     """Context manager arming mid-drain fault injection for every
     availableNow drain in scope.
@@ -158,6 +159,11 @@ def fault_injection(
             "stop_after_batches": stop_after_batches,
             "timeout_sec": timeout_sec,
             "grace_sec": grace_sec,
+            # >1 = repeated-recovery: each fault round stops the
+            # restarted query again (same strategy) before the final
+            # drain-to-completion — a checkpoint must survive
+            # arbitrarily many crash/recover cycles, not one.
+            "n_faults": n_faults,
             "log": [],
         }
         try:
@@ -180,26 +186,33 @@ def _drain(start) -> None:
         q.awaitTermination()
         return
     fault = _FAULT
-    q = start()
-    stopped_early = False
-    if fault["stop_after_batches"] <= 0:
-        # immediate mode: interrupt batch 0 IN FLIGHT (short grace so
-        # the batch is genuinely running) — the restart replays it
-        # with the same batch id, the sharpest idempotency probe.
-        _time.sleep(fault.get("grace_sec", 0.3))
-        stopped_early = q.isActive
-        q.stop()
-    else:
-        deadline = _time.monotonic() + fault["timeout_sec"]
-        while q.isActive and _time.monotonic() < deadline:
-            p = q.lastProgress
-            if p is not None and p["batchId"] + 1 >= fault["stop_after_batches"]:
-                q.stop()  # the injection
-                stopped_early = True
-                break
-            _time.sleep(0.02)
-    q.awaitTermination()
-    q2 = start()  # resume from the SAME checkpoint
+    n_stopped_early = 0
+    for _round in range(max(1, fault.get("n_faults", 1))):
+        q = start()
+        stopped_early = False
+        if fault["stop_after_batches"] <= 0:
+            # immediate mode: interrupt the running batch IN FLIGHT
+            # (short grace so it is genuinely running) — the restart
+            # replays it with the same batch id, the sharpest sink
+            # idempotency probe.
+            _time.sleep(fault.get("grace_sec", 0.3))
+            stopped_early = q.isActive
+            q.stop()
+        else:
+            deadline = _time.monotonic() + fault["timeout_sec"]
+            while q.isActive and _time.monotonic() < deadline:
+                p = q.lastProgress
+                if (
+                    p is not None
+                    and p["batchId"] + 1 >= fault["stop_after_batches"]
+                ):
+                    q.stop()  # the injection
+                    stopped_early = True
+                    break
+                _time.sleep(0.02)
+        q.awaitTermination()
+        n_stopped_early += stopped_early
+    q2 = start()  # resume from the SAME checkpoint, drain fully
     q2.awaitTermination()
     resumed = [
         p for p in (q2.recentProgress or [])
@@ -207,9 +220,9 @@ def _drain(start) -> None:
     ]
     fault["log"].append(
         {
-            "stopped_early": stopped_early,
+            "stopped_early": n_stopped_early,
             "phase2_batches_with_input": len(resumed),
-            "mid_drain": stopped_early and len(resumed) > 0,
+            "mid_drain": n_stopped_early > 0 and len(resumed) > 0,
         }
     )
 

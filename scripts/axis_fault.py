@@ -56,6 +56,10 @@ EXTRA_STREAMING = {"source_queue", "sink_queue", "sink_custom_ledger_stream"}
 MODES = {
     "after_first_batch": dict(stop_after_batches=1),
     "immediate": dict(stop_after_batches=0),
+    # a checkpoint must survive arbitrarily many crash/recover
+    # cycles: two consecutive stop-after-commit faults before the
+    # final drain.
+    "double_fault": dict(stop_after_batches=1, n_faults=2),
 }
 
 #: Documented-semantics cells: a WATERMARKED APPEND drain stopped

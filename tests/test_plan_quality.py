@@ -251,3 +251,21 @@ def test_sketch_audit_single_fact_scan_family(spark):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     df.count()
+
+
+def test_scd2_merge_apply_single_history_pass(spark):
+    """Round-13 lock: the SCD2 apply builds the history WINDOW once.
+    The pre-r13 plan split untouched/closed/fresh into union branches
+    that each recomputed the full two-window history build — 5 Window
+    nodes and three event scans for one logical pass. The rewrite
+    carries close-if-changed as a CASE projection over one build and
+    derives fresh-churned users from a plain distinct, so the
+    executed plan must contain exactly the history build's two Window
+    nodes (lag + lead, sharing one sort)."""
+    from etl_jobs_spark.queries.product_analytics import (
+        scd2_merge_apply,
+    )
+
+    df = scd2_merge_apply(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 2, plan[:2000]

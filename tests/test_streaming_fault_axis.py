@@ -37,6 +37,9 @@ CASES = [
     ("stream_dedup_exact", dict(stop_after_batches=1)),
     ("source_queue", dict(stop_after_batches=0)),
     ("stream_source_custom", dict(stop_after_batches=1)),
+    # repeated recovery: the MERGE sink's rename-aside state protocol
+    # must survive two consecutive crash/recover cycles, not one
+    ("stream_merge_upsert", dict(stop_after_batches=1, n_faults=2)),
 ]
 
 
