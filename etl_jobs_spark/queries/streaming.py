@@ -788,17 +788,28 @@ def stream_sink_jdbc(spark, sf_dir):
         # exists yet — Spark creates it on the first append) so a
         # micro-batch retry overwrites rather than duplicates. Runs
         # on the driver, same JVM as embedded Derby.
+        #
+        # Identifier case matters (both halves found by the round-13
+        # sink-crash fault mode, which forces a REAL
+        # uncommitted-batch replay): Spark's JDBC writer creates the
+        # TABLE name unquoted — Derby stores it as EVENTS_SINK, so
+        # the original lowercase-quoted lookup ("events_sink") never
+        # matched, the existence check short-circuited, and the
+        # guard silently never deleted (readback doubled batch 0).
+        # The COLUMNS, by contrast, ARE created quoted (Spark quotes
+        # field names in CREATE TABLE), so the delete must quote
+        # "batch_id" or Derby folds it to the nonexistent BATCH_ID.
         jvm = spark._jvm
         jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
         conn = jvm.java.sql.DriverManager.getConnection(url)
         try:
             tables = conn.getMetaData().getTables(
-                None, None, "events_sink", None
+                None, None, "EVENTS_SINK", None
             )
             if tables.next():
                 st = conn.createStatement()
                 st.executeUpdate(
-                    f'DELETE FROM "events_sink" WHERE "batch_id" = {int(batch_id)}'
+                    f'DELETE FROM events_sink WHERE "batch_id" = {int(batch_id)}'
                 )
                 st.close()
         finally:

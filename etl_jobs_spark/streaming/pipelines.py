@@ -128,6 +128,7 @@ def fault_injection(
     timeout_sec: float = 120.0,
     grace_sec: float = 0.3,
     n_faults: int = 1,
+    crash_after_first_sink: bool = False,
 ):
     """Context manager arming mid-drain fault injection for every
     availableNow drain in scope.
@@ -164,6 +165,16 @@ def fault_injection(
             # drain-to-completion — a checkpoint must survive
             # arbitrarily many crash/recover cycles, not one.
             "n_faults": n_faults,
+            # sink-crash mode: foreachBatch drains raise AFTER the
+            # real sink work of the first attempted batch, so the
+            # batch is applied but NEVER COMMITTED — the restart
+            # replays it with the same id against an
+            # already-written sink. DETERMINISTIC (no stop() race):
+            # the sharpest idempotency probe. Drains without a
+            # Python-side sink ignore the flag (recorded as
+            # crash_fired=0).
+            "crash_after_first_sink": crash_after_first_sink,
+            "crash_fired": 0,
             "log": [],
         }
         try:
@@ -172,6 +183,45 @@ def fault_injection(
             _FAULT = prev
 
     return _cm()
+
+
+def _maybe_crashing(batch_sinks):
+    """Wrap a foreachBatch sink for sink-crash fault mode: run the
+    REAL sink work, then raise once — the batch is applied but never
+    committed, so the restart replays it with the same id. Returns
+    the sink unchanged when the mode is off."""
+    if _FAULT is None or not _FAULT.get("crash_after_first_sink"):
+        return batch_sinks
+    fault = _FAULT
+
+    def wrapped(batch_df, batch_id):
+        batch_sinks(batch_df, batch_id)
+        if not fault["crash_fired"]:
+            fault["crash_fired"] += 1
+            raise RuntimeError(
+                f"injected sink crash after batch {batch_id} sink work"
+            )
+
+    return wrapped
+
+
+def _await_tolerating_injected_crash(q, fired_before: int) -> None:
+    """awaitTermination that swallows ONLY the armed injected sink
+    crash (the query fails by design; the caller restarts it); any
+    other failure propagates. Identified by the crash COUNTER having
+    advanced during this drain, not by exception text — the
+    StreamingQueryException wraps the Python error differently per
+    sink path."""
+    try:
+        q.awaitTermination()
+    except Exception:
+        if (
+            _FAULT is not None
+            and _FAULT.get("crash_after_first_sink")
+            and _FAULT.get("crash_fired", 0) > fired_before
+        ):
+            return
+        raise
 
 
 def _drain(start) -> None:
@@ -188,6 +238,7 @@ def _drain(start) -> None:
     fault = _FAULT
     n_stopped_early = 0
     for _round in range(max(1, fault.get("n_faults", 1))):
+        fired_at_start = fault.get("crash_fired", 0)
         q = start()
         stopped_early = False
         if fault["stop_after_batches"] <= 0:
@@ -210,10 +261,17 @@ def _drain(start) -> None:
                     stopped_early = True
                     break
                 _time.sleep(0.02)
-        q.awaitTermination()
+        _await_tolerating_injected_crash(q, fired_at_start)
         n_stopped_early += stopped_early
     q2 = start()  # resume from the SAME checkpoint, drain fully
-    q2.awaitTermination()
+    fired_before = fault.get("crash_fired", 0)
+    _await_tolerating_injected_crash(q2, fired_before)
+    if fault.get("crash_fired", 0) > fired_before:
+        # the one-shot sink crash landed in THIS drain — it ended
+        # mid-stream by design; one more restart drains to
+        # completion (the crash never fires twice).
+        q2 = start()
+        q2.awaitTermination()
     resumed = [
         p for p in (q2.recentProgress or [])
         if p.get("numInputRows", 0) > 0
@@ -289,11 +347,12 @@ def run_to_memory(
                 f"{out_root}/b{batch_id:09d}"
             )
 
+        sink = _maybe_crashing(per_batch)
         with _state_partitions(spark, state_partitions):
             _drain(
                 lambda: (
                     stream_df.writeStream.outputMode(output_mode)
-                    .foreachBatch(per_batch)
+                    .foreachBatch(sink)
                     .option("checkpointLocation", checkpoint_dir)
                     .trigger(availableNow=True)
                     .start()
@@ -402,10 +461,13 @@ def foreach_batch_pipeline(
             # axis can stop/restart it. batch_sinks must be
             # idempotent per batch id (per-batch overwrite dirs, the
             # merge sink's versioned rename, the JDBC replay guard) —
-            # a replayed in-flight batch re-runs with the same id.
+            # a replayed in-flight batch re-runs with the same id,
+            # and the sink-crash mode forces exactly that replay
+            # deterministically.
+            sink = _maybe_crashing(batch_sinks)
             _drain(
                 lambda: (
-                    stream_df.writeStream.foreachBatch(batch_sinks)
+                    stream_df.writeStream.foreachBatch(sink)
                     .option("checkpointLocation", checkpoint_dir)
                     .trigger(**trig)
                     .start()

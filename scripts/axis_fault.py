@@ -60,6 +60,16 @@ MODES = {
     # cycles: two consecutive stop-after-commit faults before the
     # final drain.
     "double_fault": dict(stop_after_batches=1, n_faults=2),
+    # DETERMINISTIC uncommitted-batch replay: the foreachBatch sink
+    # raises AFTER its real work on the first attempted batch (the
+    # batch is applied but never committed; the restart replays it
+    # with the same id against the already-written sink). No stop()
+    # race — the sharpest idempotency probe; drains without a
+    # Python-side sink ignore it (crash never fires, recorded).
+    # Found the Derby identifier-case bug that made
+    # stream_sink_jdbc's delete-by-batch replay guard a silent
+    # no-op since it was written.
+    "sink_crash": dict(stop_after_batches=10**6, crash_after_first_sink=True),
 }
 
 #: Documented-semantics cells: a WATERMARKED APPEND drain stopped
@@ -98,10 +108,12 @@ def main() -> None:
         for mode, kw in MODES.items():
             t0 = time.perf_counter()
             ok, err, log, disposition = True, None, [], None
+            crash_fired = 0
             try:
                 with P.fault_injection(**kw) as fault:
                     got = queries[name](spark, sf_dir).toPandas()
                     log = list(fault["log"])
+                    crash_fired = fault.get("crash_fired", 0)
                 if name in oracles:
                     try:
                         frames_match(got, con.sql(oracles[name]).df())
@@ -125,6 +137,7 @@ def main() -> None:
                 "drains_injected": len(log),
                 "stopped_early": sum(1 for e in log if e.get("stopped_early")),
                 "mid_drain": mid,
+                **({"crash_fired": crash_fired} if "crash" in mode else {}),
                 **({"error": err} if err else {}),
                 **({"disposition": disposition} if disposition else {}),
             }

@@ -40,6 +40,21 @@ CASES = [
     # repeated recovery: the MERGE sink's rename-aside state protocol
     # must survive two consecutive crash/recover cycles, not one
     ("stream_merge_upsert", dict(stop_after_batches=1, n_faults=2)),
+    # DETERMINISTIC uncommitted-batch replay (sink raises after its
+    # real work; restart re-runs the same batch id): the JDBC sink's
+    # delete-by-batch guard was a silent no-op — Derby stores the
+    # unquoted table name as EVENTS_SINK, the lowercase-quoted lookup
+    # never matched — until this mode forced the replay it guards.
+    (
+        "stream_sink_jdbc",
+        dict(stop_after_batches=10**6, crash_after_first_sink=True),
+    ),
+    # and the same deterministic replay over the per-batch-dir dual
+    # sink that blind-appended before round 13
+    (
+        "source_queue",
+        dict(stop_after_batches=10**6, crash_after_first_sink=True),
+    ),
 ]
 
 
