@@ -61,16 +61,16 @@ from etl_jobs_spark.queries import (  # noqa: F401
 #       drain, and scd2_merge_apply's apply collapsed from three
 #       recomputed history windows to one pass (changed rows front,
 #       per the round-10 discipline);
-#   (f) the oldest remaining driver rows: 9 of the 20 r4-latest rows
-#       not already above, in correctness-file order. The 11 that do
-#       not fit (dedup_cluster_size_hist, fn_variant_json,
-#       mix_temperature_weights, scan_xml_roundtrip,
+#   (f) the oldest remaining driver rows: 8 of the 20 r4-latest rows
+#       not already above, in correctness-file order. The 12 that do
+#       not fit (agg_hll_mergeable, dedup_cluster_size_hist,
+#       fn_variant_json, mix_temperature_weights, scan_xml_roundtrip,
 #       text_quality_classifier, text_boilerplate_removal,
 #       dedup_repeated_ngram_spans, agg_kmv_intersect_types,
 #       mix_epoch_plan, dq_expectations_suite, join_interval_overlap)
 #       lead the round-14 rotation with the r5 cohort.
 # After this window lands green, the oldest driver evidence is the
-# eleven-row r4 remainder above, then r5.
+# twelve-row r4 remainder above, then r5.
 _ROUND13_WINDOW = [
     # (a) as-of / streaming / scan / fuzzy / fit cohort (axes 8+9)
     "join_asof_nearest",
@@ -112,14 +112,18 @@ _ROUND13_WINDOW = [
     "ann_recall_eval",
     "embed_cell_label_purity",
     "join_bloom_prefilter",
-    # (e) changed in round 13 (fault-axis sink/source fixes, scd2
-    #     one-pass apply)
+    # (e) changed in round 13 (fault-axis sink/source fixes — incl.
+    #     the JDBC replay guard the sink-crash mode proved a silent
+    #     no-op — and the scd2 one-pass apply)
     "source_queue",
     "sink_queue",
     "stream_source_custom",
     "sink_custom_ledger_stream",
+    "stream_sink_jdbc",
     "scd2_merge_apply",
-    # (f) r4-latest backlog, correctness-file order (9 of 20)
+    # (f) r4-latest backlog, correctness-file order (8 of 20;
+    #     agg_hll_mergeable — the rows-only sketch row, weakest
+    #     driver signal — rotates to r14 with the rest)
     "decontam_ngram_overlap",
     "text_repetition_signals",
     "split_train_holdout",
@@ -128,7 +132,6 @@ _ROUND13_WINDOW = [
     "dq_stale_feeds",
     "merge_upsert_customers",
     "agg_unpivot_metrics",
-    "agg_hll_mergeable",
 ]
 
 registry.promote(_ROUND13_WINDOW)
