@@ -34,104 +34,77 @@ from etl_jobs_spark.queries import (  # noqa: F401
     feature_engineering,
 )
 
-# Round-13 sweep window (50 queries, registration order). The head is
-# the recorded handoff cohort (docs/PERF_r12.md "Handoff to round 13"
-# + the round-12 verdict item 1): rows whose OPERATOR OR ORACLE TEXT
-# changed under the round-12 axes (8: duplicate-key/orphan-FK, 9:
-# shared-session scoped views + stream-start lock, 10: schema
-# evolution) but which the r12 window -- correctly reserved for the
-# r2/r3 backlog drain -- could not hold. All swept green builder-side
-# at three SFs on the r12 final tree; driver currency is what they
-# lack. Two handoff names are OMITTED because the r12 window already
-# landed their post-change driver rows: dedup_semantic_keep_best and
-# udtf_passage_chunks (both green in CORRECTNESS_r12).
-# Composition:
-#   (a) the as-of/stream/scan/fit axis-8/9 cohort (12),
-#   (b) the 13 real-container multimodal rows (axis-8 staging-key
-#       hardening touched their shared binary-ingest path),
-#   (c) the remaining scoped-view queries from axis 9 (6, of the
-#       "scoped-view seven" minus udtf_passage_chunks),
-#   (d) the ANN loud-dispatch four (oracle text gained the loud
-#       unique-id ingest contract) + join_bloom_prefilter (displaced
-#       in r11 AND r12 -- it may not slip a third time),
-#   (e) rows whose operator text changed IN round 13 and that are
-#       not already in (a)-(d): the fault axis made the queue pair's
-#       foreachBatch sinks idempotent per batch id, the custom
-#       ledger stream source/sink gained the restart fix + shared
-#       drain, and scd2_merge_apply's apply collapsed from three
-#       recomputed history windows to one pass (changed rows front,
-#       per the round-10 discipline);
-#   (f) the oldest remaining driver rows: 8 of the 20 r4-latest rows
-#       not already above, in correctness-file order. The 12 that do
-#       not fit (agg_hll_mergeable, dedup_cluster_size_hist,
-#       fn_variant_json, mix_temperature_weights, scan_xml_roundtrip,
-#       text_quality_classifier, text_boilerplate_removal,
-#       dedup_repeated_ngram_spans, agg_kmv_intersect_types,
-#       mix_epoch_plan, dq_expectations_suite, join_interval_overlap)
-#       lead the round-14 rotation with the r5 cohort.
-# After this window lands green, the oldest driver evidence is the
-# twelve-row r4 remainder above, then r5.
-_ROUND13_WINDOW = [
-    # (a) as-of / streaming / scan / fuzzy / fit cohort (axes 8+9)
-    "join_asof_nearest",
-    "join_asof_tolerance",
-    "stream_dedup_exact",
-    "stream_tws_processor",
-    "scan_text_logparse",
-    "scan_binary_files",
-    "fuzzy_pairs_names",
-    "er_block_cap_audit",
-    "embed_kmeans_lloyd",
+# Round-14 sweep window (50 queries, registration order), per the
+# r13 verdict item 1 + docs/PERF_r13.md handoff: this round is
+# evidence-depth focused (measurement basis, durability/concurrency
+# axes) and changes almost no operator text, so the window is nearly
+# pure rotation:
+#   (a) rows changed in round 14: embed_mmr_diversified_topk (the
+#       driver-side MMR greedy stage gained the loud shortlist
+#       bound VERDICT r13 item 6 asked for);
+#   (b) the full 12-row r4-latest remainder the r13 window could not
+#       hold (incl. agg_hll_mergeable, the rows-only sketch row with
+#       the weakest driver signal), correctness-file order;
+#   (c) the complete 32-row r5-latest cohort, correctness-file order
+#       -- after this window lands green, no driver evidence is
+#       older than r6;
+#   (d) the first 5 of the 41-row r6-latest cohort, correctness-file
+#       order (the rest lead the r15 rotation).
+_ROUND14_WINDOW = [
+    # (a) changed in round 14
     "embed_mmr_diversified_topk",
-    "pipeline_rag_retrieval_end_to_end",
-    "pipeline_llm_corpus_end_to_end",
-    # (b) the 13 real-container multimodal rows
-    "multimodal_decode_png_bmp",
-    "multimodal_decode_jpeg",
-    "multimodal_decode_gif",
-    "multimodal_decode_wav",
-    "multimodal_resize_nearest",
-    "multimodal_image_histogram",
-    "multimodal_image_patches",
-    "multimodal_audio_downsample",
-    "multimodal_audio_rms_energy",
-    "multimodal_image_dhash_dedup",
-    "multimodal_audio_fingerprint_dedup",
-    "stream_media_decode",
-    "pipeline_media_curation",
-    # (c) scoped-view cohort (axis 9), minus the r12-landed udtf row
-    "graph_reachability_sql",
-    "agg_grouping_sets",
-    "join_lateral_topn",
-    "recursive_cte_hierarchy",
-    "udtf_arrow_shingles",
-    "stream_udtf_fanout",
-    # (d) ANN loud-dispatch oracle text + the twice-displaced bloom
-    "embed_ivfpq_topk",
-    "embed_ivf_append_topk",
-    "ann_recall_eval",
-    "embed_cell_label_purity",
-    "join_bloom_prefilter",
-    # (e) changed in round 13 (fault-axis sink/source fixes — incl.
-    #     the JDBC replay guard the sink-crash mode proved a silent
-    #     no-op — and the scd2 one-pass apply)
-    "source_queue",
-    "sink_queue",
-    "stream_source_custom",
-    "sink_custom_ledger_stream",
-    "stream_sink_jdbc",
-    "scd2_merge_apply",
-    # (f) r4-latest backlog, correctness-file order (8 of 20;
-    #     agg_hll_mergeable — the rows-only sketch row, weakest
-    #     driver signal — rotates to r14 with the rest)
-    "decontam_ngram_overlap",
-    "text_repetition_signals",
-    "split_train_holdout",
-    "mix_rebalance_sources",
-    "dq_k_anonymity",
-    "dq_stale_feeds",
-    "merge_upsert_customers",
-    "agg_unpivot_metrics",
+    # (b) r4-latest remainder (12)
+    "agg_hll_mergeable",
+    "dedup_cluster_size_hist",
+    "fn_variant_json",
+    "mix_temperature_weights",
+    "scan_xml_roundtrip",
+    "text_quality_classifier",
+    "text_boilerplate_removal",
+    "dedup_repeated_ngram_spans",
+    "agg_kmv_intersect_types",
+    "mix_epoch_plan",
+    "dq_expectations_suite",
+    "join_interval_overlap",
+    # (c) r5-latest cohort (32)
+    "corpus_token_budget",
+    "ts_anomaly_mad",
+    "governance_column_masking",
+    "embed_matryoshka_topk",
+    "q2_min_cost_supplier",
+    "agg_count_min_sketch",
+    "dedup_incremental_bloom",
+    "fn_lambda_suite",
+    "ts_ewma_hourly",
+    "scan_csv_gzip",
+    "setop_union_schema_drift",
+    "text_token_entropy",
+    "text_zipf_slope",
+    "agg_kmv_difference_types",
+    "agg_activity_streaks",
+    "scan_json_lines",
+    "dedup_exact_text",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_components",
+    "udf_scalar_pandas",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "proj_upper",
+    "proj_cast_int",
+    "proj_add_ts",
+    "proj_batch_id",
+    "filter_required_fields",
+    "filter_nonempty_name",
+    "filter_age_range",
+    "filter_email_format",
+    # (d) r6-latest head (5)
+    "agg_gini_revenue",
+    "basket_brand_affinity",
+    "path_top_sequences",
+    "ts_interval_coverage",
+    "ts_autocorr_lag1",
 ]
 
-registry.promote(_ROUND13_WINDOW)
+registry.promote(_ROUND14_WINDOW)

@@ -19,7 +19,28 @@ not row inserts.
 
 from __future__ import annotations
 
+from urllib.parse import quote
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Directory name Spark's own ``partitionBy`` uses for NULL
+#: partition values; the parquet scan maps it back to NULL on read.
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _escape_partition_value(v: object) -> str:
+    """Percent-encode a partition value for a Hive-style dir name.
+
+    Spark's ``partitionBy`` escapes path-hostile characters
+    (ExternalCatalogUtils.escapePathName: '/', '=', control chars,
+    ...); ``quote(safe="")`` encodes a decodable superset of that
+    set, and Spark's scan-side unescaping handles any %xx sequence,
+    so values containing '/', '=', '%', or spaces round-trip instead
+    of producing broken or mis-parsed partition directories
+    (ADVICE r13: raw interpolation wrote ``day=a/b`` as a NESTED
+    directory the reader parsed as a different partition)."""
+    return quote(str(v), safe="")
 
 
 def sink_jdbc_append(
@@ -94,14 +115,26 @@ def sink_parquet_partitions_direct(
     (Delta/Iceberg commit log) or an S3A staging committer buys
     without the loop. Concurrent writers claiming the SAME partition
     value remain the caller's contract, exactly as with any
-    Hive-style table."""
+    Hive-style table.
+
+    NULL partition values go to ``__HIVE_DEFAULT_PARTITION__`` (the
+    same directory Spark's own ``partitionBy`` uses) — the naive
+    ``df[col] == None`` filter evaluates to NULL for every row, so
+    before the r13 ADVICE fix those rows silently vanished. Non-NULL
+    values are percent-encoded into the path (see
+    ``_escape_partition_value``)."""
     vals = [r[0] for r in df.select(partition_col).distinct().collect()]
     for v in vals:
+        if v is None:
+            part = df.filter(F.col(partition_col).isNull())
+            dirname = HIVE_DEFAULT_PARTITION
+        else:
+            part = df.filter(F.col(partition_col) == F.lit(v))
+            dirname = _escape_partition_value(v)
         (
-            df.filter(df[partition_col] == v)
-            .drop(partition_col)
+            part.drop(partition_col)
             .write.mode("append")
-            .parquet(f"{root}/{partition_col}={v}")
+            .parquet(f"{root}/{partition_col}={dirname}")
         )
 
 

@@ -237,10 +237,12 @@ def _drain(start) -> None:
         return
     fault = _FAULT
     n_stopped_early = 0
+    n_timed_out = 0
     for _round in range(max(1, fault.get("n_faults", 1))):
         fired_at_start = fault.get("crash_fired", 0)
         q = start()
         stopped_early = False
+        timed_out = False
         if fault["stop_after_batches"] <= 0:
             # immediate mode: interrupt the running batch IN FLIGHT
             # (short grace so it is genuinely running) — the restart
@@ -261,8 +263,18 @@ def _drain(start) -> None:
                     stopped_early = True
                     break
                 _time.sleep(0.02)
+            if not stopped_early and q.isActive:
+                # ADVICE r13: the commit-poll deadline expired with
+                # the query still running — the injection NEVER
+                # LANDED. Without this flag a chronically slow host
+                # silently turns fault cells into plain no-injection
+                # runs; record it loudly so the axis sweep can
+                # distinguish degraded cells from genuine passes.
+                timed_out = True
+                q.stop()
         _await_tolerating_injected_crash(q, fired_at_start)
         n_stopped_early += stopped_early
+        n_timed_out += timed_out
     q2 = start()  # resume from the SAME checkpoint, drain fully
     fired_before = fault.get("crash_fired", 0)
     _await_tolerating_injected_crash(q2, fired_before)
@@ -281,6 +293,12 @@ def _drain(start) -> None:
             "stopped_early": n_stopped_early,
             "phase2_batches_with_input": len(resumed),
             "mid_drain": n_stopped_early > 0 and len(resumed) > 0,
+            # ADVICE r13: rounds where the commit-poll deadline
+            # expired before the designed injection point — the stop
+            # still landed (bounding the drain) but NOT at the
+            # intended batch boundary; a cell with this > 0 is a
+            # degraded-host artifact, not a clean mid-drain pass.
+            "injection_timed_out": n_timed_out,
         }
     )
 

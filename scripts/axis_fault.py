@@ -102,7 +102,7 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     rows: dict[str, dict] = {}
-    n_ok = n_mid = 0
+    n_ok = n_mid = n_timed_out = 0
     for name in names:
         rows[name] = {}
         for mode, kw in MODES.items():
@@ -130,6 +130,12 @@ def main() -> None:
                 ok, err = False, f"{type(e).__name__}: {e}"[:300]
             cache.release_all()
             mid = sum(1 for e in log if e.get("mid_drain"))
+            # ADVICE r13: surface deadline-expired injections per
+            # cell — a cell whose stops landed only AFTER the poll
+            # deadline is a degraded-host artifact, not a clean
+            # mid-drain pass, and must be distinguishable in the
+            # committed record.
+            timed_out = sum(e.get("injection_timed_out", 0) for e in log)
             rows[name][mode] = {
                 "sec": round(time.perf_counter() - t0, 3),
                 "ok": ok,
@@ -137,17 +143,20 @@ def main() -> None:
                 "drains_injected": len(log),
                 "stopped_early": sum(1 for e in log if e.get("stopped_early")),
                 "mid_drain": mid,
+                **({"injection_timed_out": timed_out} if timed_out else {}),
                 **({"crash_fired": crash_fired} if "crash" in mode else {}),
                 **({"error": err} if err else {}),
                 **({"disposition": disposition} if disposition else {}),
             }
             n_ok += ok
             n_mid += mid
+            n_timed_out += timed_out
             print(
                 f"# {name} [{mode}]: "
                 f"{'ok' if ok else 'FAIL'} "
                 f"({rows[name][mode]['sec']:.2f}s, "
                 f"{len(log)} drains, {mid} mid-drain)"
+                + (f" INJECTION_TIMED_OUT x{timed_out}" if timed_out else "")
                 + (f" {err}" if err else ""),
                 file=sys.stderr,
             )
@@ -160,6 +169,7 @@ def main() -> None:
         "n_cells": len(names) * len(MODES),
         "n_ok": n_ok,
         "n_mid_drain_total": n_mid,
+        "n_injection_timed_out": n_timed_out,
         "queries": rows,
     }
     Path("docs/SWEEP_COST_axis_fault.json").write_text(

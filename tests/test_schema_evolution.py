@@ -253,3 +253,39 @@ def test_concurrent_partition_append_disjoint_writers(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(day" in plan, plan[:800]
     assert pruned.count() == 100
+
+
+def test_partition_direct_null_and_hostile_values(spark, tmp_path):
+    """ADVICE r13 (writers.py): the direct-partition sink must not
+    silently drop NULL-partition rows (``df[col] == None`` matches
+    nothing), and path-hostile partition values ('/', '=', space,
+    '%') must percent-encode into the Hive dir name and round-trip
+    on read — raw interpolation wrote ``day=a/b`` as a nested dir
+    the scan parsed as a different partition."""
+    from etl_jobs_spark.sources import writers
+
+    root = str(tmp_path / "tbl")
+    rows = [
+        (1, "plain"),
+        (2, None),
+        (3, "a/b"),
+        (4, "k=v"),
+        (5, "two words"),
+        (6, "100%"),
+    ]
+    df = spark.createDataFrame(rows, "event_id BIGINT, day STRING")
+    writers.sink_parquet_partitions_direct(df, root, "day")
+
+    back = spark.read.parquet(root)
+    got = {(r["event_id"], r["day"]) for r in back.collect()}
+    # NULL partition rows land in __HIVE_DEFAULT_PARTITION__ and
+    # read back as NULL, same as Spark's own partitionBy
+    assert got == set(rows), got
+    # the hostile values did NOT create nested/mis-parsed dirs
+    import os
+
+    dirs = sorted(os.listdir(root))
+    assert "day=a%2Fb" in dirs and "day=k%3Dv" in dirs, dirs
+    assert f"day={writers.HIVE_DEFAULT_PARTITION}" in dirs, dirs
+    # and partition pruning still works on an encoded value
+    assert back.filter(back.day == "a/b").count() == 1
