@@ -1647,6 +1647,15 @@ def ann_quantized_recall_eval(spark, sf_dir):
 # MMR diversified retrieval: greedy re-rank, unrolled iterations   #
 # ---------------------------------------------------------------- #
 
+#: Hard ceiling on rows the MMR greedy stage may collect to the
+#: driver (rel shortlist + pairwise sims across all queries). With
+#: the defaults (3 queries, C=20) the actual volume is ~1.2k rows;
+#: the limit leaves two orders of magnitude of headroom while still
+#: rejecting any edit that would turn the collect into a
+#: corpus-sized transfer. Mirrors CC_DRIVER_EDGE_LIMIT
+#: (operators/dedup.py).
+MMR_DRIVER_PAIR_LIMIT = 200_000
+
 _MMR_C = 20  # candidate pool per query (by exact cosine)
 _MMR_K = 5  # diversified picks per query
 _MMR_SCALE = 1_000_000  # micro-unit cosine quantization
@@ -1822,6 +1831,33 @@ def _mmr_select(spark, sf_dir, keep=None):
             F.expr(_mmr_quant(f"{dotab} / ({na} * {nb})")).alias("sim"),
         )
     )
+    # Driver-side bound pin (VERDICT r13 item 6, same contract as
+    # CC_DRIVER_EDGE_LIMIT in operators/dedup.py): the greedy MMR
+    # fold collects the per-query shortlist rel rows plus up to
+    # C*(C-1) sim pairs per query. Both are structurally capped by
+    # the rn <= _MMR_C window filter above, but the cap must FAIL
+    # LOUDLY if a future edit widens the shortlist or the query set
+    # — a silent OOM on the driver is the one failure mode this
+    # stage is not allowed to have at scale.
+    n_queries_mmr = len(SIM.QUERY_IDS)
+    rel_cap = n_queries_mmr * _MMR_C
+    pair_cap = n_queries_mmr * _MMR_C * (_MMR_C - 1)
+    if rel_cap + pair_cap > MMR_DRIVER_PAIR_LIMIT:
+        raise RuntimeError(
+            f"MMR driver-side shortlist would collect up to "
+            f"{rel_cap + pair_cap} rows (queries={n_queries_mmr}, "
+            f"C={_MMR_C}) > MMR_DRIVER_PAIR_LIMIT="
+            f"{MMR_DRIVER_PAIR_LIMIT}; shrink the shortlist or move "
+            "the greedy fold into applyInPandas per query group"
+        )
+    n_rel = cand.count()
+    n_sim = sims.count()
+    if n_rel > rel_cap or n_sim > pair_cap:
+        raise RuntimeError(
+            f"MMR shortlist overflow: rel={n_rel} (cap {rel_cap}), "
+            f"sim pairs={n_sim} (cap {pair_cap}) — the rn filter no "
+            "longer bounds the driver collect"
+        )
     rel_rows = cand.select("query_id", "vec_id", "rel").collect()
     sim_rows = sims.collect()
     rel = {(r.query_id, r.vec_id): r.rel for r in rel_rows}

@@ -1882,3 +1882,17 @@ def test_block_cap_binds_and_audit_discloses_on_skew(spark):
     assert audit["dropped_occurrences"] == 2 * 40
     assert audit["capped_pairs"] == 2 * (40 * 39 // 2)
     assert audit["kept_blocks"] > 0
+
+
+def test_mmr_driver_bound_fails_loudly(spark, monkeypatch):
+    """VERDICT r13 item 6: the MMR greedy stage's driver-side
+    collect is pinned by MMR_DRIVER_PAIR_LIMIT — a pathologically
+    large shortlist configuration must raise BEFORE collecting, not
+    OOM the driver."""
+    import pytest as _pytest
+
+    from etl_jobs_spark.queries import similarity as S
+
+    monkeypatch.setattr(S, "MMR_DRIVER_PAIR_LIMIT", 10)
+    with _pytest.raises(RuntimeError, match="MMR_DRIVER_PAIR_LIMIT"):
+        S.embed_mmr_diversified_topk(spark, SF_DIR).collect()
