@@ -327,11 +327,14 @@ def stream_dedup_exact(spark, sf_dir):
     events each run; only the checkpoint must be fresh)."""
     if sf_dir not in _SDEDUP_MEMO:
         d = scratch_dir("etl_sdedup")
-        ev = read_table(spark, sf_dir, "events").select(
-            "event_id", "ts", "user_id", "event_type", "value"
-        )
-        ev.coalesce(1).write.parquet(str(d / "raw"))
-        ev.coalesce(1).write.mode("append").parquet(str(d / "raw"))  # dup delivery
+        if not (d / "raw").exists():  # pinned-scratch restart reuse
+            ev = read_table(spark, sf_dir, "events").select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            )
+            ev.coalesce(1).write.parquet(str(d / "raw"))
+            ev.coalesce(1).write.mode("append").parquet(
+                str(d / "raw")
+            )  # dup delivery
         _SDEDUP_MEMO[sf_dir] = d
     d = _SDEDUP_MEMO[sf_dir]
     ck = scratch_dir("etl_sdedup_ck")
@@ -364,9 +367,10 @@ def stage_jsonl(spark, sf_dir: str) -> Path:
     drift between consumers."""
     if sf_dir not in _JSONL_MEMO:
         d = scratch_dir("etl_jsonl")
-        read_table(spark, sf_dir, "events").select(
-            "event_id", "user_id", "event_type", "value"
-        ).coalesce(8).write.json(str(d))
+        if not d.exists():  # pinned-scratch restart reuse
+            read_table(spark, sf_dir, "events").select(
+                "event_id", "user_id", "event_type", "value"
+            ).coalesce(8).write.json(str(d))
         _JSONL_MEMO[sf_dir] = d
     return _JSONL_MEMO[sf_dir]
 

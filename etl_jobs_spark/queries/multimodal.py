@@ -8,6 +8,8 @@ agree bit-for-bit.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from etl_jobs_spark.operators import multimodal as MM
 from etl_jobs_spark.registry import register
 from etl_jobs_spark.sources.readers import read_table
@@ -110,13 +112,14 @@ def _stage_media(spark, sf_dir: str) -> str:
     from etl_jobs_spark.scratch import scratch_dir
 
     d = str(scratch_dir("etl_media"))
-    docs = read_table(spark, sf_dir, "documents")
-    # 2 files: the batch decode queries don't care, and the streaming
-    # ingest query gets a >1-batch drain from the SAME staged copy
-    # (one RAM-backed table instead of two)
-    MM.generate_media(
-        docs.select("doc_id").distinct()
-    ).repartition(2).write.parquet(d)
+    if not Path(d).exists():  # pinned-scratch restart reuse
+        docs = read_table(spark, sf_dir, "documents")
+        # 2 files: the batch decode queries don't care, and the
+        # streaming ingest query gets a >1-batch drain from the SAME
+        # staged copy (one RAM-backed table instead of two)
+        MM.generate_media(
+            docs.select("doc_id").distinct()
+        ).repartition(2).write.parquet(d)
     _MEDIA_STAGED[sf_dir] = d
     return d
 

@@ -39,6 +39,49 @@ def scratch_root() -> Path:
     return _ROOT
 
 
+#: When set (checkpoint-archive axis only), scratch allocation is
+#: DETERMINISTIC: name-based under the pinned root, so re-running
+#: the same query under the same root resolves to the SAME
+#: checkpoint, staging, and sink paths — the mechanism that lets a
+#: later round restart a streaming query from this round's archived
+#: checkpoint. Production/bench/sweep never set it.
+_PIN: dict | None = None
+
+
 def scratch_dir(prefix: str) -> Path:
-    """A fresh, unique (not yet created) scratch path."""
+    """A fresh, unique (not yet created) scratch path — unless
+    pinned (see ``pinned_scratch``), in which case the path is the
+    deterministic ``<root>/<prefix>`` (``_2``, ``_3``… on repeated
+    requests for the same prefix within one pin scope)."""
+    if _PIN is not None:
+        n = _PIN["counts"].get(prefix, 0) + 1
+        _PIN["counts"][prefix] = n
+        name = prefix if n == 1 else f"{prefix}_{n}"
+        return _PIN["root"] / name
     return scratch_root() / f"{prefix}_{uuid.uuid4().hex[:8]}"
+
+
+def pinned_scratch(root):
+    """Context manager: deterministic scratch allocation under
+    ``root`` for the checkpoint archive/restart axis
+    (scripts/axis_checkpoint.py). Within the scope, a query's
+    scratch paths are a pure function of its allocation order, so a
+    restart run (same query, same root, fresh process) finds the
+    archived checkpoints and staged inputs exactly where the first
+    run left them. Staging writers are exists-guarded so the
+    restart REUSES rather than re-writes staged inputs (a re-write
+    would change file names/mtimes and invalidate the
+    FileStreamSource seen-file log)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        global _PIN
+        prev = _PIN
+        _PIN = {"root": Path(root), "counts": {}}
+        try:
+            yield
+        finally:
+            _PIN = prev
+
+    return _cm()
