@@ -209,6 +209,19 @@ class LedgerWriter(DataSourceArrowWriter):
     def __init__(self, options: dict, overwrite: bool = False):
         self.path = options["path"]
         self.overwrite = overwrite
+        # Exclusive job-scope write lock, acquired at plan time on
+        # the driver and released in commit/abort: the manifest
+        # commit is read-merge-write and (overwrite or not) ends by
+        # deleting unclaimed ledger files — two UNSERIALIZED jobs
+        # would each merge the same prior manifest (lost update) and
+        # the first committer would delete the second's in-flight
+        # parts. The lock is the commit-log mutual exclusion a
+        # transactional format provides; uncontended cost is two
+        # syscalls. (Unpickling on executors never re-runs __init__,
+        # so only the driver touches the lock.)
+        from etl_jobs_spark.sources.write_lock import acquire_table_lock
+
+        acquire_table_lock(self.path, timeout_sec=120.0)
 
     def write(self, iterator):
         import uuid
@@ -258,6 +271,9 @@ class LedgerWriter(DataSourceArrowWriter):
             for n in os.listdir(self.path):
                 if n.endswith(".json") and n not in keep:
                     os.remove(os.path.join(self.path, n))
+        from etl_jobs_spark.sources.write_lock import release_table_lock
+
+        release_table_lock(self.path)
 
     def abort(self, messages):
         # a failed task's commit message arrives as None (pyspark
@@ -268,6 +284,9 @@ class LedgerWriter(DataSourceArrowWriter):
             tmp = os.path.join(self.path, f".{m.filename}.tmp")
             if os.path.exists(tmp):
                 os.remove(tmp)
+        from etl_jobs_spark.sources.write_lock import release_table_lock
+
+        release_table_lock(self.path)
 
 
 class LedgerStreamWriter(DataSourceStreamArrowWriter):

@@ -79,11 +79,23 @@ def sink_parquet(
     """Engine-native columnar sink. ``partition_by`` lays data out for
     partition pruning on read (the scalable analogue of the
     reference's ``processed/`` key-prefix routing, ref:
-    src/etl_2025.py:256-257)."""
+    src/etl_2025.py:256-257).
+
+    Writes hold the table root's exclusive write lock
+    (sources/write_lock.py): plain parquet shares one
+    ``_temporary`` staging dir across concurrent jobs, and the
+    round-13 two-writer probe measured both loud failures and one
+    TORN append from that race. Uncontended cost is two syscalls; a
+    second concurrent writer through this API serializes (or fails
+    loudly on timeout) instead of racing. Disjoint-partition
+    concurrency wants ``sink_parquet_partitions_direct`` instead."""
+    from etl_jobs_spark.sources.write_lock import table_write_lock
+
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    with table_write_lock(path):
+        writer.parquet(path)
 
 
 def sink_parquet_partitions_direct(
@@ -123,6 +135,8 @@ def sink_parquet_partitions_direct(
     before the r13 ADVICE fix those rows silently vanished. Non-NULL
     values are percent-encoded into the path (see
     ``_escape_partition_value``)."""
+    from etl_jobs_spark.sources.write_lock import table_write_lock
+
     vals = [r[0] for r in df.select(partition_col).distinct().collect()]
     for v in vals:
         if v is None:
@@ -131,11 +145,12 @@ def sink_parquet_partitions_direct(
         else:
             part = df.filter(F.col(partition_col) == F.lit(v))
             dirname = _escape_partition_value(v)
-        (
-            part.drop(partition_col)
-            .write.mode("append")
-            .parquet(f"{root}/{partition_col}={dirname}")
-        )
+        # lock PER PARTITION DIR: disjoint-value writers stay fully
+        # concurrent (the point of this helper); same-value writers
+        # serialize instead of racing one committer root.
+        target = f"{root}/{partition_col}={dirname}"
+        with table_write_lock(target):
+            part.drop(partition_col).write.mode("append").parquet(target)
 
 
 def sink_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -164,8 +179,13 @@ def sink_json_report(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON document sink for metrics/profile reports (ref:
     src/etl_2022.py:161-165 dumps quality metrics + data profile to
     ``data/*_{ts}.json``). Reports are tiny aggregates, so the
-    single-file coalesce is safe — never do this to a data table."""
-    df.coalesce(1).write.mode(mode).json(path)
+    single-file coalesce is safe — never do this to a data table.
+    Locked: two concurrent report writers serialize to a last-wins
+    COMPLETE report instead of interleaving deletes mid-overwrite."""
+    from etl_jobs_spark.sources.write_lock import table_write_lock
+
+    with table_write_lock(path):
+        df.coalesce(1).write.mode(mode).json(path)
 
 
 def compact_parquet(spark, path: str, target_files: int) -> None:
@@ -186,13 +206,23 @@ def compact_parquet(spark, path: str, target_files: int) -> None:
     import shutil
     from pathlib import Path
 
+    from etl_jobs_spark.sources.write_lock import table_write_lock
+
     p = Path(path)
     tmp = p.with_name(p.name + "__compact_tmp")
     old = p.with_name(p.name + "__compact_old")
-    df = spark.read.parquet(path)
-    df.repartition(target_files).write.mode("overwrite").parquet(str(tmp))
-    if old.exists():  # leftover from an earlier crashed swap
+    # The lock spans READ + swap: compaction is the classic
+    # lost-update writer — a file appended (through the locked
+    # sink_parquet) after the compactor's scan but before its swap
+    # would be silently deleted by the swap. Holding the same table
+    # lock for the whole read→rewrite→swap makes appenders and the
+    # compactor serialize; at 100 TB this is the mutual exclusion a
+    # table format's commit log provides around OPTIMIZE.
+    with table_write_lock(path, timeout_sec=120.0):
+        df = spark.read.parquet(path)
+        df.repartition(target_files).write.mode("overwrite").parquet(str(tmp))
+        if old.exists():  # leftover from an earlier crashed swap
+            shutil.rmtree(old)
+        p.rename(old)
+        tmp.rename(p)
         shutil.rmtree(old)
-    p.rename(old)
-    tmp.rename(p)
-    shutil.rmtree(old)
