@@ -355,11 +355,25 @@ def main() -> None:
     # queries flat. 20 trivial count() jobs, total seconds; compare
     # across rounds next to calib_sec to split "slower CPU" from
     # "slower scheduler". Idle r13 reference: ~2.8-5.0s.
+    job_times = []
     t0 = time.perf_counter()
     for _ in range(20):
+        tj = time.perf_counter()
         spark.range(1).count()
+        job_times.append(time.perf_counter() - tj)
     calib_jobs = round(time.perf_counter() - t0, 3)
-    print(f"# calib (20 trivial jobs): {calib_jobs:.3f}s", file=sys.stderr)
+    # p50/p90 of the INDIVIDUAL job times (r14): this session showed
+    # the sum can be dominated by one multi-second stall (a 12.5s
+    # probe whose median job was ~0.2s); the median is the honest
+    # steady-state per-job figure, the p90 the stall indicator.
+    js = sorted(job_times)
+    calib_jobs_p50_ms = round(1000 * js[len(js) // 2], 1)
+    calib_jobs_p90_ms = round(1000 * js[int(len(js) * 0.9)], 1)
+    print(
+        f"# calib (20 trivial jobs): {calib_jobs:.3f}s "
+        f"(p50 {calib_jobs_p50_ms}ms, p90 {calib_jobs_p90_ms}ms)",
+        file=sys.stderr,
+    )
 
     def _gate_off_pct(c: float) -> float:
         # signed, and the gate trips only on SLOW (positive): a
@@ -615,7 +629,12 @@ def main() -> None:
     # MEASURED job count — no cross-run modeling. Floored at
     # max(5% of raw, 20ms) so an overcounted group or an
     # overhead-probe outlier can't drive a query negative.
-    per_job = calib_jobs / 20.0
+    # Basis is the MEDIAN individual job time (r14 follow-up): the
+    # r14 canonical run used sum/20 and its own audit showed the
+    # uniform mean OVERCORRECTS (48/240 rows floored) because the
+    # sum absorbs one-off stalls; the median is the steady-state
+    # figure a query's jobs actually pay.
+    per_job = calib_jobs_p50_ms / 1000.0
     jobs_overhead = max(0.0, per_job - JOBS_REF_SEC_PER_JOB)
     jobs_adj = {
         k: round(
@@ -768,6 +787,9 @@ def main() -> None:
         "queries_jobs_adj": jobs_adj,
         "value_jobs_adj": round(sum(jobs_adj.values()), 3),
         "jobs_sec_per_job": round(per_job, 4),
+        "jobs_per_job_basis": "p50",
+        "calib_jobs_p50_ms": calib_jobs_p50_ms,
+        "calib_jobs_p90_ms": calib_jobs_p90_ms,
         "jobs_ref_sec_per_job": JOBS_REF_SEC_PER_JOB,
         "jobs_gate": jobs_gate,
         "ratio_vs_prev_jobs_adj": ratio_jobs_adj,
@@ -800,9 +822,12 @@ def main() -> None:
             # refuse to overwrite the canonical record from a
             # degraded host window (VERDICT r12 item 4); the numbers
             # stay inspectable under an honestly-named file — one
-            # PER (tag, sf), so a second rejected run no longer
-            # clobbers the previous rejected evidence (ADVICE r13).
-            rec = f"BENCH_FULL_REJECTED_{cur_tag}_{sf_name}.json"
+            # PER (tag, sf, wall-clock), so repeated rejected runs
+            # within one round don't clobber each other either
+            # (ADVICE r13; the full per-query record of every run,
+            # rejected or not, is ALSO in bench_history.jsonl).
+            stamp = time.strftime("%H%M%S")
+            rec = f"BENCH_FULL_REJECTED_{cur_tag}_{sf_name}_{stamp}.json"
         (docs / rec).write_text(json.dumps(full, indent=1) + "\n")
         with history.open("a") as f:
             f.write(json.dumps(full) + "\n")

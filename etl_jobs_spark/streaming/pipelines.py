@@ -129,6 +129,7 @@ def fault_injection(
     grace_sec: float = 0.3,
     n_faults: int = 1,
     crash_after_first_sink: bool = False,
+    resume: bool = True,
 ):
     """Context manager arming mid-drain fault injection for every
     availableNow drain in scope.
@@ -174,6 +175,13 @@ def fault_injection(
             # Python-side sink ignore the flag (recorded as
             # crash_fired=0).
             "crash_after_first_sink": crash_after_first_sink,
+            # resume=False (checkpoint-archive midway mode): stop
+            # after the injection and DO NOT drain to completion —
+            # the checkpoint is deliberately left mid-drain so a
+            # LATER PROCESS (or a later engine version) can prove it
+            # resumes and completes. Correctness is asserted by that
+            # later restart, never by the truncated first run.
+            "resume": resume,
             "crash_fired": 0,
             "log": [],
         }
@@ -275,6 +283,16 @@ def _drain(start) -> None:
         _await_tolerating_injected_crash(q, fired_at_start)
         n_stopped_early += stopped_early
         n_timed_out += timed_out
+    if not fault.get("resume", True):
+        # midway-archive mode: leave the checkpoint mid-drain
+        fault["log"].append(
+            {
+                "stopped_early": n_stopped_early,
+                "injection_timed_out": n_timed_out,
+                "resume_skipped": True,
+            }
+        )
+        return
     q2 = start()  # resume from the SAME checkpoint, drain fully
     fired_before = fault.get("crash_fired", 0)
     _await_tolerating_injected_crash(q2, fired_before)

@@ -114,7 +114,7 @@ def main() -> None:
     phase = sys.argv[1] if len(sys.argv) > 1 else "archive"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
     tag = sys.argv[3] if len(sys.argv) > 3 else "r14"
-    assert phase in ("archive", "restart"), phase
+    assert phase in ("archive", "archive-midway", "restart"), phase
     root = Path(__file__).resolve().parent.parent / "archive" / "checkpoints" / tag
 
     spark = get_spark("axis-checkpoint", master="local[32]", shuffle_partitions=32)
@@ -137,6 +137,41 @@ def main() -> None:
         ok, err, outcome = True, None, None
         try:
             _clear_staging_memos()
+            if phase == "archive-midway":
+                # Stop after the first COMMITTED batch and leave the
+                # checkpoint MID-DRAIN (no resume): the later
+                # `restart` phase — a fresh process, and across
+                # rounds a newer engine — must pick it up, replay
+                # the interrupted work, and reach the full oracle
+                # answer. The truncated result here is deliberately
+                # NOT checked (it is incomplete by construction);
+                # single-batch feeds degenerate to a complete drain
+                # and are recorded as such via stopped_early.
+                from etl_jobs_spark.streaming import pipelines as P
+
+                with P.fault_injection(
+                    stop_after_batches=1, resume=False
+                ) as fault:
+                    with scratch.pinned_scratch(root / name):
+                        got = queries[name](spark, sf_dir).toPandas()
+                stopped = sum(
+                    e.get("stopped_early", 0) for e in fault["log"]
+                )
+                rows[name] = {
+                    "sec": round(time.perf_counter() - t0, 3),
+                    "ok": True,
+                    "outcome": f"archived_midway(stopped_early={stopped})",
+                    "oracled": name in oracles,
+                }
+                n_ok += 1
+                print(
+                    f"# {name} [{phase}]: ok "
+                    f"({rows[name]['sec']:.2f}s, "
+                    f"{rows[name]['outcome']})",
+                    file=sys.stderr,
+                )
+                cache.release_all()
+                continue
             try:
                 with scratch.pinned_scratch(root / name):
                     got = queries[name](spark, sf_dir).toPandas()
