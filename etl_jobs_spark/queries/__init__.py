@@ -48,11 +48,20 @@ from etl_jobs_spark.queries import (  # noqa: F401
 #   (c) the complete 32-row r5-latest cohort, correctness-file order
 #       -- after this window lands green, no driver evidence is
 #       older than r6;
-#   (d) the first 5 of the 41-row r6-latest cohort, correctness-file
+#   (d) the first 1 of the 41-row r6-latest cohort, correctness-file
 #       order (the rest lead the r15 rotation).
 _ROUND14_WINDOW = [
-    # (a) changed in round 14
+    # (a) changed in round 14: the MMR loud-bound row plus the four
+    #     batch write rows whose sink primitives gained the
+    #     exclusive table write lock (sources/write_lock.py) /
+    #     NULL-partition + percent-encoding fix — changed rows
+    #     front, per the round-10 discipline. All swept green at
+    #     three SFs post-change; driver currency is what they lack.
     "embed_mmr_diversified_topk",
+    "sink_s3",
+    "sink_json_report",
+    "maintenance_compact_report",
+    "sink_custom_ledger",
     # (b) r4-latest remainder (12)
     "agg_hll_mergeable",
     "dedup_cluster_size_hist",
@@ -99,12 +108,9 @@ _ROUND14_WINDOW = [
     "filter_nonempty_name",
     "filter_age_range",
     "filter_email_format",
-    # (d) r6-latest head (5)
+    # (d) r6-latest head (1; the remaining 40 lead the r15
+    #     rotation)
     "agg_gini_revenue",
-    "basket_brand_affinity",
-    "path_top_sequences",
-    "ts_interval_coverage",
-    "ts_autocorr_lag1",
 ]
 
 registry.promote(_ROUND14_WINDOW)
