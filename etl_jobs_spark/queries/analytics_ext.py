@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from etl_jobs_spark.operators import money as M
 
 from etl_jobs_spark.registry import register
-from etl_jobs_spark.scratch import scratch_dir
+from etl_jobs_spark.scratch import scratch_dir, stage_atomic
 from etl_jobs_spark.sources.readers import read_table
 from etl_jobs_spark.streaming import pipelines as S
 
@@ -327,14 +327,20 @@ def stream_dedup_exact(spark, sf_dir):
     events each run; only the checkpoint must be fresh)."""
     if sf_dir not in _SDEDUP_MEMO:
         d = scratch_dir("etl_sdedup")
-        if not (d / "raw").exists():  # pinned-scratch restart reuse
+
+        def _build(tmp):
             ev = read_table(spark, sf_dir, "events").select(
                 "event_id", "ts", "user_id", "event_type", "value"
             )
-            ev.coalesce(1).write.parquet(str(d / "raw"))
+            ev.coalesce(1).write.parquet(str(tmp))
             ev.coalesce(1).write.mode("append").parquet(
-                str(d / "raw")
+                str(tmp)
             )  # dup delivery
+
+        # temp-dir + rename (ADVICE r14): a crash between the two
+        # writes must not leave a single-delivery feed a restart
+        # would treat as the duplicated fixture
+        stage_atomic(d / "raw", _build)
         _SDEDUP_MEMO[sf_dir] = d
     d = _SDEDUP_MEMO[sf_dir]
     ck = scratch_dir("etl_sdedup_ck")
@@ -367,10 +373,13 @@ def stage_jsonl(spark, sf_dir: str) -> Path:
     drift between consumers."""
     if sf_dir not in _JSONL_MEMO:
         d = scratch_dir("etl_jsonl")
-        if not d.exists():  # pinned-scratch restart reuse
-            read_table(spark, sf_dir, "events").select(
-                "event_id", "user_id", "event_type", "value"
-            ).coalesce(8).write.json(str(d))
+        stage_atomic(  # crash-safe pinned-scratch restart reuse
+            d,
+            lambda tmp: read_table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type", "value")
+            .coalesce(8)
+            .write.json(str(tmp)),
+        )
         _JSONL_MEMO[sf_dir] = d
     return _JSONL_MEMO[sf_dir]
 

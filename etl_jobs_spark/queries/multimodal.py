@@ -109,19 +109,22 @@ def _stage_media(spark, sf_dir: str) -> str:
     needs."""
     if sf_dir in _MEDIA_STAGED:
         return _MEDIA_STAGED[sf_dir]
-    from etl_jobs_spark.scratch import scratch_dir
+    from etl_jobs_spark.scratch import scratch_dir, stage_atomic
 
-    d = str(scratch_dir("etl_media"))
-    if not Path(d).exists():  # pinned-scratch restart reuse
+    d = scratch_dir("etl_media")
+
+    def _build(tmp):
         docs = read_table(spark, sf_dir, "documents")
         # 2 files: the batch decode queries don't care, and the
         # streaming ingest query gets a >1-batch drain from the SAME
         # staged copy (one RAM-backed table instead of two)
         MM.generate_media(
             docs.select("doc_id").distinct()
-        ).repartition(2).write.parquet(d)
-    _MEDIA_STAGED[sf_dir] = d
-    return d
+        ).repartition(2).write.parquet(str(tmp))
+
+    stage_atomic(d, _build)  # crash-safe pinned-scratch restart reuse
+    _MEDIA_STAGED[sf_dir] = str(d)
+    return str(d)
 
 
 #: SQL fragments for the fixture grid (shared constants with

@@ -1850,16 +1850,19 @@ def _mmr_select(spark, sf_dir, keep=None):
             f"{MMR_DRIVER_PAIR_LIMIT}; shrink the shortlist or move "
             "the greedy fold into applyInPandas per query group"
         )
-    n_rel = cand.count()
-    n_sim = sims.count()
-    if n_rel > rel_cap or n_sim > pair_cap:
-        raise RuntimeError(
-            f"MMR shortlist overflow: rel={n_rel} (cap {rel_cap}), "
-            f"sim pairs={n_sim} (cap {pair_cap}) — the rn filter no "
-            "longer bounds the driver collect"
-        )
+    # Measured check AFTER collect (ADVICE r14): the static
+    # rel_cap+pair_cap pre-check above already rejects any config
+    # whose collect could be corpus-sized, so counting the plans
+    # first only recomputed the full shortlist and pairwise-sim
+    # stages to learn a number len() gives for free.
     rel_rows = cand.select("query_id", "vec_id", "rel").collect()
     sim_rows = sims.collect()
+    if len(rel_rows) > rel_cap or len(sim_rows) > pair_cap:
+        raise RuntimeError(
+            f"MMR shortlist overflow: rel={len(rel_rows)} (cap "
+            f"{rel_cap}), sim pairs={len(sim_rows)} (cap {pair_cap}) "
+            "— the rn filter no longer bounds the driver collect"
+        )
     rel = {(r.query_id, r.vec_id): r.rel for r in rel_rows}
     sim = {(r.query_id, r.va, r.vb): r.sim for r in sim_rows}
     by_q = {}

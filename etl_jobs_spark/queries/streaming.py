@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from etl_jobs_spark.operators import money as M
 
 from etl_jobs_spark.registry import register
-from etl_jobs_spark.scratch import scratch_dir
+from etl_jobs_spark.scratch import scratch_dir, stage_atomic
 from etl_jobs_spark.sources.readers import read_table
 from etl_jobs_spark.streaming import pipelines as S
 
@@ -45,21 +45,25 @@ def _stage(spark: SparkSession, sf_dir: str, fmt: str, n_files: int) -> Path:
     if key in _STAGED:
         return _STAGED[key]
     d = scratch_dir("etl_stream")
-    # exists-guard: under pinned scratch (checkpoint-archive axis) a
+
+    # stage_atomic: under pinned scratch (checkpoint-archive axis) a
     # restart run resolves to the SAME dir and must REUSE the staged
     # files — re-writing would change file names/mtimes and
-    # invalidate the checkpoint's seen-file log. Never true for the
-    # uuid paths normal runs get.
-    if not (d / "raw").exists():
+    # invalidate the checkpoint's seen-file log. The temp-dir+rename
+    # makes the guard crash-safe (ADVICE r14). Never pre-existing
+    # for the uuid paths normal runs get.
+    def _build(tmp):
         ev = read_table(spark, sf_dir, "events")
         if fmt == "parquet":
-            ev.repartition(n_files).write.parquet(str(d / "raw"))
+            ev.repartition(n_files).write.parquet(str(tmp))
         else:
             ev.select(
                 "event_id", "user_id", "event_type", "value"
             ).repartition(n_files).write.option("header", "true").csv(
-                str(d / "raw")
+                str(tmp)
             )
+
+    stage_atomic(d / "raw", _build)
     _STAGED[key] = d
     return d
 
@@ -391,11 +395,13 @@ def stream_stateful_pandas(spark, sf_dir):
     key = (sf_dir, "stateful", 1)
     if key not in _STAGED:
         d = scratch_dir("etl_stream")
-        if not (d / "raw").exists():  # pinned-scratch restart reuse
-            ev = read_table(spark, sf_dir, "events").select(
-                "user_id", "event_id"
-            )
-            ev.coalesce(1).write.parquet(str(d / "raw"))
+        stage_atomic(  # crash-safe pinned-scratch restart reuse
+            d / "raw",
+            lambda tmp: read_table(spark, sf_dir, "events")
+            .select("user_id", "event_id")
+            .coalesce(1)
+            .write.parquet(str(tmp)),
+        )
         _STAGED[key] = d
     raw = _STAGED[key]
     wk = _workdir()
@@ -727,10 +733,13 @@ def stream_tws_processor(spark, sf_dir):
     key = (sf_dir, "tws", 1)
     if key not in _STAGED:
         d = scratch_dir("etl_tws")
-        if not (d / "raw").exists():  # pinned-scratch restart reuse
-            read_table(spark, sf_dir, "events").select(
-                "user_id", "value"
-            ).coalesce(1).write.parquet(str(d / "raw"))
+        stage_atomic(  # crash-safe pinned-scratch restart reuse
+            d / "raw",
+            lambda tmp: read_table(spark, sf_dir, "events")
+            .select("user_id", "value")
+            .coalesce(1)
+            .write.parquet(str(tmp)),
+        )
         _STAGED[key] = d
     raw = _STAGED[key]
     wk = _workdir()
@@ -905,11 +914,12 @@ def _drain_matrix(spark, sf_dir: str) -> DataFrame:
     key = (sf_dir, "ivjo", 3)
     if key not in _STAGED:
         d = scratch_dir("etl_ivjo")
-        if not (d / "feed").exists():  # pinned-scratch restart reuse
+
+        def _build(tmp):
             ev = read_table(spark, sf_dir, "events")
             ev.filter(
                 F.col("event_type").isin("purchase", "click")
-            ).coalesce(1).write.parquet(str(d / "feed"))
+            ).coalesce(1).write.parquet(str(tmp))
             # each flush file carries one marker PER TYPE: the
             # branch filters are pushed below the watermark node
             # into the scan, so a marker only advances a branch's
@@ -924,7 +934,13 @@ def _drain_matrix(spark, sf_dir: str) -> DataFrame:
                     " t AS event_type, CAST(0.0 AS DOUBLE) AS value,"
                     " '{}' AS props"
                     " FROM VALUES ('purchase'), ('click') AS v(t)"
-                ).write.mode("append").parquet(str(d / "feed"))
+                ).write.mode("append").parquet(str(tmp))
+
+        # temp-dir + rename: a crash between the feed write and the
+        # marker appends must not leave a markerless feed a restart
+        # would treat as staged (watermarks would never advance and
+        # the drain would hang — ADVICE r14)
+        stage_atomic(d / "feed", _build)
         _STAGED[key] = d
     raw = _STAGED[key]
     wk = _workdir()

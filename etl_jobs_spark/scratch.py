@@ -61,6 +61,45 @@ def scratch_dir(prefix: str) -> Path:
     return scratch_root() / f"{prefix}_{uuid.uuid4().hex[:8]}"
 
 
+def stage_atomic(final: Path, build) -> None:
+    """Run ``build(tmp)`` into a sibling temp dir, then atomically
+    rename it to ``final`` — all-or-nothing staging.
+
+    Exists-guarded stagings with MULTIPLE writes (feed + marker
+    appends, feed + duplicate-delivery copy) were not atomic with
+    their guard: a crash between the first write and the last left
+    a dir a pinned-scratch restart treated as fully staged, hanging
+    watermark drains or losing the duplicate copy (ADVICE r14,
+    streaming.py:908). Staging into a temp name and renaming into
+    place makes "``final`` exists" equivalent to "every staging
+    step ran". Single Spark writes get the same treatment — a
+    mid-write crash leaves ``_temporary`` litter the guard would
+    otherwise mistake for a staged feed.
+
+    If ``final`` already exists the call is a no-op (pinned-scratch
+    restart reuse — re-writing would change file names/mtimes and
+    invalidate a FileStreamSource seen-file log; committed round-14
+    archives carry only the final dir, so this stays restartable
+    against them). A leftover temp dir from a crashed stager is
+    discarded — its creator, by existing, proved it never renamed.
+    """
+    import shutil
+
+    if final.exists():
+        return
+    tmp = final.with_name(f".{final.name}.__staging")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    build(tmp)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        if final.exists():  # lost a (theoretical) staging race: reuse
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
+
+
 def pinned_scratch(root):
     """Context manager: deterministic scratch allocation under
     ``root`` for the checkpoint archive/restart axis

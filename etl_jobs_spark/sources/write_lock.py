@@ -12,6 +12,27 @@ storage-level equivalent: an exclusive lockfile NEXT TO the table
 root (never inside it — overwrite mode deletes the root's
 contents), acquired with atomic O_CREAT|O_EXCL.
 
+Ownership (round 15, ADVICE r14): every acquire writes a unique
+token (host:pid:uuid) into the lockfile and records it per-process;
+release unlinks ONLY after verifying the on-disk token is ours, so
+a writer that ran past ``stale_sec`` and had its lock broken can no
+longer delete the breaker's fresh lock. Stale locks are broken by
+atomically RENAMING them to a breaker-owned name first — two
+waiters judging the same lock stale race on the rename (one wins,
+one gets FileNotFoundError and loops), so the double-unlink that
+could previously destroy a third writer's fresh lock is impossible.
+After the rename the breaker re-reads the captive file and, if it
+stole a lock that was replaced between stat and rename (not the
+stale token it judged), restores it via atomic ``os.link`` back to
+the lock path before retrying.
+
+A lock whose recorded pid is dead ON THIS HOST is breakable
+immediately (no ``stale_sec`` wait): the ledger writer acquires at
+plan time and releases in job commit/abort, so a driver crash
+between plan and commit would otherwise hold the table for up to an
+hour while later writers time out at 120 s (ADVICE r14,
+ledger_source.py item).
+
 Scope, stated honestly: ``os.open(O_EXCL)`` is atomic on a local
 filesystem and on NFS; on S3 the same contract needs a conditional
 PUT (If-None-Match) or DynamoDB-style lock table — the API here is
@@ -28,12 +49,19 @@ from __future__ import annotations
 
 import contextlib
 import os
+import socket
 import time
+import uuid as _uuid
 from pathlib import Path
 
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer holds the table's write lock."""
+
+
+#: Tokens this process currently holds, keyed by lock path. Release
+#: verifies against this AND the on-disk content before unlinking.
+_HELD: dict[Path, str] = {}
 
 
 def _lock_path(root: str | Path) -> Path | None:
@@ -52,6 +80,66 @@ def _lock_path(root: str | Path) -> Path | None:
     return p.with_name(p.name + ".__write_lock")
 
 
+def _read_token(path: Path) -> str | None:
+    try:
+        return path.read_text()
+    except OSError:
+        return None
+
+
+def _holder_dead_on_this_host(token: str | None) -> bool:
+    """True iff the token names THIS host and its pid no longer
+    exists — the one case where an age-independent break is safe.
+    A foreign host's pid table is invisible; fall back to age."""
+    if not token:
+        return False
+    parts = token.split(":")
+    if len(parts) < 3 or parts[0] != socket.gethostname():
+        return False
+    try:
+        pid = int(parts[1])
+    except ValueError:
+        return False
+    if pid == os.getpid():
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return True
+    except PermissionError:
+        return False  # exists, owned by someone else
+    return False
+
+
+def _break_lock(lock: Path, observed_token: str | None) -> None:
+    """Break a lock we judged abandoned, safely against racers.
+
+    Atomic-rename the lockfile to a breaker-owned name (one breaker
+    wins; losers see FileNotFoundError and re-loop), then verify the
+    captive file still carries the token we judged abandoned. If a
+    release+reacquire slipped in between our stat and the rename we
+    captured a LIVE writer's lock — restore it with ``os.link``
+    (atomic, refuses if a newer lock already exists) and back off.
+    """
+    breaker = lock.with_name(
+        f"{lock.name}.break.{os.getpid()}.{_uuid.uuid4().hex[:8]}"
+    )
+    try:
+        os.rename(lock, breaker)
+    except FileNotFoundError:
+        return  # another breaker (or the holder's release) won
+    captive = _read_token(breaker)
+    if observed_token is not None and captive != observed_token:
+        # stole a fresh lock created between stat and rename:
+        # put it back atomically; if a third writer already locked,
+        # the captive holder has lost its file — its token-verified
+        # release degrades to a no-op (safe: no foreign unlink).
+        with contextlib.suppress(FileExistsError, FileNotFoundError):
+            os.link(breaker, lock)
+    with contextlib.suppress(FileNotFoundError):
+        breaker.unlink()
+
+
 def acquire_table_lock(
     root: str | Path,
     timeout_sec: float = 30.0,
@@ -65,49 +153,74 @@ def acquire_table_lock(
     then raises ``ConcurrentWriteError`` LOUDLY — never proceeds
     without the lock (a silent torn append is the one outcome this
     module exists to rule out). A lockfile older than ``stale_sec``
-    is presumed abandoned by a dead writer and is broken; the age is
-    generous because breaking a LIVE writer's lock reintroduces the
-    race being prevented. Split from the context manager so sinks
-    with driver-side begin/commit hooks (the ledger DataSource)
-    can span acquire over a whole job."""
+    — or whose recorded pid is dead on this host, at any age — is
+    presumed abandoned and broken via the rename protocol above;
+    the age bound is generous because breaking a LIVE writer's lock
+    reintroduces the race being prevented. Split from the context
+    manager so sinks with driver-side begin/commit hooks (the ledger
+    DataSource) can span acquire over a whole job."""
     lock = _lock_path(root)
     if lock is None:
         return
     lock.parent.mkdir(parents=True, exist_ok=True)
+    token = f"{socket.gethostname()}:{os.getpid()}:{_uuid.uuid4().hex}"
     deadline = time.monotonic() + timeout_sec
     while True:
         try:
             fd = os.open(str(lock), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, f"{os.getpid()} {time.time()}".encode())
+            os.write(fd, token.encode())
             os.close(fd)
+            _HELD[lock] = token
             return
         except FileExistsError:
             try:
                 age = time.time() - lock.stat().st_mtime
             except FileNotFoundError:
                 continue  # holder released between open and stat
-            if age > stale_sec:
-                # abandoned by a dead writer: break it (best-effort;
-                # a concurrent breaker losing the unlink race just
-                # loops back to the O_EXCL create)
-                with contextlib.suppress(FileNotFoundError):
-                    lock.unlink()
+            holder = _read_token(lock)
+            if age > stale_sec or _holder_dead_on_this_host(holder):
+                _break_lock(lock, holder)
                 continue
             if time.monotonic() >= deadline:
                 raise ConcurrentWriteError(
                     f"write lock for {root} held by another writer "
-                    f"({lock}, age {age:.1f}s) after "
-                    f"{timeout_sec:.1f}s wait — refusing to race on "
-                    "a plain-parquet root"
+                    f"({lock}, holder {holder!r}, age {age:.1f}s) "
+                    f"after {timeout_sec:.1f}s wait — refusing to "
+                    "race on a plain-parquet root"
                 ) from None
             time.sleep(poll_sec)
 
 
 def release_table_lock(root: str | Path) -> None:
+    """Release ``root``'s lock IF this process still owns it.
+
+    Verifies the on-disk token matches the one this process wrote
+    on acquire; a lock that was broken (stale / dead-pid) and
+    re-acquired by another writer is left alone — the unverified
+    unlink here was the re-introduced torn-write race (ADVICE r14).
+    """
     lock = _lock_path(root)
-    if lock is not None:
-        with contextlib.suppress(FileNotFoundError):
-            lock.unlink()
+    if lock is None:
+        return
+    mine = _HELD.pop(lock, None)
+    if mine is None:
+        return  # never acquired by this process: nothing to release
+    # rename-then-verify (not read-then-unlink): capturing the file
+    # first makes verify+delete atomic against a breaker that fires
+    # in between — the residual TOCTOU of a plain unlink.
+    rel = lock.with_name(
+        f"{lock.name}.rel.{os.getpid()}.{_uuid.uuid4().hex[:8]}"
+    )
+    try:
+        os.rename(lock, rel)
+    except FileNotFoundError:
+        return  # already broken by a staleness breaker
+    if _read_token(rel) != mine:
+        # ours was broken and someone else re-locked: restore theirs
+        with contextlib.suppress(FileExistsError, FileNotFoundError):
+            os.link(rel, lock)
+    with contextlib.suppress(FileNotFoundError):
+        rel.unlink()
 
 
 @contextlib.contextmanager

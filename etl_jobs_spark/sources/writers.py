@@ -19,8 +19,6 @@ not row inserts.
 
 from __future__ import annotations
 
-from urllib.parse import quote
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -29,18 +27,34 @@ from pyspark.sql import functions as F
 HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 
-def _escape_partition_value(v: object) -> str:
-    """Percent-encode a partition value for a Hive-style dir name.
+#: Exactly the character set Hive/Spark escape in partition dir
+#: names (ExternalCatalogUtils.escapePathName / Hive FileUtils):
+#: ASCII control chars plus the path-hostile specials. Non-ASCII is
+#: deliberately NOT in this set — Spark leaves it raw, and its
+#: unescapePathName decodes each %xx as one CHAR (not a UTF-8
+#: byte), so %-encoding unicode would round-trip to mojibake
+#: (ADVICE r14: ``day=café`` must match Spark's own layout).
+_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\{[]^\x7f') | frozenset(
+    chr(c) for c in range(0x20)
+)
 
-    Spark's ``partitionBy`` escapes path-hostile characters
-    (ExternalCatalogUtils.escapePathName: '/', '=', control chars,
-    ...); ``quote(safe="")`` encodes a decodable superset of that
-    set, and Spark's scan-side unescaping handles any %xx sequence,
-    so values containing '/', '=', '%', or spaces round-trip instead
-    of producing broken or mis-parsed partition directories
-    (ADVICE r13: raw interpolation wrote ``day=a/b`` as a NESTED
-    directory the reader parsed as a different partition)."""
-    return quote(str(v), safe="")
+
+def _escape_partition_value(v: object) -> str:
+    """Escape a partition value for a Hive-style dir name, matching
+    Spark's own ``partitionBy`` layout byte-for-byte.
+
+    Escapes ONLY the characters Spark's
+    ExternalCatalogUtils.escapePathName escapes (as uppercase %XX),
+    so values containing '/', '=', '%', or control chars round-trip
+    through Spark's scan-side unescapePathName instead of producing
+    broken or mis-parsed partition directories (ADVICE r13: raw
+    interpolation wrote ``day=a/b`` as a NESTED directory), while
+    non-ASCII values stay raw exactly like Spark's writer
+    (ADVICE r14: quote(safe="") made ``café`` read back as
+    mojibake because unescapePathName is per-char, not UTF-8)."""
+    return "".join(
+        f"%{ord(c):02X}" if c in _ESCAPE_CHARS else c for c in str(v)
+    )
 
 
 def sink_jdbc_append(

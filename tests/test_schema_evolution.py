@@ -289,3 +289,32 @@ def test_partition_direct_null_and_hostile_values(spark, tmp_path):
     assert f"day={writers.HIVE_DEFAULT_PARTITION}" in dirs, dirs
     # and partition pruning still works on an encoded value
     assert back.filter(back.day == "a/b").count() == 1
+
+
+def test_partition_direct_unicode_matches_spark_layout(spark, tmp_path):
+    """ADVICE r14 (writers.py): non-ASCII partition values must stay
+    RAW in the dir name, exactly like Spark's own partitionBy —
+    %-encoding UTF-8 bytes made ``day=café`` read back as mojibake
+    because unescapePathName decodes each %xx as one char."""
+    import os
+
+    from etl_jobs_spark.sources import writers
+
+    rows = [(1, "café"), (2, "naïve/α"), (3, "日本語")]
+    df = spark.createDataFrame(rows, "event_id BIGINT, day STRING")
+
+    ours = str(tmp_path / "ours")
+    writers.sink_parquet_partitions_direct(df, ours, "day")
+    theirs = str(tmp_path / "theirs")
+    df.write.partitionBy("day").parquet(theirs)
+
+    # dir-name parity with Spark's writer, byte for byte
+    ours_dirs = sorted(d for d in os.listdir(ours) if d.startswith("day="))
+    theirs_dirs = sorted(
+        d for d in os.listdir(theirs) if d.startswith("day=")
+    )
+    assert ours_dirs == theirs_dirs, (ours_dirs, theirs_dirs)
+    assert "day=café" in ours_dirs, ours_dirs
+    # and the values round-trip through Spark's reader
+    got = {(r["event_id"], r["day"]) for r in spark.read.parquet(ours).collect()}
+    assert got == set(rows), got

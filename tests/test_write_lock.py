@@ -112,3 +112,102 @@ def test_locked_sink_parquet_serializes_two_appenders(spark, tmp_path):
         .collect()
     }
     assert counts == {"A": 5000, "B": 5000}
+
+
+# ---- round-15 ownership-token semantics (ADVICE r14, medium) ----
+
+
+def test_release_spares_anothers_fresh_lock(tmp_path):
+    """A writer whose lock was broken and re-taken must NOT unlink
+    the new holder's lock on release — the reintroduced torn-write
+    race the r14 ADVICE flagged."""
+    root = tmp_path / "tbl"
+    acquire_table_lock(root)
+    lock = _lock_path(root)
+    # simulate: our lock went stale, a breaker removed it, and a new
+    # writer (other process) created a fresh lock with its own token
+    lock.unlink()
+    lock.write_text("otherhost:99999:deadbeef")
+    release_table_lock(root)  # we think we still hold it
+    assert lock.exists(), "release deleted a lock it does not own"
+    assert lock.read_text() == "otherhost:99999:deadbeef"
+    lock.unlink()
+
+
+def test_dead_pid_lock_broken_immediately(tmp_path):
+    """A FRESH lock whose recorded pid is gone on this host is
+    breakable without waiting out stale_sec (the ledger plan-time
+    crash scenario: ADVICE r14, ledger_source item)."""
+    import socket
+    import subprocess
+
+    root = tmp_path / "tbl"
+    lock = _lock_path(root)
+    lock.parent.mkdir(parents=True, exist_ok=True)
+    # a real dead pid: spawn-and-reap a child so the pid existed
+    p = subprocess.Popen(["true"])
+    p.wait()
+    lock.write_text(f"{socket.gethostname()}:{p.pid}:feedface")
+    t0 = time.monotonic()
+    # age ~0 s, stale_sec huge: only the dead-pid path can admit us
+    acquire_table_lock(root, timeout_sec=5.0, stale_sec=3600.0)
+    assert time.monotonic() - t0 < 2.0
+    release_table_lock(root)
+    assert not lock.exists()
+
+
+def test_live_foreign_format_lock_respected(tmp_path):
+    """A fresh lock with an unparseable/foreign token must still
+    block (no false dead-pid break)."""
+    root = tmp_path / "tbl"
+    lock = _lock_path(root)
+    lock.parent.mkdir(parents=True, exist_ok=True)
+    lock.write_text("not-a-token")
+    with pytest.raises(ConcurrentWriteError):
+        acquire_table_lock(root, timeout_sec=0.3)
+    lock.unlink()
+
+
+def test_concurrent_stale_breakers_exactly_one_wins(tmp_path):
+    """N waiters all judging one stale lock: the rename protocol
+    lets exactly one break+acquire at a time; every waiter
+    eventually acquires and no acquire is ever shared."""
+    root = tmp_path / "tbl"
+    lock = _lock_path(root)
+    lock.parent.mkdir(parents=True, exist_ok=True)
+    lock.write_text("otherhost:1:stale")
+    old = time.time() - 7200
+    os.utime(lock, (old, old))
+
+    holders = []
+    guard = threading.Semaphore(1)
+
+    def contender(i):
+        acquire_table_lock(root, timeout_sec=20.0, stale_sec=3600.0)
+        ok = guard.acquire(blocking=False)
+        holders.append((i, ok))
+        time.sleep(0.01)
+        guard.release()
+        release_table_lock(root)
+
+    ts = [threading.Thread(target=contender, args=(i,)) for i in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(holders) == 8
+    assert all(ok for _, ok in holders), "two contenders held at once"
+
+
+def test_break_lock_restores_stolen_fresh_lock(tmp_path):
+    """_break_lock renames, sees the captive is NOT the stale token
+    it judged, and restores the fresh holder's lock."""
+    from etl_jobs_spark.sources.write_lock import _break_lock
+
+    root = tmp_path / "tbl"
+    lock = _lock_path(root)
+    lock.parent.mkdir(parents=True, exist_ok=True)
+    lock.write_text("host:2:freshtoken")
+    _break_lock(lock, observed_token="host:1:staletoken")
+    assert lock.exists(), "fresh lock not restored after mistaken steal"
+    assert lock.read_text() == "host:2:freshtoken"
