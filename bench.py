@@ -555,6 +555,23 @@ def main() -> None:
     jobs: dict[str, int] = {}
     sc = spark.sparkContext
     tracker = sc.statusTracker()
+
+    def _total_jobs() -> int | None:
+        """Global DAGScheduler job counter (VERDICT r14 item 4):
+        job-group tracking misses jobs submitted from OTHER threads
+        (streaming micro-batch engine, Python DataSource workers),
+        so stream_* rows undercounted and stayed outside the
+        jobs-adjusted basis's warranty. The bench loop is strictly
+        sequential and every streaming query drains-and-stops inside
+        its own span, so the before/after delta of the GLOBAL job
+        counter attributes exactly. Internal accessor (fine for
+        bench instrumentation on a single local JVM); None → fall
+        back to group counts."""
+        try:
+            return int(sc._jsc.sc().dagScheduler().numTotalJobs())
+        except Exception:
+            return None
+
     calib_mid = None
     for i, name in enumerate(names):
         if i == len(names) // 2:
@@ -565,19 +582,24 @@ def main() -> None:
             # probe mid-run bounds WHEN the host was slow.
             calib_mid = _calib_probe()
             print(f"# calib (mid): {calib_mid:.3f}s", file=sys.stderr)
-        # job-group tracking (VERDICT r13 item 2): count this query's
-        # Spark jobs so scheduler overhead can be subtracted per
-        # query. Jobs submitted from other threads (streaming
-        # micro-batch engine, Python DataSource workers) don't
-        # inherit the group, so stream_* counts UNDERCOUNT — the
-        # adjustment is deliberately conservative there.
+        # Per-query job attribution (VERDICT r13 item 2 + r14 item
+        # 4): primary basis is the GLOBAL job-counter delta, which
+        # sees engine-thread jobs (micro-batch, Python DataSource)
+        # the job group can't reach; the group count remains as the
+        # fallback and a cross-check floor.
         group = f"bench:{name}"
         sc.setJobGroup(group, name)
+        jobs0 = _total_jobs()
         t0 = time.perf_counter()
         df = queries[name](spark, sf_dir)
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
-        jobs[name] = len(tracker.getJobIdsForGroup(group))
+        jobs1 = _total_jobs()
+        group_jobs = len(tracker.getJobIdsForGroup(group))
+        if jobs0 is None or jobs1 is None:
+            jobs[name] = group_jobs
+        else:
+            jobs[name] = max(jobs1 - jobs0, group_jobs)
         cache.release_all()  # don't let one query's persist leak into the next
         print(
             f"# {name}: {timings[name]:.3f}s ({n} rows, "
@@ -587,6 +609,62 @@ def main() -> None:
     sc.setLocalProperty("spark.jobGroup.id", None)
     if calib_mid is None:
         calib_mid = _calib_probe()
+
+    # Retime pass (VERDICT r14 item 5): a single host stall printed
+    # 3.57s into the r14 canonical record for a query whose lifetime
+    # band is 0.20-0.41s — no per-query number may be producible by
+    # ONE stall. Every query runs a second time on the SAME basis
+    # (staging memos cleared so run 2 re-stages exactly like run 1);
+    # the canonical per-query figure is min(run1, run2) — the
+    # steady-state engine time; a stall can only ever ADD seconds.
+    # Disable with SPARK_GRAFT_BENCH_RETIME=0 (smoke iteration).
+    timings1 = dict(timings)
+    jobs1 = dict(jobs)
+    retime_on = os.environ.get("SPARK_GRAFT_BENCH_RETIME", "1") != "0"
+    stall_rows: dict[str, list[float]] = {}
+    if retime_on:
+        cache.clear_staging_memos()
+        cache.release_all()
+        for name in names:
+            group = f"bench:retime:{name}"
+            sc.setJobGroup(group, name)
+            jobs0 = _total_jobs()
+            t0 = time.perf_counter()
+            try:
+                n = queries[name](spark, sf_dir).count()
+            except Exception as e:  # keep run-1 figure; never abort
+                print(
+                    f"# retime {name}: FAILED ({type(e).__name__}) — "
+                    "keeping run-1 timing",
+                    file=sys.stderr,
+                )
+                cache.release_all()
+                continue
+            t2 = round(time.perf_counter() - t0, 3)
+            jobs_1 = _total_jobs()
+            g2 = len(tracker.getJobIdsForGroup(group))
+            j2 = g2 if (jobs0 is None or jobs_1 is None) else max(
+                jobs_1 - jobs0, g2
+            )
+            cache.release_all()
+            t1 = timings1[name]
+            lo, hi = min(t1, t2), max(t1, t2)
+            if hi / max(lo, 1e-9) > 1.5 and hi - lo > 0.3:
+                stall_rows[name] = [t1, t2]
+                print(
+                    f"# retime {name}: stall caught "
+                    f"({t1:.3f}s vs {t2:.3f}s — recording {lo:.3f}s)",
+                    file=sys.stderr,
+                )
+            if t2 < t1:
+                timings[name] = t2
+                jobs[name] = j2
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        print(
+            f"# retime pass: {len(names)} re-timed, "
+            f"{len(stall_rows)} stall(s) caught",
+            file=sys.stderr,
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -671,7 +749,7 @@ def main() -> None:
     # run's start probe vs the previous round's) so a reader on a
     # different-speed host can adjust explicitly instead of the
     # artifact doing it implicitly.
-    ratio = prev_tag = calib_vs_prev_pct = None
+    ratio = ratio_run1 = prev_tag = calib_vs_prev_pct = None
     n_common = 0
     ratio_jobs_adj = jobs_adj_prev_tag = jobs_adj_prev_basis = None
     jobs_adj_n_common = 0
@@ -703,8 +781,14 @@ def main() -> None:
             n_common = len(common)
             prev_sum = sum(prev["queries"][q] for q in common)
             cur_sum = sum(timings[q] for q in common)
+            # basis-continuity ratio (r15): prior rounds recorded
+            # single-run timings, so the min-of-2 canonical ratio
+            # carries a small statistical tailwind; the run-1 ratio
+            # is the like-for-like single-run comparison.
+            cur_sum_run1 = sum(timings1.get(q, timings[q]) for q in common)
             if common and prev_sum > 0:
                 ratio = round(cur_sum / prev_sum, 3)
+                ratio_run1 = round(cur_sum_run1 / prev_sum, 3)
                 prev_tag = prev.get("tag", "prev")
                 prev_calib = prev.get("calib_start_sec") or prev.get(
                     "calib_sec"
@@ -769,6 +853,14 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # VERDICT r14 item 5: `queries` is min(run1, run2) — two
+        # same-basis runs (staging memos cleared between passes) so
+        # one host stall cannot produce a committed per-query
+        # number. run-1 figures kept for single-run basis continuity
+        # with pre-r15 history.
+        "queries_basis": "min_of_2" if retime_on else "single_run",
+        "queries_run1": timings1,
+        "stall_rows": stall_rows,
         "queries_norm": norm,
         "value_norm": round(sum(timings.values()) * scale, 3),
         "calib_sec": round(calib, 3),
@@ -801,6 +893,7 @@ def main() -> None:
         # record was the only one carrying a raw value under the old
         # name — readers of the history must check `ratio_basis`).
         "ratio_vs_prev_raw": ratio,
+        "ratio_vs_prev_raw_run1": ratio_run1,
         "ratio_basis": "raw_common_subset",
         "ratio_n_common": n_common,
         "calib_vs_prev_pct": calib_vs_prev_pct,
@@ -844,6 +937,7 @@ def main() -> None:
                 k: round(v, 2) for k, v in timings.items() if k in FLAGSHIP
             },
             "n_queries": len(timings),
+            "n_stalls_caught": len(stall_rows),
             "value_norm": round(sum(timings.values()) * scale, 3),
             "calib_sec": round(calib, 3),
             "calib_drift_pct": drift_pct,

@@ -60,3 +60,23 @@ def release_all() -> None:
             hook()
         except Exception:
             pass
+
+
+def clear_staging_memos() -> None:
+    """Forget every staged-fixture memo so the next invocation of a
+    staging query re-stages from scratch (fresh uuid dirs).
+
+    Two consumers: the checkpoint axis (each archive must be
+    self-contained, scripts/axis_checkpoint.py) and the bench's
+    retime pass (VERDICT r14 item 5 — the second timing run must pay
+    the SAME staging cost as the first, or min-of-2 would silently
+    switch streaming rows to a staged-reuse basis prior rounds never
+    measured)."""
+    from etl_jobs_spark.queries import _shared, analytics_ext, multimodal
+    from etl_jobs_spark.queries import streaming as SQ
+
+    SQ._STAGED.clear()
+    analytics_ext._SDEDUP_MEMO.clear()
+    analytics_ext._JSONL_MEMO.clear()
+    multimodal._MEDIA_STAGED.clear()
+    _shared._SESSION_MEMOS.clear()

@@ -99,15 +99,8 @@ def _clear_staging_memos() -> None:
     """Each query must stage its OWN inputs under its own pinned
     root so every archive is self-contained (a checkpoint that
     references another query's staging dir could not be restored
-    independently)."""
-    from etl_jobs_spark.queries import _shared, analytics_ext, multimodal
-    from etl_jobs_spark.queries import streaming as SQ
-
-    SQ._STAGED.clear()
-    analytics_ext._SDEDUP_MEMO.clear()
-    analytics_ext._JSONL_MEMO.clear()
-    multimodal._MEDIA_STAGED.clear()
-    _shared._SESSION_MEMOS.clear()
+    independently). Shared helper: cache.clear_staging_memos."""
+    cache.clear_staging_memos()
 
 
 def main() -> None:
