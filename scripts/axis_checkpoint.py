@@ -226,9 +226,23 @@ def main() -> None:
     prior = json.loads(out_path.read_text()) if out_path.exists() else {}
     prior.setdefault("axis", "checkpoint_archive_restart")
     prior.setdefault("phases", {})
+    # engine_tree: which CODE ran this phase. A restart whose
+    # engine_tree differs from its archive's archive-phase tree is a
+    # CROSS-VERSION restart — the upgrade-safety axis (VERDICT r14
+    # item 1), distinguishable in-band instead of by session lore.
+    try:
+        import subprocess
+
+        tree = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=Path(__file__).parent,
+        ).stdout.strip() or None
+    except Exception:
+        tree = None
     prior["phases"][f"{phase}:{tag}"] = {
         "sf_dir": sf_dir,
         "tag": tag,
+        "engine_tree": tree,
         "n_queries": len(names),
         "n_ok": n_ok,
         "queries": rows,

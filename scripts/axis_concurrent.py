@@ -414,8 +414,83 @@ NO_WRITE_SURFACE = {
     ),
 }
 
+def cell_lock_holder_crash_recovery(spark, sf_dir):
+    """VERDICT r14 item 6: SIGKILL a writer PROCESS while it holds
+    the table write lock mid-write (between stage and commit), then
+    prove a second writer recovers promptly via the dead-pid break
+    path — not the 120 s ConcurrentWriteError timeout, not the 1 h
+    stale_sec window — with no torn visible state."""
+    import os
+    import signal
+    import subprocess
+
+    root = scratch_dir("axis_conc_crash") / "tbl"
+    writers.sink_parquet(_tagged(spark, "seed", 2000), str(root), mode="append")
+
+    # the crashing holder: acquires the SAME lock primitive every
+    # locked sink uses, stages an (invisible) tmp part, then hangs —
+    # simulating a driver that died between plan/stage and commit
+    child = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            "import sys, time\n"
+            f"sys.path.insert(0, {str(Path(__file__).resolve().parent.parent)!r})\n"
+            "from etl_jobs_spark.sources.write_lock import acquire_table_lock\n"
+            f"root = {str(root)!r}\n"
+            "acquire_table_lock(root)\n"
+            "open(root + '/.part-crash.parquet.tmp', 'w').write('staged')\n"
+            "print('HELD', flush=True)\n"
+            "time.sleep(300)\n",
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    line = child.stdout.readline().strip()
+    if line != "HELD":
+        child.kill()
+        return False, f"holder never acquired (got {line!r})"
+    child.send_signal(signal.SIGKILL)
+    child.wait()
+
+    lock = Path(str(root) + ".__write_lock")
+    if not lock.exists():
+        return False, "lockfile vanished with the crash (nothing to break)"
+
+    t0 = time.perf_counter()
+    try:
+        # default timeout_sec=30 < the old failure mode (the dead
+        # pid's lock blocking until stale_sec=3600); recovery must
+        # come from the pid-liveness break, i.e. near-instantly
+        writers.sink_parquet(_tagged(spark, "B"), str(root), mode="append")
+    except ConcurrentWriteError as e:
+        return False, f"second writer timed out behind dead holder: {e}"
+    took = time.perf_counter() - t0
+
+    back = spark.read.parquet(str(root))
+    counts = {
+        r["writer"]: r["n"]
+        for r in back.groupBy("writer").agg(F.count("*").alias("n")).collect()
+    }
+    torn = {w: n for w, n in counts.items() if w not in ("seed", "B")}
+    ok = (
+        counts.get("seed") == 2000
+        and counts.get("B") == N_ROWS
+        and not torn
+        and not lock.exists()  # B's release cleaned up after itself
+        and os.path.exists(str(root / ".part-crash.parquet.tmp"))
+    )
+    return ok, (
+        f"recovered in {took:.2f}s via dead-pid break, counts={counts}, "
+        f"torn={torn or 'none'}, lock_released={not lock.exists()}"
+    )
+
+
 CELLS = {
     "jdbc_two_writers_append": (cell_jdbc_two_writers_append, "sink_jdbc_append"),
+    "lock_holder_crash_recovery": (
+        cell_lock_holder_crash_recovery, "write_lock (every locked sink)",
+    ),
     "parquet_append_locked": (cell_parquet_append_locked, "sink_s3/sink_parquet"),
     "parquet_overwrite_locked": (cell_parquet_overwrite_locked, "sink_s3"),
     "json_report_overwrite_race": (cell_json_report_race, "sink_json_report"),
