@@ -34,83 +34,85 @@ from etl_jobs_spark.queries import (  # noqa: F401
     feature_engineering,
 )
 
-# Round-14 sweep window (50 queries, registration order), per the
-# r13 verdict item 1 + docs/PERF_r13.md handoff: this round is
-# evidence-depth focused (measurement basis, durability/concurrency
-# axes) and changes almost no operator text, so the window is nearly
-# pure rotation:
-#   (a) rows changed in round 14: embed_mmr_diversified_topk (the
-#       driver-side MMR greedy stage gained the loud shortlist
-#       bound VERDICT r13 item 6 asked for);
-#   (b) the full 12-row r4-latest remainder the r13 window could not
-#       hold (incl. agg_hll_mergeable, the rows-only sketch row with
-#       the weakest driver signal), correctness-file order;
-#   (c) the complete 32-row r5-latest cohort, correctness-file order
-#       -- after this window lands green, no driver evidence is
-#       older than r6;
-#   (d) the first 1 of the 41-row r6-latest cohort, correctness-file
-#       order (the rest lead the r15 rotation).
-_ROUND14_WINDOW = [
-    # (a) changed in round 14: the MMR loud-bound row plus the four
-    #     batch write rows whose sink primitives gained the
-    #     exclusive table write lock (sources/write_lock.py) /
-    #     NULL-partition + percent-encoding fix — changed rows
-    #     front, per the round-10 discipline. All swept green at
-    #     three SFs post-change; driver currency is what they lack.
+# Round-15 sweep window (50 queries, registration order), per the
+# r14 verdict item 2 + docs/PERF_r14.md handoff:
+#   (a) rows NEW or CHANGED in round 15, fronted per the round-10
+#       discipline:
+#       - sink_txn_parquet: NEW — the write-side transactional
+#         commit log (VERDICT r14 item 7; the one registry addition
+#         this round, breaking the 380 freeze by exactly the row
+#         item 7 prescribed);
+#       - embed_mmr_diversified_topk: the MMR bound check moved
+#         after the collect (ADVICE r14 — two count() actions
+#         dropped);
+#       - sink_s3 / sink_json_report / maintenance_compact_report /
+#         sink_custom_ledger: their shared write-lock primitive
+#         gained token ownership + rename-based stale breaking +
+#         dead-pid recovery (ADVICE r14 medium);
+#       - stream_interval_join_full / stream_dedup_exact /
+#         stream_stateful_pandas / scan_json_lines /
+#         multimodal_decode_features: their fixture staging moved to
+#         the atomic temp-dir+rename protocol (ADVICE r14,
+#         streaming.py:908). The remaining streaming rows share the
+#         same one-line stage_atomic wrap and carry fresh 21/21
+#         cross-version restart evidence on this tree
+#         (docs/SWEEP_COST_axis_checkpoint.json, engine_tree-stamped).
+#   (b) the r6-latest cohort — the oldest driver evidence after the
+#       r14 window landed — in CORRECTNESS_r06 order, minus
+#       agg_gini_revenue (fronted r14) and stream_interval_join_full
+#       (already fronted in (a)): 39 rows. After this window lands
+#       green, no driver evidence is older than round 7.
+_ROUND15_WINDOW = [
+    "sink_txn_parquet",
     "embed_mmr_diversified_topk",
     "sink_s3",
     "sink_json_report",
     "maintenance_compact_report",
     "sink_custom_ledger",
-    # (b) r4-latest remainder (12)
-    "agg_hll_mergeable",
-    "dedup_cluster_size_hist",
-    "fn_variant_json",
-    "mix_temperature_weights",
-    "scan_xml_roundtrip",
-    "text_quality_classifier",
-    "text_boilerplate_removal",
-    "dedup_repeated_ngram_spans",
-    "agg_kmv_intersect_types",
-    "mix_epoch_plan",
-    "dq_expectations_suite",
-    "join_interval_overlap",
-    # (c) r5-latest cohort (32)
-    "corpus_token_budget",
-    "ts_anomaly_mad",
-    "governance_column_masking",
-    "embed_matryoshka_topk",
-    "q2_min_cost_supplier",
-    "agg_count_min_sketch",
-    "dedup_incremental_bloom",
-    "fn_lambda_suite",
-    "ts_ewma_hourly",
-    "scan_csv_gzip",
-    "setop_union_schema_drift",
-    "text_token_entropy",
-    "text_zipf_slope",
-    "agg_kmv_difference_types",
-    "agg_activity_streaks",
+    "stream_interval_join_full",
+    "stream_dedup_exact",
+    "stream_stateful_pandas",
     "scan_json_lines",
-    "dedup_exact_text",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_components",
-    "udf_scalar_pandas",
     "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "proj_upper",
-    "proj_cast_int",
-    "proj_add_ts",
-    "proj_batch_id",
-    "filter_required_fields",
-    "filter_nonempty_name",
-    "filter_age_range",
-    "filter_email_format",
-    # (d) r6-latest head (1; the remaining 40 lead the r15
-    #     rotation)
-    "agg_gini_revenue",
+    "basket_brand_affinity",
+    "path_top_sequences",
+    "ts_interval_coverage",
+    "ts_autocorr_lag1",
+    "ts_ols_daily_trend",
+    "ts_rolling_median_hourly",
+    "graph_triangle_count",
+    "dq_l_diversity",
+    "governance_erasure_cascade",
+    "curriculum_phase_plan",
+    "sample_weighted_bernoulli",
+    "mv_incremental_refresh",
+    "q4_priority_exists",
+    "q12_priority_by_flag",
+    "q18_large_orders",
+    "attr_linear_touch",
+    "agg_pareto_share",
+    "fn_map_suite",
+    "scan_json_nested_explode",
+    "text_bpe_tokenize",
+    "text_hashing_trick_features",
+    "scan_txn_log_snapshot",
+    "agg_time_to_convert",
+    "stat_ab_test_zscore",
+    "dq_drift_psi",
+    "ts_seasonal_profile",
+    "fn_regex_suite",
+    "fn_url_suite",
+    "corpus_quality_threshold_sweep",
+    "ts_cusum_changepoint",
+    "dq_benford_first_digit",
+    "window_share_of_total",
+    "text_langid_confusion_eval",
+    "fn_interval_suite",
+    "pipeline_dq_quarantine_replay",
+    "embed_centroid_drift",
+    "agg_bitmap_rollup_weekly",
+    "window_pct_change_mom",
+    "agg_repeat_purchase_rate",
 ]
 
-registry.promote(_ROUND14_WINDOW)
+registry.promote(_ROUND15_WINDOW)

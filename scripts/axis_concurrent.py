@@ -486,11 +486,48 @@ def cell_lock_holder_crash_recovery(spark, sf_dir):
     )
 
 
+def cell_txn_log_two_writers(spark, sf_dir):
+    """VERDICT r14 item 7: the transactional commit log's two-writer
+    contract — both concurrent appenders land IN FULL with no lock
+    held across the data write (optimistic version claim), and a
+    writer crashed after staging stays invisible. This is the
+    foreign-writer-safe upgrade over the posix-lock cells above:
+    safety comes from the commit-file name, so it composes with any
+    engine following the protocol."""
+    from etl_jobs_spark.sources import txn_log as T
+
+    root = scratch_dir("axis_conc_txn") / "tbl"
+    errs = _run_pair(
+        lambda: T.txn_commit(_tagged(spark, "A"), root),
+        lambda: T.txn_commit(_tagged(spark, "B"), root),
+    )
+    loud = [e for e in errs if e is not None]
+    if loud:
+        return False, f"txn commit raised: {loud}"
+    # crashed third writer: staged, never published
+    _tagged(spark, "ghost", 500).write.parquet(str(root / "data_ghost"))
+    back = T.read_txn_table(spark, root)
+    counts = {
+        r["writer"]: r["n"]
+        for r in back.groupBy("writer").agg(F.count("*").alias("n")).collect()
+    }
+    ok = (
+        counts == {"A": N_ROWS, "B": N_ROWS}
+        and T.current_version(root) == 2
+        and T.orphans(root) == ["data_ghost"]
+    )
+    return ok, (
+        f"both-complete counts={counts}, versions={T.current_version(root)}, "
+        f"orphans={T.orphans(root)}"
+    )
+
+
 CELLS = {
     "jdbc_two_writers_append": (cell_jdbc_two_writers_append, "sink_jdbc_append"),
     "lock_holder_crash_recovery": (
         cell_lock_holder_crash_recovery, "write_lock (every locked sink)",
     ),
+    "txn_log_two_writers": (cell_txn_log_two_writers, "sink_txn_parquet"),
     "parquet_append_locked": (cell_parquet_append_locked, "sink_s3/sink_parquet"),
     "parquet_overwrite_locked": (cell_parquet_overwrite_locked, "sink_s3"),
     "json_report_overwrite_race": (cell_json_report_race, "sink_json_report"),
