@@ -221,7 +221,13 @@ class LedgerWriter(DataSourceArrowWriter):
         # so only the driver touches the lock.)
         from etl_jobs_spark.sources.write_lock import acquire_table_lock
 
-        acquire_table_lock(self.path, timeout_sec=120.0)
+        # the token travels WITH this (picklable) writer: plan-time
+        # acquire and job-commit release run in different Python
+        # worker processes, so the lock module's process-local
+        # ownership record can't connect them (round-15 regression:
+        # a token-verified release that consulted only process state
+        # no-opped here and leaked the lock for stale_sec)
+        self._lock_token = acquire_table_lock(self.path, timeout_sec=120.0)
 
     def write(self, iterator):
         import uuid
@@ -273,7 +279,7 @@ class LedgerWriter(DataSourceArrowWriter):
                     os.remove(os.path.join(self.path, n))
         from etl_jobs_spark.sources.write_lock import release_table_lock
 
-        release_table_lock(self.path)
+        release_table_lock(self.path, token=self._lock_token)
 
     def abort(self, messages):
         # a failed task's commit message arrives as None (pyspark
@@ -286,7 +292,7 @@ class LedgerWriter(DataSourceArrowWriter):
                 os.remove(tmp)
         from etl_jobs_spark.sources.write_lock import release_table_lock
 
-        release_table_lock(self.path)
+        release_table_lock(self.path, token=self._lock_token)
 
 
 class LedgerStreamWriter(DataSourceStreamArrowWriter):

@@ -145,9 +145,14 @@ def acquire_table_lock(
     timeout_sec: float = 30.0,
     poll_sec: float = 0.05,
     stale_sec: float = 3600.0,
-) -> None:
+) -> str | None:
     """Acquire the exclusive write lock for ``root`` (no-op for
-    non-posix stores — see ``_lock_path``).
+    non-posix stores — see ``_lock_path``). Returns the ownership
+    token, which a holder whose release runs in a DIFFERENT process
+    (the ledger DataSource: plan-time acquire in one Python worker,
+    commit in another) must carry and hand back to
+    ``release_table_lock(root, token=...)`` — the process-local
+    ``_HELD`` fallback cannot see across workers.
 
     Blocks up to ``timeout_sec`` waiting for the current holder,
     then raises ``ConcurrentWriteError`` LOUDLY — never proceeds
@@ -161,7 +166,7 @@ def acquire_table_lock(
     DataSource) can span acquire over a whole job."""
     lock = _lock_path(root)
     if lock is None:
-        return
+        return None
     lock.parent.mkdir(parents=True, exist_ok=True)
     token = f"{socket.gethostname()}:{os.getpid()}:{_uuid.uuid4().hex}"
     deadline = time.monotonic() + timeout_sec
@@ -171,7 +176,7 @@ def acquire_table_lock(
             os.write(fd, token.encode())
             os.close(fd)
             _HELD[lock] = token
-            return
+            return token
         except FileExistsError:
             try:
                 age = time.time() - lock.stat().st_mtime
@@ -191,18 +196,21 @@ def acquire_table_lock(
             time.sleep(poll_sec)
 
 
-def release_table_lock(root: str | Path) -> None:
-    """Release ``root``'s lock IF this process still owns it.
+def release_table_lock(root: str | Path, token: str | None = None) -> None:
+    """Release ``root``'s lock IF the caller still owns it.
 
-    Verifies the on-disk token matches the one this process wrote
-    on acquire; a lock that was broken (stale / dead-pid) and
-    re-acquired by another writer is left alone — the unverified
-    unlink here was the re-introduced torn-write race (ADVICE r14).
-    """
+    Ownership is the ``token`` handed back by ``acquire_table_lock``
+    (pass it explicitly when release runs in a different process
+    than acquire — the ledger writer's plan/commit split); without
+    one, the process-local ``_HELD`` record is consulted. Either
+    way the on-disk token must match before the unlink: a lock that
+    was broken (stale / dead-pid) and re-acquired by another writer
+    is left alone — the unverified unlink here was the
+    re-introduced torn-write race (ADVICE r14)."""
     lock = _lock_path(root)
     if lock is None:
         return
-    mine = _HELD.pop(lock, None)
+    mine = _HELD.pop(lock, None) if token is None else token
     if mine is None:
         return  # never acquired by this process: nothing to release
     # rename-then-verify (not read-then-unlink): capturing the file

@@ -211,3 +211,42 @@ def test_break_lock_restores_stolen_fresh_lock(tmp_path):
     _break_lock(lock, observed_token="host:1:staletoken")
     assert lock.exists(), "fresh lock not restored after mistaken steal"
     assert lock.read_text() == "host:2:freshtoken"
+
+
+def test_cross_process_release_with_token(tmp_path):
+    """The ledger writer's shape: acquire in one process, release in
+    another, the token carried between them (round-15 regression —
+    a release that consulted only process-local state no-opped and
+    leaked the lock for stale_sec)."""
+    import subprocess
+    import sys as _sys
+
+    from etl_jobs_spark.sources.write_lock import (
+        release_table_lock as _release,
+    )
+
+    root = tmp_path / "tbl"
+    out = subprocess.run(
+        [
+            _sys.executable,
+            "-c",
+            "import sys\n"
+            f"sys.path.insert(0, {str(_lock_path(root).parent.parent)!r})\n"
+            "import sys, os\n"
+            f"sys.path.insert(0, {__import__('os').getcwd()!r})\n"
+            "from etl_jobs_spark.sources.write_lock import acquire_table_lock\n"
+            f"print(acquire_table_lock({str(root)!r}))\n",
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    token = out.stdout.strip().splitlines()[-1]
+    lock = _lock_path(root)
+    assert lock.exists() and lock.read_text() == token
+    # wrong token: release must refuse
+    _release(root, token="host:1:forged")
+    assert lock.exists()
+    # right token, different process than the acquirer: releases
+    _release(root, token=token)
+    assert not lock.exists()
