@@ -551,6 +551,36 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    def _prestage_shared() -> None:
+        """Re-stage every SHARED memoized fixture the block above
+        pre-staged (sans narration) — the retime pass clears the
+        staging memos to keep per-row staging costs on the same
+        basis as run 1, but shared fixtures are SETUP by policy and
+        must stay outside timed spans in BOTH passes (the first r15
+        window re-paid the 12.5s interval-join drain inside one
+        retimed row before this hook existed)."""
+        for fmt_n in [("parquet", 1), ("parquet", 2), ("csv", 4)]:
+            SQ._stage(spark, sf_dir, *fmt_n)
+        SQ._interval_join_matrix(spark, sf_dir).count()
+        AQ.stage_jsonl(spark, sf_dir)
+        AQ._staged_partitioned(spark, sf_dir)
+        AQ._dpp_dim_path(spark, sf_dir)
+        DQ._minhash_pairs(spark, sf_dir).count()
+        DQ._doc_grams(spark, sf_dir).count()
+        DQ._lsh_components(spark, sf_dir).count()
+        DQ._jaccard_pairs(spark, sf_dir).count()
+        DQ._span_table(spark, sf_dir).count()
+        TXQ._learn_merges(spark, sf_dir)
+        GQ._copurchase_edges(spark, sf_dir).count()
+        GQ._copurchase_degrees(spark, sf_dir).count()
+        GQ._copurchase_oriented(spark, sf_dir).count()
+        GQ._copurchase_out_adjacency(spark, sf_dir).count()
+        SIMQ.ivf_index(spark, sf_dir)
+        SIMQ.pq_index_expr(spark, sf_dir)
+        SIMQ.ivfpq_index_expr(spark, sf_dir)
+        SIMQ.ivf_append_index(spark, sf_dir)
+        MMQ._stage_media(spark, sf_dir)
+
     timings: dict[str, float] = {}
     jobs: dict[str, int] = {}
     sc = spark.sparkContext
@@ -625,6 +655,13 @@ def main() -> None:
     if retime_on:
         cache.clear_staging_memos()
         cache.release_all()
+        t0 = time.perf_counter()
+        _prestage_shared()
+        print(
+            f"# retime pass: shared fixtures re-staged in "
+            f"{time.perf_counter() - t0:.3f}s",
+            file=sys.stderr,
+        )
         for name in names:
             group = f"bench:retime:{name}"
             sc.setJobGroup(group, name)
