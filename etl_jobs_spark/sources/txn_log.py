@@ -115,6 +115,66 @@ def _snapshot_schema(root: str | Path, version: int | None = None):
     return schema
 
 
+def _claim(
+    root: Path,
+    data_rel: str,
+    mode: str,
+    token: str,
+    schema_json: str | None,
+    header_extra: dict | None = None,
+    max_retries: int = 50,
+    pre_claim=None,
+) -> int | None:
+    """The optimistic publish loop shared by every commit path:
+    compute the next version against the CURRENT log tip (an
+    overwrite's remove-set in particular must be re-resolved per
+    attempt), write a token-named temp manifest, and claim the
+    version file with ``os.link`` — the atomicity primitive; exactly
+    one creator of the name wins (S3: conditional PUT here). The
+    loser loops. ``pre_claim`` (when given) runs before each
+    attempt and may return a non-None sentinel to abandon the claim
+    (the streaming batch guard)."""
+    logd = _log_dir(root)
+    logd.mkdir(parents=True, exist_ok=True)
+    for _ in range(max_retries):
+        if pre_claim is not None and (stop := pre_claim()) is not None:
+            return None if stop is _ABANDON else stop
+        v = current_version(root) + 1
+        actions: list[dict] = []
+        if mode == "overwrite":
+            actions += [
+                {"version": v, "action": "remove", "file": f}
+                for f in snapshot_files(root, v - 1)
+            ]
+        actions.append({"version": v, "action": "add", "file": data_rel})
+        actions.append(
+            {
+                "version": v,
+                "action": "commit",
+                "mode": mode,
+                "writer": token,
+                "schema": schema_json,
+                **(header_extra or {}),
+            }
+        )
+        tmp = logd / f".{v:08d}.json.{token}.tmp"
+        tmp.write_text("".join(json.dumps(a) + "\n" for a in actions))
+        try:
+            os.link(tmp, logd / f"{v:08d}.json")
+            tmp.unlink()
+            return v
+        except FileExistsError:
+            tmp.unlink()
+            continue
+    raise ConcurrentWriteError(
+        f"txn commit on {root} lost {max_retries} version races — "
+        "pathological contention, refusing to spin"
+    )
+
+
+_ABANDON = object()
+
+
 def txn_commit(
     df: DataFrame,
     root: str | Path,
@@ -128,50 +188,17 @@ def txn_commit(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported txn commit mode: {mode}")
     rootp = Path(str(root))
-    logd = _log_dir(rootp)
-    logd.mkdir(parents=True, exist_ok=True)
     token = _uuid.uuid4().hex
     data_rel = f"data_{token}"
     # stage (unique path: concurrent stagings never touch; a crash
     # here leaves an unreferenced orphan — see ``orphans``)
     df.write.parquet(str(rootp / data_rel))
-    schema_json = df.schema.json()
-    # claim (optimistic; loser recomputes against the new log tip —
-    # an overwrite's remove-set in particular must be re-resolved)
-    for _ in range(max_retries):
-        v = current_version(rootp) + 1
-        actions: list[dict] = []
-        if mode == "overwrite":
-            actions += [
-                {"version": v, "action": "remove", "file": f}
-                for f in snapshot_files(rootp, v - 1)
-            ]
-        actions.append({"version": v, "action": "add", "file": data_rel})
-        actions.append(
-            {
-                "version": v,
-                "action": "commit",
-                "mode": mode,
-                "writer": token,
-                "schema": schema_json,
-            }
-        )
-        tmp = logd / f".{v:08d}.json.{token}.tmp"
-        tmp.write_text("".join(json.dumps(a) + "\n" for a in actions))
-        target = logd / f"{v:08d}.json"
-        try:
-            # the atomicity primitive: exactly one creator of the
-            # version's file name wins (S3: conditional PUT here)
-            os.link(tmp, target)
-            tmp.unlink()
-            return v
-        except FileExistsError:
-            tmp.unlink()
-            continue
-    raise ConcurrentWriteError(
-        f"txn commit on {root} lost {max_retries} version races — "
-        "pathological contention, refusing to spin"
+    v = _claim(
+        rootp, data_rel, mode, token, df.schema.json(),
+        max_retries=max_retries,
     )
+    assert v is not None  # no pre_claim → _claim returns or raises
+    return v
 
 
 def read_txn_table(
@@ -215,3 +242,123 @@ def orphans(root: str | Path) -> list[str]:
         for d in os.listdir(rootp)
         if d.startswith("data_") and d not in referenced
     )
+
+
+def txn_commit_batch(
+    df: DataFrame,
+    root: str | Path,
+    app_id: str,
+    batch_id: int,
+    mode: str = "append",
+) -> int | None:
+    """Idempotent commit for streaming foreachBatch: Structured
+    Streaming replays a failed micro-batch with the SAME batch_id,
+    so an exactly-once sink must make the second delivery a no-op.
+    The (app_id, batch_id) pair rides in the commit header; if any
+    committed version already carries it, the replay returns None
+    without staging a byte — the txn-log face of the ledger stream
+    sink's delete-by-batch guard, but append-only and
+    foreign-reader-safe (a half-applied replay can't be seen: the
+    original commit either published or it didn't).
+
+    Returns the committed version, or None for an already-applied
+    replay."""
+    rootp = Path(str(root))
+
+    def already_applied():
+        # re-checked before EVERY claim attempt: losing a version
+        # race to another replay of this same batch must converge
+        # to a single commit, not a duplicate
+        for a in read_log(rootp):
+            if (
+                a["action"] == "commit"
+                and a.get("app_id") == app_id
+                and a.get("batch_id") == batch_id
+            ):
+                return _ABANDON
+        return None
+
+    if already_applied() is not None:
+        return None  # replay of committed work: exactly-once, no staging
+    token = _uuid.uuid4().hex
+    data_rel = f"data_{token}"
+    df.write.parquet(str(rootp / data_rel))
+    return _claim(
+        rootp,
+        data_rel,
+        mode,
+        token,
+        df.schema.json(),
+        header_extra={"app_id": app_id, "batch_id": batch_id},
+        pre_claim=already_applied,
+    )
+
+
+def txn_stream_sink(stream_df, root: str | Path, checkpoint: str):
+    """Exactly-once Structured Streaming sink into a txn-log table:
+    ``writeStream.foreachBatch`` with ``txn_commit_batch`` keyed by
+    the query id + micro-batch id. Restarting from the checkpoint
+    replays the last uncommitted-at-crash batch; the (app, batch)
+    guard turns the redelivery into a no-op, so the table holds each
+    batch exactly once REGARDLESS of where the crash landed — the
+    stream-side completion of the write protocol. Returns the
+    started StreamingQuery (availableNow trigger: drains and
+    stops)."""
+
+    def commit_batch(batch_df, batch_id: int):
+        app = f"stream:{batch_df.sparkSession.conf.get('spark.app.id', 'app')}"
+        txn_commit_batch(batch_df, root, app, int(batch_id))
+
+    return (
+        stream_df.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def txn_vacuum(root: str | Path, retain_versions: int = 0) -> dict:
+    """Reclaim unreachable data dirs; returns a census report.
+
+    Two tiers, deleted in this order:
+
+    - ``orphans()`` — staged by writers that died before publishing;
+      reclaimable immediately (no committed version can reference
+      them).
+    - removed files below the retention horizon: a dir whose every
+      ``add`` was countermanded by a ``remove`` at or below
+      ``current - retain_versions`` serves no retained snapshot.
+      With ``retain_versions=0`` only the LATEST snapshot is
+      retained (time travel sacrificed, Delta's VACUUM RETAIN 0
+      analogue); larger values keep that many trailing versions
+      readable.
+
+    Deletion is safe against concurrent readers OF RETAINED
+    versions by construction (their file sets are disjoint from the
+    reclaim list); a reader time-traveling BELOW the horizon races
+    vacuum exactly as in Delta — retention is the contract."""
+    import shutil
+
+    rootp = Path(str(root))
+    report = {"orphans_deleted": [], "expired_deleted": [], "kept": []}
+    for d in orphans(rootp):
+        shutil.rmtree(rootp / d, ignore_errors=True)
+        report["orphans_deleted"].append(d)
+    horizon = current_version(rootp) - retain_versions
+    log = read_log(rootp)
+    removed_at: dict[str, int] = {}
+    for a in log:
+        if a["action"] == "remove":
+            removed_at[a["file"]] = max(
+                a["version"], removed_at.get(a["file"], 0)
+            )
+    live_retained: set[str] = set()
+    for v in range(max(1, horizon), current_version(rootp) + 1):
+        live_retained.update(snapshot_files(rootp, v))
+    for f, rv in sorted(removed_at.items()):
+        if rv <= horizon and f not in live_retained:
+            shutil.rmtree(rootp / f, ignore_errors=True)
+            report["expired_deleted"].append(f)
+        else:
+            report["kept"].append(f)
+    return report

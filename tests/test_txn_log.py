@@ -7,6 +7,7 @@ updates, loud refusal under pathological contention."""
 from __future__ import annotations
 
 import threading
+from pathlib import Path
 
 import pytest
 
@@ -149,3 +150,116 @@ def test_contention_exhaustion_is_loud(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(T, "current_version", racing_current)
     with pytest.raises(ConcurrentWriteError, match="version races"):
         T.txn_commit(_df(spark, "b"), root, max_retries=3)
+
+
+# ---- streaming exactly-once sink + vacuum + cross-process race ----
+
+
+def test_stream_sink_exactly_once_and_replay_noop(spark, tmp_path):
+    """foreachBatch commit path: a drained stream lands each batch
+    exactly once; a redelivery of a committed batch id is a no-op
+    even though the data differs (at-least-once upstream)."""
+    from pyspark.sql import functions as F
+
+    feed = tmp_path / "feed"
+    spark.range(200).selectExpr(
+        "id AS event_id", "CAST(id % 7 AS DOUBLE) AS value"
+    ).coalesce(2).write.parquet(str(feed))
+
+    root = tmp_path / "tbl"
+    src = spark.readStream.schema(
+        "event_id BIGINT, value DOUBLE"
+    ).parquet(str(feed))
+    q = T.txn_stream_sink(src, root, str(tmp_path / "ck"))
+    q.awaitTermination()
+    back = T.read_txn_table(spark, root)
+    assert back.count() == 200
+    assert back.agg(F.countDistinct("event_id")).collect()[0][0] == 200
+
+    # simulate the crash-replay: same app + batch ids, new payload
+    log = T.read_log(root)
+    headers = [a for a in log if a["action"] == "commit"]
+    assert headers and all("batch_id" in h for h in headers)
+    h = headers[0]
+    out = T.txn_commit_batch(
+        spark.range(999).selectExpr(
+            "id AS event_id", "CAST(0 AS DOUBLE) AS value"
+        ),
+        root,
+        h["app_id"],
+        h["batch_id"],
+    )
+    assert out is None, "replayed batch committed twice"
+    assert T.read_txn_table(spark, root).count() == 200
+
+
+def test_vacuum_reclaims_orphans_and_expired(spark, tmp_path):
+    root = tmp_path / "tbl"
+    T.txn_commit(_df(spark, "a"), root)          # v1: adds A
+    T.txn_commit(_df(spark, "b", 50), root)      # v2: adds B
+    T.txn_commit(_df(spark, "c", 7), root, mode="overwrite")  # v3: -A -B +C
+    _df(spark, "ghost", 9).write.parquet(str(root / "data_ghost"))
+
+    # retain all history: only the orphan goes
+    rep = T.txn_vacuum(root, retain_versions=T.current_version(root))
+    assert rep["orphans_deleted"] == ["data_ghost"]
+    assert rep["expired_deleted"] == []
+    assert T.read_txn_table(spark, root, version=1).count() == 100
+
+    # retain only the latest snapshot: removed dirs reclaimed,
+    # latest still reads perfectly
+    rep = T.txn_vacuum(root, retain_versions=0)
+    assert len(rep["expired_deleted"]) == 2
+    assert T.read_txn_table(spark, root).count() == 7
+    import os as _os
+
+    data_dirs = [d for d in _os.listdir(root) if d.startswith("data_")]
+    assert len(data_dirs) == 1  # only C's dir survives
+
+
+def test_cross_process_claim_race_single_winner_per_version(tmp_path):
+    """The protocol's core guarantee exercised ACROSS PROCESSES
+    (os.link atomicity is an OS contract, not a GIL artifact): N
+    subprocesses each stage a tiny parquet with pyarrow and claim
+    versions concurrently; every writer must land exactly once,
+    versions 1..N, no manifest ever overwritten."""
+    import subprocess
+    import sys as _sys
+
+    root = tmp_path / "tbl"
+    root.mkdir()
+    script = f"""
+import sys, uuid
+sys.path.insert(0, {str(Path(__file__).resolve().parents[1])!r})
+import pyarrow as pa, pyarrow.parquet as pq
+from pathlib import Path
+from etl_jobs_spark.sources import txn_log as T
+root = Path({str(root)!r})
+tag = sys.argv[1]
+token = uuid.uuid4().hex
+rel = f"data_{{token}}"
+(root / rel).mkdir()
+pq.write_table(pa.table({{"writer": [tag] * 10}}), root / rel / "part-0.parquet")
+v = T._claim(root, rel, "append", token, None)
+print(f"{{tag}}:{{v}}")
+"""
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", script, f"w{i}"],
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(6)
+    ]
+    results = {}
+    for p in procs:
+        out, _ = p.communicate(timeout=120)
+        assert p.returncode == 0
+        tag, v = out.strip().splitlines()[-1].split(":")
+        results[tag] = int(v)
+    assert sorted(results.values()) == [1, 2, 3, 4, 5, 6]
+    files = T.snapshot_files(root)
+    assert len(files) == 6
+    # every manifest names exactly one add and its own writer token
+    log = T.read_log(root)
+    assert sum(a["action"] == "add" for a in log) == 6
