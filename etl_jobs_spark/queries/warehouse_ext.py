@@ -691,7 +691,11 @@ def scan_txn_log_snapshot(spark, sf_dir):
     flips the hash. Scale notes: the log is KBs regardless of table
     size (it names files, not rows); snapshot resolution is a
     metadata fold; data reads stay pruned parquet scans of the live
-    set."""
+    set. Round 15 added the WRITE side of this protocol —
+    optimistic multi-writer commits, exactly-once streaming batches,
+    vacuum — as ``sources/txn_log.py`` (`sink_txn_parquet` row);
+    this row keeps its hand-built staging so the fold semantics stay
+    pinned independently of the writer's code path."""
     import json as _json
     import os
 
