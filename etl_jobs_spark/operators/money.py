@@ -101,23 +101,44 @@ def dsum3_sql(a: str, b: str, c: str, ndigits: int = 2) -> str:
 
 
 def davg(col: Column | str, ndigits: int = 4) -> Column:
-    """Order-free AVG of a 2dp double column: exact decimal sum,
-    ONE double division, round — deterministic because both inputs
-    to the division are exact. The denominator is the NON-NULL
-    count (SQL AVG semantics: nulls are excluded from both sum and
-    count; ``count(*)`` here would silently compute sum/total-rows
-    on a null-bearing column). All-null group → NULL/0 → NULL on
-    both engines, matching SQL AVG over an empty input."""
+    """Order-free, TIE-EXACT AVG of a 2dp double column.
+
+    The pre-r15 spelling (exact decimal sum, one double division,
+    ``round``) was order-free but not tie-safe: when the exact
+    quotient sits at a ``...5`` boundary in the (ndigits+1)-th
+    place, the double cannot represent it exactly, and the engines
+    round the SAME double differently — Spark's round goes through
+    the shortest decimal repr (``BigDecimal(Double.toString)``),
+    DuckDB rounds the binary value. The round-15 nulled axis caught
+    the flip on agg_cube_events (55.6312 vs 55.6313).
+
+    This spelling never rounds a double: with S = exact decimal sum
+    and n = non-null count (SQL AVG semantics), the half-up rounded
+    average in 10^-ndigits units is the exact integer
+    ``(2·S·10^ndigits + n) div (2n)``, computed here with exact
+    decimal arithmetic (the ``x - x % d`` subtraction makes the
+    division integer-valued, so the decimal division is exact at
+    any result scale). One final double division by 10^ndigits is
+    deterministic IEEE on both engines. Domain: non-negative sums
+    (half-up == half-away, like the rest of this tier) with
+    quotient·10^ndigits < 2^63 — any physical average fits.
+    All-null group → NULL on both engines."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(
-        F.sum(c.cast(DEC2)).cast("double") / F.count(c),
-        ndigits,
-    )
+    scale = 10 ** ndigits
+    m = (F.sum(c.cast(DEC2)) * scale).cast("decimal(38,0)")
+    n = F.count(c)
+    num = m * 2 + n
+    den = n * 2
+    q = ((num - num % den) / den).cast("long")
+    return q.cast("double") / scale
 
 
 def davg_sql(expr: str, ndigits: int = 4) -> str:
-    """DuckDB twin of :func:`davg` (non-null count denominator)."""
+    """DuckDB twin of :func:`davg` (integer half-up in HUGEINT —
+    kept textually in lockstep with the Spark spelling)."""
+    scale = 10 ** ndigits
     return (
-        f"round(CAST(sum(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE)"
-        f" / count({expr}), {ndigits})"
+        f"CAST((2 * CAST(sum(CAST({expr} AS DECIMAL(18,2))) * {scale}"
+        f" AS HUGEINT) + count({expr})) // (2 * count({expr}))"
+        f" AS DOUBLE) / {scale}"
     )

@@ -53,7 +53,7 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
                 F.lit(1) - F.col("l_discount"),
                 F.lit(1) + F.col("l_tax"),
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            M.davg("l_quantity").alias("avg_qty"),
             M.davg("l_extendedprice").alias("avg_price"),
             M.davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),

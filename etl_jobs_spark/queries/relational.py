@@ -157,11 +157,11 @@ def agg_grouping_sets(spark, sf_dir):
 
 @register(
     "agg_salted_events",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)     AS total_value,
-           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4) AS avg_value
+           {M.davg_sql("value")} AS avg_value
     FROM events
     GROUP BY event_type
     """,
@@ -304,15 +304,15 @@ def window_range_frame(spark, sf_dir):
 
 @register(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)                                          AS sum_qty,
            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)                                     AS sum_base_price,
            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(18,2))), 2) AS DOUBLE)                  AS sum_disc_price,
            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(18,2)) * CAST((1 + l_tax) AS DECIMAL(18,2))), 2) AS DOUBLE)    AS sum_charge,
-           round(avg(l_quantity), 4)                                          AS avg_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 4)                                     AS avg_price,
-           round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 4)                                          AS avg_disc,
+           {M.davg_sql("l_quantity")}                                         AS avg_qty,
+           {M.davg_sql("l_extendedprice")}                                    AS avg_price,
+           {M.davg_sql("l_discount")}                                         AS avg_disc,
            count(*)                                                           AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -160,10 +160,10 @@ def agg_rollup_time(spark, sf_dir):
 
 @register(
     "agg_cube_events",
-    oracle="""
+    oracle=f"""
     SELECT coalesce(dayofweek(ts) + 1, -1) AS dow,
            coalesce(event_type, 'ALL') AS event_type,
-           count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4) AS avg_value
+           count(*) AS n, {M.davg_sql("value")} AS avg_value
     FROM events
     GROUP BY CUBE (dayofweek(ts) + 1, event_type)
     -- Spark empty-relation semantics pinned (see agg_rollup_time)
