@@ -57,12 +57,24 @@ from etl_jobs_spark.queries import (  # noqa: F401
 #         same one-line stage_atomic wrap and carry fresh 21/21
 #         cross-version restart evidence on this tree
 #         (docs/SWEEP_COST_axis_checkpoint.json, engine_tree-stamped).
+#       - q1_pricing_summary / agg_salted_events / agg_cube_events:
+#         the davg tie fix (nulled-axis finding, see
+#         docs/FLOAT_ORDER_AUDIT.md round-15 section) rewrote their
+#         average aggregates AND oracles in lockstep — changed rows
+#         front.
 #   (b) the r6-latest cohort — the oldest driver evidence after the
 #       r14 window landed — in CORRECTNESS_r06 order, minus
 #       agg_gini_revenue (fronted r14) and stream_interval_join_full
-#       (already fronted in (a)): 39 rows. After this window lands
-#       green, no driver evidence is older than round 7.
+#       (fronted in (a)), trimmed by its last three rows
+#       (agg_bitmap_rollup_weekly, window_pct_change_mom,
+#       agg_repeat_purchase_rate — they lead the r16 rotation) to
+#       hold the davg-fix rows: 36 rows. After this window lands
+#       green, driver evidence older than round 7 is those three
+#       r6 rows only.
 _ROUND15_WINDOW = [
+    "q1_pricing_summary",
+    "agg_salted_events",
+    "agg_cube_events",
     "sink_txn_parquet",
     "embed_mmr_diversified_topk",
     "sink_s3",
@@ -110,9 +122,6 @@ _ROUND15_WINDOW = [
     "fn_interval_suite",
     "pipeline_dq_quarantine_replay",
     "embed_centroid_drift",
-    "agg_bitmap_rollup_weekly",
-    "window_pct_change_mom",
-    "agg_repeat_purchase_rate",
 ]
 
 registry.promote(_ROUND15_WINDOW)
