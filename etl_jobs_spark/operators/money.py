@@ -119,26 +119,33 @@ def davg(col: Column | str, ndigits: int = 4) -> Column:
     decimal arithmetic (the ``x - x % d`` subtraction makes the
     division integer-valued, so the decimal division is exact at
     any result scale). One final double division by 10^ndigits is
-    deterministic IEEE on both engines. Domain: non-negative sums
-    (half-up == half-away, like the rest of this tier) with
-    quotient·10^ndigits < 2^63 — any physical average fits.
+    deterministic IEEE on both engines. Negative sums round
+    HALF-AWAY-FROM-ZERO via |S| and a sign factor — integer
+    division semantics differ between the engines below zero
+    (Spark's ``x − x%d`` truncates toward zero, DuckDB's ``//``
+    floors; the round-15 axis-8 fixture's conflicting-duplicate
+    rewrites produced the negative sums that caught it), so the
+    magnitude math runs on absolute values where they agree.
+    Quotient·10^ndigits < 2^63 — any physical average fits.
     All-null group → NULL on both engines."""
     c = F.col(col) if isinstance(col, str) else col
     scale = 10 ** ndigits
     m = (F.sum(c.cast(DEC2)) * scale).cast("decimal(38,0)")
     n = F.count(c)
-    num = m * 2 + n
+    num = F.abs(m) * 2 + n
     den = n * 2
     q = ((num - num % den) / den).cast("long")
-    return q.cast("double") / scale
+    sign = F.when(m < 0, F.lit(-1)).otherwise(F.lit(1))
+    return (sign * q).cast("double") / scale
 
 
 def davg_sql(expr: str, ndigits: int = 4) -> str:
-    """DuckDB twin of :func:`davg` (integer half-up in HUGEINT —
+    """DuckDB twin of :func:`davg` (integer half-away in HUGEINT —
     kept textually in lockstep with the Spark spelling)."""
     scale = 10 ** ndigits
+    s = f"sum(CAST({expr} AS DECIMAL(18,2)))"
     return (
-        f"CAST((2 * CAST(sum(CAST({expr} AS DECIMAL(18,2))) * {scale}"
-        f" AS HUGEINT) + count({expr})) // (2 * count({expr}))"
-        f" AS DOUBLE) / {scale}"
+        f"CAST((CASE WHEN {s} < 0 THEN -1 ELSE 1 END) *"
+        f" ((2 * abs(CAST({s} * {scale} AS HUGEINT)) + count({expr}))"
+        f" // (2 * count({expr}))) AS DOUBLE) / {scale}"
     )

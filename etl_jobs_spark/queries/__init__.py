@@ -67,12 +67,13 @@ from etl_jobs_spark.queries import (  # noqa: F401
 #       agg_gini_revenue (fronted r14) and stream_interval_join_full
 #       (fronted in (a)), trimmed by its last three rows
 #       (agg_bitmap_rollup_weekly, window_pct_change_mom,
-#       agg_repeat_purchase_rate — they lead the r16 rotation) to
-#       hold the davg-fix rows: 36 rows. After this window lands
+#       agg_repeat_purchase_rate, embed_centroid_drift — they lead
+#       the r16 rotation) to hold the four davg-fix rows: 35 rows. After this window lands
 #       green, driver evidence older than round 7 is those three
 #       r6 rows only.
 _ROUND15_WINDOW = [
     "q1_pricing_summary",
+    "agg_events_by_type",
     "agg_salted_events",
     "agg_cube_events",
     "sink_txn_parquet",
@@ -121,7 +122,6 @@ _ROUND15_WINDOW = [
     "text_langid_confusion_eval",
     "fn_interval_suite",
     "pipeline_dq_quarantine_replay",
-    "embed_centroid_drift",
 ]
 
 registry.promote(_ROUND15_WINDOW)

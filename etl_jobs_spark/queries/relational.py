@@ -467,12 +467,11 @@ def json_extract_props(spark, sf_dir):
 
 @register(
     "agg_events_by_type",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            count(*)                   AS n_events,
            CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)       AS total_value,
-           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                 / count(value), 4) AS avg_value,
+           {M.davg_sql("value")} AS avg_value,
            count(DISTINCT user_id)    AS n_users
     FROM events
     GROUP BY event_type
