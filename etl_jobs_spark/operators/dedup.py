@@ -640,7 +640,10 @@ def connected_components(
                     F.coalesce("nbr_min", F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the `changed` count below materializes the
+            # checkpoint inside its own job (eager=True doubled the
+            # per-round action count — optimization r15)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")

@@ -121,6 +121,15 @@ def fuzzy_pairs(
     if block_cap is not None:
         from pyspark.sql import Window as W
 
+        # (Optimization r15, measured and deliberately left alone:
+        # persisting this frame so the two join sides share one
+        # window pass read SLOWER at sf0.1 — 3.3-3.7s -> 4.2-4.9s
+        # noop, +2 jobs — because the InMemoryRelation
+        # materialization breaks the fused explode->window->join
+        # codegen span while the duplicated subtree runs fully
+        # parallel. The duplicate window shuffle carries capped
+        # blocks only; revisit if a real-cluster profile shows the
+        # vh exchange dominating.)
         v = (
             v.withColumn(
                 "_bn", F.count(F.lit(1)).over(W.partitionBy("vh"))

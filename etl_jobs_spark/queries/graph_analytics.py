@@ -548,7 +548,11 @@ def graph_bfs_hops(spark, sf_dir):
             .withColumn("hop", F.lit(h))
             .localCheckpoint(eager=True)
         )
-        settled = settled.unionAll(nxt).localCheckpoint(eager=True)
+        # settled is a union of ALREADY-CHECKPOINTED levels — a
+        # lazy union over materialized RDDs re-scans kilobytes, so
+        # checkpointing it again per level only added an eager job
+        # per hop (optimization r15: 3 fewer actions; same rows).
+        settled = settled.unionAll(nxt)
         frontier = nxt.select("node")
     full_dist = nodes.join(settled, "node", "left").select(
         "node", F.coalesce(F.col("hop"), F.lit(-1)).alias("hop")
@@ -656,7 +660,10 @@ def graph_k_core(spark, sf_dir):
     n_nodes_initial = (
         _copurchase_degrees(spark, sf_dir).count()
     )
-    edges = edges0.localCheckpoint(eager=True)
+    # lazy checkpoint + count: the count() materializes the
+    # checkpoint in the SAME action (eager=True + count was two
+    # jobs per materialization — optimization r15).
+    edges = edges0.localCheckpoint(eager=False)
     prev_cnt = edges.count()
     n_peel_rounds = 0
     for _ in range(KCORE_MAX_ROUNDS):
@@ -672,7 +679,7 @@ def graph_k_core(spark, sf_dir):
                 F.broadcast(keep), edges.u == keep.n, "left_semi"
             )
             .join(F.broadcast(keep), edges.v == keep.n, "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cnt = nxt.count()
         if cnt == prev_cnt:

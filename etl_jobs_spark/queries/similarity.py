@@ -1237,10 +1237,21 @@ def embed_pca_power_iter(spark, sf_dir):
                 ).alias("t")
             )
         )
+        # Eager 64-row checkpoint per iteration (optimization r15,
+        # guide §2.4/§5 lineage truncation): w feeds BOTH m and v,
+        # and v feeds BOTH the next iteration's t and the final
+        # join, so the lazily-composed loop duplicated the whole
+        # per-iteration subtree ~2x per branch — the final plan
+        # re-ran the two corpus joins for every duplicated copy
+        # (measured: 164 Spark jobs / 4.8s at sf0.1 before; ~20
+        # jobs after; identical integers — localCheckpoint changes
+        # lineage, not arithmetic). The iterate is always exactly
+        # `dim` rows, so the checkpoint materializes 64 rows.
         w = (
             lf.join(t, "vec_id")
             .groupBy("d")
             .agg(F.sum(F.col("q") * F.col("t")).cast("bigint").alias("w"))
+            .localCheckpoint(eager=True)
         )
         m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
         v = w.crossJoin(F.broadcast(m)).select(
