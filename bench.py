@@ -355,20 +355,27 @@ def main() -> None:
     # queries flat. 20 trivial count() jobs, total seconds; compare
     # across rounds next to calib_sec to split "slower CPU" from
     # "slower scheduler". Idle r13 reference: ~2.8-5.0s.
-    job_times = []
-    t0 = time.perf_counter()
-    for _ in range(20):
-        tj = time.perf_counter()
-        spark.range(1).count()
-        job_times.append(time.perf_counter() - tj)
-    calib_jobs = round(time.perf_counter() - t0, 3)
-    # p50/p90 of the INDIVIDUAL job times (r14): this session showed
-    # the sum can be dominated by one multi-second stall (a 12.5s
-    # probe whose median job was ~0.2s); the median is the honest
-    # steady-state per-job figure, the p90 the stall indicator.
-    js = sorted(job_times)
-    calib_jobs_p50_ms = round(1000 * js[len(js) // 2], 1)
-    calib_jobs_p90_ms = round(1000 * js[int(len(js) * 0.9)], 1)
+    def _jobs_probe() -> tuple[float, float, float]:
+        """20 trivial count() jobs; returns (total_s, p50_ms,
+        p90_ms). p50/p90 of the INDIVIDUAL job times (r14): the sum
+        can be dominated by one multi-second stall (a 12.5s probe
+        whose median job was ~0.2s); the median is the honest
+        steady-state per-job figure, the p90 the stall indicator."""
+        job_times = []
+        t0 = time.perf_counter()
+        for _ in range(20):
+            tj = time.perf_counter()
+            spark.range(1).count()
+            job_times.append(time.perf_counter() - tj)
+        total = round(time.perf_counter() - t0, 3)
+        js = sorted(job_times)
+        return (
+            total,
+            round(1000 * js[len(js) // 2], 1),
+            round(1000 * js[int(len(js) * 0.9)], 1),
+        )
+
+    calib_jobs, calib_jobs_p50_ms, calib_jobs_p90_ms = _jobs_probe()
     print(
         f"# calib (20 trivial jobs): {calib_jobs:.3f}s "
         f"(p50 {calib_jobs_p50_ms}ms, p90 {calib_jobs_p90_ms}ms)",
@@ -396,14 +403,23 @@ def main() -> None:
         retry = _calib_probe()
         print(f"# calib (retry): {retry:.3f}s", file=sys.stderr)
         calib_start = min(calib_start, retry)
-    calib_gate_off_pct = _gate_off_pct(calib_start)
-    calib_gate = "pass" if calib_gate_off_pct <= CALIB_GATE_PCT else "rejected"
-    if calib_gate == "rejected":
+    # Optimization r15 (measurement fix, disclosed in
+    # OPTIMIZATION_r15.md): the gate decision is now FINALIZED after
+    # the mid-run probe. On this host class the first minutes of a
+    # fresh VM/JVM run the pure-CPU probe 3-8x slow (r15a start
+    # 3.04s, retry 1.61s, MID-RUN 0.281s; r15b 1.15/0.85/0.351s) —
+    # the start probe was measuring the cold transient, not the
+    # window, and false-rejected sessions whose actual query spans
+    # ran on a healthy host. The basis below becomes
+    # min(start, mid): a window is rejected only when the host
+    # stayed slow INTO the run. Start/mid/retry probes are all still
+    # recorded unchanged.
+    start_gate_off = _gate_off_pct(calib_start)
+    if start_gate_off > CALIB_GATE_PCT:
         print(
-            f"# calib gate: REJECTED — probe {calib_start:.3f}s stayed "
-            f"{calib_gate_off_pct}% off ref after retry; this run will "
-            "be recorded as non-canonical (history marked, canonical "
-            "record file left untouched)",
+            f"# calib gate: start probe still {start_gate_off}% off "
+            "after retry — provisional; final decision uses "
+            "min(start, mid) (steady state)",
             file=sys.stderr,
         )
     # pre-stage streaming fixture inputs (memoized) so stream_* timings
@@ -603,6 +619,7 @@ def main() -> None:
             return None
 
     calib_mid = None
+    jobs_mid_p50_ms = None
     for i, name in enumerate(names):
         if i == len(names) // 2:
             # two-point calibration (VERDICT r7 item 6): one probe
@@ -612,6 +629,19 @@ def main() -> None:
             # probe mid-run bounds WHEN the host was slow.
             calib_mid = _calib_probe()
             print(f"# calib (mid): {calib_mid:.3f}s", file=sys.stderr)
+            # mid-run jobs probe (optimization r15): the start jobs
+            # probe shares the cold-start inflation (532 ms/job at
+            # start vs ~160 ms steady in the r15b window), and an
+            # inflated per-job figure OVERCORRECTS every row of
+            # queries_jobs_adj into its floor. min(start, mid) p50
+            # is the steady-state scheduler figure the queries'
+            # jobs actually pay.
+            _, jobs_mid_p50_ms, _ = _jobs_probe()
+            print(
+                f"# calib (mid, 20 trivial jobs): p50 "
+                f"{jobs_mid_p50_ms}ms",
+                file=sys.stderr,
+            )
         # Per-query job attribution (VERDICT r13 item 2 + r14 item
         # 4): primary basis is the GLOBAL job-counter delta, which
         # sees engine-thread jobs (micro-batch, Python DataSource)
@@ -639,6 +669,8 @@ def main() -> None:
     sc.setLocalProperty("spark.jobGroup.id", None)
     if calib_mid is None:
         calib_mid = _calib_probe()
+    if jobs_mid_p50_ms is None:
+        _, jobs_mid_p50_ms, _ = _jobs_probe()
 
     # Retime pass (VERDICT r14 item 5): a single host stall printed
     # 3.57s into the r14 canonical record for a query whose lifetime
@@ -705,24 +737,26 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    # Normalization basis: the START probe, because every pre-r08
-    # history record sampled ONLY the start position — the mid-run
-    # probe reads systematically ~25% faster in EVERY run (fully
-    # JIT-warmed JVM, not a host window: both r08 runs read start
-    # ~0.357 / mid ~0.265 identically), so min(start, mid) mixed a
-    # warmed probe into a cold-probe baseline and inflated
-    # cross-round norm ratios ~1.4x. The mid probe exists to DETECT
-    # intra-run host swings (the drift flag below), not to set the
-    # basis.
-    calib = calib_start
+    # Normalization/gate basis (optimization r15, measurement fix —
+    # the old start-only basis rationale is preserved in git
+    # history): min(start, mid). On the current host class a fresh
+    # VM runs the pure-CPU probe 3-8x slow for its first minutes
+    # (r15a 3.04s start / 0.281s mid; r15b 1.15s / 0.351s on
+    # identical code), so a start-only basis (a) false-rejected
+    # whole windows whose query spans ran healthy and (b) deflated
+    # value_norm by up to 8x. min(start, mid) is the steady-state
+    # host figure; a window is rejected only when the host stayed
+    # slow INTO the run. Both probes remain recorded; `calib_basis`
+    # names the rule so history readers can tell the eras apart.
+    calib = min(calib_start, calib_mid)
     # Signed drift: positive = the mid probe was SLOWER than the
     # start probe, i.e. the host degraded mid-run (the r7 run-5
     # failure mode this probe exists to catch). Negative drift (mid
     # faster) is the expected ~25% JVM-warmup effect and is recorded
     # but never flagged.
     drift_pct = round(
-        100.0 * (calib_mid - calib_start) / calib, 1
-    ) if calib > 0 else 0.0
+        100.0 * (calib_mid - calib_start) / calib_start, 1
+    ) if calib_start > 0 else 0.0
     calib_drift_flag = drift_pct > 10.0
     if calib_drift_flag:
         print(
@@ -730,6 +764,17 @@ def main() -> None:
             f"({calib_start:.3f}s -> {calib_mid:.3f}s) — host window "
             "degraded mid-run; treat per-query ratios from this run "
             "as noisy",
+            file=sys.stderr,
+        )
+    calib_gate_off_pct = _gate_off_pct(calib)
+    calib_gate = "pass" if calib_gate_off_pct <= CALIB_GATE_PCT else "rejected"
+    if calib_gate == "rejected":
+        print(
+            f"# calib gate: REJECTED — min(start, mid) probe "
+            f"{calib:.3f}s is {calib_gate_off_pct}% off ref "
+            f"{CALIB_REF_SEC}s; this run is recorded as "
+            "non-canonical (history marked, canonical record file "
+            "left untouched)",
             file=sys.stderr,
         )
     scale = CALIB_REF_SEC / calib if calib > 0 else 1.0
@@ -749,7 +794,9 @@ def main() -> None:
     # uniform mean OVERCORRECTS (48/240 rows floored) because the
     # sum absorbs one-off stalls; the median is the steady-state
     # figure a query's jobs actually pay.
-    per_job = calib_jobs_p50_ms / 1000.0
+    # steady-state per-job basis: min of the start/mid probes'
+    # medians (optimization r15 — see the mid-run probe note above)
+    per_job = min(calib_jobs_p50_ms, jobs_mid_p50_ms) / 1000.0
     jobs_overhead = max(0.0, per_job - JOBS_REF_SEC_PER_JOB)
     jobs_adj = {
         k: round(
@@ -901,6 +948,10 @@ def main() -> None:
         "queries_norm": norm,
         "value_norm": round(sum(timings.values()) * scale, 3),
         "calib_sec": round(calib, 3),
+        # optimization r15: basis switched from start-only to
+        # min(start, mid) — steady-state host speed; see the
+        # normalization-basis comment in main()
+        "calib_basis": "min_start_mid",
         "calib_start_sec": round(calib_start, 3),
         "calib_mid_sec": round(calib_mid, 3),
         "calib_drift_pct": drift_pct,
@@ -916,8 +967,9 @@ def main() -> None:
         "queries_jobs_adj": jobs_adj,
         "value_jobs_adj": round(sum(jobs_adj.values()), 3),
         "jobs_sec_per_job": round(per_job, 4),
-        "jobs_per_job_basis": "p50",
+        "jobs_per_job_basis": "p50_min_start_mid",
         "calib_jobs_p50_ms": calib_jobs_p50_ms,
+        "calib_jobs_mid_p50_ms": jobs_mid_p50_ms,
         "calib_jobs_p90_ms": calib_jobs_p90_ms,
         "jobs_ref_sec_per_job": JOBS_REF_SEC_PER_JOB,
         "jobs_gate": jobs_gate,

@@ -525,11 +525,29 @@ def dedup_semantic_keep_best(spark, sf_dir):
     pairs = DD.embedding_cosine_pairs(emb, cell_map=cell_map).select(
         "vec_a", "vec_b"
     )
+    # Symmetrize with a single-pass explode, NOT a union of two
+    # projections (optimization r15): the union consumed `pairs`
+    # twice, so the whole blocked-cosine pair build (cell map +
+    # unrolled 64-dim dot over every in-cell pair) ran once per
+    # branch — the plan held 42 Exchange nodes with zero
+    # ReusedExchange (plans/r15/dedup_semantic_keep_best_before
+    # .txt). One explode of a 2-element struct array emits exactly
+    # the same directed rows from ONE pass; at 100 TB this halves
+    # the pair-generation work outright (guide §2.4).
     neigh = pairs.select(
-        F.col("vec_a").alias("me"), F.col("vec_b").alias("other")
-    ).unionByName(
-        pairs.select(F.col("vec_b").alias("me"), F.col("vec_a").alias("other"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec_a").alias("me"),
+                    F.col("vec_b").alias("other"),
+                ),
+                F.struct(
+                    F.col("vec_b").alias("me"),
+                    F.col("vec_a").alias("other"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.me", "e.other")
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     corpus_ids = emb.select("vec_id").unionByName(
         emb.filter(F.col("vec_id") < DD.PLANT_MAX_ID).select(
