@@ -75,7 +75,46 @@ class LedgerReader(DataSourceReader):
         ]
 
     def read(self, partition: _LedgerPartition):
+        """Yield Arrow RecordBatches (optimization r15, guide §4.2):
+        the original row path ran json.loads + a Python yield per
+        ledger line, so every row crossed the Python boundary
+        pickled — the dominant cost of the ledger round-trip rows
+        (sink_custom_ledger 6.5-9.4s at sf0.1). pyarrow's native
+        NDJSON reader parses the whole file in C++ and the batches
+        cross as Arrow; the file format, declared schema, and
+        pushdown contract are unchanged. Falls back to the row loop
+        for any file pyarrow rejects (blank lines, truncated tail)
+        so tolerance is identical."""
         want = self.eq_event_type
+        tbl = None
+        try:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            from pyarrow import json as pa_json
+
+            schema = pa.schema(
+                [
+                    ("event_id", pa.int64()),
+                    ("user_id", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("value", pa.float64()),
+                ]
+            )
+            tbl = pa_json.read_json(
+                partition.path,
+                parse_options=pa_json.ParseOptions(
+                    explicit_schema=schema,
+                    unexpected_field_behavior="ignore",
+                ),
+            )
+            if want is not None:
+                tbl = tbl.filter(pc.equal(tbl["event_type"], want))
+        except Exception:  # pragma: no cover - defensive fallback
+            tbl = None  # (try never wraps a yield: a consumer error
+            #             must not restart the file on the row path)
+        if tbl is not None:
+            yield from tbl.to_batches()
+            return
         with open(partition.path, "r", encoding="utf-8") as fh:
             for line in fh:
                 if not line.strip():

@@ -18,6 +18,24 @@ def _write_ledger(tmp_path, files):
         )
 
 
+def _rows(reader, parts):
+    """Flatten read() output to plain tuples. The batch reader
+    yields pyarrow RecordBatches since the r15 optimization (Arrow
+    crosses the boundary instead of pickled rows — same rows, same
+    order); unit tests normalize both shapes so the CONTRACT under
+    test (partitioning, pushdown) stays shape-agnostic."""
+    out = []
+    for p in parts:
+        for item in reader.read(p):
+            if hasattr(item, "to_pylist"):  # pyarrow.RecordBatch
+                out.extend(
+                    tuple(d.values()) for d in item.to_pylist()
+                )
+            else:
+                out.append(tuple(item))
+    return out
+
+
 def test_one_partition_per_file(tmp_path):
     _write_ledger(
         tmp_path,
@@ -30,7 +48,7 @@ def test_one_partition_per_file(tmp_path):
     r = LedgerReader({"path": str(tmp_path)})
     parts = r.partitions()
     assert len(parts) == 2  # .txt excluded
-    rows = [row for p in parts for row in r.read(p)]
+    rows = _rows(r, parts)
     assert sorted(row[0] for row in rows) == [1, 2]
 
 
@@ -49,8 +67,47 @@ def test_equality_filter_consumed_and_applied(tmp_path):
     r = LedgerReader({"path": str(tmp_path)})
     remaining = list(r.pushFilters([EqualTo(("event_type",), "buy")]))
     assert remaining == []  # consumed — Spark won't re-evaluate
-    rows = [row for p in r.partitions() for row in r.read(p)]
+    rows = _rows(r, r.partitions())
     assert [row[0] for row in rows] == [1]
+
+
+def test_arrow_batch_read_matches_row_path(tmp_path):
+    """r15 optimization regression pin: the Arrow NDJSON fast path
+    must yield RecordBatches in the declared schema/order with
+    exactly the rows the row-at-a-time path produced (including a
+    missing field -> NULL, double round-trip, and blank-line files
+    falling back to the row path)."""
+    import pyarrow as pa
+
+    _write_ledger(
+        tmp_path,
+        {
+            "a.json": [
+                {"event_id": 1, "user_id": 1, "event_type": "x",
+                 "value": 0.1},
+                # missing `value` -> NULL on both paths
+                {"event_id": 2, "user_id": 2, "event_type": "y"},
+            ]
+        },
+    )
+    r = LedgerReader({"path": str(tmp_path)})
+    [part] = r.partitions()
+    items = list(r.read(part))
+    assert items and isinstance(items[0], pa.RecordBatch)
+    assert items[0].schema.names == [
+        "event_id", "user_id", "event_type", "value",
+    ]
+    got = [tuple(d.values()) for b in items for d in b.to_pylist()]
+    assert got == [(1, 1, "x", 0.1), (2, 2, "y", None)]
+    # blank interior line: pyarrow rejects the file, the row path
+    # must serve it identically (the fallback tolerance contract)
+    (tmp_path / "b.json").write_text(
+        json.dumps({"event_id": 3, "user_id": 3, "event_type": "z",
+                    "value": 2.5}) + "\n\n"
+    )
+    r2 = LedgerReader({"path": str(tmp_path)})
+    rows = _rows(r2, r2.partitions())
+    assert (3, 3, "z", 2.5) in rows and len(rows) == 3
 
 
 def test_unsupported_filter_returned(tmp_path):
