@@ -40,6 +40,41 @@ LEDGER_SCHEMA = (
 )
 
 
+def _arrow_read_ledger(path: str, want_event_type: str | None = None):
+    """Parse one JSONL ledger file with pyarrow's native NDJSON
+    reader under the declared schema (optimization r15, guide §4.2)
+    — returns a pyarrow Table, or None when pyarrow rejects the file
+    (blank interior lines, truncated tail); callers then fall back
+    to the tolerant row-at-a-time loop, so acceptance is unchanged."""
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from pyarrow import json as pa_json
+
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+            ]
+        )
+        tbl = pa_json.read_json(
+            path,
+            parse_options=pa_json.ParseOptions(
+                explicit_schema=schema,
+                unexpected_field_behavior="ignore",
+            ),
+        )
+        if want_event_type is not None:
+            tbl = tbl.filter(
+                pc.equal(tbl["event_type"], want_event_type)
+            )
+        return tbl
+    except Exception:  # pragma: no cover - defensive fallback
+        return None
+
+
 class _LedgerPartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
@@ -86,32 +121,9 @@ class LedgerReader(DataSourceReader):
         for any file pyarrow rejects (blank lines, truncated tail)
         so tolerance is identical."""
         want = self.eq_event_type
-        tbl = None
-        try:
-            import pyarrow as pa
-            import pyarrow.compute as pc
-            from pyarrow import json as pa_json
-
-            schema = pa.schema(
-                [
-                    ("event_id", pa.int64()),
-                    ("user_id", pa.int64()),
-                    ("event_type", pa.string()),
-                    ("value", pa.float64()),
-                ]
-            )
-            tbl = pa_json.read_json(
-                partition.path,
-                parse_options=pa_json.ParseOptions(
-                    explicit_schema=schema,
-                    unexpected_field_behavior="ignore",
-                ),
-            )
-            if want is not None:
-                tbl = tbl.filter(pc.equal(tbl["event_type"], want))
-        except Exception:  # pragma: no cover - defensive fallback
-            tbl = None  # (try never wraps a yield: a consumer error
-            #             must not restart the file on the row path)
+        # (the helper never wraps a yield: a consumer error must not
+        # restart the file on the row path)
+        tbl = _arrow_read_ledger(partition.path, want)
         if tbl is not None:
             yield from tbl.to_batches()
             return
@@ -184,7 +196,23 @@ class LedgerStreamReader(SimpleDataSourceStreamReader):
 
     def _rows(self, names):
         for name in names:
-            with open(os.path.join(self.dir, name), encoding="utf-8") as fh:
+            path = os.path.join(self.dir, name)
+            # The simple-reader protocol is driver-side Row tuples
+            # (no Arrow lane), but the PARSE can still run in C++
+            # (optimization r15): pyarrow reads the file, tuples
+            # come off the table. Same values — int64/float64/string
+            # under the declared schema, missing fields -> None.
+            tbl = _arrow_read_ledger(path)
+            if tbl is not None:
+                for rec in tbl.to_pylist():
+                    yield (
+                        rec["event_id"],
+                        rec["user_id"],
+                        rec["event_type"],
+                        rec["value"],
+                    )
+                continue
+            with open(path, encoding="utf-8") as fh:
                 for line in fh:
                     if line.strip():
                         rec = json.loads(line)
