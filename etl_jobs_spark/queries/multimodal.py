@@ -12,7 +12,19 @@ from pathlib import Path
 
 from etl_jobs_spark.operators import multimodal as MM
 from etl_jobs_spark.registry import register
-from etl_jobs_spark.sources.readers import read_table
+from etl_jobs_spark.sources.readers import read_table, spread
+
+
+def _media_scan(spark, sf_dir: str):
+    """Batch scan of the staged media table, parallelism-pinned
+    (optimization r15, guide §4/§2.5 input skew): the fixture stages
+    TWO parquet files (the streaming drain needs >1 batch from the
+    same copy), so every pure-Python codec decode stage ran on 2 of
+    the session's workers — byte-based split sizing under-partitions
+    a small-but-CPU-dense binary table exactly like the text case
+    readers.spread documents. At real scale the scan already yields
+    >= session partitions and spread() is a no-op (no shuffle)."""
+    return spread(spark.read.parquet(_stage_media(spark, sf_dir)))
 
 
 def _byte(j: int) -> str:
@@ -164,7 +176,7 @@ def multimodal_decode_png_bmp(spark, sf_dir):
     pure-stdlib codecs (operators/codecs.py) in an Arrow-batched
     mapInPandas stage, and reduced to integer features the SQL oracle
     recomputes from the closed-form grid."""
-    media = spark.read.parquet(_stage_media(spark, sf_dir))
+    media = _media_scan(spark, sf_dir)
     return MM.extract_real_features(media)
 
 
@@ -198,7 +210,7 @@ def multimodal_decode_jpeg(spark, sf_dir):
     Scale: identical Arrow-batched mapInPandas shape to the PNG/BMP
     rung; decode is partition-parallel, no shuffle until the 7
     feature columns aggregate."""
-    media = spark.read.parquet(_stage_media(spark, sf_dir))
+    media = _media_scan(spark, sf_dir)
     return MM.jpeg_roundtrip_features(media)
 
 
@@ -227,7 +239,7 @@ def multimodal_resize_nearest(spark, sf_dir):
     via integer floor index maps, and reduce to integer features —
     the thumbnail/preprocess stage of an image training pipeline,
     value-checked against the closed-form grid."""
-    media = spark.read.parquet(_stage_media(spark, sf_dir))
+    media = _media_scan(spark, sf_dir)
     return MM.extract_resized_features(media, 4, 4)
 
 
@@ -250,7 +262,7 @@ def multimodal_decode_wav(spark, sf_dir):
     WAV containers (stdlib ``wave``), decoded back in an Arrow-batched
     stage, and reduced to integer waveform features (duration,
     sum |x|, energy)."""
-    media = spark.read.parquet(_stage_media(spark, sf_dir))
+    media = _media_scan(spark, sf_dir)
     return MM.wav_features(media)
 
 
@@ -308,7 +320,7 @@ def pipeline_media_curation(spark, sf_dir):
     same staged media table (no shuffle until the small feature
     rows); the join keys are doc_id-partitioned feature tables, and
     the census is a |containers|x2-row aggregate."""
-    media = spark.read.parquet(_stage_media(spark, sf_dir))
+    media = _media_scan(spark, sf_dir)
     img = MM.extract_real_features(media).select(
         "doc_id", "container", "width", "height", "pixel_sum"
     )
@@ -465,7 +477,7 @@ def multimodal_decode_gif(spark, sf_dir):
     closed-form grid oracle. Third real image container; palette
     indirection + LZW exercise a completely different decode path
     than PNG's filters or BMP's raw rows."""
-    media = spark.read.parquet(_stage_media_gif(spark, sf_dir))
+    media = spread(spark.read.parquet(_stage_media_gif(spark, sf_dir)))
     return MM.extract_real_features(media)
 
 
@@ -498,7 +510,7 @@ def multimodal_audio_downsample(spark, sf_dir):
     the classic resample bug — flips the hash. Same scale shape as
     every codec stage: Arrow-batched per-partition decode, feature
     rows are the only shuffle payload."""
-    media = spark.read.parquet(_stage_media(spark, sf_dir))
+    media = _media_scan(spark, sf_dir)
     return MM.wav_downsample_features(media, 2)
 
 
@@ -527,7 +539,7 @@ def multimodal_image_histogram(spark, sf_dir):
     formula, so a decode bug that shifts even one byte moves a
     bucket count and flips the hash. Scale shape: Arrow-batched
     per-partition decode; the shuffle payload is 4 rows per image."""
-    media = spark.read.parquet(_stage_media(spark, sf_dir))
+    media = _media_scan(spark, sf_dir)
     return MM.image_histogram(media, 4)
 
 
@@ -564,7 +576,7 @@ def multimodal_audio_rms_energy(spark, sf_dir):
     bit-for-bit — an off-by-one in frame boundaries (the classic
     framing bug: last ragged frame) flips the hash. Arrow-batched
     per-partition decode; 5 integer columns per doc shuffle."""
-    media = spark.read.parquet(_stage_media(spark, sf_dir))
+    media = _media_scan(spark, sf_dir)
     return MM.wav_frame_energy(media)
 
 
@@ -602,7 +614,7 @@ def multimodal_image_patches(spark, sf_dir):
     tokenization bug) flips the hash. Ragged edges drop, matching
     the resize-to-multiple convention. Arrow-batched decode; patch
     rows are the only shuffle payload."""
-    media = spark.read.parquet(_stage_media(spark, sf_dir))
+    media = _media_scan(spark, sf_dir)
     return MM.image_patches(media)
 
 
@@ -664,7 +676,7 @@ def multimodal_image_dhash_dedup(spark, sf_dir):
     byte-chunk banding unchanged."""
     from pyspark.sql import functions as F
 
-    media = spark.read.parquet(_stage_media(spark, sf_dir))
+    media = _media_scan(spark, sf_dir)
     hashes = MM.image_dhash(media)
     return (
         hashes.groupBy("dhash_hi", "dhash_lo")
@@ -711,7 +723,7 @@ def multimodal_audio_fingerprint_dedup(spark, sf_dir):
     2-integer shuffle payload per asset."""
     from pyspark.sql import functions as F
 
-    media = spark.read.parquet(_stage_media(spark, sf_dir))
+    media = _media_scan(spark, sf_dir)
     fps = MM.audio_fingerprint(media)
     return (
         fps.groupBy("fp", "n_bits")
