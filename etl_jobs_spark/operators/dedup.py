@@ -85,7 +85,18 @@ COSINE_DUP_THRESHOLD = 0.99
 def planted_corpus(docs: DataFrame, mutate: bool) -> DataFrame:
     """Fixture docs + planted duplicates: ``(doc_id, lang, n)`` with
     normalized text; docs 0..24 reappear at ``doc_id + 1e6`` either
-    verbatim (``mutate=False``) or with the last 7 chars dropped."""
+    verbatim (``mutate=False``) or with the last 7 chars dropped.
+
+    The input is spread to the session's parallelism first
+    (readers.spread, optimization r15): every consumer immediately
+    runs a CPU-dense normalize/tokenize/explode stage, and the
+    single-file fixture scan would otherwise execute that stage on
+    1-2 tasks (byte-based split sizing assumes cost ∝ bytes — the
+    guide §2.5 input-skew case). At real scale the scan already has
+    ≥ session-parallelism splits and spread is a no-op."""
+    from etl_jobs_spark.sources.readers import spread
+
+    docs = spread(docs)
     base = docs.select(
         "doc_id", "lang", F.expr(norm_text("text", "spark")).alias("n")
     )

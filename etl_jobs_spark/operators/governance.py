@@ -131,6 +131,12 @@ def decontam_overlap(docs: DataFrame) -> DataFrame:
     pipeline is a benchmark suite (tiny) → broadcast; the train side
     is joined in place, never re-shuffled on text.
     """
+    from etl_jobs_spark.sources.readers import spread
+
+    # spread before the normalize/tokenize/ngram explode — the
+    # operator's dominant CPU stage; a single-file fixture scan is
+    # one split (guide §2.5 input skew; no-op at real scale)
+    docs = spread(docs)
     n = norm_text("text", "spark")
     # materialize norm+tokens as REAL columns before the n-gram
     # transform: the fragment builders splice expression TEXT, so

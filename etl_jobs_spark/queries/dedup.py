@@ -758,7 +758,12 @@ def dedup_repeated_ngram_spans(spark, sf_dir):
         f"CASE WHEN doc_id % 5 = 0 THEN concat(n, ' {SPAN_TOKENS}') "
         f"ELSE n END"
     )
-    docs = read_table(spark, sf_dir, "documents")
+    from etl_jobs_spark.sources.readers import spread
+
+    # spread before the token-window explode + per-gram md5 (the
+    # query's dominant CPU stage): single-file fixture scan = 1
+    # split; no-op at real scale (guide §2.5 input skew)
+    docs = spread(read_table(spark, sf_dir, "documents"))
     grams = (
         docs.select("doc_id", F.expr(n).alias("n"))
         .select("doc_id", F.expr(f"split({planted}, ' ')").alias("toks"))
@@ -828,6 +833,10 @@ def dedup_incremental_bloom(spark, sf_dir):
     from etl_jobs_spark.operators.bloom import bloom_build, bloom_probe_expr
 
     n = norm_text("text", "spark")
+    # NOT spread (optimization r15, measured): the path is one
+    # normalize+md5 per DOC (not per gram), and spreading both scans
+    # measured 1.98s -> 2.36s noop at sf0.1 — the raw-text shuffle
+    # costs more than the extra decode parallelism buys here.
     base = read_table(spark, sf_dir, "documents").select(
         F.md5(F.expr(n)).alias("fp")
     )
@@ -1290,7 +1299,13 @@ def dedup_gram_novelty_by_source(spark, sf_dir):
         norm_text,
     )
 
-    docs = read_table(spark, sf_dir, "documents").select(
+    from etl_jobs_spark.sources.readers import spread
+
+    # spread before the stride-1 char-gram explode + hash: the
+    # single-file fixture scan is 1 split, so the query's dominant
+    # CPU stage otherwise runs on one task (guide §2.5 input skew;
+    # no-op at real scale where the scan has many splits)
+    docs = spread(read_table(spark, sf_dir, "documents")).select(
         "doc_id",
         "source",
         F.expr(norm_text("text", "spark")).alias("n"),

@@ -1058,9 +1058,16 @@ def kmeans_lloyd_fit(emb, k=_KM_K, rounds=_KM_ROUNDS):
     tests/test_kmeans_property.py can cross-check against a
     pure-Python reference with the identical integer rules."""
     spark = emb.sparkSession
+    # persist the quantized corpus: the fit consumes qdf rounds+2
+    # times (init collect, one assignment+update pass per round, the
+    # final assignment), and without the cache every pass re-scans
+    # parquet and re-quantizes (guide §5: reused AND recompute is a
+    # full corpus pass — the textbook persist case for an iterative
+    # fit). Measured at sf0.1: 2.4s -> 1.9s warm end-to-end.
+    # MEMORY_AND_DISK default spills rather than OOMs at real scale.
     qdf = emb.select(
         "vec_id", F.expr(_km_quant("spark")).alias("q")
-    )
+    ).persist()
     by_id = {
         r.vec_id: list(r.q)
         for r in qdf.filter(F.col("vec_id") < k).collect()

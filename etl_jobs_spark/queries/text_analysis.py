@@ -178,6 +178,10 @@ def text_tfidf(spark, sf_dir):
     from etl_jobs_spark.operators.hashing import norm_text, word_tokens
 
     docs = read_table(spark, sf_dir, "documents")
+    # NOT spread (optimization r15, measured): the exploded token
+    # table is persisted (cache.track) and feeds two aggregations;
+    # spreading the scan measured 1.18s -> 1.36s noop at sf0.1 — the
+    # extra exchange outweighs tokenize parallelism on this path.
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -1236,7 +1240,12 @@ def text_collocation_lift(spark, sf_dir):
 
     from etl_jobs_spark.operators.hashing import norm_text, word_tokens
 
-    docs = read_table(spark, sf_dir, "documents")
+    from etl_jobs_spark.sources.readers import spread
+
+    # spread before normalize+tokenize (1-split fixture scan; no-op
+    # at real scale — guide §2.5); the token-array projection feeds
+    # BOTH the bigram and unigram explodes below
+    docs = spread(read_table(spark, sf_dir, "documents"))
     toks = docs.select(
         F.expr(word_tokens(norm_text("text", "spark"), "spark")).alias(
             "toks"
