@@ -16,15 +16,17 @@ Ownership (round 15, ADVICE r14): every acquire writes a unique
 token (host:pid:uuid) into the lockfile and records it per-process;
 release unlinks ONLY after verifying the on-disk token is ours, so
 a writer that ran past ``stale_sec`` and had its lock broken can no
-longer delete the breaker's fresh lock. Stale locks are broken by
-atomically RENAMING them to a breaker-owned name first — two
-waiters judging the same lock stale race on the rename (one wins,
-one gets FileNotFoundError and loops), so the double-unlink that
-could previously destroy a third writer's fresh lock is impossible.
-After the rename the breaker re-reads the captive file and, if it
-stole a lock that was replaced between stat and rename (not the
-stale token it judged), restores it via atomic ``os.link`` back to
-the lock path before retrying.
+longer delete the breaker's fresh lock. Every action that REMOVES a
+lockfile (staleness/dead-pid breaks, verified releases) runs under
+a sibling judgment mutex (``<lock>.judge``, O_EXCL, seconds-scale
+staleness of its own) and re-verifies the on-disk token first —
+with all removals serialized and acquirers never overwriting a
+present file, read-verify-unlink has no TOCTOU window. The earlier
+rename-capture-restore protocol was retired this round: capturing a
+mistakenly-renamed FRESH lock left the lock path vacant until the
+restore link, and a third writer's O_EXCL create in that vacancy
+yielded two concurrent holders
+(test_concurrent_stale_breakers_exactly_one_wins caught it live).
 
 A lock whose recorded pid is dead ON THIS HOST is breakable
 immediately (no ``stale_sec`` wait): the ledger writer acquires at
@@ -111,33 +113,76 @@ def _holder_dead_on_this_host(token: str | None) -> bool:
     return False
 
 
+#: A judge mutex held longer than this is presumed dead (its
+#: critical section is a handful of syscalls); generous margin so a
+#: descheduled judge is never mistaken for a dead one.
+_JUDGE_STALE_SEC = 5.0
+
+
+@contextlib.contextmanager
+def _judgment_mutex(lock: Path, timeout_sec: float = 15.0):
+    """Serialize JUDGMENTS of a lockfile's state (staleness breaks
+    and verified releases) on a sibling O_EXCL mutex.
+
+    Why judgments must serialize (round-15 race, caught by
+    test_concurrent_stale_breakers_exactly_one_wins): the previous
+    rename-capture-verify-restore protocol left the lock path VACANT
+    between capturing a mistakenly-renamed fresh lock and the
+    ``os.link`` restore — a third writer's O_EXCL create in that
+    window succeeded while the captured holder still believed it
+    held, i.e. two concurrent holders. Under this mutex a judge
+    re-reads the token and acts with plain unlink; nothing that
+    removes or replaces a PRESENT lockfile runs concurrently (all
+    removals go through here, and acquirers never overwrite a
+    present file), so read-verify-unlink is race-free. Yields True
+    when acquired; False on timeout (callers fall back to doing
+    nothing — never to an unverified unlink)."""
+    guard = lock.with_name(lock.name + ".judge")
+    deadline = time.monotonic() + timeout_sec
+    acquired = False
+    while True:
+        try:
+            fd = os.open(str(guard), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            acquired = True
+            break
+        except FileExistsError:
+            try:
+                if time.time() - guard.stat().st_mtime > _JUDGE_STALE_SEC:
+                    # a judge died mid-judgment; its section is
+                    # microseconds, so an over-age mutex is debris
+                    with contextlib.suppress(FileNotFoundError):
+                        guard.unlink()
+                    continue
+            except FileNotFoundError:
+                continue
+            if time.monotonic() >= deadline:
+                break
+            time.sleep(0.01)
+    try:
+        yield acquired
+    finally:
+        if acquired:
+            with contextlib.suppress(FileNotFoundError):
+                guard.unlink()
+
+
 def _break_lock(lock: Path, observed_token: str | None) -> None:
     """Break a lock we judged abandoned, safely against racers.
 
-    Atomic-rename the lockfile to a breaker-owned name (one breaker
-    wins; losers see FileNotFoundError and re-loop), then verify the
-    captive file still carries the token we judged abandoned. If a
-    release+reacquire slipped in between our stat and the rename we
-    captured a LIVE writer's lock — restore it with ``os.link``
-    (atomic, refuses if a newer lock already exists) and back off.
-    """
-    breaker = lock.with_name(
-        f"{lock.name}.break.{os.getpid()}.{_uuid.uuid4().hex[:8]}"
-    )
-    try:
-        os.rename(lock, breaker)
-    except FileNotFoundError:
-        return  # another breaker (or the holder's release) won
-    captive = _read_token(breaker)
-    if observed_token is not None and captive != observed_token:
-        # stole a fresh lock created between stat and rename:
-        # put it back atomically; if a third writer already locked,
-        # the captive holder has lost its file — its token-verified
-        # release degrades to a no-op (safe: no foreign unlink).
-        with contextlib.suppress(FileExistsError, FileNotFoundError):
-            os.link(breaker, lock)
-    with contextlib.suppress(FileNotFoundError):
-        breaker.unlink()
+    Under the judgment mutex, re-read the lockfile: only if it still
+    carries the exact token we judged abandoned (tokens embed a
+    uuid, so equality pins the acquire instance) is the unlink
+    performed. A lock that was released and re-acquired since the
+    caller's stat fails the re-read and is left alone; the caller's
+    acquire loop re-stats and re-judges on its next pass."""
+    with _judgment_mutex(lock) as held:
+        if not held:
+            return  # another judge is wedged/busy; re-loop outside
+        if _read_token(lock) != observed_token:
+            return  # replaced since judged: not the abandoned lock
+        with contextlib.suppress(FileNotFoundError):
+            lock.unlink()
 
 
 def acquire_table_lock(
@@ -213,22 +258,21 @@ def release_table_lock(root: str | Path, token: str | None = None) -> None:
     mine = _HELD.pop(lock, None) if token is None else token
     if mine is None:
         return  # never acquired by this process: nothing to release
-    # rename-then-verify (not read-then-unlink): capturing the file
-    # first makes verify+delete atomic against a breaker that fires
-    # in between — the residual TOCTOU of a plain unlink.
-    rel = lock.with_name(
-        f"{lock.name}.rel.{os.getpid()}.{_uuid.uuid4().hex[:8]}"
-    )
-    try:
-        os.rename(lock, rel)
-    except FileNotFoundError:
-        return  # already broken by a staleness breaker
-    if _read_token(rel) != mine:
-        # ours was broken and someone else re-locked: restore theirs
-        with contextlib.suppress(FileExistsError, FileNotFoundError):
-            os.link(rel, lock)
-    with contextlib.suppress(FileNotFoundError):
-        rel.unlink()
+    # read-verify-unlink UNDER the judgment mutex: with every
+    # staleness break and every verified release serialized there,
+    # nothing can remove-and-replace the lockfile between our read
+    # and our unlink, so the verify is not a TOCTOU. A lock that was
+    # broken (we ran past stale_sec) and re-acquired fails the
+    # verify and is left alone — no foreign unlink (ADVICE r14), and
+    # no rename-capture vacancy for a third writer to slip into
+    # (the round-15 two-holders race).
+    with _judgment_mutex(lock) as held:
+        if not held:
+            return  # judge wedged: leave the lock; staleness reaps it
+        if _read_token(lock) != mine:
+            return  # ours was broken and someone else re-locked
+        with contextlib.suppress(FileNotFoundError):
+            lock.unlink()
 
 
 @contextlib.contextmanager
