@@ -817,7 +817,7 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    cur_tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "r14")
+    cur_tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "r15")
     docs = Path(__file__).resolve().parent / "docs"
     history = docs / "bench_history.jsonl"
     # Cross-round comparison (VERDICT r8 item 2): the headline
