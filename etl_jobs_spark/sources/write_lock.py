@@ -18,8 +18,9 @@ release unlinks ONLY after verifying the on-disk token is ours, so
 a writer that ran past ``stale_sec`` and had its lock broken can no
 longer delete the breaker's fresh lock. Every action that REMOVES a
 lockfile (staleness/dead-pid breaks, verified releases) runs under
-a sibling judgment mutex (``<lock>.judge``, O_EXCL, seconds-scale
-staleness of its own) and re-verifies the on-disk token first —
+a sibling judgment mutex (``<lock>.judge``, kernel ``flock`` — a
+dead judge's lock dies with its fd, so no staleness reap) and
+re-verifies the on-disk token first —
 with all removals serialized and acquirers never overwriting a
 present file, read-verify-unlink has no TOCTOU window. The earlier
 rename-capture-restore protocol was retired this round: capturing a
@@ -113,16 +114,11 @@ def _holder_dead_on_this_host(token: str | None) -> bool:
     return False
 
 
-#: A judge mutex held longer than this is presumed dead (its
-#: critical section is a handful of syscalls); generous margin so a
-#: descheduled judge is never mistaken for a dead one.
-_JUDGE_STALE_SEC = 5.0
-
-
 @contextlib.contextmanager
 def _judgment_mutex(lock: Path, timeout_sec: float = 15.0):
     """Serialize JUDGMENTS of a lockfile's state (staleness breaks
-    and verified releases) on a sibling O_EXCL mutex.
+    and verified releases) on a kernel lock over a sibling guard
+    file.
 
     Why judgments must serialize (round-15 race, caught by
     test_concurrent_stale_breakers_exactly_one_wins): the previous
@@ -136,35 +132,43 @@ def _judgment_mutex(lock: Path, timeout_sec: float = 15.0):
     removals go through here, and acquirers never overwrite a
     present file), so read-verify-unlink is race-free. Yields True
     when acquired; False on timeout (callers fall back to doing
-    nothing — never to an unverified unlink)."""
+    nothing — never to an unverified unlink).
+
+    The guard is an ``flock``-ed sidecar, not an existence-check
+    (ADVICE r15): the earlier O_EXCL guard needed its own staleness
+    reap, and that reap's stat->unlink was a TOCTOU — two waiters
+    judging one stale guard could both unlink, the second removing
+    the first's FRESH guard and re-admitting a concurrent judge.
+    ``flock`` closes the whole class: a dead judge's lock vanishes
+    with its fd (no staleness logic at all), per-open-fd semantics
+    serialize threads as well as processes, and the guard file is
+    NEVER unlinked — removing it while a waiter holds the old inode
+    would let a third opener lock a fresh inode concurrently. The
+    stray zero-byte ``.judge`` sidecar is the documented cost.
+    ``flock`` is advisory and local-fs/NFSv4 correct — the same
+    platform seam as the O_EXCL lockfile itself (module docstring)."""
+    import fcntl
+
     guard = lock.with_name(lock.name + ".judge")
-    deadline = time.monotonic() + timeout_sec
+    fd = os.open(str(guard), os.O_CREAT | os.O_RDWR)
     acquired = False
-    while True:
-        try:
-            fd = os.open(str(guard), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-            acquired = True
-            break
-        except FileExistsError:
-            try:
-                if time.time() - guard.stat().st_mtime > _JUDGE_STALE_SEC:
-                    # a judge died mid-judgment; its section is
-                    # microseconds, so an over-age mutex is debris
-                    with contextlib.suppress(FileNotFoundError):
-                        guard.unlink()
-                    continue
-            except FileNotFoundError:
-                continue
-            if time.monotonic() >= deadline:
-                break
-            time.sleep(0.01)
+    deadline = time.monotonic() + timeout_sec
     try:
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                acquired = True
+                break
+            except OSError:
+                if time.monotonic() >= deadline:
+                    break
+                time.sleep(0.01)
         yield acquired
     finally:
         if acquired:
-            with contextlib.suppress(FileNotFoundError):
-                guard.unlink()
+            with contextlib.suppress(OSError):
+                fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 def _break_lock(lock: Path, observed_token: str | None) -> None:

@@ -250,3 +250,70 @@ def test_cross_process_release_with_token(tmp_path):
     # right token, different process than the acquirer: releases
     _release(root, token=token)
     assert not lock.exists()
+
+
+def test_judgment_mutex_dead_holder_auto_releases(tmp_path):
+    """A judge that dies mid-judgment must not wedge later judges:
+    the flock guard dies with the holder's fd, with no staleness
+    reap (the reap's stat->unlink was itself a TOCTOU — two waiters
+    could both judge one stale guard and the second unlink would
+    remove the first's FRESH guard, ADVICE r15)."""
+    import subprocess
+    import sys as _sys
+
+    from etl_jobs_spark.sources.write_lock import _judgment_mutex
+
+    root = tmp_path / "tbl"
+    lock = _lock_path(root)
+    lock.parent.mkdir(parents=True, exist_ok=True)
+    guard = lock.with_name(lock.name + ".judge")
+    # a foreign process takes the guard and exits WITHOUT unlocking
+    subprocess.run(
+        [
+            _sys.executable,
+            "-c",
+            "import fcntl, os\n"
+            f"fd = os.open({str(guard)!r}, os.O_CREAT | os.O_RDWR)\n"
+            "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+            "os._exit(0)\n",
+        ],
+        check=True,
+    )
+    t0 = time.monotonic()
+    with _judgment_mutex(lock, timeout_sec=5.0) as held:
+        assert held, "guard of a dead judge must be acquirable"
+    assert time.monotonic() - t0 < 2.0, "should not wait out a timeout"
+
+
+def test_judgment_mutex_serializes_and_is_reentrant_free(tmp_path):
+    """Mutual exclusion across threads (flock is per-open-fd, so
+    same-process threads serialize too) and a live holder is never
+    evicted by waiters — the exact double-unlink class the old
+    existence-based guard allowed."""
+    from etl_jobs_spark.sources.write_lock import _judgment_mutex
+
+    root = tmp_path / "tbl"
+    lock = _lock_path(root)
+    lock.parent.mkdir(parents=True, exist_ok=True)
+
+    sole = threading.Semaphore(1)
+    outcomes = []
+
+    def judge(i):
+        with _judgment_mutex(lock, timeout_sec=20.0) as held:
+            if not held:
+                outcomes.append((i, "timeout"))
+                return
+            ok = sole.acquire(blocking=False)
+            time.sleep(0.01)
+            if ok:
+                sole.release()
+            outcomes.append((i, ok))
+
+    ts = [threading.Thread(target=judge, args=(i,)) for i in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(outcomes) == 8
+    assert all(ok is True for _, ok in outcomes), outcomes
