@@ -236,3 +236,110 @@ def salted_agg_events(events: DataFrame, n_salts: int = 16) -> DataFrame:
             ).alias("avg_value"),
         )
     )
+
+
+def with_global_position(
+    df: DataFrame,
+    order_cols: list[Column],
+    out: str = "rn",
+    total: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global row position under a STRICT total order
+    (``order_cols`` must include a tiebreak that makes the order a
+    key), computed WITHOUT a single-partition window.
+
+    ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY moves
+    every row to one task — the one remaining textbook 100 TB
+    failure mode in ranking queries (VERDICT r15 item 2; guide §2.5:
+    WindowExec "No Partition Defined" warnings). This helper keeps
+    the sort parallel: range-partition by the full composite key
+    (the range sampler sees the tiebreaks too, so hot primary values
+    split across partitions instead of skewing one), rank WITHIN
+    each range partition, then offset each partition's ranks by the
+    cumulative row count of the partitions before it. The offset
+    window IS unpartitioned, but over exactly one row per range
+    partition (= default parallelism, bounded and scale-independent).
+
+    Positions are boundary-independent: under a strict total order,
+    every row's global rank is the number of rows sorting before it,
+    whatever partition the range sampler put it in — so results are
+    bit-identical to the single-partition window, at any partition
+    count.
+
+    The ranged table is persisted (cache.track, released by the
+    bench/sweep between queries): the rank branch and the
+    per-partition-count branch BOTH consume it, and each execution
+    of a range exchange re-samples its boundaries (the sampler is
+    seeded per plan instantiation — measured: 345/5000 rows landed
+    in different partitions across two executions), which would skew
+    every offset. One cached execution fixes the assignment for the
+    whole query; task retries inside it reuse the stage's frozen
+    partitioner, so the assignment is stable under failure too.
+
+    ``total``: optionally attach the total row count as a column
+    (ntile arithmetic needs it; computed from the same collected
+    per-partition counts, no extra pass over the data).
+
+    The per-partition counts are COLLECTED (bounded: one row per
+    range partition, <= n — the kmeans-centroid class of bounded
+    driver collect) and attached as a literal CASE expression
+    rather than joined: a join of two branches of the same cached
+    plan is a self-join, and DeduplicateRelations re-aliases one
+    side's expression ids, which stops the nondeterministic-marked
+    spark_partition_id projection from matching the cache entry —
+    the de-aliased branch silently re-executed the range exchange
+    with fresh boundaries (measured: 345/5000 rows moved), skewing
+    every offset. The collect consumes the cache it just built, so
+    exactly one execution of the exchange ever exists.
+    """
+    from etl_jobs_spark import cache
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = cache.track(
+        df.repartitionByRange(n, *order_cols).withColumn(
+            "_gp_pid", F.spark_partition_id()
+        )
+    )
+    sizes = sorted(
+        (r._gp_pid, r._gp_cnt)
+        for r in ranged.groupBy("_gp_pid")
+        .agg(F.count(F.lit(1)).alias("_gp_cnt"))
+        .collect()
+    )
+    offs: dict[int, int] = {}
+    run = 0
+    for pid, cnt in sizes:
+        offs[pid] = run
+        run += cnt
+    off_expr = F.lit(0)
+    if offs:
+        branches = " ".join(
+            f"WHEN {pid} THEN {off}L" for pid, off in offs.items()
+        )
+        off_expr = F.expr(f"CASE _gp_pid {branches} ELSE 0L END")
+    w_local = Window.partitionBy("_gp_pid").orderBy(*order_cols)
+    result = ranged.withColumn(
+        out,
+        (off_expr + F.row_number().over(w_local)).cast("bigint"),
+    ).drop("_gp_pid")
+    if total is not None:
+        result = result.withColumn(total, F.lit(run).cast("bigint"))
+    return result
+
+
+def ntile_from_position(pos: str, n_rows: str, k: int) -> Column:
+    """ANSI ``ntile(k)`` computed arithmetically from an exact
+    global position (1-based) and the total row count: with
+    q = N DIV k and r = N MOD k, the first r tiles hold q+1 rows and
+    the rest q — identical to the window function's assignment, so
+    swapping ``ntile(k) OVER (ORDER BY ...)`` for
+    ``with_global_position + ntile_from_position`` is result-exact."""
+    q = f"({n_rows} DIV {k})"
+    r = f"({n_rows} % {k})"
+    return F.expr(
+        f"CASE WHEN {pos} <= {r} * ({q} + 1)"
+        f" THEN ({pos} + {q}) DIV ({q} + 1)"
+        f" ELSE {r} + ({pos} - {r} * ({q} + 1) + {q} - 1) DIV {q} END"
+    )

@@ -1065,9 +1065,13 @@ def kmeans_lloyd_fit(emb, k=_KM_K, rounds=_KM_ROUNDS):
     # full corpus pass — the textbook persist case for an iterative
     # fit). Measured at sf0.1: 2.4s -> 1.9s warm end-to-end.
     # MEMORY_AND_DISK default spills rather than OOMs at real scale.
-    qdf = emb.select(
-        "vec_id", F.expr(_km_quant("spark")).alias("q")
-    ).persist()
+    # cache.track (not a raw persist) so release_all() between
+    # bench/sweep queries actually frees it — a raw persist here
+    # pinned a new copy of the corpus per invocation (ADVICE r15)
+    # and let run 2 of the retime pass silently reuse run 1's blocks.
+    qdf = cache.track(
+        emb.select("vec_id", F.expr(_km_quant("spark")).alias("q"))
+    )
     by_id = {
         r.vec_id: list(r.q)
         for r in qdf.filter(F.col("vec_id") < k).collect()
