@@ -555,16 +555,26 @@ def curriculum_phase_plan(spark, sf_dir):
     tile boundaries are bit-deterministic), with per-phase doc/char/
     token budgets — the schedule artifact an easy-to-hard training
     run consumes alongside mix_epoch_plan's source recipe. Scale
-    note: a GLOBAL ntile is a single-partition sort at the limit; at
-    100 TB the same plan is produced by ranking against quantile
-    boundaries from approx_percentile (two map passes, no global
-    sort) — exact tiles are used here because the oracle must
-    hash-match, and the census output is identical either way."""
-    from pyspark.sql import Window as W
+    note: the exact tiles are computed as a PARALLEL
+    range-partitioned ranking (with_global_position +
+    ntile_from_position — bit-identical to the window ntile, so the
+    oracle still hash-matches) instead of the former unpartitioned
+    ntile window, which was a single-partition sort of the whole
+    corpus at the limit (VERDICT r15 item 2)."""
+    from etl_jobs_spark.operators.relational import (
+        ntile_from_position,
+        with_global_position,
+    )
 
     docs = read_table(spark, sf_dir, "documents")
-    ranked = docs.withColumn(
-        "phase", F.ntile(3).over(W.orderBy("n_chars", "doc_id"))
+    pos = with_global_position(
+        docs,
+        [F.col("n_chars").asc(), F.col("doc_id").asc()],
+        out="_p",
+        total="_n",
+    )
+    ranked = pos.withColumn(
+        "phase", ntile_from_position("_p", "_n", 3).cast("int")
     )
     return ranked.groupBy("phase").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -1274,12 +1274,18 @@ def agg_rfm_segments(spark, sf_dir):
     and monetary density. The classic lifecycle-marketing
     segmentation (champions = 111, at-risk = high r with low f/m)
     that sits one query above agg_retention_cohorts. Scale shape:
-    one combinable per-user rollup from the facts; the three ntile
-    windows run on the per-user table (global sort-windows on users,
-    not events — the documented exact-quartile audit of an
-    approx_percentile fit, per the feat_quantile_binning
-    precedent); the census is at most 64 rows."""
-    from pyspark.sql import Window as W
+    one combinable per-user rollup from the facts; the three exact
+    quartile cuts run as PARALLEL range-partitioned rankings
+    (operators.relational.with_global_position — per-user rows are
+    themselves fact-scale at 100 TB, so the former unpartitioned
+    ntile windows were single-partition sorts of the user table,
+    VERDICT r15 item 2); ntile_from_position reproduces the ANSI
+    tile assignment bit-exactly from the positions. The census is
+    at most 64 rows."""
+    from etl_jobs_spark.operators.relational import (
+        ntile_from_position,
+        with_global_position,
+    )
 
     per_user = read_table(spark, sf_dir, "events").groupBy("user_id").agg(
         F.max(F.col("ts").cast("date")).alias("last_d"),
@@ -1288,21 +1294,24 @@ def agg_rfm_segments(spark, sf_dir):
         .cast("bigint")
         .alias("cents"),
     )
-    scored = per_user.select(
+    pos = with_global_position(
+        per_user,
+        [F.col("last_d").desc(), F.col("user_id").asc()],
+        out="_pr",
+        total="_n",
+    )
+    pos = with_global_position(
+        pos, [F.col("freq").desc(), F.col("user_id").asc()], out="_pf"
+    )
+    pos = with_global_position(
+        pos, [F.col("cents").desc(), F.col("user_id").asc()], out="_pm"
+    )
+    scored = pos.select(
         "user_id",
         "cents",
-        F.ntile(4)
-        .over(W.orderBy(F.col("last_d").desc(), F.col("user_id").asc()))
-        .cast("bigint")
-        .alias("r"),
-        F.ntile(4)
-        .over(W.orderBy(F.col("freq").desc(), F.col("user_id").asc()))
-        .cast("bigint")
-        .alias("f"),
-        F.ntile(4)
-        .over(W.orderBy(F.col("cents").desc(), F.col("user_id").asc()))
-        .cast("bigint")
-        .alias("m"),
+        ntile_from_position("_pr", "_n", 4).cast("bigint").alias("r"),
+        ntile_from_position("_pf", "_n", 4).cast("bigint").alias("f"),
+        ntile_from_position("_pm", "_n", 4).cast("bigint").alias("m"),
     )
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
@@ -1410,21 +1419,32 @@ def agg_lorenz_deciles(spark, sf_dir):
     are deterministic ntile over the fully tie-broken (cents,
     user_id) order; shares are truncating integer division over
     exact cent sums. Scale: one combinable per-user rollup; the
-    ntile's global sort-window runs on USERS (the documented
-    exact-quartile audit trade); the curve is 10 rows."""
+    decile cut is a PARALLEL range-partitioned ranking
+    (with_global_position — per-user rows are fact-scale, so the
+    former unpartitioned ntile was a single-partition sort of the
+    user table, VERDICT r15 item 2); the curve is 10 rows and its
+    two cumulative windows run over those 10."""
     from pyspark.sql import Window as W
+
+    from etl_jobs_spark.operators.relational import (
+        ntile_from_position,
+        with_global_position,
+    )
 
     per_user = read_table(spark, sf_dir, "events").groupBy("user_id").agg(
         F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
         .cast("bigint")
         .alias("cents")
     )
-    tiled = per_user.select(
+    pos = with_global_position(
+        per_user,
+        [F.col("cents").asc(), F.col("user_id").asc()],
+        out="_p",
+        total="_n",
+    )
+    tiled = pos.select(
         "cents",
-        F.ntile(10)
-        .over(W.orderBy(F.col("cents").asc(), F.col("user_id").asc()))
-        .cast("bigint")
-        .alias("decile"),
+        ntile_from_position("_p", "_n", 10).cast("bigint").alias("decile"),
     )
     per_decile = tiled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
