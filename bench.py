@@ -903,10 +903,21 @@ def main() -> None:
         # first degraded host. Prefer the prior side's own
         # queries_jobs_adj when present (both sides adjusted), else
         # its raw (healthy host: raw ~= adjusted by construction).
+        # VERDICT r15 item 3: a record that carries its OWN
+        # queries_jobs_adj is a valid anchor regardless of its
+        # host's scheduler — both sides of the division are then
+        # healthy-host re-expressions (adjusted vs adjusted). The
+        # degraded-scheduler exclusion only applies to records that
+        # would anchor RAW (pre-r15 rounds), where a degraded host
+        # would poison the denominator. This retires the r15
+        # mixed-basis headline (adjusted numerator over r12's raw
+        # denominator) the moment one adjusted-carrying record
+        # exists at this SF.
         healthy_prior = [
             r
             for r in prior
-            if r.get("calib_jobs_sec") is None
+            if r.get("queries_jobs_adj")
+            or r.get("calib_jobs_sec") is None
             or r["calib_jobs_sec"] / 20.0 <= JOBS_DEGRADED_SEC_PER_JOB
         ]
         if healthy_prior:
@@ -947,6 +958,18 @@ def main() -> None:
         "stall_rows": stall_rows,
         "queries_norm": norm,
         "value_norm": round(sum(timings.values()) * scale, 3),
+        # ADVICE r15: start-basis value_norm recorded ALONGSIDE for
+        # continuity with pre-r15 history rows (whose normalization
+        # and gate used the start probe only) — a reader comparing
+        # value_norm across the r15 basis change can use this field
+        # on both sides instead of mixing eras. The gate itself
+        # remains min(start, mid) from r15 on; `calib_basis` names
+        # the era per record.
+        "value_norm_start_basis": round(
+            sum(timings.values()) * (CALIB_REF_SEC / calib_start), 3
+        )
+        if calib_start > 0
+        else None,
         "calib_sec": round(calib, 3),
         # optimization r15: basis switched from start-only to
         # min(start, mid) — steady-state host speed; see the
@@ -1035,11 +1058,17 @@ def main() -> None:
             "calib_jobs_sec": calib_jobs,
             "value_jobs_adj": round(sum(jobs_adj.values()), 3),
             "jobs_gate": jobs_gate,
-            "ratio_vs_prev_jobs_adj": ratio_jobs_adj,
-            "ratio_jobs_adj_prev_tag": jobs_adj_prev_tag,
+            # the RAW common-subset ratio leads; the jobs-adjusted
+            # ratio follows WITH its anchor basis spelled out — an
+            # adjusted-over-raw division is a model, not a
+            # measurement, and must never read as the flagship
+            # number (VERDICT r15 item 3)
             "ratio_vs_prev_raw": ratio,
             "ratio_basis": "raw_common_subset",
             "ratio_n_common": n_common,
+            "ratio_vs_prev_jobs_adj": ratio_jobs_adj,
+            "ratio_jobs_adj_prev_tag": jobs_adj_prev_tag,
+            "ratio_jobs_adj_prev_basis": jobs_adj_prev_basis,
             "calib_vs_prev_pct": calib_vs_prev_pct,
             "full": "docs/BENCH_FULL_LATEST.json",
             "sf": sf_val,
