@@ -633,6 +633,8 @@ def corpus_quality_threshold_sweep(spark, sf_dir):
         F.expr("CAST(sum(n_chars) DIV 4 AS BIGINT)").alias("tokens"),
     )
     tot = scored.agg(F.sum("tokens").cast("bigint").alias("all_tokens"))
+    # row bound (r16 audit): scored is one row per quality bucket
+    # (least(n_chars DIV 200, 9) -> at most 10 rows)
     w = W.orderBy(F.desc("q_bucket")).rowsBetween(
         W.unboundedPreceding, 0
     )

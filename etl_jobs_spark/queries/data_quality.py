@@ -1280,6 +1280,8 @@ def stat_mann_whitney_u(spark, sf_dir):
         F.sum("in_a").cast("bigint").alias("ca"),
         F.sum("in_b").cast("bigint").alias("cb"),
     )
+    # row bound (r16 audit): per_v is one row per distinct integer
+    # cent value — the value domain, not the event count
     w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
     ranked = per_v.select(
         "ca",
@@ -1484,6 +1486,8 @@ def stat_bootstrap_ci_mean(spark, sf_dir):
             "mean_cents"
         )
     )
+    # row bound (r16 audit): means is one row per bootstrap
+    # replicate — exactly BOOT_B rows at any corpus size
     ordered = means.withColumn(
         "rn", F.row_number().over(W.orderBy("mean_cents", "b"))
     )
@@ -1609,6 +1613,8 @@ def stat_spearman_rho(spark, sf_dir):
         per_v = daily.groupBy(F.col(col).alias("v")).agg(
             F.count(F.lit(1)).cast("bigint").alias("t")
         )
+        # row bound (r16 audit): per_v is one row per distinct
+        # DAILY aggregate value — calendar-bounded
         w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
         return per_v.select(
             "v",
@@ -1731,6 +1737,7 @@ def stat_runs_test(spark, sf_dir):
             .alias("rev")
         )
     )
+    # row bound (r16 audit): daily is one row per calendar day
     w = W.orderBy("d")
     signs = (
         daily.select(
@@ -2434,6 +2441,8 @@ def stat_pettitt_changepoint(spark, sf_dir):
             .alias("st")
         )
     )
+    # row bound (r16 audit): s is one row per calendar day; the
+    # rank below additionally plans WindowGroupLimit (rn == 1)
     u = s.select(
         "d",
         F.sum("st")

@@ -323,6 +323,8 @@ def feat_vocab_collapse_encode(spark, sf_dir):
         .groupBy(F.col("p_brand").alias("cat"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+    # row bound (r16 audit): counts is one row per category
+    # (p_brand domain — dimension-bounded, never fact-scale)
     ranked = counts.withColumn(
         "rnk",
         F.row_number().over(

@@ -918,6 +918,10 @@ def graph_link_prediction_cn(spark, sf_dir):
                 "jaccard_permille"
             ),
         )
+        # bounded global window (r16 audit): rank + `rnk <= K`
+        # plans as WindowGroupLimit (partial top-K ahead of the
+        # single-partition stage —
+        # plans/r16/graph_link_prediction_cn_after.txt)
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= LP_TOPK)
         .select("u", "v", "cn", "du", "dv", "jaccard_permille", "rnk")
@@ -995,6 +999,9 @@ def graph_local_clustering_topk(spark, sf_dir):
     )
     from pyspark.sql import Window as W
 
+    # bounded global window (r16 audit): rank + `rnk <= K` compiles
+    # to TakeOrderedAndProject over the per-node degree table
+    # (plans/r16/graph_local_clustering_topk_after.txt)
     top = (
         deg.withColumn(
             "rnk",

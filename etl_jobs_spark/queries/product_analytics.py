@@ -1129,6 +1129,10 @@ def agg_time_decay_topk(spark, sf_dir):
     from pyspark.sql import Window as W
 
     w = W.orderBy(F.col("decay_score_cents").desc(), F.col("user_id").asc())
+    # bounded global window (r16 audit): rank + `rnk <= K` compiles
+    # to TakeOrderedAndProject (per-partition top-K, driver merge of
+    # K x partitions rows — plans/r16/agg_time_decay_topk_after.txt);
+    # no single-partition pass over the per-user table ever runs
     return (
         scores.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= _DECAY_TOPK)
@@ -1450,6 +1454,7 @@ def agg_lorenz_deciles(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("cents").cast("bigint").alias("decile_cents"),
     )
+    # row bound: per_decile is exactly 10 rows (the ntile fan-in)
     cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
     tot = W.orderBy("decile").rowsBetween(
         W.unboundedPreceding, W.unboundedFollowing

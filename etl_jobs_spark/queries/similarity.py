@@ -2118,6 +2118,9 @@ def embed_dim_variance_topk(spark, sf_dir):
     )
     from pyspark.sql import Window as W
 
+    # bounded global window (r16 audit): input is one row per
+    # embedding dimension (<= 64) AND the rank-limit compiles to
+    # TakeOrderedAndProject (plans/r16/embed_dim_variance_topk_after.txt)
     return (
         v.withColumn(
             "rnk",

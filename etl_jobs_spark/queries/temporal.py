@@ -1614,6 +1614,8 @@ def ts_sax_symbols(spark, sf_dir):
         F.expr("CAST(sum(cents) DIV count(*) AS BIGINT)").alias("paa"),
         F.count(F.lit(1)).cast("bigint").alias("n_pts"),
     )
+    # row bound (r16 audit): paa is one row per (day, segment) —
+    # calendar-bounded (days x segments-per-day)
     sym = paa.select(
         "d",
         "seg",
@@ -1717,6 +1719,8 @@ def ts_theil_sen_trend(spark, sf_dir):
             "ELSE -((a.rev - b.rev) * 1000 DIV (b.x - a.x)) END"
         ).alias("slope"),
     )
+    # row bound (r16 audit): slopes is one row per DAY PAIR —
+    # calendar-bounded (about 6.7e6 rows at ten years of days)
     ranked = slopes.select(
         "slope",
         F.row_number().over(W.orderBy("slope", "da", "db")).alias("rn"),

@@ -1298,6 +1298,9 @@ def text_collocation_lift(spark, sf_dir):
             F.expr("big_cnt * 1000 DIV cnt2").alias("rev_permille"),
         )
     )
+    # bounded global window (r16 audit): rank + `rnk <= K` compiles
+    # to TakeOrderedAndProject (plans/r16/text_collocation_lift_after
+    # .txt) — never a single-partition pass over the bigram table
     ranked = scored.withColumn(
         "rnk",
         F.row_number()
