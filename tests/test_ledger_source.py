@@ -154,3 +154,49 @@ def test_stream_reader_offsets_and_replay(tmp_path):
     # replay of (start, off3] equals the union of both reads
     replay = r.readBetweenOffsets(start, off3)
     assert sorted(row[0] for row in replay) == [1, 2]
+
+
+def test_batch_to_jsonl_byte_identical_to_json_dumps():
+    """The r16 columnar serializer must produce byte-identical JSONL
+    to the old per-row json.dumps loop for the ledger schema,
+    including nulls, escapes, non-ASCII, negative zero, and
+    non-finite doubles."""
+    import json
+    import math
+
+    import pyarrow as pa
+
+    from etl_jobs_spark.sources.ledger_source import _batch_to_jsonl
+
+    batch = pa.record_batch(
+        {
+            "event_id": pa.array([1, None, -7, 2**62], pa.int64()),
+            "user_id": pa.array([0, 5, None, 99], pa.int64()),
+            "event_type": pa.array(
+                ['a"b\\c\n\t', "naïve☃", None, ""], pa.string()
+            ),
+            "value": pa.array(
+                [-0.0, 1e-17, float("nan"), float("-inf")], pa.float64()
+            ),
+        }
+    )
+    want = "".join(json.dumps(r) + "\n" for r in batch.to_pylist())
+    assert _batch_to_jsonl(batch) == want
+
+    # the happy-path shape every ledger write actually serializes
+    n = 2000
+    batch2 = pa.record_batch(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": pa.array([i % 97 for i in range(n)], pa.int64()),
+            "event_type": pa.array(
+                ["click" if i % 3 else "purchase" for i in range(n)]
+            ),
+            "value": pa.array(
+                [(i % 1007) * 0.0137 if i % 11 else None for i in range(n)],
+                pa.float64(),
+            ),
+        }
+    )
+    want2 = "".join(json.dumps(r) + "\n" for r in batch2.to_pylist())
+    assert _batch_to_jsonl(batch2) == want2
